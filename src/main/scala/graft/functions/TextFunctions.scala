@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analysis built from codegen'd builtins + higher-order
+  * functions — no Scala UDFs, so everything stays inside Catalyst and the
+  * same expressions run unchanged in batch and Structured Streaming.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a (trimmed) text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Canonical form used for exact-dup fingerprinting: lowercase, strip
+    * non [a-z0-9 ], squeeze runs of spaces, trim.
+    */
+  def normText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]+", " "), " +", " "))
+
+  /** 128-bit content fingerprint (hex md5 of the normalized text). */
+  def fingerprint(text: Column): Column = md5(encode(normText(text), "UTF-8"))
+
+  /** Word n-gram shingles as an array of strings; empty array when the
+    * document has fewer than n tokens.  Built entirely from array
+    * higher-order functions so it distributes with zero driver state.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  /** Fraction of tokens that are stopwords (0 when the doc is empty). */
+  def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(stop.map(x => x: Any): _*))
+    when(size(toks) > 0, size(stops) / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))) / length(text))
+      .otherwise(lit(0.0))
+}

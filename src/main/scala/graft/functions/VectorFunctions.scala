@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float|double>` columns using Spark's
+  * array higher-order functions (`zip_with` + `aggregate`), evaluated as
+  * a strict left-to-right fold.  The fold order is part of the contract:
+  * identical IEEE-754 op order makes results bit-reproducible across
+  * engines that evaluate the same expression shape (the DuckDB oracle
+  * mirrors it with `list_sum(list_transform(...))`).
+  */
+object VectorFunctions {
+
+  /** Element-wise cast to double (exact for float inputs). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; expression shape dot/(sqrt(aa)*sqrt(bb)) is kept
+    * verbatim in the oracle SQL for bit-parity.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+}

@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** OLAP suite over the star schema.  Every method is a pure plan
+  * builder (no actions), so Catalyst sees the whole tree: filters and
+  * projections push into the parquet scans, small dimensions broadcast,
+  * and fact⋈fact joins shuffle on their keys with AQE skew handling.
+  *
+  * Money aggregates cast to DECIMAL before summing: exact arithmetic on
+  * every engine, so results are reproducible at any scale and any
+  * partitioning (double summation order would not be).
+  */
+object Relational {
+  private val D182 = "decimal(18,2)"
+  private val D184 = "decimal(18,4)"
+
+  /** TPC-H Q1 image: scan-heavy multi-aggregate.  One shuffle on the
+    * 6-value grouping key; partial aggregation does almost all the work
+    * map-side, so this scales linearly with input bytes.
+    */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(D182)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(D182)).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184)).as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(D184)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 image: selective dim filter → join → agg → top-N.
+    * customer is the small side (broadcast); orders⋈lineitem shuffles
+    * on orderkey.  Top-10 runs through TakeOrderedAndProject, so no
+    * global sort materializes.
+    */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184)).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 image: snowflake join.  region/nation/supplier are tiny at
+    * any SF (dims scale sub-linearly) → broadcast; the only shuffles are
+    * the fact-side joins + final 25-key aggregate.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Large⋈large shuffle join benchmark shape: orders⋈lineitem on
+    * orderkey, aggregated to 5 rows.  AQE coalesces the post-shuffle
+    * partitions at low SF; at 100 TB both sides hash-partition on
+    * orderkey and the join is a co-partitioned SMJ.
+    */
+  def joinShuffle(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast(D182)).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Semi + anti join: customers that placed ≥1 order but never a
+    * returned line above 40 qty.  left_semi/left_anti never duplicate
+    * the probe side and stream map-side when broadcast.
+    */
+  def joinSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"))
+    cust
+      .join(ord.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(returned, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Top-3 parts per brand by revenue (dense grouped top-k via
+    * row_number; the partial aggregate bounds the windowed set to
+    * #parts, not #lineitems).
+    */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184)).as("revenue"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  /** Running revenue per supplier in ship order.  Single shuffle on
+    * l_suppkey; the frame is rows-unbounded-preceding with a total
+    * tie-break so the cumulative sum is deterministic under any
+    * physical row order.
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      graft.functions.TimeFunctions.epochSec(col("l_shipdate")).as("ship_sec"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184).as("rev"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_sec"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.withColumn("running_rev", sum(col("rev")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("ship_sec"), col("running_rev"))
+      .orderBy(col("l_suppkey"), col("ship_sec"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Exact multi-distinct aggregate per market segment. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Sketch aggregates (HLL distinct, approximate quantiles) — the
+    * scale path when exact distinct would shuffle too much.  Rows-only
+    * oracle: approximations are engine-specific by design.
+    */
+  def aggApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("median_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** INTERSECT / EXCEPT / UNION over customer key sets. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+    val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k")).distinct()
+    val both = withOrders.intersect(rich).select(lit("in_both").as("op"), col("k"))
+    val onlyOrders = withOrders.except(rich).select(lit("only_orders").as("op"), col("k"))
+    val onlyRich = rich.except(withOrders).select(lit("only_rich").as("op"), col("k"))
+    both.unionAll(onlyOrders).unionAll(onlyRich).orderBy(col("op"), col("k"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical totals in one
+    * pass (Spark expands grouping sets map-side).
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(D182)).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Global top-20 orders by totalprice: TakeOrderedAndProject — each
+    * partition keeps 20 rows, driver merges; no global sort.
+    */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_toporders" -> (q3TopOrders _),
+    "q5_regionrev" -> (q5RegionRevenue _),
+    "join_shuffle" -> (joinShuffle _),
+    "join_semi_anti" -> (joinSemiAnti _),
+    "window_rank" -> (windowRank _),
+    "window_running" -> (windowRunning _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_approx" -> (aggApprox _),
+    "set_ops" -> (setOps _),
+    "rollup_agg" -> (rollupAgg _),
+    "top_k" -> (topK _))
+
+  /** DuckDB oracle SQL; `agg_approx` intentionally omitted (sketches
+    * are engine-specific → rows-only check).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_toporders" ->
+      """SELECT o_orderkey,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_regionrev" ->
+      """SELECT n_name,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "join_shuffle" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    WHERE o_custkey = c_custkey AND l_returnflag = 'R' AND l_quantity > 40)
+        |ORDER BY c_custkey""".stripMargin,
+    "window_rank" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+        |  FROM rev) WHERE rk <= 3
+        |ORDER BY p_brand, rk""".stripMargin,
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(epoch_us(l_shipdate) // 1000000 AS BIGINT) AS ship_sec,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+        |FROM lineitem
+        |ORDER BY l_suppkey, ship_sec, l_orderkey, l_linenumber""".stripMargin,
+    "agg_distinct" ->
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT c_custkey) AS n_customers,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "set_ops" ->
+      """WITH w AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |r AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'in_both' AS op, k FROM (SELECT k FROM w INTERSECT SELECT k FROM r)
+        |UNION ALL
+        |SELECT 'only_orders' AS op, k FROM (SELECT k FROM w EXCEPT SELECT k FROM r)
+        |UNION ALL
+        |SELECT 'only_rich' AS op, k FROM (SELECT k FROM r EXCEPT SELECT k FROM w)
+        |ORDER BY op, k""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "top_k" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
+}
