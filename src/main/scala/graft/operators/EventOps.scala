@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFunctions._
+import graft.sources.Tables
+
+/** Batch images of the frafka/frizzle messaging surface plus event-time
+  * analytics over the `events` stream table.
+  *
+  * Reference semantics (public qntfy/frizzle + qntfy/frafka API docs):
+  * `Msg{ID,Original,Data}` envelopes, `Sink.Send(msg, dest)` routing,
+  * transform-with-failure → dead-letter sink, at-least-once →
+  * effectively-once dedup.  The streaming runtime equivalents live in
+  * [[graft.streaming]]; these batch plan-builders express the identical
+  * transformations so the DuckDB oracle can check them, and every one of
+  * them runs unchanged under `readStream` (groupBy window / dropDuplicates
+  * / stateful session images).
+  *
+  * Scale notes: all aggregations key on bounded-cardinality keys
+  * (type, user, window) and combine map-side; the session/as-of windows
+  * shuffle once on user_id — at 100 TB that is one hash partitioning of
+  * the fact table, with AQE handling user skew.
+  */
+object EventOps {
+  private val D182 = "decimal(18,2)"
+
+  /** Msg-envelope ingest: the batch image of `Source.Receive()`. */
+  def msgIngest(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").cast("string").as("msg_id"),
+      col("user_id").cast("string").as("routing_key"),
+      length(encode(col("props"), "UTF-8")).cast("long").as("payload_bytes"),
+      epochSec(col("ts")).as("ts_sec"))
+      .orderBy(col("ts_sec"), col("msg_id"))
+
+  /** Destination routing (`Sink.Send(msg, dest)`): stable topic mapping
+    * from the event type, aggregated per destination.
+    */
+  def msgRoute(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(concat(lit("events."), col("event_type")).as("dest"))
+      .agg(count(lit(1)).as("n_msgs"), sum(col("value").cast(D182)).as("sum_value"))
+      .orderBy(col("dest"))
+
+  /** Transform with failure branch: messages that fail business
+    * validation route to the dead-letter branch (frizzle `Fail`), the
+    * rest to main.  Pure narrow ops before one small aggregate.
+    */
+  def deadLetterSplit(s: SparkSession, dir: String): DataFrame = {
+    val k = regexp_extract(col("props"), "\"k\": (-?\\d+)", 1).cast("long")
+    Tables.events(s, dir)
+      .withColumn("branch", when(k % 13 === 0 || col("value") < 1.0, "dlq").otherwise("main"))
+      .groupBy(col("branch"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D182)).as("sum_value"))
+      .orderBy(col("branch"), col("event_type"))
+  }
+
+  /** At-least-once → effectively-once: keep the first event per
+    * (user, type) — the batch image of streaming `dropDuplicates`
+    * within watermark.  Total tie-break (ts, event_id).
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochSec(col("ts")).as("ts_sec"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** 5-minute tumbling windows per type (native `window()` — identical
+    * expression under readStream with a watermark).
+    */
+  def winTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts").cast("timestamp"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D182)).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** 10-minute windows sliding by 5: each event lands in exactly two
+    * windows; Spark expands map-side before the aggregate.
+    */
+  def winSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts").cast("timestamp"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D182)).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** 30-minute-gap sessionization per user (batch image of
+    * `session_window`): lag → new-session flag → running session id →
+    * per-session aggregate.  One shuffle on user_id; microsecond
+    * arithmetic keeps the gap test exact across engines.
+    */
+  def winSession(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("us"), col("value"))
+      .withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("nf", when(col("prev").isNull || col("us") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("nf")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("us")).as("sess_start_us"),
+        max(col("us")).as("sess_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(D182)).as("sum_value"))
+      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
+  /** Per-user event-type pivot as conditional aggregation: one pass,
+    * map-side combine, no pivot-materialized shuffle.
+    */
+  def eventPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val counts = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(counts.head, counts.tail :+ sum(col("value").cast(D182)).as("sum_value"): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join: each purchase matched to the latest prior (or
+    * simultaneous) click of the same user.
+    *
+    * Implemented as the scalable union-marker sort-merge: union both
+    * sides, one shuffle on user_id, sort by time within partition,
+    * propagate the last click with `last(ignoreNulls)` — no row
+    * explosion, no per-event probe.  (DuckDB oracle: native ASOF JOIN.)
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), epochUs(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+      .withColumn("c_id", when(col("is_p") === 0, col("event_id")))
+      .withColumn("c_us", when(col("is_p") === 0, col("us")))
+    // clicks sort before purchases at equal timestamps → "<=" semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prior_click_id", last(col("c_id"), ignoreNulls = true).over(w))
+      .withColumn("prior_click_us", last(col("c_us"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us").as("p_us"),
+        col("prior_click_id"), (col("us") - col("prior_click_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "msg_ingest" -> (msgIngest _),
+    "msg_route" -> (msgRoute _),
+    "dead_letter_split" -> (deadLetterSplit _),
+    "stream_dedup" -> (streamDedup _),
+    "win_tumbling" -> (winTumbling _),
+    "win_sliding" -> (winSliding _),
+    "win_session" -> (winSession _),
+    "event_pivot" -> (eventPivot _),
+    "asof_join" -> (asofJoin _))
+
+  def oracleSql: Map[String, String] = Map(
+    "msg_ingest" ->
+      """SELECT CAST(event_id AS VARCHAR) AS msg_id, CAST(user_id AS VARCHAR) AS routing_key,
+        |  CAST(octet_length(encode(props)) AS BIGINT) AS payload_bytes,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec
+        |FROM events ORDER BY ts_sec, msg_id""".stripMargin,
+    "msg_route" ->
+      """SELECT 'events.' || event_type AS dest, COUNT(*) AS n_msgs,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY dest ORDER BY dest""".stripMargin,
+    "dead_letter_split" ->
+      """WITH e AS (SELECT *, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k FROM events)
+        |SELECT CASE WHEN k % 13 = 0 OR value < 1.0 THEN 'dlq' ELSE 'main' END AS branch,
+        |  event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM e GROUP BY branch, event_type ORDER BY branch, event_type""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec, value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "win_tumbling" ->
+      """SELECT (epoch_us(ts) // 1000000 // 300) * 300 AS wstart, event_type,
+        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
+    "win_sliding" ->
+      """WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s, event_type, value FROM events),
+        |w AS (SELECT (s // 300) * 300 - t.off AS wstart, event_type, value
+        |      FROM e, (VALUES (0), (300)) t(off))
+        |SELECT wstart, event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM w GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
+    "win_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |f AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |g AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nf FROM f),
+        |h AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+        |SELECT user_id, MIN(us) AS sess_start_us, MAX(us) AS sess_end_us,
+        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM h GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin,
+    "event_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS p_us,
+        |  c.event_id AS prior_click_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin)
+}
