@@ -13,12 +13,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventOps.queries
+    Relational.queries ++ EventOps.queries ++ TextOps.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.  Omitted keys → rows-only check (ops whose
     * semantics are not SQL-expressible, e.g. sketches / LSH).
     */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ EventOps.oracleSql
+    Relational.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql
 }

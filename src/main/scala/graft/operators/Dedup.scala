@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64.simhash64
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Document deduplication at every fidelity level a training-data
+  * pipeline uses: exact hash, exact n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding cosine.
+  *
+  * Scale contract: no operator materializes O(n²) candidates.  Exact
+  * dedup is a hash groupBy; Jaccard/MinHash/SimHash pair generation is
+  * keyed by shingle / LSH band / simhash band so the shuffle carries
+  * only same-bucket candidates; embedding near-dup at 100 TB routes
+  * through [[Similarity]]'s LSH buckets (the all-pairs form here is the
+  * small-side reference implementation the oracle can check).
+  */
+object Dedup {
+
+  /** Exact duplicate groups under two keys: full normalized-text md5
+    * ("full") and the first-50-chars prefix md5 ("prefix50" — catches
+    * tail-edited near-exact copies).  One groupBy per strategy.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def groups(strategy: String, key: org.apache.spark.sql.Column): DataFrame =
+      docs.select(col("doc_id"), key.as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_dups") > 1)
+        .select(lit(strategy).as("strategy"), col("k"), col("n_dups"), col("keep_id"))
+    groups("full", fingerprint(col("text")))
+      .unionAll(groups("prefix50", md5(encode(substring(normText(col("text")), 1, 50), "UTF-8"))))
+      .orderBy(col("strategy"), col("k"))
+  }
+
+  /** Exact 3-gram Jaccard ≥ 0.8 pairs via a shingle inverted index:
+    * explode distinct shingles, self-join on shingle (the shuffle key),
+    * count intersections per pair, then J = |∩| / (|A|+|B|−|∩|).
+    * Candidate volume is Σ_shingle n_s², not n² — bounded because a
+    * planted near-dup pair shares many shingles but unrelated docs
+    * share few.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("c") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash(128) signature per doc + banded LSH (32 bands × 4 rows).
+    * Signature: position i = min over shingles of xxhash64(shingle, i).
+    * Pairs sharing ≥1 band bucket are candidates; the reported estimate
+    * is the matching-position fraction of the two signatures.  With
+    * t = (1/b)^(1/r) ≈ 0.42, recall at J ≥ 0.8 is effectively 1.
+    * The shuffle is keyed by (band, bucket): only same-bucket docs ever
+    * meet, so this is the 100 TB-safe form of near-dedup.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val numHashes = 128
+    val bands = 32
+    val rows = numHashes / bands
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = docs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("sh"), sh => xxhash64(sh, i)))).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("d1", "d2")
+    cand.select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          / lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.7)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash64 fingerprints + Hamming ≤ 3 pairs.  Blocking: split the
+    * 64-bit fingerprint into 4×16-bit bands — by pigeonhole, any pair
+    * within Hamming 3 agrees on ≥1 band, so band equality is the join
+    * key and the verify step is a cheap popcount.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), simhash64(array_distinct(shingles(col("text"), 3))).as("sh"))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Embedding cosine near-dup pairs (threshold 0.4 for this corpus).
+    * All-pairs reference form: at 100 TB use the LSH-bucketed variant
+    * (see [[Similarity.annLsh]]) to key the shuffle.  The cosine is a
+    * strict sequential fold for cross-engine bit parity.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cosine(col("a.e"), col("b.e")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  /** dedup_minhash / dedup_simhash are sketch-based → rows-only check
+    * (their ScalaTest specs pin estimates against exact Jaccard).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |f AS (SELECT 'full' AS strategy, md5(nt) AS k, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        |      FROM n GROUP BY k HAVING COUNT(*) > 1),
+        |p AS (SELECT 'prefix50' AS strategy, md5(substr(nt, 1, 50)) AS k, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        |      FROM n GROUP BY k HAVING COUNT(*) > 1)
+        |SELECT * FROM f UNION ALL SELECT * FROM p ORDER BY strategy, k""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2)
+        |SELECT d1, d2, c / (s1.n + s2.n - c) AS jaccard
+        |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |WHERE c / (s1.n + s2.n - c) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * a.e[i])))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * b.e[i])))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, round(cos, 6) AS cos6 FROM p WHERE cos >= 0.4
+        |ORDER BY id1, id2""".stripMargin)
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column plumbing: media payloads ride through the pipeline
+  * as opaque `binary` columns with typed metadata alongside.  The
+  * container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stub — but the Spark-side contract
+  * (schema, batching, partition-parallel extraction, no driver
+  * collection) is real and is what carries over to a cluster with the
+  * native libs installed.
+  */
+object Multimodal {
+
+  /** Binary ingest: payload bytes + content hash + metadata columns.
+    * This is the schema boundary a media pipeline hands to downstream
+    * stages; everything is codegen'd builtins over the binary column.
+    */
+  def mmIngest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha"),
+        lit("text/plain").as("mime"))
+      .orderBy(col("doc_id"))
+
+  /** Feature extraction over binary batches via `mapPartitions` on a
+    * typed Dataset: partition-parallel, constant memory per batch, no
+    * shuffle.  The "decode" (byte histogram + pseudo width/height) is a
+    * STUB for a real image/audio decoder — deterministic so tests pin
+    * it; swap `fakeDecode` for the real codec on a cluster.
+    */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) => MultimodalStub.fakeDecode(id, bytes) }
+    }.toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"), col("features"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ingest" -> (mmIngest _),
+    "mm_features" -> (mmFeatures _))
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_ingest" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha, 'text/plain' AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
+
+/** ??? real decoder goes here — this container ships no media codecs.
+  * `fakeDecode` stands in with a deterministic transform of the bytes so
+  * the pipeline shape (typed rows out of binary batches) is testable.
+  */
+object MultimodalStub {
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+      n_bytes: Long, features: Array[Double])
+
+  def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) % 16) += 1.0; i += 1 }
+    val n = math.max(bytes.length, 1)
+    var b = 0
+    while (b < 16) { hist(b) /= n; b += 1 }
+    // pseudo dimensions derived from content so they're stable per doc
+    val w = 64 + (math.abs(id * 2654435761L) % 192).toInt
+    val h = 64 + (math.abs(id * 40503L) % 192).toInt
+    MediaFeatures(id, w, h, bytes.length.toLong, hist)
+  }
+}

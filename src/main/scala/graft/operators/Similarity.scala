@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * `annBruteforce` is the exact baseline: broadcast the (small) query
+  * set against the corpus and keep top-k per query.  `annLsh` is the
+  * scale path: L random-hyperplane tables × b bits bucket the corpus so
+  * a query only scores its bucket cohort — the shuffle is keyed by
+  * (table, bucket) and touches a vanishing fraction of the corpus.
+  */
+object Similarity {
+
+  /** Query set: every 100th vector (deterministic, SF-independent). */
+  private def queryVecs(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+
+  /** Exact cosine top-10 per query.  The query side is broadcast (tiny
+    * by construction), so the corpus is scanned once with no shuffle of
+    * corpus rows; the window ranks |Q|×k candidates only after the
+    * non-equi broadcast join.
+    */
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val q = queryVecs(v)
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** 8 tables × 6-bit random-hyperplane LSH.  Hyperplanes are a fixed
+    * seeded pseudo-random matrix compiled into the plan as an array
+    * literal (no driver state, no UDF).  Candidates = corpus vectors
+    * sharing any (table, bucket) with the query; rank candidates by
+    * exact cosine, keep top-10.  Rows-only oracle; the spec measures
+    * recall@10 against `annBruteforce`.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val tables = 8
+    val bits = 6
+    val dim = 64
+    val rnd = new scala.util.Random(12345)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planesCol: Column = array(planes.map(p => array(p.map(lit): _*)): _*)
+
+    def buckets(e: Column): Column =
+      transform(sequence(lit(0), lit(tables - 1)), t =>
+        struct(t.as("tbl"),
+          aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+            (acc, b) => acc * 2 + when(dot(element_at(planesCol, t * bits + b + 1), e) > 0, 1L).otherwise(0L))
+            .as("bucket")))
+
+    val v = vecs(s, dir)
+    val corpus = v.select(col("vec_id"), col("e"), explode(buckets(col("e"))).as("tb"))
+      .select(col("vec_id"), col("e"), col("tb.tbl"), col("tb.bucket"))
+    val q = queryVecs(v)
+      .select(col("q_id"), col("qe"), explode(buckets(col("qe"))).as("tb"))
+      .select(col("q_id"), col("qe"), col("tb.tbl"), col("tb.bucket"))
+    // dedupe multi-table hits before the exact re-rank
+    val scored = corpus.as("c").join(broadcast(q).as("q"),
+        col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket") &&
+          col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id"), col("c.vec_id"), col("c.e"), col("q.qe"))
+      .dropDuplicates("q_id", "vec_id")
+      .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh" -> (annLsh _))
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+        |scored AS (SELECT q_id, vec_id,
+        |  list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i])))) AS cos
+        |  FROM v, q WHERE vec_id <> q_id),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, round(cos, 6) AS cos6 FROM rk WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin)
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` — the per-document metrics a
+  * training-data pipeline filters on.  Everything is narrow (no shuffle
+  * at all except final presentation sort): at 100 TB these run as a
+  * single scan-project stage at input bandwidth.
+  */
+object TextOps {
+
+  /** Token/char statistics per document. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      (length(regexp_replace(col("text"), " ", "")) / size(toks)).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: stopword ratio, punctuation ratio, length bucket,
+    * and a combined score.  The score formula is plain IEEE arithmetic
+    * over exact int/int ratios, so it reproduces bit-for-bit.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val stopR = stopwordRatio(col("text"))
+    val punctR = punctRatio(col("text"))
+    val bucket = when(col("n_chars") < 100, "short")
+      .when(col("n_chars") < 300, "medium").otherwise("long")
+    val score = stopR * lit(0.4) + (lit(1.0) - punctR) * lit(0.3) +
+      when(col("n_chars") >= 100, lit(0.3)).otherwise(lit(0.0))
+    Tables.documents(s, dir).select(
+      col("doc_id"), stopR.as("stop_ratio"), punctR.as("punct_ratio"),
+      bucket.as("len_bucket"), score.as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint (md5 of normalized text) — the dedup key. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Distinct / total 3-gram shingle counts per document. */
+  def textShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(col("text"), 3)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(array_distinct(sh)).cast("long").as("n_shingles"),
+      size(sh).cast("long").as("n_total"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-profile language guesser.  Scores each candidate language
+    * by its marker-token hit ratio and takes the deterministic argmax
+    * (score, then language code).  Heuristic → rows-only oracle; the
+    * ScalaTest spec pins determinism and output coverage.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+      "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on"),
+      "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un"),
+      "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une"),
+      "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "you", "ta"))
+    val toks = tokens(col("text"))
+    val scored: Column = array(profiles.map { case (lang, words) =>
+      struct(
+        (size(filter(toks, t => t.isin(words.map(x => x: Any): _*))) / size(toks)).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      array_max(scored).getField("lang").as("lang_pred"),
+      array_max(scored).getField("score").as("lang_score"),
+      col("lang").as("lang_label"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_shingles" -> (textShingles _),
+    "lang_id" -> (langId _))
+
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(text) AS BIGINT) AS n_chars_calc,
+        |  len(replace(text, ' ', '')) / len(toks) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |  len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','on','for'], x))) / len(toks) AS stop_ratio,
+        |  CASE WHEN len(text) > 0
+        |    THEN (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) / len(text)
+        |    ELSE 0.0 END AS punct_ratio
+        |FROM t)
+        |SELECT doc_id, stop_ratio, punct_ratio,
+        |  CASE WHEN n_chars < 100 THEN 'short' WHEN n_chars < 300 THEN 'medium' ELSE 'long' END AS len_bucket,
+        |  stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.3 +
+        |    (CASE WHEN n_chars >= 100 THEN 0.3 ELSE 0.0 END) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_shingles" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END AS sh
+        |  FROM t)
+        |SELECT doc_id, CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles,
+        |  CAST(len(sh) AS BIGINT) AS n_total
+        |FROM s ORDER BY doc_id""".stripMargin)
+}
