@@ -98,17 +98,17 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** SimHash64 fingerprints + Hamming ≤ 3 pairs.  Blocking: split the
-    * 64-bit fingerprint into 4×16-bit bands — by pigeonhole, any pair
-    * within Hamming 3 agrees on ≥1 band, so band equality is the join
+  /** SimHash64 fingerprints + Hamming ≤ 7 pairs.  Blocking: split the
+    * 64-bit fingerprint into 8×8-bit bands — by pigeonhole, any pair
+    * within Hamming 7 agrees on ≥1 band, so band equality is the join
     * key and the verify step is a cheap popcount.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), simhash64(array_distinct(shingles(col("text"), 3))).as("sh"))
     val banded = docs.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bb"))
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(0xffL)).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -116,7 +116,7 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .dropDuplicates("d1", "d2")
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= 7)
       .orderBy(col("d1"), col("d2"))
   }
 

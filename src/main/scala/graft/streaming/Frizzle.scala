@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Spark-native re-expression of the frizzle/frafka pipeline surface
+  * (public API of github.com/qntfy/frizzle + github.com/qntfy/frafka):
+  *
+  *  - `Msg{ID, Original, Data}`        → the canonical msg schema below
+  *  - `Source.Receive()`               → a streaming DataFrame
+  *  - `Source.Ack`                     → checkpointed offset commit
+  *    (at-least-once, exactly as frafka's consumer-group commit)
+  *  - `Sink.Send(msg, dest)`           → per-destination routed write
+  *  - `Fail(msg)` / FailSink           → dead-letter branch
+  *  - env config (KAFKA_BROKERS, ...)  → [[KafkaPipeConfig.fromEnv]]
+  *
+  * The Kafka transport is option-plumbing only in this container (no
+  * broker, no kafka connector jar); file/memory transports run the
+  * identical plan, which is the point of declaring the pipeline as a
+  * DataFrame: the transform is transport-agnostic.
+  */
+object MsgSchema {
+  /** Canonical message envelope: id + routing key + opaque payload. */
+  val schema: StructType = StructType(Seq(
+    StructField("msg_id", StringType),
+    StructField("key", StringType),
+    StructField("payload", BinaryType),
+    StructField("dest", StringType),
+    StructField("ts", TimestampType)))
+}
+
+/** frafka's viper env config, carried over verbatim (public frafka
+  * README documents KAFKA_BROKERS / KAFKA_TOPICS / KAFKA_CONSUMER_GROUP /
+  * KAFKA_MAX_BUFFER_KB).
+  */
+final case class KafkaPipeConfig(
+    brokers: String,
+    topics: Seq[String],
+    consumerGroup: Option[String],
+    maxBufferKb: Option[Long]) {
+
+  /** Options for `readStream.format("kafka")`. */
+  def sourceOptions: Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topics.mkString(",")) ++
+      consumerGroup.map("kafka.group.id" -> _) ++
+      maxBufferKb.map(kb => "maxOffsetsPerTrigger" -> (kb * 16).toString)
+
+  /** Options for `writeStream.format("kafka")`. */
+  def sinkOptions(defaultTopic: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> brokers, "topic" -> defaultTopic)
+}
+
+object KafkaPipeConfig {
+  def fromEnv(env: Map[String, String] = sys.env): KafkaPipeConfig =
+    KafkaPipeConfig(
+      brokers = env.getOrElse("KAFKA_BROKERS", "localhost:9092"),
+      topics = env.get("KAFKA_TOPICS").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      consumerGroup = env.get("KAFKA_CONSUMER_GROUP"),
+      maxBufferKb = env.get("KAFKA_MAX_BUFFER_KB").map(_.toLong))
+}
+
+/** A message source: anything that yields a streaming DataFrame in the
+  * [[MsgSchema]] envelope.
+  */
+trait MsgSource {
+  def receive(spark: SparkSession): DataFrame
+}
+
+/** Kafka transport (`Source.Receive` ≙ the subscribed stream).  Columns
+  * map 1:1 onto frafka's Msg: kafka key → routing key, value → payload,
+  * topic → dest, offset-derived id.
+  */
+final case class KafkaMsgSource(conf: KafkaPipeConfig) extends MsgSource {
+  def receive(spark: SparkSession): DataFrame =
+    spark.readStream.format("kafka").options(conf.sourceOptions).load()
+      .select(
+        concat_ws("-", col("topic"), col("partition"), col("offset")).as("msg_id"),
+        col("key").cast("string").as("key"),
+        col("value").as("payload"),
+        col("topic").as("dest"),
+        col("timestamp").as("ts"))
+}
+
+/** File transport: tail a directory of parquet as a stream (the local
+  * stand-in for a topic; same envelope, same downstream plan).
+  */
+final case class FileMsgSource(path: String, raw: StructType, toMsg: DataFrame => DataFrame)
+    extends MsgSource {
+  def receive(spark: SparkSession): DataFrame =
+    toMsg(spark.readStream.schema(raw).parquet(path))
+}
+
+/** Routed sink (`Sink.Send(msg, dest)`): one pipeline, messages fanned
+  * out to per-destination directories inside `foreachBatch` — the batch
+  * epoch id is the ack unit, giving frafka's at-least-once contract.
+  */
+object Frizzle {
+
+  /** A transform with a failure branch: rows where `isValid` is false
+    * route to the dead-letter sink (frizzle `Fail`).
+    */
+  final case class Route(transform: DataFrame => DataFrame, isValid: Column)
+
+  /** Run source → transform → {main, dlq} with checkpointed acks.
+    * `writeBatch(df, dest, epoch)` performs the physical send; tests
+    * inject an in-memory collector, production uses parquet/kafka.
+    */
+  def run(
+      spark: SparkSession,
+      source: MsgSource,
+      route: Route,
+      writeBatch: (DataFrame, String, Long) => Unit,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = route.transform(source.receive(spark))
+      .withColumn("__valid", route.isValid)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val cached = batch.persist()
+        try {
+          writeBatch(cached.filter(col("__valid")).drop("__valid"), "main", epoch)
+          writeBatch(cached.filter(!col("__valid")).drop("__valid"), "dlq", epoch)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** Exact 3-gram Jaccard computed in plain Scala as the ground truth. */
+  private lazy val exactJaccard: Map[(Long, Long), Double] = {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val sh = docs.view.mapValues { t =>
+      val toks = t.trim.split("\\s+")
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+      inter = sa.intersect(sb).size if inter > 0
+    } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.15") {
+    val cand = Dedup.dedupMinhash(spark, sf).collect()
+    assert(cand.nonEmpty)
+    cand.foreach { r =>
+      val key = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = exactJaccard.getOrElse(key, 0.0)
+      assert(math.abs(est - exact) <= 0.15, s"pair $key est=$est exact=$exact")
+    }
+  }
+
+  test("minhash recall: every exact pair with J>=0.9 is found") {
+    val found = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val wanted = exactJaccard.filter(_._2 >= 0.9).keySet
+    assert(wanted.nonEmpty)
+    assert(wanted.subsetOf(found), s"missed: ${wanted.diff(found)}")
+  }
+
+  test("simhash pairs are genuinely similar documents") {
+    val pairs = Dedup.dedupSimhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val key = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+      assert(r.getAs[Int]("hamming") <= 7)
+      assert(exactJaccard.getOrElse(key, 0.0) >= 0.3, s"false positive $key")
+    }
+  }
+
+  test("simhash recall on near-identical docs (J>=0.98)") {
+    val found = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val nearIdentical = exactJaccard.filter(_._2 >= 0.98).keySet
+    val recall = if (nearIdentical.isEmpty) 1.0
+      else nearIdentical.count(found).toDouble / nearIdentical.size
+    assert(recall >= 0.8, s"recall $recall over ${nearIdentical.size} pairs")
+  }
+
+  test("exact-jaccard operator agrees with the Scala ground truth") {
+    val got = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val want = exactJaccard.filter(_._2 >= 0.8).keySet
+    assert(got === want)
+  }
+}

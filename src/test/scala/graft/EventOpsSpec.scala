@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.sources.Tables
+
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("asof gap is never negative and clicks precede purchases") {
+    val rows = EventOps.asofJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val gaps = rows.flatMap(r => Option(r.getAs[java.lang.Long]("gap_us")))
+    assert(gaps.forall(_ >= 0L))
+  }
+
+  test("tumbling window counts partition the event stream exactly") {
+    val total = Tables.events(spark, sf).count()
+    val winSum = EventOps.winTumbling(spark, sf).collect().map(_.getAs[Long]("n")).sum
+    assert(winSum === total)
+  }
+
+  test("sliding windows double-count each event exactly twice") {
+    val total = Tables.events(spark, sf).count()
+    val winSum = EventOps.winSliding(spark, sf).collect().map(_.getAs[Long]("n")).sum
+    assert(winSum === 2 * total)
+  }
+
+  test("sessions never overlap within a user and gaps exceed 30min") {
+    val rows = EventOps.winSession(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us"), r.getAs[Long]("sess_end_us")))
+    rows.groupBy(_._1).values.foreach { sess =>
+      val sorted = sess.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(s2 - e1 > 1800L * 1000000L)
+        case _ =>
+      }
+    }
+  }
+
+  test("stream_dedup keeps exactly one event per (user, type)") {
+    val rows = EventOps.streamDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(rows.length === rows.distinct.length)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def topSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+    rows.groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+
+  test("bruteforce returns exactly 10 ranked neighbors per query") {
+    val rows = Similarity.annBruteforce(spark, sf).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.nonEmpty)
+    perQ.values.foreach { g =>
+      assert(g.length === 10)
+      assert(g.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to 10))
+      val coss = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos6"))
+      assert(coss.sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("lsh ann achieves useful recall against bruteforce") {
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val lsh = topSets(Similarity.annLsh(spark, sf).collect())
+    val recalls = bf.map { case (q, want) =>
+      lsh.getOrElse(q, Set()).intersect(want).size.toDouble / want.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.15, s"avg recall@10 = $avg")
+  }
+
+  test("lsh is deterministic across runs") {
+    val a = Similarity.annLsh(spark, sf).collect().map(_.toString).toSeq
+    val b = Similarity.annLsh(spark, sf).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+}

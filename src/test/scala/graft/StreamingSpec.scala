@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.streaming._
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** Physical schema of events.parquet (ts is int64 nanos on disk). */
+  private val eventsRaw = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The file stream source needs a directory — stage the single
+    * parquet file into a temp dir (read-only testdata stays untouched).
+    */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("graft-events")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  private def toMsg(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id").cast("string").as("msg_id"),
+      col("user_id").cast("string").as("key"),
+      encode(col("props"), "UTF-8").as("payload"),
+      concat(lit("events."), col("event_type")).as("dest"),
+      timestamp_micros(expr("ts div 1000")).as("ts"))
+
+  test("frizzle pipeline routes valid vs dead-letter with checkpointed acks") {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val sink = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val source = FileMsgSource(eventsDir, eventsRaw, toMsg)
+    val k = regexp_extract(col("payload").cast("string"), "\"k\": (-?\\d+)", 1).cast("long")
+    val route = Frizzle.Route(df => df.withColumn("k", k), isValid = !(col("k") % 13 === 0))
+    val q = Frizzle.run(spark, source, route,
+      (df, dest, _) => { sink.merge(dest, df.count(), (a, b) => a + b); () },
+      ckpt)
+    q.awaitTermination(120000)
+    val expectedDlq = EventOps.msgIngest(spark, sf).count() -
+      graft.sources.Tables.events(spark, sf)
+        .filter(!(regexp_extract(col("props"), "\"k\": (-?\\d+)", 1).cast("long") % 13 === 0))
+        .count()
+    assert(sink.get("main") + sink.get("dlq") === 1000L)
+    assert(sink.get("dlq") === expectedDlq)
+  }
+
+  test("streaming tumbling window agrees with the batch image") {
+    val src = spark.readStream.schema(eventsRaw).parquet(eventsDir)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+    val agg = src.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_stream")
+      .select(unix_timestamp(col("window.start")).as("wstart"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventOps.winTumbling(spark, sf)
+      .select(col("wstart"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("kafka config plumbing maps frafka env vars") {
+    val conf = KafkaPipeConfig.fromEnv(Map(
+      "KAFKA_BROKERS" -> "b1:9092,b2:9092",
+      "KAFKA_TOPICS" -> "in1, in2",
+      "KAFKA_CONSUMER_GROUP" -> "g1",
+      "KAFKA_MAX_BUFFER_KB" -> "1024"))
+    val opts = conf.sourceOptions
+    assert(opts("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    assert(opts("subscribe") === "in1,in2")
+    assert(opts("kafka.group.id") === "g1")
+    assert(opts("maxOffsetsPerTrigger").toLong > 0)
+    assert(conf.sinkOptions("out")("topic") === "out")
+  }
+}
