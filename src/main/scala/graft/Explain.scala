@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Dumps `explain("formatted")` for every query — the plan-review loop
+  * for the 100 TB design rules (pushdown reached the scan, dims
+  * broadcast, no stray shuffles).  Usage:
+  * `runMain graft.Explain <sfDir> <outDir> [namePrefix]`.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_plans"
+    val prefix = if (args.length > 2) args(2) else ""
+    val spark = GraftSession.builder(s"local[4]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith(prefix))
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+        } catch {
+          case e: Throwable =>
+            Files.writeString(Paths.get(s"$outDir/$name.txt"), s"ERROR: ${e.getMessage}")
+        }
+      }
+    spark.stop()
+  }
+}

@@ -24,17 +24,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(encode(normText(text), "UTF-8"))
 
   /** Word n-gram shingles as an array of strings; empty array when the
-    * document has fewer than n tokens.  Built entirely from array
-    * higher-order functions so it distributes with zero driver state.
+    * document has fewer than n tokens.  Delegates to the native
+    * [[WordShingles]] expression (same output as the HOF formulation
+    * `transform(sequence(0, size-n), i => concat_ws(" ", slice(toks, i+1, n)))`
+    * at a fraction of the per-row cost).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    WordShingles.wordShingles(tokens(text), n)
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")

@@ -15,9 +15,14 @@ object VectorFunctions {
   /** Element-wise cast to double (exact for float inputs). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two equal-length double arrays
+    * (native codegen'd [[DotProduct]]; identical fold order to the HOF
+    * formulation `aggregate(zip_with(a,b,_*_), 0.0, _+_)`).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

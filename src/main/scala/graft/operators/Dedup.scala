@@ -47,8 +47,12 @@ object Dedup {
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // repartition on the join key: both sides of the self-join then
+    // read from one ReusedExchange instead of recomputing the
+    // tokenize→shingle→explode pipeline twice
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
+      .repartition(col("shingle"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -64,12 +68,13 @@ object Dedup {
   }
 
   /** MinHash(128) signature per doc + banded LSH (32 bands × 4 rows).
-    * Signature: position i = min over shingles of xxhash64(shingle, i).
-    * Pairs sharing ≥1 band bucket are candidates; the reported estimate
-    * is the matching-position fraction of the two signatures.  With
-    * t = (1/b)^(1/r) ≈ 0.42, recall at J ≥ 0.8 is effectively 1.
-    * The shuffle is keyed by (band, bucket): only same-bucket docs ever
-    * meet, so this is the 100 TB-safe form of near-dedup.
+    * Signatures come from the one-pass [[graft.functions.MinHashSig]]
+    * expression (two-hash construction).  Pairs sharing ≥1 band bucket
+    * are candidates; the reported estimate is the matching-position
+    * fraction of the two signatures.  With t = (1/b)^(1/r) ≈ 0.42,
+    * recall at J ≥ 0.8 is effectively 1.  The shuffle is keyed by
+    * (band, bucket): only same-bucket docs ever meet, so this is the
+    * 100 TB-safe form of near-dedup.
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val numHashes = 128
@@ -78,21 +83,30 @@ object Dedup {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // one exchange on doc_id makes every downstream consumer (band
+    // explode, both candidate rejoins) a ReusedExchange reader — the
+    // signature pipeline runs exactly once
     val sig = docs.select(col("doc_id"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("sh"), sh => xxhash64(sh, i)))).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
+      graft.functions.MinHashSig.minhashSig(col("sh"), numHashes).as("sig"))
+      .repartition(col("doc_id"))
+    // band keys only (24 B/row) through the explode + self-join; the
+    // fat 128-long signatures rejoin just for the surviving candidates
+    val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("bkey")))).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      // shared exchange: the self-join reuses one computation
+      .repartition(col("band"), col("bkey"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    cand.select(col("d1"), col("d2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+    cand
+      .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("s1.sig"), col("s2.sig"), (x, y) => x === y), b => b))
           / lit(numHashes)).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.7)
       .orderBy(col("d1"), col("d2"))
@@ -110,13 +124,18 @@ object Dedup {
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(0xffL)).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
+      // shared exchange: the self-join reuses one simhash computation
+      .repartition(col("band"), col("bkey"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("d1", "d2")
+      // popcount-filter BEFORE the distinct: the band join can be
+      // skew-heavy (similar corpora collapse onto few band values) and
+      // the filter is codegen'd, so only surviving pairs shuffle
       .filter(col("hamming") <= 7)
+      .dropDuplicates("d1", "d2")
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -128,9 +147,10 @@ object Dedup {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        cosine(col("a.e"), col("b.e")).as("cos"))
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= 0.4)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos6"))
       .orderBy(col("id1"), col("id2"))
@@ -170,11 +190,13 @@ object Dedup {
         |WHERE c / (s1.n + s2.n - c) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
     "dedup_embedding" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(CAST(embedding AS DOUBLE[]))),
+        |    i -> CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+        |  FROM embeddings),
         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
-        |  / (sqrt(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * a.e[i])))
-        |   * sqrt(list_sum(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * b.e[i])))) AS cos
+        |  / (a.nrm * b.nrm) AS cos
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, round(cos, 6) AS cos6 FROM p WHERE cos >= 0.4
         |ORDER BY id1, id2""".stripMargin)

@@ -20,10 +20,12 @@ object Similarity {
   /** Query set: every 100th vector (deterministic, SF-independent). */
   private def queryVecs(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
 
   /** Exact cosine top-10 per query.  The query side is broadcast (tiny
     * by construction), so the corpus is scanned once with no shuffle of
@@ -34,7 +36,8 @@ object Similarity {
     val v = vecs(s, dir)
     val q = queryVecs(v)
     val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
@@ -66,18 +69,19 @@ object Similarity {
             .as("bucket")))
 
     val v = vecs(s, dir)
-    val corpus = v.select(col("vec_id"), col("e"), explode(buckets(col("e"))).as("tb"))
-      .select(col("vec_id"), col("e"), col("tb.tbl"), col("tb.bucket"))
+    val corpus = v.select(col("vec_id"), col("e"), col("nrm"), explode(buckets(col("e"))).as("tb"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
     val q = queryVecs(v)
-      .select(col("q_id"), col("qe"), explode(buckets(col("qe"))).as("tb"))
-      .select(col("q_id"), col("qe"), col("tb.tbl"), col("tb.bucket"))
+      .select(col("q_id"), col("qe"), col("qnrm"), explode(buckets(col("qe"))).as("tb"))
+      .select(col("q_id"), col("qe"), col("qnrm"), col("tb.tbl"), col("tb.bucket"))
     // dedupe multi-table hits before the exact re-rank
     val scored = corpus.as("c").join(broadcast(q).as("q"),
         col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket") &&
           col("c.vec_id") =!= col("q.q_id"))
-      .select(col("q.q_id"), col("c.vec_id"), col("c.e"), col("q.qe"))
+      .select(col("q.q_id"), col("c.vec_id"), col("c.e"), col("c.nrm"), col("q.qe"), col("q.qnrm"))
       .dropDuplicates("q_id", "vec_id")
-      .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
@@ -91,12 +95,13 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (SELECT vec_id, e,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm FROM v0),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM v WHERE vec_id % 100 = 0),
         |scored AS (SELECT q_id, vec_id,
         |  list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
-        |  / (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])))
-        |   * sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i])))) AS cos
+        |  / (qnrm * nrm) AS cos
         |  FROM v, q WHERE vec_id <> q_id),
         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos6 FROM rk WHERE rk <= 10
