@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, MinHashSig, SimHash64, WordShingles}
+
+/** Registers the graft native expressions as SQL functions, so
+  * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
+  * Activate with `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` (done by [[GraftSession.builder]]) or via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash fingerprint"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<string>, k) - MinHash signature of k permutations"),
+      (args: Seq[Expression]) => MinHashSig(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(array<string>, n) - word n-gram shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+  }
+}

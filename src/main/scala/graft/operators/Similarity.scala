@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{ScoredId, TopKByScore}
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
@@ -27,10 +27,32 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", l2Norm(col("e")))
 
+  /** Shared top-k tail: map-side combining [[TopKByScore]] aggregator —
+    * each partition carries ≤2k candidates per query, only the winners
+    * cross the shuffle (a row_number window would shuffle every scored
+    * row; at 100 TB that is the difference between shuffling |corpus|×|Q|
+    * and |Q|×k).
+    */
+  private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val agg = new TopKByScore(k).toColumn
+    scored.select(col("q_id"), col("vec_id").as("id"), col("cos").as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (q, id, sc) => (q, ScoredId(id, sc)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg)
+      .flatMap { case (q, top) =>
+        top.iterator.zipWithIndex.map { case (sid, i) => (q, i + 1, sid.id, sid.score) }
+      }
+      .toDF("q_id", "rk", "vec_id", "cos")
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Exact cosine top-10 per query.  The query side is broadcast (tiny
     * by construction), so the corpus is scanned once with no shuffle of
-    * corpus rows; the window ranks |Q|×k candidates only after the
-    * non-equi broadcast join.
+    * corpus rows; the aggregator keeps the top-k map-side.
     */
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
@@ -38,11 +60,7 @@ object Similarity {
     val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos6"))
-      .orderBy(col("q_id"), col("rk"))
+    topKPerQuery(s, scored, 10)
   }
 
   /** 8 tables × 6-bit random-hyperplane LSH.  Hyperplanes are a fixed
@@ -82,11 +100,7 @@ object Similarity {
       .dropDuplicates("q_id", "vec_id")
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos6"))
-      .orderBy(col("q_id"), col("rk"))
+    topKPerQuery(s, scored, 10)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
