@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful stream operators over the Msg/event envelope: the streaming
+  * counterparts of [[graft.operators.EventOps]]'s batch images.
+  *
+  * State is always keyed and bounded: `session_window` + watermark lets
+  * Spark expire window state; the custom running-totals operator holds
+  * one small struct per key.  Both survive failure via the checkpoint,
+  * which is also the ack boundary (at-least-once end to end, effectively
+  * once after [[graft.operators.EventOps.streamDedup]]'s keyed dedup).
+  */
+object Stateful {
+
+  /** Native session windows (30-min gap) over a streaming event frame
+    * with an event-time watermark; append mode emits each session once
+    * it can no longer grow.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"), col("sum_value"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n_msgs: Long, total_value: Double)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: running per-user
+    * totals, emitted on every update (Update mode).  The state per key
+    * is one `UserTotals` — constant memory regardless of stream length.
+    */
+  def runningTotals(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          var cur = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          batch.foreach { e =>
+            cur = UserTotals(user, cur.n_msgs + 1, cur.total_value + e.value)
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+}

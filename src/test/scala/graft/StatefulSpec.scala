@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.streaming.Stateful
+
+class StatefulSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private val eventsRaw = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ev2")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming session_window emits the batch sessions that closed") {
+    val src = spark.readStream.schema(eventsRaw).parquet(eventsDir)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"), col("value"))
+    val q = Stateful.sessionAgg(src).writeStream
+      .outputMode("append").format("memory").queryName("sess_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_stream")
+      .select("user_id", "sess_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventOps.winSession(spark, sf)
+      .select("user_id", "sess_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.subsetOf(batch), s"streaming emitted unknown sessions: ${streamed.diff(batch).take(3)}")
+    assert(streamed.size >= (batch.size * 0.8).toInt, s"${streamed.size} of ${batch.size}")
+  }
+
+  test("flatMapGroupsWithState accumulates running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Stateful.UserEvent]
+    val q = Stateful.runningTotals(spark, mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("totals_stream").start()
+    mem.addData(Stateful.UserEvent(1, 10.0), Stateful.UserEvent(1, 5.0), Stateful.UserEvent(2, 1.0))
+    q.processAllAvailable()
+    mem.addData(Stateful.UserEvent(1, 2.5), Stateful.UserEvent(2, 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("totals_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // last update per user wins
+    val last = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    assert(last(1L) === ((1L, 3L, 17.5)))
+    assert(last(2L) === ((2L, 2L, 5.0)))
+    q.stop()
+  }
+}
