@@ -26,15 +26,20 @@ object Dedup {
     * tail-edited near-exact copies).  One groupBy per strategy.
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    def groups(strategy: String, key: org.apache.spark.sql.Column): DataFrame =
-      docs.select(col("doc_id"), key.as("k"))
-        .groupBy(col("k"))
+    // normalize once; both strategy aggregations read the same exchange
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("nt"))
+      .select(col("doc_id"),
+        md5(encode(col("nt"), "UTF-8")).as("k_full"),
+        md5(encode(substring(col("nt"), 1, 50), "UTF-8")).as("k_prefix50"))
+      .repartition(col("doc_id"))
+    def groups(strategy: String, key: String): DataFrame =
+      keyed.groupBy(col(key).as("k"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
         .filter(col("n_dups") > 1)
         .select(lit(strategy).as("strategy"), col("k"), col("n_dups"), col("keep_id"))
-    groups("full", fingerprint(col("text")))
-      .unionAll(groups("prefix50", md5(encode(substring(normText(col("text")), 1, 50), "UTF-8"))))
+    groups("full", "k_full")
+      .unionAll(groups("prefix50", "k_prefix50"))
       .orderBy(col("strategy"), col("k"))
   }
 

@@ -72,7 +72,7 @@ object TextOps {
     val toks = tokens(col("text"))
     val scored: Column = array(profiles.map { case (lang, words) =>
       struct(
-        (size(filter(toks, t => t.isin(words.map(x => x: Any): _*))) / size(toks)).as("score"),
+        (graft.functions.CountInSet.countInSet(toks, words) / size(toks)).as("score"),
         lit(lang).as("lang"))
     }: _*)
     Tables.documents(s, dir).select(
