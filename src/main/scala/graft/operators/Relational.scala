@@ -17,7 +17,21 @@ import graft.sources.Tables
   */
 object Relational {
   private val D182 = "decimal(18,2)"
-  private val D184 = "decimal(18,4)"
+
+  /** Exact revenue arithmetic: cast each 2-decimal FACTOR to decimal and
+    * multiply in decimal (lossless), instead of multiplying doubles and
+    * casting the product.  The double product can land on the exact
+    * midpoint of the target decimal grid, and Spark (java BigDecimal
+    * HALF_UP on the exact binary value) and DuckDB (scaled-double
+    * rounding) resolve those ties differently — observed as last-digit
+    * drift in TPC-H Q1's sum_charge.  Decimal-factor arithmetic is
+    * identical on every engine at any scale.
+    */
+  private def discPrice =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1.00).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+  private def charge =
+    discPrice * (lit(1.00).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)"))
 
   /** TPC-H Q1 image: scan-heavy multi-aggregate.  One shuffle on the
     * 6-value grouping key; partial aggregation does almost all the work
@@ -30,8 +44,8 @@ object Relational {
       .agg(
         sum(col("l_quantity").cast(D182)).as("sum_qty"),
         sum(col("l_extendedprice").cast(D182)).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184)).as("sum_disc_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(D184)).as("sum_charge"),
+        sum(discPrice).as("sum_disc_price"),
+        sum(charge).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -47,7 +61,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184)).as("revenue"))
+      .agg(sum(discPrice).as("revenue"))
       .select(col("o_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -73,7 +87,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184)).as("revenue"))
+      .agg(sum(discPrice).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -115,7 +129,7 @@ object Relational {
     val rev = Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184)).as("revenue"))
+      .agg(sum(discPrice).as("revenue"))
     val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
     rev.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -131,7 +145,7 @@ object Relational {
     val li = Tables.lineitem(s, dir).select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
       graft.functions.TimeFunctions.epochSec(col("l_shipdate")).as("ship_sec"),
-      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D184).as("rev"))
+      discPrice.as("rev"))
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("ship_sec"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -215,15 +229,15 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
         |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS sum_charge,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2))) * (1.00 + CAST(l_tax AS DECIMAL(3,2)))) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_toporders" ->
       """SELECT o_orderkey,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue,
         |  CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -234,7 +248,7 @@ object Relational {
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_regionrev" ->
       """SELECT n_name,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -261,7 +275,7 @@ object Relational {
     "window_rank" ->
       """WITH rev AS (
         |  SELECT p_brand, p_partkey,
-        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, p_partkey)
         |SELECT p_brand, p_partkey, revenue, rk FROM (
@@ -271,7 +285,7 @@ object Relational {
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(epoch_us(l_shipdate) // 1000000 AS BIGINT) AS ship_sec,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) OVER (
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev

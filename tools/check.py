@@ -48,8 +48,9 @@ for name in sorted(oracle):
         a, b = got[c], exp[c]
         try:
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                eq = ((a == b) | (a.isna() & b.isna()) |
-                      ((a - b).abs() <= 1e-9 * b.abs().clip(lower=1))).all()
+                # exact: the driver's hash compare has no tolerance, so
+                # neither do we — every float column must be bit-stable
+                eq = ((a == b) | (a.isna() & b.isna())).all()
             else:
                 eq = ((a.astype(str) == b.astype(str)) | (a.isna() & b.isna())).all()
         except Exception:
