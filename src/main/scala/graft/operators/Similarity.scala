@@ -103,9 +103,65 @@ object Similarity {
     topKPerQuery(s, scored, 10)
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer splits the
+    * corpus into C cells; queries probe only the nprobe nearest cells
+    * and re-rank exactly inside them.  Training is 2 deterministic
+    * Lloyd iterations (seeds = first C vectors by id); the learned
+    * centroids are broadcast model state (C×dim doubles), never the
+    * data.  At 100 TB the cell assignment partitions the corpus scan
+    * and each query touches nprobe/C of it.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val cells = 16
+    val nprobe = 4
+    val v = vecs(s, dir)
+
+    def nearestCell(e: Column, cents: Seq[(Int, Seq[Double])]): Column =
+      array_min(array(cents.map { case (cid, c) =>
+        struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+
+    // deterministic seeds: the C lowest vec_ids, L2-normalized
+    var centroids: Seq[(Int, Seq[Double])] = v.orderBy(col("vec_id")).limit(cells)
+      .select(col("e"), col("nrm")).collect().zipWithIndex.map { case (r, i) =>
+        val e = r.getSeq[Double](0); val n = r.getDouble(1)
+        i -> e.map(_ / n).toSeq
+      }.toSeq
+    // 2 Lloyd iterations on the unit sphere (spherical k-means)
+    for (_ <- 0 until 2) {
+      val assigned = v.withColumn("cid", nearestCell(col("e"), centroids))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
+        .collect().groupBy(_.getAs[Int]("cid"))
+      centroids = centroids.map { case (cid, old) =>
+        cid -> sums.get(cid).map { rows =>
+          val dims = rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("sx"))
+          val n = math.sqrt(dims.map(x => x * x).sum)
+          if (n > 0) dims.map(_ / n).toSeq else old
+        }.getOrElse(old)
+      }
+    }
+
+    def probeCells(e: Column): Column =
+      slice(transform(array_sort(array(centroids.map { case (cid, c) =>
+        struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
+      }: _*)), s => s.getField("cid")), 1, nprobe)
+
+    val corpus = v.withColumn("cid", nearestCell(col("e"), centroids))
+    val q = queryVecs(v)
+      .withColumn("probe", explode(probeCells(col("qe"))))
+    val scored = corpus.join(broadcast(q),
+        col("cid") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(s, scored, 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
-    "ann_lsh" -> (annLsh _))
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _))
 
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" ->

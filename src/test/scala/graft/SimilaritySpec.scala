@@ -34,6 +34,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.15, s"avg recall@10 = $avg")
   }
 
+  test("ivf ann achieves useful recall against bruteforce") {
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val ivf = topSets(Similarity.annIvf(spark, sf).collect())
+    val recalls = bf.map { case (q, want) =>
+      ivf.getOrElse(q, Set()).intersect(want).size.toDouble / want.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.3, s"avg recall@10 = $avg")
+  }
+
+  test("ivf is deterministic across runs") {
+    val a = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
+    val b = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("lsh is deterministic across runs") {
     val a = Similarity.annLsh(spark, sf).collect().map(_.toString).toSeq
     val b = Similarity.annLsh(spark, sf).collect().map(_.toString).toSeq
