@@ -47,9 +47,26 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling: explode each binary payload into k evenly-spaced
+    * "frames" with per-frame features — the video-ingest shape (decode
+    * is the same stub; the partition-parallel explode + per-frame
+    * schema is the real contract).
+    */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    ds.flatMap { case (id, bytes) => MultimodalStub.fakeFrameSample(id, bytes, 4) }
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("offset"), col("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ingest" -> (mmIngest _),
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _))
 
   def oracleSql: Map[String, String] = Map(
     "mm_ingest" ->
@@ -65,6 +82,23 @@ object Multimodal {
 object MultimodalStub {
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,
       n_bytes: Long, features: Array[Double])
+
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame_hash: Long)
+
+  /** Evenly-spaced frame sampling over the payload bytes; the per-frame
+    * hash stands in for decoded frame content.
+    */
+  def fakeFrameSample(id: Long, bytes: Array[Byte], k: Int): Seq[Frame] = {
+    val n = math.max(bytes.length, 1)
+    (0 until k).map { i =>
+      val off = (n.toLong * i) / k
+      var h = 1125899906842597L
+      var j = off.toInt
+      val end = math.min(n, j + 64)
+      while (j < end) { h = h * 31 + (bytes(j) & 0xff); j += 1 }
+      Frame(id, i, off, h)
+    }
+  }
 
   def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val hist = new Array[Double](16)

@@ -13,12 +13,16 @@ import graft.sources.Tables
   */
 object TextOps {
 
-  /** Token/char statistics per document. */
+  /** Token/char statistics per document: whitespace tokens plus a
+    * BPE-style pre-tokenization count (word runs + single punctuation,
+    * the split shape subword tokenizers start from).
+    */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     Tables.documents(s, dir).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).cast("long").as("n_tokens_bpe"),
       length(col("text")).cast("long").as("n_chars_calc"),
       (length(regexp_replace(col("text"), " ", "")) / size(toks)).as("avg_token_len"))
       .orderBy(col("doc_id"))
@@ -83,17 +87,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Rabin–Karp rolling-hash fingerprint of the normalized text (the
+    * shift-tolerant chunk-identity hash; 2⁶⁴ polynomial → rows-only
+    * oracle, pinned by a determinism/uniqueness spec).
+    */
+  def textRollhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.RollingHash64.rollingHash64(normText(col("text"))).as("rh"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_shingles" -> (textShingles _),
+    "text_rollhash" -> (textRollhash _),
     "lang_id" -> (langId _))
 
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_bpe,
         |  CAST(len(text) AS BIGINT) AS n_chars_calc,
         |  len(replace(text, ' ', '')) / len(toks) AS avg_token_len
         |FROM t ORDER BY doc_id""".stripMargin,

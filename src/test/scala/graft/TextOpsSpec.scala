@@ -32,6 +32,23 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling hash is deterministic and collision-free on this corpus") {
+    val a = TextOps.textRollhash(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = TextOps.textRollhash(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_._2).distinct.length === a.length)
+  }
+
+  test("mm_frames samples k frames per doc with in-payload offsets") {
+    val rows = Multimodal.mmFrames(spark, sf).collect()
+    assert(rows.length === 500 * 4)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.getAs[Int]("frame_idx")).sorted.toSeq === Seq(0, 1, 2, 3))
+      assert(fs.forall(_.getAs[Long]("offset") >= 0))
+    }
+  }
+
   test("mm_features histograms are normalized and deterministic") {
     val rows = Multimodal.mmFeatures(spark, sf).collect()
     assert(rows.length === 500)
