@@ -153,6 +153,7 @@ object Dedup {
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", l2Norm(col("e")))
+      .filter(col("nrm") > 0)
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
@@ -195,10 +196,10 @@ object Dedup {
         |WHERE c / (s1.n + s2.n - c) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
     "dedup_embedding" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      """WITH v AS (SELECT * FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |  sqrt(list_sum(list_transform(generate_series(1, len(CAST(embedding AS DOUBLE[]))),
         |    i -> CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i]))) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings) WHERE nrm > 0),
         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
         |  / (a.nrm * b.nrm) AS cos

@@ -180,7 +180,7 @@ object EventOps {
         |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
         |FROM events GROUP BY dest ORDER BY dest""".stripMargin,
     "dead_letter_split" ->
-      """WITH e AS (SELECT *, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k FROM events)
+      """WITH e AS (SELECT *, TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k FROM events)
         |SELECT CASE WHEN k % 13 = 0 OR value < 1.0 THEN 'dlq' ELSE 'main' END AS branch,
         |  event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
         |FROM e GROUP BY branch, event_type ORDER BY branch, event_type""".stripMargin,
@@ -220,7 +220,8 @@ object EventOps {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "asof_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |c AS (SELECT * FROM events WHERE event_type = 'click'
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
         |SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS p_us,
         |  c.event_id AS prior_click_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts

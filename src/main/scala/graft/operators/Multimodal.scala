@@ -94,7 +94,7 @@ object MultimodalStub {
       val off = (n.toLong * i) / k
       var h = 1125899906842597L
       var j = off.toInt
-      val end = math.min(n, j + 64)
+      val end = math.min(bytes.length, j + 64)
       while (j < end) { h = h * 31 + (bytes(j) & 0xff); j += 1 }
       Frame(id, i, off, h)
     }

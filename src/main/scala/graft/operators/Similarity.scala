@@ -26,6 +26,9 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", l2Norm(col("e")))
+      // zero vectors have no direction: cosine would be NULL in Spark
+      // and NaN in DuckDB — excluded identically on both sides
+      .filter(col("nrm") > 0)
 
   /** Shared top-k tail: map-side combining [[TopKByScore]] aggregator —
     * each partition carries ≤2k candidates per query, only the winners
@@ -114,7 +117,10 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val cells = 16
     val nprobe = 4
-    val v = vecs(s, dir)
+    // cache the normalized corpus for the training collects (seed +
+    // 2 Lloyd iterations would otherwise re-scan parquet each time);
+    // released before returning — the result plan re-derives lazily
+    val v = vecs(s, dir).persist()
 
     def nearestCell(e: Column, cents: Seq[(Int, Seq[Double])]): Column =
       array_min(array(cents.map { case (cid, c) =>
@@ -148,6 +154,7 @@ object Similarity {
         struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
       }: _*)), s => s.getField("cid")), 1, nprobe)
 
+    v.unpersist(blocking = false)
     val corpus = v.withColumn("cid", nearestCell(col("e"), centroids))
     val q = queryVecs(v)
       .withColumn("probe", explode(probeCells(col("qe"))))
@@ -166,8 +173,9 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" ->
       """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |v AS (SELECT vec_id, e,
-        |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm FROM v0),
+        |v AS (SELECT * FROM (SELECT vec_id, e,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm
+        |  FROM v0) WHERE nrm > 0),
         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM v WHERE vec_id % 100 = 0),
         |scored AS (SELECT q_id, vec_id,
         |  list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))

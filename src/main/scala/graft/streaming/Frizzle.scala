@@ -116,8 +116,11 @@ object Frizzle {
       writeBatch: (DataFrame, String, Long) => Unit,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // NULL validity means the predicate itself failed → dead-letter,
+    // never silently dropped (a bare filter would exclude NULL from
+    // both branches and lose the message)
     val stream = route.transform(source.receive(spark))
-      .withColumn("__valid", route.isValid)
+      .withColumn("__valid", coalesce(route.isValid, lit(false)))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
