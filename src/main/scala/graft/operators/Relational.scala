@@ -146,8 +146,12 @@ object Relational {
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
       graft.functions.TimeFunctions.epochSec(col("l_shipdate")).as("ship_sec"),
       discPrice.as("rev"))
+    // (orderkey, linenumber) is NOT unique in the data (observed at
+    // sf0.1) — rev as the last tie-break makes the cumulative sum
+    // order-invariant: rows tied on every key including rev contribute
+    // identical partial sums in either order
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("ship_sec"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("ship_sec"), col("l_orderkey"), col("l_linenumber"), col("rev"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.withColumn("running_rev", sum(col("rev")).over(w))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("ship_sec"), col("running_rev"))
@@ -287,7 +291,8 @@ object Relational {
         |  CAST(epoch_us(l_shipdate) // 1000000 AS BIGINT) AS ship_sec,
         |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |      CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
         |FROM lineitem
         |ORDER BY l_suppkey, ship_sec, l_orderkey, l_linenumber""".stripMargin,
