@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ScoredId, TopKByScore}
+import graft.functions.TopKScoredAgg
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
@@ -36,22 +36,13 @@ object Similarity {
     * row; at 100 TB that is the difference between shuffling |corpus|×|Q|
     * and |Q|×k).
     */
-  private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
-    import s.implicits._
-    val agg = new TopKByScore(k).toColumn
-    scored.select(col("q_id"), col("vec_id").as("id"), col("cos").as("score"))
-      .as[(Long, Long, Double)]
-      .map { case (q, id, sc) => (q, ScoredId(id, sc)) }
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg)
-      .flatMap { case (q, top) =>
-        top.iterator.zipWithIndex.map { case (sid, i) => (q, i + 1, sid.id, sid.score) }
-      }
-      .toDF("q_id", "rk", "vec_id", "cos")
-      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos6"))
+  private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(TopKScoredAgg.topKScored(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).as("rk"), col("t.id").as("vec_id"),
+        round(col("t.score"), 6).as("cos6"))
       .orderBy(col("q_id"), col("rk"))
-  }
 
   /** Exact cosine top-10 per query.  The query side is broadcast (tiny
     * by construction), so the corpus is scanned once with no shuffle of
