@@ -43,7 +43,8 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { case (id, bytes) => MultimodalStub.fakeDecode(id, bytes) }
     }.toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"), col("features"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("resized_w"), col("resized_h"), col("n_bytes"), col("features"))
       .orderBy(col("doc_id"))
   }
 
@@ -81,7 +82,18 @@ object Multimodal {
   */
 object MultimodalStub {
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,
-      n_bytes: Long, features: Array[Double])
+      resized_w: Int, resized_h: Int, n_bytes: Long, features: Array[Double])
+
+  /** Aspect-preserving resize to fit a square target (stub geometry —
+    * the arithmetic a real resize kernel would use for its output
+    * allocation; only the pixel transform itself needs the codec).
+    */
+  def fitResize(w: Int, h: Int, target: Int): (Int, Int) =
+    if (w <= target && h <= target) (w, h)
+    else {
+      val scale = target.toDouble / math.max(w, h)
+      (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
+    }
 
   case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame_hash: Long)
 
@@ -110,6 +122,7 @@ object MultimodalStub {
     // pseudo dimensions derived from content so they're stable per doc
     val w = 64 + (math.abs(id * 2654435761L) % 192).toInt
     val h = 64 + (math.abs(id * 40503L) % 192).toInt
-    MediaFeatures(id, w, h, bytes.length.toLong, hist)
+    val (rw, rh) = fitResize(w, h, 224)
+    MediaFeatures(id, w, h, rw, rh, bytes.length.toLong, hist)
   }
 }

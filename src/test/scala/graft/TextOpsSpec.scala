@@ -57,6 +57,7 @@ class TextOpsSpec extends AnyFunSuite {
       assert(hist.length === 16)
       assert(math.abs(hist.sum - 1.0) < 1e-9)
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 64)
+      assert(r.getAs[Int]("resized_w") <= 224 && r.getAs[Int]("resized_h") <= 224)
     }
     val again = Multimodal.mmFeatures(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
