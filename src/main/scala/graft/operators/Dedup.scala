@@ -162,12 +162,38 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** The 100 TB form of embedding near-dup: random-hyperplane LSH
+    * buckets key the shuffle (same 8×6-bit tables as [[Similarity]]),
+    * so only same-bucket vectors ever pair; survivors are confirmed by
+    * exact cosine ≥ 0.4.  All-pairs work drops from O(n²) to
+    * Σ_bucket n_b² — the recall/threshold trade is pinned by the spec
+    * against the exact [[dedupEmbedding]].
+    */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val banded = Similarity.normalizedVecs(s, dir)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        explode(Similarity.hyperplaneBuckets(col("e"))).as("tb"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
+      // shared exchange for the self-join
+      .repartition(col("tbl"), col("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
 
   /** dedup_minhash / dedup_simhash are sketch-based → rows-only check
     * (their ScalaTest specs pin estimates against exact Jaccard).

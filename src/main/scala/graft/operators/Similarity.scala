@@ -64,22 +64,29 @@ object Similarity {
     * exact cosine, keep top-10.  Rows-only oracle; the spec measures
     * recall@10 against `annBruteforce`.
     */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val tables = 8
-    val bits = 6
-    val dim = 64
+  /** Shared random-hyperplane machinery: 8 tables × 6 sign bits from a
+    * fixed seeded gaussian matrix compiled into the plan as literals.
+    * `hyperplaneBuckets(e)` → `array<struct<tbl,bucket>>` per vector.
+    */
+  private[operators] val LshTables = 8
+  private[operators] val LshBits = 6
+  private val lshPlanesCol: Column = {
     val rnd = new scala.util.Random(12345)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
-    val planesCol: Column = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val planes = Seq.fill(LshTables * LshBits)(Seq.fill(64)(rnd.nextGaussian()))
+    array(planes.map(p => array(p.map(lit): _*)): _*)
+  }
 
-    def buckets(e: Column): Column =
-      transform(sequence(lit(0), lit(tables - 1)), t =>
-        struct(t.as("tbl"),
-          aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-            (acc, b) => acc * 2 + when(dot(element_at(planesCol, t * bits + b + 1), e) > 0, 1L).otherwise(0L))
-            .as("bucket")))
+  private[operators] def hyperplaneBuckets(e: Column): Column =
+    transform(sequence(lit(0), lit(LshTables - 1)), t =>
+      struct(t.as("tbl"),
+        aggregate(sequence(lit(0), lit(LshBits - 1)), lit(0L),
+          (acc, b) => acc * 2 + when(dot(element_at(lshPlanesCol, t * LshBits + b + 1), e) > 0, 1L).otherwise(0L))
+          .as("bucket")))
 
+  private[operators] def normalizedVecs(s: SparkSession, dir: String): DataFrame = vecs(s, dir)
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    def buckets(e: Column): Column = hyperplaneBuckets(e)
     val v = vecs(s, dir)
     val corpus = v.select(col("vec_id"), col("e"), col("nrm"), explode(buckets(col("e"))).as("tb"))
       .select(col("vec_id"), col("e"), col("nrm"), col("tb.tbl"), col("tb.bucket"))

@@ -61,6 +61,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall over ${nearIdentical.size} pairs")
   }
 
+  test("lsh embedding dedup finds a useful fraction of the exact pairs, no false positives") {
+    val exact = Dedup.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val lsh = Dedup.dedupEmbeddingLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(3)}")
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.2, s"recall $recall over ${exact.size} pairs")
+    }
+  }
+
   test("exact-jaccard operator agrees with the Scala ground truth") {
     val got = Dedup.dedupNgramJaccard(spark, sf).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
