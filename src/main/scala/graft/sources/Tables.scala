@@ -18,6 +18,16 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a temp view so the whole engine surface is
+    * reachable from `spark.sql(...)` (the graft custom functions are
+    * already in the registry via [[graft.GraftExtensions]]).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else table(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -18,4 +18,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("dp") === 11.0)
     assert(row.getAs[scala.collection.Seq[String]]("ws") === Seq("a b", "b c", "c d"))
   }
+
+  test("full SQL surface works over registered views + custom functions") {
+    graft.sources.Tables.registerAll(spark, TestSpark.sf)
+    val n = spark.sql(
+      """SELECT count(DISTINCT simhash64(word_shingles(split(trim(text), '\\s+'), 3))) AS n
+        |FROM documents WHERE n_chars > 100""".stripMargin).head().getAs[Long]("n")
+    assert(n > 1)
+    val agg = spark.sql(
+      """SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+    assert(agg.length === 3)
+  }
 }
