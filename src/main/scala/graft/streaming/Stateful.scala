@@ -30,6 +30,22 @@ object Stateful {
         unix_micros(col("session_window.end")).as("sess_end_us"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases joined to clicks of the
+    * same user within the preceding hour.  Watermarks on both sides
+    * bound the join state (clicks older than purchase-watermark − 1h
+    * are dropped) — the streaming image of the batch as-of/range join.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "70 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_msgs: Long, total_value: Double)
 

@@ -41,6 +41,29 @@ class StatefulSpec extends AnyFunSuite {
     assert(streamed.size >= (batch.size * 0.8).toInt, s"${streamed.size} of ${batch.size}")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    def side(tpe: String) = spark.readStream.schema(eventsRaw).parquet(eventsDir)
+      .filter(col("event_type") === tpe)
+      .select(col("event_id"), col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
+    val q = Stateful.purchaseClickJoin(side("purchase"), side("click"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj_stream")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts")),
+        col("p_user") === col("c_user") && col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("flatMapGroupsWithState accumulates running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
