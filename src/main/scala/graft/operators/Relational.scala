@@ -158,6 +158,25 @@ object Relational {
       .orderBy(col("l_suppkey"), col("ship_sec"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** TPC-H Q17 image: correlated per-part average threshold, expressed
+    * as the decorrelated aggregate-join Catalyst produces.  The
+    * `qty < 0.2·avg(qty)` predicate is reformulated as
+    * `5·qty·count < sum` — pure decimal/integer arithmetic, so the
+    * boundary is exact on every engine (a double average would be
+    * partition-order dependent in its last bits).
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(col("l_quantity").cast(D182)).as("sq"), count(lit(1)).as("cnt"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#23")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(col("l_quantity").cast(D182) * 5 * col("cnt") < col("sq"))
+      .agg(sum(col("l_extendedprice").cast(D182)).as("total_price"), count(lit(1)).as("n_lines"))
+  }
+
   /** Exact multi-distinct aggregate per market segment. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -215,6 +234,7 @@ object Relational {
     "q1_pricing" -> (q1Pricing _),
     "q3_toporders" -> (q3TopOrders _),
     "q5_regionrev" -> (q5RegionRevenue _),
+    "q17_small_qty" -> (q17SmallQty _),
     "join_shuffle" -> (joinShuffle _),
     "join_semi_anti" -> (joinSemiAnti _),
     "window_rank" -> (windowRank _),
@@ -264,6 +284,16 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q17_small_qty" ->
+      """WITH a AS (SELECT l_partkey AS agg_partkey,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_price,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part ON l.l_partkey = p_partkey AND p_brand = 'Brand#23'
+        |JOIN a ON l.l_partkey = agg_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""".stripMargin,
     "join_shuffle" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
