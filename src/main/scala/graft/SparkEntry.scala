@@ -7,9 +7,12 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q1 (single-table multi-aggregate, 6 groups) — no join/filter
+    * selectivity dependencies, so the smoke is robust by construction.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+    Relational.q1Pricing(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
