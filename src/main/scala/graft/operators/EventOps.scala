@@ -42,7 +42,10 @@ object EventOps {
   def msgRoute(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(concat(lit("events."), col("event_type")).as("dest"))
-      .agg(count(lit(1)).as("n_msgs"), sum(col("value").cast(D182)).as("sum_value"))
+      // exact decimal sum, then one correctly-rounded cast at the
+      // presentation boundary (identical decimals → identical doubles
+      // on every engine; decimal parquet output is formatting-unstable)
+      .agg(count(lit(1)).as("n_msgs"), sum(col("value").cast(D182)).cast("double").as("sum_value"))
       .orderBy(col("dest"))
 
   /** Transform with failure branch: messages that fail business
@@ -54,7 +57,7 @@ object EventOps {
     Tables.events(s, dir)
       .withColumn("branch", when(k % 13 === 0 || col("value") < 1.0, "dlq").otherwise("main"))
       .groupBy(col("branch"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(D182)).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D182)).cast("double").as("sum_value"))
       .orderBy(col("branch"), col("event_type"))
   }
 
@@ -79,7 +82,7 @@ object EventOps {
   def winTumbling(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts").cast("timestamp"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(D182)).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D182)).cast("double").as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("wstart"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("wstart"), col("event_type"))
@@ -90,7 +93,7 @@ object EventOps {
   def winSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts").cast("timestamp"), "10 minutes", "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(D182)).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D182)).cast("double").as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("wstart"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("wstart"), col("event_type"))
@@ -113,7 +116,7 @@ object EventOps {
         min(col("us")).as("sess_start_us"),
         max(col("us")).as("sess_end_us"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(D182)).as("sum_value"))
+        sum(col("value").cast(D182)).cast("double").as("sum_value"))
       .select(col("user_id"), col("sess_start_us"), col("sess_end_us"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("sess_start_us"))
   }
@@ -127,7 +130,7 @@ object EventOps {
       count(when(col("event_type") === t, 1)).as(s"n_$t"))
     Tables.events(s, dir)
       .groupBy(col("user_id"))
-      .agg(counts.head, counts.tail :+ sum(col("value").cast(D182)).as("sum_value"): _*)
+      .agg(counts.head, counts.tail :+ sum(col("value").cast(D182)).cast("double").as("sum_value"): _*)
       .orderBy(col("user_id"))
   }
 
@@ -177,12 +180,12 @@ object EventOps {
         |FROM events ORDER BY ts_sec, msg_id""".stripMargin,
     "msg_route" ->
       """SELECT 'events.' || event_type AS dest, COUNT(*) AS n_msgs,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY dest ORDER BY dest""".stripMargin,
     "dead_letter_split" ->
       """WITH e AS (SELECT *, TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k FROM events)
         |SELECT CASE WHEN k % 13 = 0 OR value < 1.0 THEN 'dlq' ELSE 'main' END AS branch,
-        |  event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY branch, event_type ORDER BY branch, event_type""".stripMargin,
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type,
@@ -192,13 +195,13 @@ object EventOps {
         |ORDER BY user_id, event_type""".stripMargin,
     "win_tumbling" ->
       """SELECT (epoch_us(ts) // 1000000 // 300) * 300 AS wstart, event_type,
-        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
     "win_sliding" ->
       """WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s, event_type, value FROM events),
         |w AS (SELECT (s // 300) * 300 - t.off AS wstart, event_type, value
         |      FROM e, (VALUES (0), (300)) t(off))
-        |SELECT wstart, event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |SELECT wstart, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
     "win_session" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
@@ -207,7 +210,7 @@ object EventOps {
         |h AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
         |SELECT user_id, MIN(us) AS sess_start_us, MAX(us) AS sess_end_us,
-        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM h GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin,
     "event_pivot" ->
       """SELECT user_id,
@@ -216,7 +219,7 @@ object EventOps {
         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "asof_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

@@ -34,6 +34,13 @@ object Multimodal {
     * shuffle.  The "decode" (byte histogram + pseudo width/height) is a
     * STUB for a real image/audio decoder — deterministic so tests pin
     * it; swap `fakeDecode` for the real codec on a cluster.
+    *
+    * Output is scalars only (metadata + the histogram's mode bin and
+    * mass): a raw `array<double>` feature column is not canonicalizable
+    * by tabular comparators, and every scalar here is recomputable in
+    * ANSI SQL so the whole row is oracle-checkable.  The full feature
+    * vector stays available via [[MultimodalStub.fakeDecode]] for
+    * downstream stages (its shape is pinned by MultimodalSpec).
     */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -41,10 +48,11 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
-      it.map { case (id, bytes) => MultimodalStub.fakeDecode(id, bytes) }
+      it.map { case (id, bytes) => MultimodalStub.fakeDecode(id, bytes).toScalars }
     }.toDF()
       .select(col("doc_id"), col("width"), col("height"),
-        col("resized_w"), col("resized_h"), col("n_bytes"), col("features"))
+        col("resized_w"), col("resized_h"), col("n_bytes"),
+        col("mode_bin"), col("mode_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -73,7 +81,34 @@ object Multimodal {
     "mm_ingest" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha, 'text/plain' AS mime
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the corpus is ASCII (verified at every SF), so the stub's byte
+    // histogram is recomputable from codepoints: bin = ascii % 16
+    "mm_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text FROM documents),
+        |bins AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) % 16 AS bin FROM ch),
+        |hist AS (
+        |  SELECT doc_id, bin, COUNT(*) AS cnt FROM bins GROUP BY doc_id, bin),
+        |md AS (
+        |  SELECT doc_id, bin AS mode_bin, cnt AS mode_cnt FROM hist
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin) = 1),
+        |meta AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    64 + abs(doc_id * 2654435761) % 192 AS w,
+        |    64 + abs(doc_id * 40503) % 192 AS h
+        |  FROM documents)
+        |SELECT m.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(CASE WHEN w <= 224 AND h <= 224 THEN w
+        |    ELSE GREATEST(1, CAST(ROUND(w * (224.0 / GREATEST(w, h))) AS BIGINT)) END AS BIGINT) AS resized_w,
+        |  CAST(CASE WHEN w <= 224 AND h <= 224 THEN h
+        |    ELSE GREATEST(1, CAST(ROUND(h * (224.0 / GREATEST(w, h))) AS BIGINT)) END AS BIGINT) AS resized_h,
+        |  n_bytes,
+        |  CAST(COALESCE(mode_bin, 0) AS BIGINT) AS mode_bin,
+        |  COALESCE(CAST(mode_cnt AS DOUBLE) / GREATEST(n_bytes, 1), 0.0) AS mode_frac
+        |FROM meta m LEFT JOIN md USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin)
 }
 
 /** ??? real decoder goes here — this container ships no media codecs.
@@ -82,7 +117,27 @@ object Multimodal {
   */
 object MultimodalStub {
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,
-      resized_w: Int, resized_h: Int, n_bytes: Long, features: Array[Double])
+      resized_w: Int, resized_h: Int, n_bytes: Long, features: Array[Double]) {
+
+    /** Driver-checkable scalar projection: histogram mode (lowest bin on
+      * ties) + its mass.  Normalized bins are exact IEEE quotients of
+      * integer counts, so equal counts give identical doubles and the
+      * tie-break is deterministic.
+      */
+    def toScalars: MediaScalars = {
+      var best = 0
+      var b = 1
+      while (b < features.length) {
+        if (features(b) > features(best)) best = b
+        b += 1
+      }
+      MediaScalars(doc_id, width.toLong, height.toLong, resized_w.toLong,
+        resized_h.toLong, n_bytes, best.toLong, features(best))
+    }
+  }
+
+  case class MediaScalars(doc_id: Long, width: Long, height: Long,
+      resized_w: Long, resized_h: Long, n_bytes: Long, mode_bin: Long, mode_frac: Double)
 
   /** Aspect-preserving resize to fit a square target (stub geometry —
     * the arithmetic a real resize kernel would use for its output

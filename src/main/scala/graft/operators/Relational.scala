@@ -36,17 +36,35 @@ object Relational {
   /** TPC-H Q1 image: scan-heavy multi-aggregate.  One shuffle on the
     * 6-value grouping key; partial aggregation does almost all the work
     * map-side, so this scales linearly with input bytes.
+    *
+    * Presentation discipline: aggregate exactly in decimal, then one
+    * correctly-rounded decimal→double cast on the way out — both engines
+    * convert the identical decimal value, so the doubles are
+    * bit-identical (decimal PARQUET output would carry engine-specific
+    * trailing-zero formatting instead).  Averages divide the already-cast
+    * double sum by the count in IEEE double space for the same reason.
     */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(D182)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(D182)).as("sum_base_price"),
-        sum(discPrice).as("sum_disc_price"),
-        sum(charge).as("sum_charge"),
+        sum(col("l_quantity").cast(D182)).as("sum_qty_d"),
+        sum(col("l_extendedprice").cast(D182)).as("sum_base_price_d"),
+        sum(discPrice).as("sum_disc_price_d"),
+        sum(charge).as("sum_charge_d"),
+        sum(col("l_discount").cast(D182)).as("sum_disc_d"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_d").cast("double").as("sum_qty"),
+        col("sum_base_price_d").cast("double").as("sum_base_price"),
+        col("sum_disc_price_d").cast("double").as("sum_disc_price"),
+        col("sum_charge_d").cast("double").as("sum_charge"),
+        (col("sum_qty_d").cast("double") / col("count_order")).as("avg_qty"),
+        (col("sum_base_price_d").cast("double") / col("count_order")).as("avg_price"),
+        (col("sum_disc_d").cast("double") / col("count_order")).as("avg_disc"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3 image: selective dim filter → join → agg → top-N.
@@ -61,10 +79,14 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum(discPrice).as("revenue"))
-      .select(col("o_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"))
-      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .agg(sum(discPrice).as("revenue_d"))
+      // rank/limit in exact decimal space; cast to double only at the
+      // presentation boundary (identical decimals → identical doubles)
+      .orderBy(col("revenue_d").desc, col("o_orderkey"))
       .limit(10)
+      .select(col("o_orderkey"), col("revenue_d").cast("double").as("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
   }
 
   /** TPC-H Q5 image: snowflake join.  region/nation/supplier are tiny at
@@ -87,7 +109,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(discPrice).as("revenue"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -100,7 +122,8 @@ object Relational {
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast(D182)).as("sum_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"))
       .orderBy(col("o_orderpriority"))
 
   /** Semi + anti join: customers that placed ≥1 order but never a
@@ -129,10 +152,13 @@ object Relational {
     val rev = Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
-      .agg(sum(discPrice).as("revenue"))
-    val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
+      .agg(sum(discPrice).as("revenue_d"))
+    // rank in exact decimal space; double only at the boundary
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue_d").desc, col("p_partkey"))
     rev.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("p_partkey"),
+        col("revenue_d").cast("double").as("revenue"), col("rk"))
       .orderBy(col("p_brand"), col("rk"))
   }
 
@@ -153,8 +179,9 @@ object Relational {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("ship_sec"), col("l_orderkey"), col("l_linenumber"), col("rev"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    li.withColumn("running_rev", sum(col("rev")).over(w))
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("ship_sec"), col("running_rev"))
+    li.withColumn("running_rev_d", sum(col("rev")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("ship_sec"),
+        col("running_rev_d").cast("double").as("running_rev"))
       .orderBy(col("l_suppkey"), col("ship_sec"), col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -174,7 +201,8 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .join(perPart, col("l_partkey") === col("agg_partkey"))
       .filter(col("l_quantity").cast(D182) * 5 * col("cnt") < col("sq"))
-      .agg(sum(col("l_extendedprice").cast(D182)).as("total_price"), count(lit(1)).as("n_lines"))
+      .agg(sum(col("l_extendedprice").cast(D182)).cast("double").as("total_price"),
+        count(lit(1)).as("n_lines"))
   }
 
   /** Exact multi-distinct aggregate per market segment. */
@@ -218,7 +246,7 @@ object Relational {
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast(D182)).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Global top-20 orders by totalprice: TakeOrderedAndProject — each
@@ -251,28 +279,34 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2))) * (1.00 + CAST(l_tax AS DECIMAL(3,2)))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2))) * (1.00 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_toporders" ->
-      """SELECT o_orderkey,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue,
-        |  CAST(o_orderdate AS DATE) AS o_orderdate
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > TIMESTAMP '1998-01-01'
-        |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue_d,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY o_orderkey, o_orderdate
+        |  ORDER BY revenue_d DESC, o_orderkey LIMIT 10)
+        |SELECT o_orderkey, CAST(revenue_d AS DOUBLE) AS revenue, o_orderdate
+        |FROM r ORDER BY revenue DESC, o_orderkey""".stripMargin,
     "q5_regionrev" ->
       """SELECT n_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -288,7 +322,7 @@ object Relational {
       """WITH a AS (SELECT l_partkey AS agg_partkey,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS cnt
         |  FROM lineitem GROUP BY 1)
-        |SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_price,
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  COUNT(*) AS n_lines
         |FROM lineitem l
         |JOIN part ON l.l_partkey = p_partkey AND p_brand = 'Brand#23'
@@ -296,7 +330,7 @@ object Relational {
         |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""".stripMargin,
     "join_shuffle" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_semi_anti" ->
@@ -309,21 +343,21 @@ object Relational {
     "window_rank" ->
       """WITH rev AS (
         |  SELECT p_brand, p_partkey,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue_d
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, p_partkey)
-        |SELECT p_brand, p_partkey, revenue, rk FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+        |SELECT p_brand, p_partkey, CAST(revenue_d AS DOUBLE) AS revenue, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue_d DESC, p_partkey) AS rk
         |  FROM rev) WHERE rk <= 3
         |ORDER BY p_brand, rk""".stripMargin,
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(epoch_us(l_shipdate) // 1000000 AS BIGINT) AS ship_sec,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) OVER (
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
         |      CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         |FROM lineitem
         |ORDER BY l_suppkey, ship_sec, l_orderkey, l_linenumber""".stripMargin,
     "agg_distinct" ->
@@ -344,7 +378,7 @@ object Relational {
         |ORDER BY op, k""".stripMargin,
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "top_k" ->

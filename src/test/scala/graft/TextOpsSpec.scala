@@ -49,17 +49,23 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("mm_features histograms are normalized and deterministic") {
+  test("mm_features emits checkable scalars; stub histograms stay normalized") {
     val rows = Multimodal.mmFeatures(spark, sf).collect()
     assert(rows.length === 500)
     rows.foreach { r =>
-      val hist = r.getAs[scala.collection.Seq[Double]]("features")
-      assert(hist.length === 16)
-      assert(math.abs(hist.sum - 1.0) < 1e-9)
-      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 64)
-      assert(r.getAs[Int]("resized_w") <= 224 && r.getAs[Int]("resized_h") <= 224)
+      assert(r.getAs[Long]("width") >= 64 && r.getAs[Long]("height") >= 64)
+      assert(r.getAs[Long]("resized_w") <= 224 && r.getAs[Long]("resized_h") <= 224)
+      val bin = r.getAs[Long]("mode_bin")
+      assert(bin >= 0 && bin < 16)
+      val frac = r.getAs[Double]("mode_frac")
+      // the mode of a 16-bin histogram carries at least average mass
+      assert(frac >= 1.0 / 16 - 1e-12 && frac <= 1.0)
     }
     val again = Multimodal.mmFeatures(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // the full feature vector remains available (and normalized) via the
+    // decode stub for downstream stages
+    val hist = graft.operators.MultimodalStub.fakeDecode(7L, "abcdefg".getBytes("UTF-8")).features
+    assert(hist.length === 16 && math.abs(hist.sum - 1.0) < 1e-9)
   }
 }

@@ -19,13 +19,24 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# Representation-strict: NO Decimal->float coercion.  The driver's gate
+# compares string/hash representations exactly, so a Spark DECIMAL
+# ('138014.00') vs a DuckDB DOUBLE (138014.0) must FAIL here too —
+# queries must emit identical presentation types on both sides.
+import datetime as _dt
+
 def canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: float(v) if str(type(v).__name__)=="Decimal" else v)
+        elif df[c].dtype == object:
+            # normalize DATE columns only (Spark parquet -> datetime.date
+            # objects, DuckDB -> datetime64): a type-level normalization
+            # the driver also performs, not a value coercion
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], _dt.date) and not isinstance(nn.iloc[0], _dt.datetime):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 fails = 0
@@ -43,6 +54,12 @@ for name in sorted(oracle):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); fails += 1; continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
+    # dtype KINDS must agree: Decimal(object) vs float64 would compare
+    # numerically equal in Python but hash-mismatch in the driver
+    kinds = [(c, got[c].dtype.kind, exp[c].dtype.kind) for c in got.columns]
+    bad_kinds = [k for k in kinds if k[1] != k[2]]
+    if bad_kinds:
+        print(f"FAIL {name}: dtype-kind mismatch {bad_kinds}"); fails += 1; continue
     diff_cols = []
     for c in got.columns:
         a, b = got[c], exp[c]
