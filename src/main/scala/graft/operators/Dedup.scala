@@ -43,21 +43,50 @@ object Dedup {
       .orderBy(col("strategy"), col("k"))
   }
 
+  /** Document-frequency cap for the shingle inverted index: a shingle
+    * present in more than this many documents ("in the the of…"
+    * boilerplate) is dropped from every document's shingle set before
+    * the self-join.  Candidate volume per shingle is then ≤ cap², so the
+    * total stays Σ_s min(n_s, cap)² ≈ O(n) regardless of corpus-wide
+    * boilerplate — without the cap one high-DF shingle alone contributes
+    * Θ(n_s²) pairs, the classic 100 TB self-join killer.  Inert at the
+    * test SFs (max observed DF is 25 at sf0.1), so small-scale results
+    * are unchanged; the cap is an absolute per-key bound by design —
+    * pair work per shingle must not grow with corpus size.
+    */
+  private[operators] val ShingleDfCap = 128
+
   /** Exact 3-gram Jaccard ≥ 0.8 pairs via a shingle inverted index:
     * explode distinct shingles, self-join on shingle (the shuffle key),
     * count intersections per pair, then J = |∩| / (|A|+|B|−|∩|).
     * Candidate volume is Σ_shingle n_s², not n² — bounded because a
     * planted near-dup pair shares many shingles but unrelated docs
-    * share few.
+    * share few, and [[ShingleDfCap]] caps any single shingle's
+    * contribution.
     */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, dir), ShingleDfCap)
+      .orderBy(col("d1"), col("d2"))
+
+  /** Pair generation over any (doc_id, text) frame — parameterized so
+    * the spec can plant a corpus-wide shingle and assert the cap bounds
+    * candidate work.
+    */
+  private[graft] def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame = {
     // repartition on the join key: both sides of the self-join then
     // read from one ReusedExchange instead of recomputing the
     // tokenize→shingle→explode pipeline twice
-    val sh = docs.select(col("doc_id"),
+    val exploded = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
       .repartition(col("shingle"))
+    // DF cap as a window count over the shingle-partitioned exchange:
+    // no extra shuffle, and the filtered frame is still one exchange
+    // shared by both self-join sides and the size aggregate
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val sh = exploded
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= dfCap)
+      .drop("df")
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -69,7 +98,6 @@ object Dedup {
       .select(col("d1"), col("d2"),
         (col("c") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** MinHash(128) signature per doc + banded LSH (32 bands × 4 rows).
@@ -117,17 +145,25 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** SimHash64 fingerprints + Hamming ≤ 7 pairs.  Blocking: split the
-    * 64-bit fingerprint into 8×8-bit bands — by pigeonhole, any pair
-    * within Hamming 7 agrees on ≥1 band, so band equality is the join
-    * key and the verify step is a cheap popcount.
+  /** SimHash64 fingerprints + Hamming ≤ 7 pairs.
+    *
+    * Blocking (Manku-style combination multi-index): split the 64-bit
+    * fingerprint into 9 blocks (8×7 bits + 1×8 bits) and key each doc
+    * under all C(9,2)=36 ordered block-pair concatenations (~14-bit
+    * keys, 16k–32k values per table).  ≤7 bit errors dirty ≤7 blocks,
+    * leaving ≥2 clean blocks, so one pair-key always matches — the
+    * exact Hamming ≤ 7 guarantee of single-block pigeonhole, but with
+    * random-collision volume Θ(n²/2¹⁴) per table instead of the
+    * Θ(n²/2⁸) of 8-bit bands (the old scheme's scale-killer: bucket
+    * occupancy n/256 grows linearly with the corpus).  36 skinny
+    * (16-byte) rows per doc through the exchange is the price; the
+    * fat columns never fan out.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), simhash64(array_distinct(shingles(col("text"), 3))).as("sh"))
     val banded = docs.select(col("doc_id"), col("sh"),
-      explode(array((0 until 8).map(b =>
-        struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(0xffL)).as("bkey"))): _*)).as("bb"))
+      explode(simhashBandKeys(col("sh"))).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
       // shared exchange: the self-join reuses one simhash computation
       .repartition(col("band"), col("bkey"))
@@ -142,6 +178,21 @@ object Dedup {
       .filter(col("hamming") <= 7)
       .dropDuplicates("d1", "d2")
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Combination block keys for [[dedupSimhash]]: blocks 0..7 are 7
+    * bits, block 8 is 8 bits; band id = 9·i + j for the (i, j) block
+    * pair, key = block_i · 2⁸ + block_j.
+    */
+  private[graft] def simhashBandKeys(sh: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def block(b: Int): org.apache.spark.sql.Column = {
+      val len = if (b == 8) 8 else 7
+      shiftrightunsigned(sh, b * 7).bitwiseAND(lit((1L << len) - 1))
+    }
+    val combos = for (i <- 0 until 9; j <- i + 1 until 9) yield (i, j)
+    array(combos.map { case (i, j) =>
+      struct(lit(i * 9 + j).as("band"), (block(i) * lit(256L) + block(j)).as("bkey"))
+    }: _*)
   }
 
   /** Embedding cosine near-dup pairs (threshold 0.4 for this corpus).
@@ -163,16 +214,18 @@ object Dedup {
   }
 
   /** The 100 TB form of embedding near-dup: random-hyperplane LSH
-    * buckets key the shuffle (same 8×6-bit tables as [[Similarity]]),
-    * so only same-bucket vectors ever pair; survivors are confirmed by
-    * exact cosine ≥ 0.4.  All-pairs work drops from O(n²) to
-    * Σ_bucket n_b² — the recall/threshold trade is pinned by the spec
-    * against the exact [[dedupEmbedding]].
+    * buckets key the shuffle (same 8-table machinery as [[Similarity]],
+    * bucket width derived from corpus size), so only same-bucket
+    * vectors ever pair; survivors are confirmed by exact cosine ≥ 0.4.
+    * All-pairs work drops from O(n²) to Σ_bucket n_b² — the
+    * recall/threshold trade is pinned by the spec against the exact
+    * [[dedupEmbedding]].
     */
   def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val bits = Similarity.lshBitsFor(Similarity.corpusSize(s, dir))
     val banded = Similarity.normalizedVecs(s, dir)
       .select(col("vec_id"), col("e"), col("nrm"),
-        explode(Similarity.hyperplaneBuckets(col("e"))).as("tb"))
+        explode(Similarity.hyperplaneBuckets(col("e"), bits)).as("tb"))
       .select(col("vec_id"), col("e"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
       // shared exchange for the self-join
       .repartition(col("tbl"), col("bucket"))
@@ -210,9 +263,10 @@ object Dedup {
         |SELECT * FROM f UNION ALL SELECT * FROM p ORDER BY strategy, k""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
         |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
         |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

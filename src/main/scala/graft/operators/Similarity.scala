@@ -57,36 +57,50 @@ object Similarity {
     topKPerQuery(s, scored, 10)
   }
 
-  /** 8 tables × 6-bit random-hyperplane LSH.  Hyperplanes are a fixed
-    * seeded pseudo-random matrix compiled into the plan as an array
-    * literal (no driver state, no UDF).  Candidates = corpus vectors
-    * sharing any (table, bucket) with the query; rank candidates by
-    * exact cosine, keep top-10.  Rows-only oracle; the spec measures
-    * recall@10 against `annBruteforce`.
-    */
-  /** Shared random-hyperplane machinery: 8 tables × 6 sign bits from a
+  /** Shared random-hyperplane machinery: 8 tables × b sign bits from a
     * fixed seeded gaussian matrix compiled into the plan as literals.
-    * `hyperplaneBuckets(e)` → `array<struct<tbl,bucket>>` per vector.
+    * `hyperplaneBuckets(e, bits)` → `array<struct<tbl,bucket>>`.
+    *
+    * b is DERIVED FROM CORPUS SIZE: b = clamp(⌈log₂(n / 8)⌉, 6, 24), so
+    * expected bucket occupancy stays ~8 per table at any n.  A fixed b
+    * is a scale bug — 6 bits is 64 buckets forever, which makes
+    * candidate volume Θ(n²/64); with b growing as log₂ n the per-query
+    * cohort is Θ(tables · target_bucket) = O(1) rows regardless of
+    * corpus size.  (At the spec corpus n=500 this derives b=6, so
+    * small-scale results are identical to a hand-tuned setting.)
     */
   private[operators] val LshTables = 8
-  private[operators] val LshBits = 6
-  private val lshPlanesCol: Column = {
+
+  private[graft] def lshBitsFor(n: Long): Int =
+    math.max(6, math.min(24,
+      math.ceil(math.log(math.max(n, 1L) / 8.0) / math.log(2.0)).toInt))
+
+  private def lshPlanesCol(bits: Int): Column = {
     val rnd = new scala.util.Random(12345)
-    val planes = Seq.fill(LshTables * LshBits)(Seq.fill(64)(rnd.nextGaussian()))
+    val planes = Seq.fill(LshTables * bits)(Seq.fill(64)(rnd.nextGaussian()))
     array(planes.map(p => array(p.map(lit): _*)): _*)
   }
 
-  private[operators] def hyperplaneBuckets(e: Column): Column =
+  private[graft] def hyperplaneBuckets(e: Column, bits: Int): Column = {
+    val planes = lshPlanesCol(bits)
     transform(sequence(lit(0), lit(LshTables - 1)), t =>
       struct(t.as("tbl"),
-        aggregate(sequence(lit(0), lit(LshBits - 1)), lit(0L),
-          (acc, b) => acc * 2 + when(dot(element_at(lshPlanesCol, t * LshBits + b + 1), e) > 0, 1L).otherwise(0L))
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+          (acc, b) => acc * 2 + when(dot(element_at(planes, t * bits + b + 1), e) > 0, 1L).otherwise(0L))
           .as("bucket")))
+  }
 
-  private[operators] def normalizedVecs(s: SparkSession, dir: String): DataFrame = vecs(s, dir)
+  private[graft] def normalizedVecs(s: SparkSession, dir: String): DataFrame = vecs(s, dir)
+
+  /** Corpus row count for parameter derivation (parquet metadata count —
+    * no data scan).
+    */
+  private[graft] def corpusSize(s: SparkSession, dir: String): Long =
+    Tables.embeddings(s, dir).count()
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    def buckets(e: Column): Column = hyperplaneBuckets(e)
+    val bits = lshBitsFor(corpusSize(s, dir))
+    def buckets(e: Column): Column = hyperplaneBuckets(e, bits)
     val v = vecs(s, dir)
     val corpus = v.select(col("vec_id"), col("e"), col("nrm"), explode(buckets(col("e"))).as("tb"))
       .select(col("vec_id"), col("e"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
@@ -106,54 +120,83 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer splits the
     * corpus into C cells; queries probe only the nprobe nearest cells
-    * and re-rank exactly inside them.  Training is 2 deterministic
-    * Lloyd iterations (seeds = first C vectors by id); the learned
-    * centroids are broadcast model state (C×dim doubles), never the
-    * data.  At 100 TB the cell assignment partitions the corpus scan
-    * and each query touches nprobe/C of it.
+    * and re-rank exactly inside them.
+    *
+    * Scale design: C ≈ √n (clamped to [16, 256] — beyond that the
+    * centroid literals should move to a broadcast relation), so the
+    * probed fraction nprobe/C vanishes as the corpus grows.  Training
+    * runs DRIVER-LOCAL on a bounded deterministic sample (hash-ordered
+    * take of ≤64k vectors — a TakeOrdered, no full-corpus persist and
+    * no repeated corpus scans): k-means needs a representative sample,
+    * not the population, so training cost is O(sample), independent of
+    * corpus size.  The learned centroids are broadcast model state
+    * (C×dim doubles), never the data.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val cells = 16
-    val nprobe = 4
-    // cache the normalized corpus for the training collects (seed +
-    // 2 Lloyd iterations would otherwise re-scan parquet each time);
-    // released before returning — the result plan re-derives lazily
-    val v = vecs(s, dir).persist()
+    val n = corpusSize(s, dir)
+    val cells0 = math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val maxTrain = 64 * 1024
 
-    def nearestCell(e: Column, cents: Seq[(Int, Seq[Double])]): Column =
-      array_min(array(cents.map { case (cid, c) =>
-        struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
+    // deterministic pseudo-random sample: order by a hash of the id —
+    // unbiased under any physical data order, and TakeOrdered merges
+    // per-partition heads on the driver without a shuffle
+    val sampleRows = vecs(s, dir)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(maxTrain)
+      .select(col("e"), col("nrm"))
+      .collect()
+    val units: Array[Array[Double]] = sampleRows.map { r =>
+      val e = r.getSeq[Double](0); val nm = r.getDouble(1)
+      e.map(_ / nm).toArray
+    }
+    val cells = math.min(cells0, math.max(1, units.length))
+    val nprobe = math.max(4, cells / 8)
 
-    // deterministic seeds: the C lowest vec_ids, L2-normalized
-    var centroids: Seq[(Int, Seq[Double])] = v.orderBy(col("vec_id")).limit(cells)
-      .select(col("e"), col("nrm")).collect().zipWithIndex.map { case (r, i) =>
-        val e = r.getSeq[Double](0); val n = r.getDouble(1)
-        i -> e.map(_ / n).toSeq
-      }.toSeq
-    // 2 Lloyd iterations on the unit sphere (spherical k-means)
-    for (_ <- 0 until 2) {
-      val assigned = v.withColumn("cid", nearestCell(col("e"), centroids))
-      val sums = assigned
-        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
-        .collect().groupBy(_.getAs[Int]("cid"))
-      centroids = centroids.map { case (cid, old) =>
-        cid -> sums.get(cid).map { rows =>
-          val dims = rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("sx"))
-          val n = math.sqrt(dims.map(x => x * x).sum)
-          if (n > 0) dims.map(_ / n).toSeq else old
-        }.getOrElse(old)
+    // local spherical k-means: seeds = first C sample vectors, then
+    // Lloyd iterations entirely on the driver (sequential arithmetic →
+    // bit-deterministic across runs and partitionings)
+    var cents: Array[Array[Double]] = units.take(cells).map(_.clone())
+    for (_ <- 0 until 5) {
+      val dim = cents(0).length
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Long](cells)
+      units.foreach { u =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cells) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += cents(c)(i) * u(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += u(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val sm = sums(c)
+          val nrm = math.sqrt(sm.map(x => x * x).sum)
+          if (nrm > 0) sm.map(_ / nrm) else old
+        }
       }
     }
+    val centroids: Seq[(Int, Seq[Double])] =
+      cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq
+
+    def nearestCell(e: Column): Column =
+      array_min(array(centroids.map { case (cid, c) =>
+        struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
 
     def probeCells(e: Column): Column =
       slice(transform(array_sort(array(centroids.map { case (cid, c) =>
         struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
       }: _*)), s => s.getField("cid")), 1, nprobe)
 
-    v.unpersist(blocking = false)
-    val corpus = v.withColumn("cid", nearestCell(col("e"), centroids))
+    val v = vecs(s, dir)
+    val corpus = v.withColumn("cid", nearestCell(col("e")))
     val q = queryVecs(v)
       .withColumn("probe", explode(probeCells(col("qe"))))
     val scored = corpus.join(broadcast(q),

@@ -79,4 +79,41 @@ class DedupSpec extends AnyFunSuite {
     val want = exactJaccard.filter(_._2 >= 0.8).keySet
     assert(got === want)
   }
+
+  test("simhash combination blocking keeps candidate volume ~linear in n") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SimHash64.simhash64
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val vol = docs
+      .select(simhash64(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .select(explode(Dedup.simhashBandKeys(col("sh"))).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bkey")).count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+      .collect()(0).getDouble(0).toLong
+    // Σ_bucket C(n_b,2) across all 36 combination tables stays a small
+    // multiple of n (8-bit bands would give Θ(n²/256) here)
+    assert(vol <= 50 * n, s"candidate volume $vol for n=$n")
+  }
+
+  test("shingle DF cap bounds candidate volume under corpus-wide boilerplate") {
+    import spark.implicits._
+    // 60 docs that are pure boilerplate (one shared shingle — DF 60)
+    // plus one planted near-dup pair with unique content.  Without the
+    // cap the boilerplate shingle alone yields C(60,2)=1770 J=1.0
+    // pairs; with DF cap 32 it is dropped from every set, so only the
+    // planted pair survives.
+    val boiler = (1L to 60L).map(i => (i, "the quick fox"))
+    val planted = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1002L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val docs = (boiler ++ planted).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, 32).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(capped === Set((1001L, 1002L)))
+    // sanity: an inert cap reproduces the uncapped explosion
+    val uncapped = Dedup.ngramJaccardPairs(docs, 1000000).count()
+    assert(uncapped === 60L * 59 / 2 + 1)
+  }
 }

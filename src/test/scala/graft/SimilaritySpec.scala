@@ -55,4 +55,19 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.annLsh(spark, sf).collect().map(_.toString).toSeq
     assert(a === b)
   }
+
+  test("hyperplane bucket occupancy keeps candidate volume ~linear in n") {
+    import org.apache.spark.sql.functions._
+    val n = Similarity.corpusSize(spark, sf)
+    val bits = Similarity.lshBitsFor(n)
+    // bucket width must grow with the corpus: ~8 vectors/bucket target
+    assert(bits >= 6)
+    val vol = Similarity.normalizedVecs(spark, sf)
+      .select(explode(Similarity.hyperplaneBuckets(col("e"), bits)).as("tb"))
+      .groupBy(col("tb.tbl"), col("tb.bucket")).count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+      .collect()(0).getDouble(0).toLong
+    // Σ_bucket C(n_b,2) across all 8 tables stays a small multiple of n
+    assert(vol <= 50 * n, s"candidate volume $vol for n=$n")
+  }
 }
