@@ -87,17 +87,39 @@ final case class KafkaMsgSource(conf: KafkaPipeConfig) extends MsgSource {
 
 /** File transport: tail a directory of parquet as a stream (the local
   * stand-in for a topic; same envelope, same downstream plan).
+  * `options` passes reader rate limits through (e.g. maxFilesPerTrigger
+  * — the file-source image of frafka's KAFKA_MAX_BUFFER_KB).
   */
-final case class FileMsgSource(path: String, raw: StructType, toMsg: DataFrame => DataFrame)
+final case class FileMsgSource(path: String, raw: StructType, toMsg: DataFrame => DataFrame,
+    options: Map[String, String] = Map.empty)
     extends MsgSource {
   def receive(spark: SparkSession): DataFrame =
-    toMsg(spark.readStream.schema(raw).parquet(path))
+    toMsg(spark.readStream.options(options).schema(raw).parquet(path))
 }
 
 /** Routed sink (`Sink.Send(msg, dest)`): one pipeline, messages fanned
   * out to per-destination directories inside `foreachBatch` — the batch
   * epoch id is the ack unit, giving frafka's at-least-once contract.
   */
+/** `Source.UnAcked()` image: messages received but not yet committed.
+  * In Structured Streaming the checkpointed foreachBatch epoch IS the
+  * ack unit, so counts move at epoch boundaries: a batch's rows are
+  * un-acked from the moment the epoch starts processing until its
+  * writes complete and the offset commit lands.
+  */
+final class FrizzleStats {
+  private val pending = new java.util.concurrent.atomic.AtomicLong
+  private val committed = new java.util.concurrent.atomic.AtomicLong
+  private[streaming] def begin(n: Long): Unit = { pending.addAndGet(n); () }
+  private[streaming] def commit(n: Long): Unit = {
+    pending.addAndGet(-n); committed.addAndGet(n); ()
+  }
+  /** Rows in flight (current epoch, not yet acked). */
+  def unAcked: Long = pending.get
+  /** Rows whose epoch committed (cumulative acks). */
+  def ackedCount: Long = committed.get
+}
+
 object Frizzle {
 
   /** A transform with a failure branch: rows where `isValid` is false
@@ -105,9 +127,9 @@ object Frizzle {
     */
   final case class Route(transform: DataFrame => DataFrame, isValid: Column)
 
-  /** Run source → transform → {main, dlq} with checkpointed acks.
-    * `writeBatch(df, dest, epoch)` performs the physical send; tests
-    * inject an in-memory collector, production uses parquet/kafka.
+  /** Run source → transform → {main, dlq} with checkpointed acks: the
+    * two-way special case of [[runRouted]] (every valid message to one
+    * "main" destination).
     */
   def run(
       spark: SparkSession,
@@ -115,20 +137,53 @@ object Frizzle {
       route: Route,
       writeBatch: (DataFrame, String, Long) => Unit,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      stats: FrizzleStats = new FrizzleStats): StreamingQuery =
+    runRouted(spark, source, route, lit("main"), writeBatch, checkpoint, trigger, stats)
+
+  /** Full `Sink.Send(msg, dest)` semantics: each valid message routes
+    * to its own destination (arbitrary, data-dependent set — frizzle's
+    * per-topic fan-out), invalid messages to the "dlq" destination.
+    *
+    * Per epoch: one persist of the batch, the distinct destination set
+    * (bounded — destinations are topics, not keys), then one
+    * partition-pruned write per destination.  The batch epoch id is the
+    * ack unit, giving frafka's at-least-once contract; `stats` tracks
+    * un-acked/acked counts across epoch boundaries (`UnAcked()`).
+    */
+  def runRouted(
+      spark: SparkSession,
+      source: MsgSource,
+      route: Route,
+      dest: Column,
+      writeBatch: (DataFrame, String, Long) => Unit,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      stats: FrizzleStats = new FrizzleStats): StreamingQuery = {
     // NULL validity means the predicate itself failed → dead-letter,
     // never silently dropped (a bare filter would exclude NULL from
-    // both branches and lose the message)
+    // both branches and lose the message); a NULL destination is a
+    // routing failure → dead-letter too
     val stream = route.transform(source.receive(spark))
-      .withColumn("__valid", coalesce(route.isValid, lit(false)))
+      .withColumn("__dest",
+        when(coalesce(route.isValid, lit(false)), dest).otherwise(lit(null)))
+      .withColumn("__dest", coalesce(col("__dest"), lit("dlq")))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val cached = batch.persist()
         try {
-          writeBatch(cached.filter(col("__valid")).drop("__valid"), "main", epoch)
-          writeBatch(cached.filter(!col("__valid")).drop("__valid"), "dlq", epoch)
+          val n = cached.count()
+          stats.begin(n)
+          // bounded driver-side list: one row per DESTINATION (topic),
+          // never per message
+          val dests = cached.select(col("__dest")).distinct()
+            .collect().map(_.getString(0)).sorted
+          dests.foreach { d =>
+            writeBatch(cached.filter(col("__dest") === d).drop("__dest"), d, epoch)
+          }
+          stats.commit(n)
         } finally { cached.unpersist(); () }
       }
       .start()

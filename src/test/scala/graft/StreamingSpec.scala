@@ -56,6 +56,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.get("dlq") === expectedDlq)
   }
 
+  test("routed fan-out sends each destination exactly its rows, dlq the failures, across two epochs") {
+    val ckpt = Files.createTempDirectory("graft-ckpt-fanout").toString
+    // two copies of the file + maxFilesPerTrigger=1 → two ack epochs
+    val dir = Files.createTempDirectory("graft-events-2")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val sink = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val epochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val source = FileMsgSource(dir.toString, eventsRaw, toMsg,
+      Map("maxFilesPerTrigger" -> "1"))
+    val k = regexp_extract(col("payload").cast("string"), "\"k\": (-?\\d+)", 1).cast("long")
+    val route = Frizzle.Route(df => df.withColumn("k", k), isValid = !(col("k") % 13 === 0))
+    val stats = new FrizzleStats
+    val q = Frizzle.runRouted(spark, source, route, dest = col("dest"),
+      (df, dest, epoch) => {
+        sink.merge(dest, df.count(), (a, b) => a + b); epochs.add(epoch); ()
+      },
+      ckpt, stats = stats)
+    q.awaitTermination(120000)
+    // expectations from the batch table: valid rows per events.<type>
+    // destination, invalid rows to dlq — each twice (two file copies)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (-?\\d+)", 1).cast("long"))
+    val valid = ev.filter(!(col("k") % 13 === 0))
+    val expectedByDest = valid.groupBy(concat(lit("events."), col("event_type")).as("d"))
+      .count().collect().map(r => r.getString(0) -> 2 * r.getLong(1)).toMap
+    val expectedDlq = 2 * (ev.count() - valid.count())
+    expectedByDest.foreach { case (d, n) =>
+      assert(sink.get(d) === n, s"dest $d")
+    }
+    assert(sink.get("dlq") === expectedDlq)
+    assert(sink.keySet().size === expectedByDest.size + 1)
+    assert(epochs.size >= 2, s"expected >=2 ack epochs, saw $epochs")
+    assert(stats.unAcked === 0)
+    assert(stats.ackedCount === 2 * ev.count())
+  }
+
   test("streaming tumbling window agrees with the batch image") {
     val src = spark.readStream.schema(eventsRaw).parquet(eventsDir)
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
