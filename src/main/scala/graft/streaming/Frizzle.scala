@@ -151,6 +151,17 @@ object Frizzle {
     * ack unit, giving frafka's at-least-once contract; `stats` tracks
     * un-acked/acked counts across epoch boundaries (`UnAcked()`).
     */
+  /** frizzle's retry loop: a dead-letter directory written by a
+    * previous run becomes a new source with the same envelope, so a
+    * corrected `Route` can re-process failures under its own
+    * checkpoint — DLQ is a parking lot, not a terminal state.
+    * At-least-once is preserved end to end: the retry run acks (epoch
+    * commits) independently of the original.
+    */
+  def retryDlq(path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): MsgSource =
+    FileMsgSource(path, schema, identity, options)
+
   def runRouted(
       spark: SparkSession,
       source: MsgSource,

@@ -93,6 +93,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.ackedCount === 2 * ev.count())
   }
 
+  test("dlq retry loop: failures re-ingest and land in main under a corrected route") {
+    val ckpt1 = Files.createTempDirectory("graft-ckpt-r1").toString
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-r2").toString
+    val dlqDir = Files.createTempDirectory("graft-dlq").toString
+    val source = FileMsgSource(eventsDir, eventsRaw, toMsg)
+    val k = regexp_extract(col("payload").cast("string"), "\"k\": (-?\\d+)", 1).cast("long")
+    // pass 1: strict route; failures parked as parquet in the DLQ dir
+    val strict = Frizzle.Route(df => df.withColumn("k", k), isValid = !(col("k") % 13 === 0))
+    val mainCount = new java.util.concurrent.atomic.AtomicLong
+    val q1 = Frizzle.run(spark, source, strict,
+      (df, dest, _) =>
+        if (dest == "dlq") df.write.mode("append").parquet(dlqDir)
+        else { mainCount.addAndGet(df.count()); () },
+      ckpt1)
+    q1.awaitTermination(120000)
+    val parked = spark.read.parquet(dlqDir).count()
+    assert(parked > 0)
+    // pass 2: corrected route accepts everything; retry source re-reads
+    // the parked envelope unchanged
+    val dlqSchema = spark.read.parquet(dlqDir).schema
+    val retried = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val q2 = Frizzle.run(spark,
+      Frizzle.retryDlq(dlqDir, dlqSchema), Frizzle.Route(identity, lit(true)),
+      (df, dest, _) => { retried.merge(dest, df.count(), (a, b) => a + b); () },
+      ckpt2)
+    q2.awaitTermination(120000)
+    assert(retried.getOrDefault("main", 0L) === parked)
+    assert(retried.getOrDefault("dlq", 0L) === 0L)
+    assert(mainCount.get() + parked === 1000L)
+  }
+
   test("streaming tumbling window agrees with the batch image") {
     val src = spark.readStream.schema(eventsRaw).parquet(eventsDir)
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
