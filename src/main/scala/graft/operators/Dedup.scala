@@ -100,6 +100,59 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Dedup cluster resolution: connected components over the exact
+    * near-dup pair graph, emitting (doc_id, rep, n_members) with
+    * rep = the component's minimum doc_id — the "keep one per
+    * cluster" step every dedup pipeline runs after pair generation.
+    *
+    * Iterative min-label propagation over the (bounded) edge list:
+    * each round joins labels to edges and takes the min over self +
+    * neighbors, until a fixpoint.  Rounds needed = component diameter
+    * — near-dup clusters are small and dense, so a handful; the cap
+    * is a safety net, and convergence is verified, not assumed.  The
+    * edge list (near-dup pairs only, never the corpus) is persisted
+    * once; per round the only actions are a changed-row count — no
+    * data ever collects to the driver.  At extreme graph sizes swap
+    * the loop body for the large-star/small-star formulation; the
+    * per-round join/groupBy shape below is already that algorithm's
+    * inner step.
+    */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(Tables.documents(s, dir), ShingleDfCap)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .persist()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val msgs = edges.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("comp"))
+        val next = labels.select(col("id"), col("comp")).unionAll(msgs)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          .persist()
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.comp") =!= col("o.comp"))
+          .count()
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      require(converged, s"component propagation did not converge in $rounds rounds")
+      val sizes = labels.groupBy(col("comp").as("srep")).agg(count(lit(1)).as("n_members"))
+      labels.select(col("id").as("doc_id"), col("comp").as("rep"))
+        .join(sizes, col("rep") === col("srep"))
+        .select(col("doc_id"), col("rep"), col("n_members"))
+        .orderBy(col("doc_id"))
+    } finally { edges.unpersist(blocking = false); () }
+  }
+
   /** MinHash(128) signature per doc + banded LSH (32 bands × 4 rows).
     * Signatures come from the one-pass [[graft.functions.MinHashSig]]
     * expression (two-hash construction).  Pairs sharing ≥1 band bucket
@@ -243,6 +296,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_components" -> (dedupComponents _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -275,6 +329,26 @@ object Dedup {
         |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         |WHERE c / (s1.n + s2.n - c) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |p AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |      WHERE c / (s1.n + s2.n - c) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |      UNION
+        |      SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |comp AS (SELECT id AS doc_id, LEAST(id, MIN(reach)) AS rep FROM r GROUP BY id)
+        |SELECT c.doc_id, c.rep, cnt.n AS n_members
+        |FROM comp c JOIN (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep) cnt ON c.rep = cnt.rep
+        |ORDER BY c.doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (SELECT * FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |  sqrt(list_sum(list_transform(generate_series(1, len(CAST(embedding AS DOUBLE[]))),

@@ -161,6 +161,27 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Deterministic stratified sampling — the training-data downsampling
+    * primitive.  Per-stratum keep rates are applied as a hash threshold
+    * (first 16 bits of md5 of the key vs a per-type cutoff): pure
+    * scan-filter, NO shuffle, and the sample is reproducible on any
+    * engine and any partitioning — at 100 TB this runs at input
+    * bandwidth, unlike exact-count-per-stratum sampling which needs a
+    * per-stratum ranking shuffle.  Rates: purchase/signup 100%,
+    * error ~50%, click ~25%, view ~12.5%.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("event_id").cast("string")), 1, 4)
+    val cutoff = when(col("event_type").isin("purchase", "signup"), lit("ffff"))
+      .when(col("event_type") === "error", lit("7fff"))
+      .when(col("event_type") === "click", lit("3fff"))
+      .otherwise(lit("1fff"))
+    Tables.events(s, dir)
+      .filter(h <= cutoff)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "msg_ingest" -> (msgIngest _),
     "msg_route" -> (msgRoute _),
@@ -170,7 +191,8 @@ object EventOps {
     "win_sliding" -> (winSliding _),
     "win_session" -> (winSession _),
     "event_pivot" -> (eventPivot _),
-    "asof_join" -> (asofJoin _))
+    "asof_join" -> (asofJoin _),
+    "sample_stratified" -> (sampleStratified _))
 
   def oracleSql: Map[String, String] = Map(
     "msg_ingest" ->
@@ -221,6 +243,15 @@ object EventOps {
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT event_id, event_type, user_id, value
+        |FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <=
+        |  CASE WHEN event_type IN ('purchase','signup') THEN 'ffff'
+        |       WHEN event_type = 'error' THEN '7fff'
+        |       WHEN event_type = 'click' THEN '3fff'
+        |       ELSE '1fff' END
+        |ORDER BY event_id""".stripMargin,
     "asof_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT * FROM events WHERE event_type = 'click'

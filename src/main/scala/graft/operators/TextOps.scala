@@ -97,13 +97,28 @@ object TextOps {
         graft.functions.RollingHash64.rollingHash64(normText(col("text"))).as("rh"))
       .orderBy(col("doc_id"))
 
+  /** Global top-20 terms by document frequency — the corpus-vocabulary
+    * probe (stopword discovery, boilerplate detection).  Explode
+    * distinct tokens per doc → keyed count with map-side partial
+    * aggregation → TakeOrderedAndProject: at 100 TB the shuffle
+    * carries one row per distinct (partition, term), and only 20 rows
+    * reach the driver.
+    */
+  def topTerms(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_shingles" -> (textShingles _),
     "text_rollhash" -> (textRollhash _),
-    "lang_id" -> (langId _))
+    "lang_id" -> (langId _),
+    "top_terms" -> (topTerms _))
 
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -130,6 +145,12 @@ object TextOps {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "top_terms" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+        |  FROM documents)
+        |SELECT term, COUNT(*) AS df FROM t GROUP BY term
+        |ORDER BY df DESC, term LIMIT 20""".stripMargin,
     "text_shingles" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |s AS (SELECT doc_id,

@@ -80,6 +80,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("components resolve the near-dup pair graph: rep = min member, sizes consistent") {
+    val pairs = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    // local union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep"), r.getAs[Long]("n_members")))
+    assert(got.map(g => g._1 -> g._2).toMap === want)
+    val sizes = want.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (_, rep, n) => assert(n === sizes(rep)) }
+  }
+
   test("simhash combination blocking keeps candidate volume ~linear in n") {
     import org.apache.spark.sql.functions._
     import graft.functions.SimHash64.simhash64

@@ -16,6 +16,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(gaps.forall(_ >= 0L))
   }
 
+  test("stratified sample is deterministic, keeps all purchases/signups, downsamples views") {
+    import org.apache.spark.sql.functions._
+    val a = EventOps.sampleStratified(spark, sf).collect()
+    val b = EventOps.sampleStratified(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    val byType = a.groupBy(_.getAs[String]("event_type")).view.mapValues(_.length.toLong).toMap
+    val totals = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("purchase") === totals("purchase"))
+    assert(byType("signup") === totals("signup"))
+    val viewFrac = byType("view").toDouble / totals("view")
+    assert(viewFrac > 0.05 && viewFrac < 0.25, s"view keep rate $viewFrac")
+  }
+
   test("tumbling window counts partition the event stream exactly") {
     val total = Tables.events(spark, sf).count()
     val winSum = EventOps.winTumbling(spark, sf).collect().map(_.getAs[Long]("n")).sum

@@ -24,6 +24,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.length === 500)
   }
 
+  test("top terms agree with a locally computed document-frequency ranking") {
+    val got = TextOps.topTerms(spark, sf).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"))).toSeq
+    val df = scala.collection.mutable.Map[String, Long]()
+    graft.sources.Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).trim.split("\\s+").distinct.foreach(t => df(t) = df.getOrElse(t, 0L) + 1)
+    }
+    val want = df.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    assert(got === want)
+  }
+
   test("quality score stays in [0,1]") {
     val rows = TextOps.textQuality(spark, sf).collect()
     rows.foreach { r =>
