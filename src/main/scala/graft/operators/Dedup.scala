@@ -118,11 +118,23 @@ object Dedup {
     * inner step.
     */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    // cache the PAIR list, not the symmetrized edge view: the edge
+    // union references the pair subtree twice, and without the cache
+    // the whole shingle self-join pipeline would execute twice.  The
+    // pair list is tiny relative to the corpus (near-dup pairs only);
+    // collapsing it to one partition keeps every propagation round at
+    // a handful of tasks — at a billion-edge scale raise the partition
+    // count with the edge volume (the loop body is count-agnostic).
     val pairs = ngramJaccardPairs(Tables.documents(s, dir), ShingleDfCap)
       .select(col("d1"), col("d2"))
+      .repartition(1)
+      .persist()
+    // materialize the cache eagerly: the first loop job references the
+    // pair subtree through both union branches, and racing tasks would
+    // each compute the full shingle pipeline before any block lands
+    pairs.count()
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist()
     try {
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
@@ -150,7 +162,7 @@ object Dedup {
         .join(sizes, col("rep") === col("srep"))
         .select(col("doc_id"), col("rep"), col("n_members"))
         .orderBy(col("doc_id"))
-    } finally { edges.unpersist(blocking = false); () }
+    } finally { pairs.unpersist(blocking = false); () }
   }
 
   /** MinHash(128) signature per doc + banded LSH (32 bands × 4 rows).
