@@ -161,6 +161,30 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Time-band range join: each purchase joined to ALL clicks of the
+    * same user in the preceding hour, aggregated per purchase — the
+    * batch image of the stream-stream interval join
+    * ([[graft.streaming.Stateful.purchaseClickJoin]]).  The equi half
+    * of the predicate (user_id) keys the shuffle; the time band is a
+    * post-join filter inside the sort-merge — at 100 TB this is one
+    * hash partitioning of each side, never a cross product.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), epochUs(col("ts")).as("us"))
+    val p = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("us").as("p_us"))
+    val c = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_us") <= col("p_us") && col("c_us") >= col("p_us") - lit(3600L * 1000000L))
+      .groupBy(col("purchase_id"), col("p_user").as("user_id"), col("p_us"))
+      .agg(count(lit(1)).as("n_clicks_1h"), max(col("c_us")).as("last_click_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Deterministic stratified sampling — the training-data downsampling
     * primitive.  Per-stratum keep rates are applied as a hash threshold
     * (first 16 bits of md5 of the key vs a per-type cutoff): pure
@@ -192,6 +216,7 @@ object EventOps {
     "win_session" -> (winSession _),
     "event_pivot" -> (eventPivot _),
     "asof_join" -> (asofJoin _),
+    "range_join" -> (rangeJoin _),
     "sample_stratified" -> (sampleStratified _))
 
   def oracleSql: Map[String, String] = Map(
@@ -243,6 +268,17 @@ object EventOps {
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "range_join" ->
+      """WITH b AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events WHERE event_type IN ('click','purchase')),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS p_us FROM b WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us AS c_us FROM b WHERE event_type = 'click')
+        |SELECT purchase_id, p.user_id, p_us,
+        |  COUNT(*) AS n_clicks_1h, MAX(c_us) AS last_click_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c_us <= p_us AND c_us >= p_us - 3600000000
+        |GROUP BY purchase_id, p.user_id, p_us
+        |ORDER BY purchase_id""".stripMargin,
     "sample_stratified" ->
       """SELECT event_id, event_type, user_id, value
         |FROM events

@@ -205,6 +205,27 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q18 image: large-volume customers — the group-filter then
+    * join-back pattern.  The per-order aggregate runs first (map-side
+    * partials on the orderkey shuffle), survives the `> 300` filter as
+    * a tiny set, and only then joins orders and customer — at 100 TB
+    * the join probe side is the filtered aggregate, not lineitem.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(D182)).as("sq_d"))
+      .filter(col("sq_d") > 300)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"),
+        col("sq_d").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Exact multi-distinct aggregate per market segment. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -263,6 +284,7 @@ object Relational {
     "q3_toporders" -> (q3TopOrders _),
     "q5_regionrev" -> (q5RegionRevenue _),
     "q17_small_qty" -> (q17SmallQty _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "join_shuffle" -> (joinShuffle _),
     "join_semi_anti" -> (joinSemiAnti _),
     "window_rank" -> (windowRank _),
@@ -328,6 +350,16 @@ object Relational {
         |JOIN part ON l.l_partkey = p_partkey AND p_brand = 'Brand#23'
         |JOIN a ON l.l_partkey = agg_partkey
         |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_d
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  o_totalprice, CAST(sq_d AS DOUBLE) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "join_shuffle" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

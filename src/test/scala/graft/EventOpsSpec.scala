@@ -16,6 +16,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(gaps.forall(_ >= 0L))
   }
 
+  test("range join counts only same-user clicks inside the 1h band") {
+    val rows = EventOps.rangeJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pUs = r.getAs[Long]("p_us")
+      val last = r.getAs[Long]("last_click_us")
+      assert(last <= pUs && last >= pUs - 3600L * 1000000L)
+      assert(r.getAs[Long]("n_clicks_1h") >= 1L)
+    }
+    // cross-check vs asof: a purchase whose latest prior click is within
+    // the band must appear here with last_click_us = that click's time
+    val asof = EventOps.asofJoin(spark, sf).collect()
+      .filter(r => Option(r.getAs[java.lang.Long]("gap_us")).exists(_ <= 3600L * 1000000L))
+      .map(r => r.getAs[Long]("purchase_id") -> (r.getAs[Long]("p_us") - r.getAs[Long]("gap_us"))).toMap
+    val got = rows.map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("last_click_us")).toMap
+    asof.foreach { case (pid, clickUs) =>
+      assert(got.get(pid).contains(clickUs), s"purchase $pid")
+    }
+  }
+
   test("stratified sample is deterministic, keeps all purchases/signups, downsamples views") {
     import org.apache.spark.sql.functions._
     val a = EventOps.sampleStratified(spark, sf).collect()

@@ -38,6 +38,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("rk") <= 3))
   }
 
+  test("q18 returns only orders whose line quantity sum exceeds 300") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q18LargeOrders(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 300.0))
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 300).count()
+    assert(rows.length === math.min(want, 100L).toInt)
+  }
+
   test("set_ops partitions are disjoint and consistent") {
     val rows = Relational.setOps(spark, sf).collect()
       .map(r => (r.getAs[String]("op"), r.getAs[Long]("k")))
