@@ -193,12 +193,20 @@ object Relational {
     * partition-order dependent in its last bits).
     */
   def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    // the correlated average only matters for the selected brand's
+    // partkeys: semi-join the fact to the (broadcast) brand key set
+    // BEFORE aggregating, so the per-part aggregate reads the brand's
+    // share of lineitem, not all of it — at 100 TB that is a ~25×
+    // smaller aggregation with identical results (unmatched partkeys'
+    // averages were never consulted)
     val perPart = Tables.lineitem(s, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey").as("agg_partkey"))
       .agg(sum(col("l_quantity").cast(D182)).as("sq"), count(lit(1)).as("cnt"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#23")),
-        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
       .join(perPart, col("l_partkey") === col("agg_partkey"))
       .filter(col("l_quantity").cast(D182) * 5 * col("cnt") < col("sq"))
       .agg(sum(col("l_extendedprice").cast(D182)).cast("double").as("total_price"),

@@ -85,16 +85,19 @@ final case class KafkaMsgSource(conf: KafkaPipeConfig) extends MsgSource {
         col("timestamp").as("ts"))
 }
 
-/** File transport: tail a directory of parquet as a stream (the local
+/** File transport: tail a directory of files as a stream (the local
   * stand-in for a topic; same envelope, same downstream plan).
-  * `options` passes reader rate limits through (e.g. maxFilesPerTrigger
-  * — the file-source image of frafka's KAFKA_MAX_BUFFER_KB).
+  * `format` is any Spark file source — parquet (default), csv, json
+  * (JSON-lines), text — so the same pipeline runs over whatever the
+  * upstream system drops.  `options` passes reader options through
+  * (csv `header`, rate limits like maxFilesPerTrigger — the
+  * file-source image of frafka's KAFKA_MAX_BUFFER_KB).
   */
 final case class FileMsgSource(path: String, raw: StructType, toMsg: DataFrame => DataFrame,
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty, format: String = "parquet")
     extends MsgSource {
   def receive(spark: SparkSession): DataFrame =
-    toMsg(spark.readStream.options(options).schema(raw).parquet(path))
+    toMsg(spark.readStream.format(format).options(options).schema(raw).load(path))
 }
 
 /** Routed sink (`Sink.Send(msg, dest)`): one pipeline, messages fanned
