@@ -137,12 +137,16 @@ object Similarity {
     val cells0 = math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
     val maxTrain = 64 * 1024
 
-    // deterministic pseudo-random sample: order by a hash of the id —
-    // unbiased under any physical data order, and TakeOrdered merges
-    // per-partition heads on the driver without a shuffle
+    // deterministic pseudo-random sample: keep vectors whose id-hash
+    // falls under the sampling rate — a pure scan-filter (no sort, no
+    // shuffle), unbiased under any physical data order, and the
+    // driver-side collect is ≈maxTrain rows regardless of cluster
+    // size.  (A hash-ORDERED take would merge a per-partition head on
+    // the driver — per-PARTITION state that grows with the cluster.)
+    val rate = math.min(1.0, maxTrain.toDouble / math.max(n, 1L))
+    val keepBelow = math.max(1L, (rate * 1000000L).toLong)
     val sampleRows = vecs(s, dir)
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(maxTrain)
+      .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(keepBelow))
       .select(col("e"), col("nrm"))
       .collect()
     val units: Array[Array[Double]] = sampleRows.map { r =>
