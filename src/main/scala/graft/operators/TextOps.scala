@@ -145,6 +145,22 @@ object TextOps {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // argmax over (score, lang) structs: both engines compare structs
+    // field-lexicographically and the scores are exact int/int IEEE
+    // quotients, so the prediction is engine-identical
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_label,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang_label, [
+        |  {'score': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) / len(toks), 'lang': 'de'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','on'], x))) / len(toks), 'lang': 'en'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un'], x))) / len(toks), 'lang': 'es'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','est','une'], x))) / len(toks), 'lang': 'fr'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['de','shi','bu','le','ren','wo','you','ta'], x))) / len(toks), 'lang': 'zh'}
+        |  ] AS cand FROM t)
+        |SELECT doc_id, list_max(cand).lang AS lang_pred,
+        |  list_max(cand).score AS lang_score, lang_label
+        |FROM s ORDER BY doc_id""".stripMargin,
     "top_terms" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
