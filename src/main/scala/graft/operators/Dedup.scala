@@ -25,23 +25,21 @@ object Dedup {
     * ("full") and the first-50-chars prefix md5 ("prefix50" — catches
     * tail-edited near-exact copies).  One groupBy per strategy.
     */
-  def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    // normalize once; both strategy aggregations read the same exchange
-    val keyed = Tables.documents(s, dir)
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    // unpivot the two keys to (strategy, k) rows map-side: ONE keyed
+    // aggregation over one exchange replaces two groupBys + a union
+    // (same shuffled bytes — 2 skinny rows/doc vs 1 row read twice —
+    // but half the stages)
+    Tables.documents(s, dir)
       .select(col("doc_id"), normText(col("text")).as("nt"))
-      .select(col("doc_id"),
-        md5(encode(col("nt"), "UTF-8")).as("k_full"),
-        md5(encode(substring(col("nt"), 1, 50), "UTF-8")).as("k_prefix50"))
-      .repartition(col("doc_id"))
-    def groups(strategy: String, key: String): DataFrame =
-      keyed.groupBy(col(key).as("k"))
-        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
-        .filter(col("n_dups") > 1)
-        .select(lit(strategy).as("strategy"), col("k"), col("n_dups"), col("keep_id"))
-    groups("full", "k_full")
-      .unionAll(groups("prefix50", "k_prefix50"))
+      .select(col("doc_id"), explode(map(
+        lit("full"), md5(encode(col("nt"), "UTF-8")),
+        lit("prefix50"), md5(encode(substring(col("nt"), 1, 50), "UTF-8")))).as(Seq("strategy", "k")))
+      .groupBy(col("strategy"), col("k"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_dups") > 1)
+      .select(col("strategy"), col("k"), col("n_dups"), col("keep_id"))
       .orderBy(col("strategy"), col("k"))
-  }
 
   /** Document-frequency cap for the shingle inverted index: a shingle
     * present in more than this many documents ("in the the of…"
