@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{CountInSet, DotProduct, MinHashSig, RollingHash64, SimHash64, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -32,5 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles", "word_shingles(array<string>, n) - word n-gram shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("rolling_hash64"),
+      info("rolling_hash64", "rolling_hash64(string) - Rabin-Karp 64-bit rolling hash"),
+      (args: Seq[Expression]) => RollingHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("count_in_set"),
+      info("count_in_set", "count_in_set(array<string>, array<string>) - tokens present in the constant set"),
+      (args: Seq[Expression]) => CountInSet(args.head,
+        args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq)))
   }
 }

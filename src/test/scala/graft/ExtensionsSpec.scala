@@ -17,6 +17,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("mh") === 16)
     assert(row.getAs[Double]("dp") === 11.0)
     assert(row.getAs[scala.collection.Seq[String]]("ws") === Seq("a b", "b c", "c d"))
+    val row2 = spark.sql(
+      """SELECT rolling_hash64('hello world') AS rh,
+        |  count_in_set(array('the','cat','sat'), array('the','a','an')) AS cs
+        |""".stripMargin).head()
+    assert(row2.getAs[Long]("rh") !== 0L)
+    assert(row2.getAs[Int]("cs") === 1)
   }
 
   test("full SQL surface works over registered views + custom functions") {
