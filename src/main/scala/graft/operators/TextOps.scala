@@ -111,6 +111,31 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
       .limit(20)
 
+  /** Corpus-relative quality score: mean corpus term frequency of a
+    * doc's tokens plus its out-of-vocabulary ratio against the top-1000
+    * vocabulary — the unigram-LM quality filter shape (gibberish = low
+    * commonness + high OOV) without a `log`, so every number is an
+    * exact-int IEEE quotient and reproduces bit-for-bit across engines.
+    *
+    * Two passes: a global vocab aggregate (top-1000 with a total
+    * tie-break — same TakeOrdered shape as [[topTerms]]), broadcast to
+    * a per-token left join, re-aggregated per doc.  At 100 TB the
+    * vocab is O(1) state and the scoring pass is one scan + one
+    * doc-keyed aggregation.
+    */
+  def textCommonness(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(1000)
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(coalesce(col("tf"), lit(0L))).cast("double") / count(lit(1))).as("avg_tf"),
+        (sum(when(col("tf").isNull, 1L).otherwise(0L)).cast("double") / count(lit(1))).as("oov_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -118,7 +143,8 @@ object TextOps {
     "text_shingles" -> (textShingles _),
     "text_rollhash" -> (textRollhash _),
     "lang_id" -> (langId _),
-    "top_terms" -> (topTerms _))
+    "top_terms" -> (topTerms _),
+    "text_commonness" -> (textCommonness _))
 
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -167,6 +193,15 @@ object TextOps {
         |  FROM documents)
         |SELECT term, COUNT(*) AS df FROM t GROUP BY term
         |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    "text_commonness" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |vocab AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+        |          ORDER BY tf DESC, term LIMIT 1000)
+        |SELECT doc_id,
+        |  CAST(SUM(COALESCE(tf, 0)) AS DOUBLE) / COUNT(*) AS avg_tf,
+        |  CAST(SUM(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_ratio
+        |FROM toks LEFT JOIN vocab USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_shingles" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |s AS (SELECT doc_id,

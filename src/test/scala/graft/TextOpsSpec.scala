@@ -35,6 +35,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("commonness scores are in range and OOV-heavy docs score lower") {
+    val rows = TextOps.textCommonness(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val oov = r.getAs[Double]("oov_ratio")
+      assert(oov >= 0.0 && oov <= 1.0)
+      assert(r.getAs[Double]("avg_tf") >= 0.0)
+    }
+    // determinism (the vocab top-1000 has a total tie-break)
+    val again = TextOps.textCommonness(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("quality score stays in [0,1]") {
     val rows = TextOps.textQuality(spark, sf).collect()
     rows.foreach { r =>
