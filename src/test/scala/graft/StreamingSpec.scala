@@ -143,6 +143,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("watermark drops late rows from windowed aggregation") {
+    import spark.implicits._
+    val watched = Files.createTempDirectory("graft-late")
+    def writeFile(name: String, tsSeconds: Seq[Long], mtime: Long): Unit = {
+      val out = Files.createTempDirectory(s"graft-late-$name")
+      tsSeconds.map(s => Tuple1(new java.sql.Timestamp(s * 1000L))).toDF("ts")
+        .coalesce(1).write.mode("overwrite").parquet(out.toString)
+      val part = Files.list(out).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = watched.resolve(s"$name.parquet")
+      Files.copy(part, dest)
+      Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = 1700000000L // absolute value doesn't matter
+    // Spark filters LATE EVENTS with the PREVIOUS batch's watermark
+    // (state eviction uses the current one), so the late row must
+    // arrive two batches after the rows that advanced the watermark:
+    // batch 1 advances it to t0+20min, batch 2 is a spacer, batch 3
+    // carries the 60-min-late row (must drop) plus a live row
+    writeFile("a", Seq(t0, t0 + 1800), 1000000L)
+    writeFile("b", Seq(t0 + 2400), 2000000L)
+    writeFile("c", Seq(t0 - 3600, t0 + 3000), 3000000L)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watched.toString)
+    // append mode: a window emits once the watermark passes its end,
+    // and input rows whose window already closed are dropped — the
+    // strict late-data contract (update mode still upserts late rows)
+    val agg = src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).count()
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val starts = spark.table("late_stream")
+      .select(unix_timestamp(col("window.start")).as("ws"))
+      .collect().map(_.getLong(0)).toSet
+    def winStart(s: Long): Long = s / 300 * 300
+    // the t0 and t0+1800 windows closed and emitted; the t0−3600
+    // window closed long before its row arrived, so that row must
+    // have been dropped — if it leaked, its window would have emitted
+    assert(starts.contains(winStart(t0)))
+    assert(starts.contains(winStart(t0 + 1800)))
+    assert(!starts.contains(winStart(t0 - 3600)), "late row leaked past the watermark")
+    // the state operator itself must report the drop
+    assert(q.recentProgress.exists(_.stateOperators.exists(_.numRowsDroppedByWatermark > 0)))
+  }
+
   test("kafka config plumbing maps frafka env vars") {
     val conf = KafkaPipeConfig.fromEnv(Map(
       "KAFKA_BROKERS" -> "b1:9092,b2:9092",
