@@ -86,7 +86,12 @@ object Dedup {
       .filter(col("df") <= dfCap)
       .drop("df")
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // merge hint: below the broadcast threshold Spark would flip this
+    // self-join to a BroadcastHashJoin, recomputing the whole shingle
+    // pipeline for the built side; forcing the sort-merge form makes
+    // both sides read the ONE shingle exchange (ReusedExchange) at any
+    // size — the same plan the join takes at scale anyway
+    val inter = sh.as("a").hint("merge").join(sh.as("b").hint("merge"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
@@ -193,7 +198,10 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
       // shared exchange: the self-join reuses one computation
       .repartition(col("band"), col("bkey"))
-    val cand = banded.as("a").join(banded.as("b"),
+    // merge hint: keep the self-join in sort-merge form so both sides
+    // read the one band exchange (broadcast would recompute the
+    // signature pipeline for the built side below the threshold)
+    val cand = banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -230,7 +238,7 @@ object Dedup {
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
       // shared exchange: the self-join reuses one simhash computation
       .repartition(col("band"), col("bkey"))
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -292,7 +300,7 @@ object Dedup {
       .select(col("vec_id"), col("e"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
       // shared exchange for the self-join
       .repartition(col("tbl"), col("bucket"))
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),

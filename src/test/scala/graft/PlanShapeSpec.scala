@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Pins the 100 TB plan-shape claims of SURVEY §4: pushdown reaches the
+  * scan, small sides broadcast, shared pipelines reuse one exchange,
+  * scan-only operators don't shuffle.  A regression here is a scale
+  * bug even when values stay correct.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countIn(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).size
+
+  test("sample_stratified is scan-filter only (one presentation-sort exchange)") {
+    val p = plan(EventOps.sampleStratified(spark, sf))
+    assert(countIn(p, "Exchange") <= 1, p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("PushedFilters"))
+  }
+
+  test("q17 broadcasts the brand key set on both the aggregate and probe sides") {
+    val p = plan(Relational.q17SmallQty(spark, sf))
+    assert(countIn(p, "BroadcastExchange") >= 1)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("q18 probes with the filtered aggregate, never a second lineitem scan per join") {
+    val p = plan(Relational.q18LargeOrders(spark, sf))
+    // exactly one lineitem scan feeds the per-order aggregate
+    assert(countIn(p, "lineitem") >= 1)
+    assert(countIn(p, "TakeOrderedAndProject") === 1)
+  }
+
+  test("ngram jaccard self-join reads one shared shingle exchange") {
+    // exchange reuse is an AQE runtime decision (the merge hint keeps
+    // the self-join in SMJ form so it can happen at any data size):
+    // execute, then assert on the final adaptive plan
+    val df = Dedup.dedupNgramJaccard(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedExchange"), p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("ann_bruteforce broadcasts the query side (no corpus shuffle before top-k)") {
+    val p = plan(Similarity.annBruteforce(spark, sf))
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("text_commonness broadcasts the vocabulary") {
+    val p = plan(TextOps.textCommonness(spark, sf))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("top_terms keeps the limit map-side (TakeOrderedAndProject)") {
+    val p = plan(TextOps.topTerms(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
