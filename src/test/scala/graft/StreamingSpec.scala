@@ -192,6 +192,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(q.recentProgress.exists(_.stateOperators.exists(_.numRowsDroppedByWatermark > 0)))
   }
 
+  test("streaming dropDuplicates holds effectively-once across epochs") {
+    import spark.implicits._
+    val watched = Files.createTempDirectory("graft-dedup-stream")
+    def writeIds(name: String, ids: Seq[Long], mtime: Long): Unit = {
+      val out = Files.createTempDirectory(s"graft-dedup-$name")
+      ids.map(Tuple1(_)).toDF("msg_id").coalesce(1).write.mode("overwrite").parquet(out.toString)
+      val part = Files.list(out).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = watched.resolve(s"$name.parquet")
+      Files.copy(part, dest)
+      Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // at-least-once redelivery: batch 2 re-delivers ids 6–10
+    writeIds("a", 1L to 10L, 1000000L)
+    writeIds("b", 6L to 15L, 2000000L)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("msg_id", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watched.toString)
+    val q = src.dropDuplicates("msg_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (1L to 15L), "redelivered ids must appear exactly once")
+  }
+
   test("kafka config plumbing maps frafka env vars") {
     val conf = KafkaPipeConfig.fromEnv(Map(
       "KAFKA_BROKERS" -> "b1:9092,b2:9092",
