@@ -168,6 +168,38 @@ object Dedup {
     } finally { pairs.unpersist(blocking = false); () }
   }
 
+  /** Train/test decontamination: for every "test" document, count the
+    * "train" documents sharing ≥1 five-gram and the total shared
+    * shingle occurrences — the overlap audit an LLM pipeline runs
+    * before training (here the split is doc_id parity as a
+    * deterministic stand-in for real split labels).
+    *
+    * Same scale shape as [[dedupNgramJaccard]]: one shingle-keyed
+    * exchange feeds both sides of a bipartite inverted-index join
+    * (never test×train all-pairs), with the [[ShingleDfCap]] dropping
+    * boilerplate shingles that would explode the join and flag
+    * everything as contaminated.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 5))).as("shingle"))
+      .repartition(col("shingle"))
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= ShingleDfCap)
+      .drop("df")
+    val train = capped.filter(col("doc_id") % 2 === 1)
+      .select(col("shingle"), col("doc_id").as("train_id"))
+    val test = capped.filter(col("doc_id") % 2 === 0)
+      .select(col("shingle"), col("doc_id").as("test_id"))
+    test.hint("merge").join(train.hint("merge"), "shingle")
+      .groupBy(col("test_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        count(lit(1)).as("n_shared_shingles"))
+      .orderBy(col("test_id"))
+  }
+
   /** MinHash(128) signature per doc + banded LSH (32 bands × 4 rows).
     * Signatures come from the one-pass [[graft.functions.MinHashSig]]
     * expression (two-hash construction).  Pairs sharing ≥1 band bucket
@@ -315,6 +347,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_components" -> (dedupComponents _),
+    "decontaminate" -> (decontaminate _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -347,6 +380,18 @@ object Dedup {
         |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         |WHERE c / (s1.n + s2.n - c) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+        |          for i in generate_series(1, len(tk)-4)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |tr AS (SELECT shingle, doc_id AS train_id FROM sh WHERE doc_id % 2 = 1),
+        |te AS (SELECT shingle, doc_id AS test_id FROM sh WHERE doc_id % 2 = 0)
+        |SELECT test_id, COUNT(DISTINCT train_id) AS n_train_docs, COUNT(*) AS n_shared_shingles
+        |FROM te JOIN tr USING (shingle)
+        |GROUP BY test_id ORDER BY test_id""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3

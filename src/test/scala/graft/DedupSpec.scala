@@ -101,6 +101,28 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (_, rep, n) => assert(n === sizes(rep)) }
   }
 
+  test("decontaminate counts exactly the cross-split 5-gram overlaps") {
+    // local ground truth over the same corpus
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val grams = docs.view.mapValues { t =>
+      val toks = t.trim.split("\\s+")
+      toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = grams.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val kept = grams.view.mapValues(_.filter(df(_) <= 128)).toMap
+    val want = (for {
+      (te, sTe) <- kept.toSeq if te % 2 == 0
+      overlaps = kept.toSeq.filter { case (tr, sTr) => tr % 2 == 1 && sTr.intersect(sTe).nonEmpty }
+      if overlaps.nonEmpty
+    } yield te -> (overlaps.size.toLong,
+      overlaps.map(_._2.intersect(sTe).size.toLong).sum)).toMap
+    val got = Dedup.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("test_id") ->
+        (r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_shared_shingles"))).toMap
+    assert(got === want)
+  }
+
   test("simhash combination blocking keeps candidate volume ~linear in n") {
     import org.apache.spark.sql.functions._
     import graft.functions.SimHash64.simhash64
