@@ -136,6 +136,23 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-20 adjacent character pairs by corpus count — the statistic
+    * BPE training computes for its first merge.  The explode is pure
+    * map-side CPU; only the ~|alphabet|² distinct pair keys cross the
+    * shuffle (partial aggregation combines per partition), so at
+    * 100 TB this runs at scan bandwidth with an O(1) shuffle.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      // guard: sequence(1, 0) counts DOWN in Spark, so a 1-char doc
+      // would yield junk pairs instead of none
+      .filter(length(col("text")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -144,7 +161,8 @@ object TextOps {
     "text_rollhash" -> (textRollhash _),
     "lang_id" -> (langId _),
     "top_terms" -> (topTerms _),
-    "text_commonness" -> (textCommonness _))
+    "text_commonness" -> (textCommonness _),
+    "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -193,6 +211,12 @@ object TextOps {
         |  FROM documents)
         |SELECT term, COUNT(*) AS df FROM t GROUP BY term
         |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    "bpe_pairs" ->
+      """WITH p AS (SELECT unnest([substr(text, CAST(i AS INT), 2)
+        |    for i in generate_series(1, length(text) - 1)]) AS pair
+        |  FROM documents WHERE length(text) >= 2)
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "text_commonness" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
         |vocab AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term

@@ -52,6 +52,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash combination blocking is EXACT for Hamming <= 7 (equals brute force)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SimHash64.simhash64
+    import graft.functions.TextFunctions.shingles
+    val hashes = Tables.documents(spark, sf)
+      .select(col("doc_id"), simhash64(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sh"))
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (a, b)).toSet
+    val got = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(got === want, "blocking must find EVERY pair within Hamming 7, and only those")
+  }
+
   test("simhash recall on near-identical docs (J>=0.98)") {
     val found = Dedup.dedupSimhash(spark, sf).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet

@@ -48,6 +48,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("bpe pair counts agree with a locally computed ranking") {
+    val got = TextOps.bpePairs(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"))).toSeq
+    val counts = scala.collection.mutable.Map[String, Long]()
+    graft.sources.Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val t = r.getString(0)
+      var i = 0
+      while (i < t.length - 1) { val p = t.substring(i, i + 2); counts(p) = counts.getOrElse(p, 0L) + 1; i += 1 }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got === want)
+  }
+
   test("quality score stays in [0,1]") {
     val rows = TextOps.textQuality(spark, sf).collect()
     rows.foreach { r =>
