@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.{Layout, Tables}
+
+class LayoutSkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("salted join returns exactly the plain join's rows and shuffles on (key, salt)") {
+    import spark.implicits._
+    // skewed big side: 10k rows on one hot key + a uniform tail
+    val big = ((1 to 10000).map(i => (1L, i.toLong)) ++ (1 to 1000).map(i => (i.toLong % 50 + 2, i.toLong)))
+      .toDF("k", "payload")
+    val small = (1L to 60L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, col("payload"), small, "k", 8)
+    assert(salted.count() === plain.count())
+    assert(salted.select(sum(col("payload"))).head.getLong(0) ===
+      plain.select(sum(col("payload"))).head.getLong(0))
+    // the shuffle key must carry the salt so the hot key spreads
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p.linesIterator.take(10).mkString("\n"))
+  }
+
+  test("bucketed tables on the same key join with zero shuffle exchange") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
+    Layout.dropTable(spark, "b_orders"); Layout.dropTable(spark, "b_lineitem")
+    Layout.writeBucketed(
+      Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority")),
+      "b_orders", "o_orderkey", 8)
+    Layout.writeBucketed(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")),
+      "b_lineitem", "l_orderkey", 8)
+    try {
+      val joined = spark.table("b_lineitem").hint("merge")
+        .join(spark.table("b_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      // bucketed scans satisfy the join's partitioning: no hash
+      // shuffle anywhere in the final plan
+      assert(!p.contains("Exchange hashpartitioning"),
+        p.linesIterator.take(20).mkString("\n"))
+      // and the result matches the plain join
+      val expect = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expect)
+    } finally {
+      Layout.dropTable(spark, "b_orders"); Layout.dropTable(spark, "b_lineitem")
+    }
+  }
+}
