@@ -161,10 +161,17 @@ object Dedup {
       }
       require(converged, s"component propagation did not converge in $rounds rounds")
       val sizes = labels.groupBy(col("comp").as("srep")).agg(count(lit(1)).as("n_members"))
-      labels.select(col("id").as("doc_id"), col("comp").as("rep"))
+      val result = labels.select(col("id").as("doc_id"), col("comp").as("rep"))
         .join(sizes, col("rep") === col("srep"))
         .select(col("doc_id"), col("rep"), col("n_members"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(eager = true)
+      // localCheckpoint truncates the lineage and materializes the
+      // (small) result, so the final labels cache — otherwise pinned
+      // per invocation — can be released immediately, and an eviction
+      // can never replay the propagation rounds
+      labels.unpersist(blocking = false)
+      result
     } finally { pairs.unpersist(blocking = false); () }
   }
 

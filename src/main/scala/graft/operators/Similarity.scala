@@ -75,28 +75,36 @@ object Similarity {
     math.max(6, math.min(24,
       math.ceil(math.log(math.max(n, 1L) / 8.0) / math.log(2.0)).toInt))
 
-  private def lshPlanesCol(bits: Int): Column = {
-    val rnd = new scala.util.Random(12345)
-    val planes = Seq.fill(LshTables * bits)(Seq.fill(64)(rnd.nextGaussian()))
-    array(planes.map(p => array(p.map(lit): _*)): _*)
-  }
-
+  /** Unrolled construction: each plane's 64 literals appear exactly
+    * once in the tree (an element_at over one shared planes array
+    * would re-reference the whole literal matrix per bit and pay HOF
+    * per-element interpretation; this form is plain codegen'd
+    * arithmetic with 8·bits·64 literal nodes total).  Bit b carries
+    * weight 2^(bits-1-b) and the RNG stream is consumed in (table,
+    * bit) order, reproducing the original bucket values exactly.
+    */
   private[graft] def hyperplaneBuckets(e: Column, bits: Int): Column = {
-    val planes = lshPlanesCol(bits)
-    transform(sequence(lit(0), lit(LshTables - 1)), t =>
-      struct(t.as("tbl"),
-        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-          (acc, b) => acc * 2 + when(dot(element_at(planes, t * bits + b + 1), e) > 0, 1L).otherwise(0L))
-          .as("bucket")))
+    val rnd = new scala.util.Random(12345)
+    val tables = (0 until LshTables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        val plane = array(Seq.fill(64)(rnd.nextGaussian()).map(lit): _*)
+        when(dot(plane, e) > 0, lit(1L << (bits - 1 - b))).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    array(tables: _*)
   }
 
   private[graft] def normalizedVecs(s: SparkSession, dir: String): DataFrame = vecs(s, dir)
 
-  /** Corpus row count for parameter derivation (parquet metadata count —
-    * no data scan).
+  /** Corpus row count for parameter derivation.  This IS a Spark job
+    * (a zero-column parquet scan — row-group metadata only, but still
+    * a listing pass), so the result is memoized per directory: the
+    * three LSH/IVF queries in one session pay it once.
     */
+  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[graft] def corpusSize(s: SparkSession, dir: String): Long =
-    Tables.embeddings(s, dir).count()
+    sizeCache.computeIfAbsent(dir, d => Tables.embeddings(s, d).count()).longValue()
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val bits = lshBitsFor(corpusSize(s, dir))
@@ -124,13 +132,15 @@ object Similarity {
     *
     * Scale design: C ≈ √n (clamped to [16, 256] — beyond that the
     * centroid literals should move to a broadcast relation), so the
-    * probed fraction nprobe/C vanishes as the corpus grows.  Training
-    * runs DRIVER-LOCAL on a bounded deterministic sample (hash-ordered
-    * take of ≤64k vectors — a TakeOrdered, no full-corpus persist and
-    * no repeated corpus scans): k-means needs a representative sample,
-    * not the population, so training cost is O(sample), independent of
-    * corpus size.  The learned centroids are broadcast model state
-    * (C×dim doubles), never the data.
+    * probed fraction nprobe/C = 1/√C vanishes as the corpus grows.
+    * Training runs DRIVER-LOCAL on a bounded deterministic sample
+    * (hash-rate filter keeping ≈64k vectors — a pure scan-filter, no
+    * full-corpus persist and no repeated corpus scans, collected and
+    * sorted by id so results are independent of partition layout):
+    * k-means needs a representative sample, not the population, so
+    * training cost is O(sample), independent of corpus size.  The
+    * learned centroids are broadcast model state (C×dim doubles),
+    * never the data.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val n = corpusSize(s, dir)
@@ -143,18 +153,33 @@ object Similarity {
     // driver-side collect is ≈maxTrain rows regardless of cluster
     // size.  (A hash-ORDERED take would merge a per-partition head on
     // the driver — per-PARTITION state that grows with the cluster.)
+    // Sorting the collected rows by vec_id makes seeds and the float
+    // accumulation order independent of partition layout.
     val rate = math.min(1.0, maxTrain.toDouble / math.max(n, 1L))
     val keepBelow = math.max(1L, (rate * 1000000L).toLong)
     val sampleRows = vecs(s, dir)
       .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(keepBelow))
-      .select(col("e"), col("nrm"))
+      .select(col("vec_id"), col("e"), col("nrm"))
       .collect()
+      .sortBy(_.getLong(0))
     val units: Array[Array[Double]] = sampleRows.map { r =>
-      val e = r.getSeq[Double](0); val nm = r.getDouble(1)
+      val e = r.getSeq[Double](1); val nm = r.getDouble(2)
       e.map(_ / nm).toArray
     }
-    val cells = math.min(cells0, math.max(1, units.length))
-    val nprobe = math.max(4, cells / 8)
+    if (units.isEmpty) {
+      // empty corpus: empty result with the contract schema, not a
+      // crash inside training
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("q_id", LongType), StructField("rk", IntegerType, nullable = false),
+          StructField("vec_id", LongType), StructField("cos6", DoubleType))))
+    }
+    val cells = math.min(cells0, units.length)
+    // nprobe ~ √cells keeps recall while the probed fraction
+    // nprobe/cells = 1/√cells VANISHES as the corpus grows (a
+    // constant-ratio formula would pin per-query work at a fixed
+    // fraction of the corpus forever)
+    val nprobe = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
     // local spherical k-means: seeds = first C sample vectors, then
     // Lloyd iterations entirely on the driver (sequential arithmetic →

@@ -27,6 +27,8 @@ object Skew {
   def saltedJoin(big: DataFrame, saltFrom: Column, small: DataFrame,
       key: String, salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin; rename the input column")
     val b = big.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts.toLong)))
     val s = small.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     b.join(s, Seq(key, "__salt")).drop("__salt")

@@ -109,16 +109,29 @@ final case class FileMsgSource(path: String, raw: StructType, toMsg: DataFrame =
   * ack unit, so counts move at epoch boundaries: a batch's rows are
   * un-acked from the moment the epoch starts processing until its
   * writes complete and the offset commit lands.
+  *
+  * Counts are keyed by epoch id so a failed-and-replayed epoch (the
+  * at-least-once contract) is idempotent: the replay's begin
+  * overwrites the failed attempt's pending entry instead of double
+  * counting, and commit clears it exactly once.
   */
 final class FrizzleStats {
-  private val pending = new java.util.concurrent.atomic.AtomicLong
+  private val pendingByEpoch =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
   private val committed = new java.util.concurrent.atomic.AtomicLong
-  private[streaming] def begin(n: Long): Unit = { pending.addAndGet(n); () }
-  private[streaming] def commit(n: Long): Unit = {
-    pending.addAndGet(-n); committed.addAndGet(n); ()
+  private[streaming] def begin(epoch: Long, n: Long): Unit = {
+    pendingByEpoch.put(epoch, n); ()
   }
-  /** Rows in flight (current epoch, not yet acked). */
-  def unAcked: Long = pending.get
+  private[streaming] def commit(epoch: Long): Unit = {
+    val n = pendingByEpoch.remove(epoch)
+    if (n != null) { committed.addAndGet(n.longValue()); () }
+  }
+  /** Rows in flight (epochs started but not yet acked). */
+  def unAcked: Long = {
+    var total = 0L
+    pendingByEpoch.values().forEach(n => total += n)
+    total
+  }
   /** Rows whose epoch committed (cumulative acks). */
   def ackedCount: Long = committed.get
 }
@@ -144,16 +157,6 @@ object Frizzle {
       stats: FrizzleStats = new FrizzleStats): StreamingQuery =
     runRouted(spark, source, route, lit("main"), writeBatch, checkpoint, trigger, stats)
 
-  /** Full `Sink.Send(msg, dest)` semantics: each valid message routes
-    * to its own destination (arbitrary, data-dependent set — frizzle's
-    * per-topic fan-out), invalid messages to the "dlq" destination.
-    *
-    * Per epoch: one persist of the batch, the distinct destination set
-    * (bounded — destinations are topics, not keys), then one
-    * partition-pruned write per destination.  The batch epoch id is the
-    * ack unit, giving frafka's at-least-once contract; `stats` tracks
-    * un-acked/acked counts across epoch boundaries (`UnAcked()`).
-    */
   /** frizzle's retry loop: a dead-letter directory written by a
     * previous run becomes a new source with the same envelope, so a
     * corrected `Route` can re-process failures under its own
@@ -165,6 +168,21 @@ object Frizzle {
       options: Map[String, String] = Map.empty): MsgSource =
     FileMsgSource(path, schema, identity, options)
 
+  /** Full `Sink.Send(msg, dest)` semantics: each valid message routes
+    * to its own destination (arbitrary, data-dependent set — frizzle's
+    * per-topic fan-out), invalid messages to the `dlqDest` destination.
+    * `dlqDest` is a RESERVED name: rename it here if a legitimate
+    * topic is called "dlq", otherwise valid traffic routed there would
+    * be indistinguishable from failures (and re-delivered by a
+    * [[retryDlq]] loop).
+    *
+    * Per epoch: one persist of the batch, the distinct destination set
+    * (bounded — destinations are topics, not keys), then one
+    * partition-pruned write per destination.  The batch epoch id is the
+    * ack unit, giving frafka's at-least-once contract; `stats` tracks
+    * un-acked/acked counts across epoch boundaries (`UnAcked()`),
+    * idempotently under epoch replay.
+    */
   def runRouted(
       spark: SparkSession,
       source: MsgSource,
@@ -173,7 +191,8 @@ object Frizzle {
       writeBatch: (DataFrame, String, Long) => Unit,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      stats: FrizzleStats = new FrizzleStats): StreamingQuery = {
+      stats: FrizzleStats = new FrizzleStats,
+      dlqDest: String = "dlq"): StreamingQuery = {
     // NULL validity means the predicate itself failed → dead-letter,
     // never silently dropped (a bare filter would exclude NULL from
     // both branches and lose the message); a NULL destination is a
@@ -181,15 +200,14 @@ object Frizzle {
     val stream = route.transform(source.receive(spark))
       .withColumn("__dest",
         when(coalesce(route.isValid, lit(false)), dest).otherwise(lit(null)))
-      .withColumn("__dest", coalesce(col("__dest"), lit("dlq")))
+      .withColumn("__dest", coalesce(col("__dest"), lit(dlqDest)))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val cached = batch.persist()
         try {
-          val n = cached.count()
-          stats.begin(n)
+          stats.begin(epoch, cached.count())
           // bounded driver-side list: one row per DESTINATION (topic),
           // never per message
           val dests = cached.select(col("__dest")).distinct()
@@ -197,7 +215,7 @@ object Frizzle {
           dests.foreach { d =>
             writeBatch(cached.filter(col("__dest") === d).drop("__dest"), d, epoch)
           }
-          stats.commit(n)
+          stats.commit(epoch)
         } finally { cached.unpersist(); () }
       }
       .start()

@@ -27,7 +27,6 @@ class LayoutSkewSpec extends AnyFunSuite {
   }
 
   test("bucketed tables on the same key join with zero shuffle exchange") {
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
     Layout.dropTable(spark, "b_orders"); Layout.dropTable(spark, "b_lineitem")
     Layout.writeBucketed(
       Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority")),
