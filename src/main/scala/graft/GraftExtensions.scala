@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CountInSet, DotProduct, MinHashSig, RollingHash64, SimHash64, WordShingles}
+import graft.functions.{CharPairs, CountInSet, DotProduct, MinHashSig, RollingHash64, SimHash64, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles", "word_shingles(array<string>, n) - word n-gram shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("char_pairs"),
+      info("char_pairs", "char_pairs(string) - adjacent character pairs"),
+      (args: Seq[Expression]) => CharPairs(args.head)))
     e.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(string) - Rabin-Karp 64-bit rolling hash"),
       (args: Seq[Expression]) => RollingHash64(args.head)))

@@ -144,11 +144,7 @@ object TextOps {
     */
   def bpePairs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      // guard: sequence(1, 0) counts DOWN in Spark, so a 1-char doc
-      // would yield junk pairs instead of none
-      .filter(length(col("text")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("pair"))
+      .select(explode(graft.functions.CharPairs.charPairs(col("text"))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
