@@ -185,6 +185,21 @@ object TextOps {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the Rabin–Karp polynomial (h·P + b mod 2⁶⁴) replayed in HUGEINT
+    // modular arithmetic, then mapped to signed 64-bit — bit-exact vs
+    // the native expression (ASCII corpus: ascii() = the UTF-8 byte)
+    "text_rollhash" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |b AS (SELECT doc_id, list_prepend(CAST(0 AS HUGEINT),
+        |    list_transform(range(1, length(nt)+1), i -> CAST(ascii(substr(nt, CAST(i AS INT), 1)) AS HUGEINT))) AS bs
+        |  FROM n),
+        |h AS (SELECT doc_id, list_reduce(bs,
+        |    (acc, x) -> (acc * 1000000007 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hu FROM b)
+        |SELECT doc_id, CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+        |  THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS rh
+        |FROM h ORDER BY doc_id""".stripMargin,
     // argmax over (score, lang) structs: both engines compare structs
     // field-lexicographically and the scores are exact int/int IEEE
     // quotients, so the prediction is engine-identical
