@@ -8,10 +8,16 @@ object Bench {
     // the library actually produces
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed pass to warm codegen, parquet readers, and shuffle
-    // machinery so per-query timings measure the plan, not JVM startup
-    try SparkEntry.queries.get("q1_pricing").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => }
+    // one untimed pass to warm codegen, parquet readers, shuffle
+    // machinery AND the page cache for every input table — otherwise
+    // whichever query sorts first per table pays its cold read and the
+    // per-query timings measure disk order, not plans
+    try {
+      SparkEntry.queries.get("q1_pricing").foreach(_(spark, sfDir).count())
+      graft.sources.Tables.all.foreach { t =>
+        graft.sources.Tables.table(spark, sfDir, t).count(); ()
+      }
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
