@@ -108,7 +108,25 @@ object Multimodal {
         |  CAST(COALESCE(mode_bin, 0) AS BIGINT) AS mode_bin,
         |  COALESCE(CAST(mode_cnt AS DOUBLE) / GREATEST(n_bytes, 1), 0.0) AS mode_frac
         |FROM meta m LEFT JOIN md USING (doc_id)
-        |ORDER BY m.doc_id""".stripMargin)
+        |ORDER BY m.doc_id""".stripMargin,
+    // the stub's frame hash (h·31 + byte from the frame offset, seed
+    // 1125899906842597) replayed in HUGEINT modular arithmetic —
+    // bit-exact on the ASCII corpus where ascii() = the payload byte
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |f AS (SELECT doc_id, text, n, unnest([0,1,2,3]) AS frame_idx FROM d),
+        |o AS (SELECT doc_id, text, n, frame_idx,
+        |  (GREATEST(n, 1) * frame_idx) // 4 AS off FROM f),
+        |h AS (SELECT doc_id, frame_idx, off,
+        |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |    list_transform(range(CAST(off + 1 AS INT), CAST(LEAST(n, off + 64) + 1 AS INT)),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hu
+        |  FROM o)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, CAST(off AS BIGINT) AS "offset",
+        |  CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS frame_hash
+        |FROM h ORDER BY doc_id, frame_idx""".stripMargin)
 }
 
 /** ??? real decoder goes here — this container ships no media codecs.
