@@ -136,6 +136,20 @@ final class FrizzleStats {
   def ackedCount: Long = committed.get
 }
 
+/** writeBatch implementations for [[Frizzle.runRouted]]. */
+object Sinks {
+
+  /** Idempotent parquet sink: each (dest, epoch) writes its own
+    * `epoch=N` directory with overwrite, so an epoch REPLAY (the
+    * at-least-once contract) rewrites the same directory instead of
+    * appending duplicates — exactly-once output without a
+    * transactional store.  Readers see `base/<dest>/epoch=*` as one
+    * partitioned dataset.
+    */
+  def idempotentParquet(base: String): (DataFrame, String, Long) => Unit =
+    (df, dest, epoch) => df.write.mode("overwrite").parquet(s"$base/$dest/epoch=$epoch")
+}
+
 object Frizzle {
 
   /** A transform with a failure branch: rows where `isValid` is false
