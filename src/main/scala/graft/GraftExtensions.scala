@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharPairs, CountInSet, DotProduct, MinHashSig, RollingHash64, SimHash64, WordShingles}
+import graft.functions.{CharPairs, CountInSet, DotProduct, MinHashBandKeys, MinHashSig, RollingHash64, SimHash64, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(array<string>, n) - word n-gram shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("minhash_band_keys"),
+      info("minhash_band_keys", "minhash_band_keys(array<bigint>, bands) - LSH band hashes of a signature"),
+      (args: Seq[Expression]) => MinHashBandKeys(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("char_pairs"),
       info("char_pairs", "char_pairs(string) - adjacent character pairs"),

@@ -219,7 +219,6 @@ object Dedup {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val numHashes = 128
     val bands = 32
-    val rows = numHashes / bands
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -230,11 +229,12 @@ object Dedup {
       graft.functions.MinHashSig.minhashSig(col("sh"), numHashes).as("sig"))
       .repartition(col("doc_id"))
     // band keys only (24 B/row) through the explode + self-join; the
-    // fat 128-long signatures rejoin just for the surviving candidates
+    // fat 128-long signatures rejoin just for the surviving candidates.
+    // Native one-pass band hashing (posexplode index = band id) — the
+    // HOF form interpreted a lambda and allocated a slice per band
     val banded = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("bkey")))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      posexplode(graft.functions.MinHashBandKeys.minhashBandKeys(col("sig"), bands))
+        .as(Seq("band", "bkey")))
       // shared exchange: the self-join reuses one computation
       .repartition(col("band"), col("bkey"))
     // merge hint: keep the self-join in sort-merge form so both sides

@@ -117,6 +117,27 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (_, rep, n) => assert(n === sizes(rep)) }
   }
 
+  test("native minhash band keys equal the xxhash64(slice) formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val bands = 32
+    val rows = 128 / bands
+    val sig = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(
+          array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3)), 128).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val native = sig.select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandKeys.minhashBandKeys(col("sig"), bands))
+          .as(Seq("band", "bkey")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val hof = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(native === hof)
+  }
+
   test("decontaminate counts exactly the cross-split 5-gram overlaps") {
     // local ground truth over the same corpus
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
