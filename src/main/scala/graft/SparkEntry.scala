@@ -17,7 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.  Omitted keys → rows-only check (ops whose
@@ -25,5 +26,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql
+      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
+      Pipeline.oracleSql
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** End-to-end corpus cleaning: the composition a training-data
+  * pipeline actually ships — near-dup cluster resolution keeps one
+  * representative per cluster, a quality threshold drops low-signal
+  * docs, and the survivors are the training corpus.
+  *
+  * Each stage is an already-verified operator ([[Dedup.dedupComponents]],
+  * [[TextOps.textQuality]]); this query wires them with semi/anti
+  * joins, so at 100 TB the corpus is scanned once per stage and the
+  * join sides carry only doc ids.
+  */
+object Pipeline {
+
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    // docs that lost their dup cluster (everyone but the rep)
+    val nonReps = Dedup.dedupComponents(s, dir)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"))
+    val goodQuality = TextOps.textQuality(s, dir)
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("quality"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .join(goodQuality, Seq("doc_id"))
+      .join(nonReps, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean" -> (corpusClean _))
+
+  def oracleSql: Map[String, String] = Map(
+    "corpus_clean" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |p AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |      WHERE c / (s1.n + s2.n - c) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |      UNION
+        |      SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |nonrep AS (SELECT id AS doc_id FROM (
+        |  SELECT id, LEAST(id, MIN(reach)) AS rep FROM r GROUP BY id) WHERE id <> rep),
+        |tq AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id, n_chars,
+        |  len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','on','for'], x))) / len(toks) * 0.4
+        |  + (1.0 - CASE WHEN len(text) > 0
+        |      THEN (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) / len(text)
+        |      ELSE 0.0 END) * 0.3
+        |  + (CASE WHEN n_chars >= 100 THEN 0.3 ELSE 0.0 END) AS quality
+        |  FROM tq)
+        |SELECT doc_id, n_chars, quality
+        |FROM q
+        |WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM nonrep)
+        |ORDER BY doc_id""".stripMargin)
+}

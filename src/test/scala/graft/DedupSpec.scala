@@ -117,6 +117,17 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (_, rep, n) => assert(n === sizes(rep)) }
   }
 
+  test("corpus_clean keeps exactly the quality reps") {
+    val kept = Dedup.dedupComponents(spark, sf).collect()
+    val nonReps = kept.filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("rep"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val good = graft.operators.TextOps.textQuality(spark, sf).collect()
+      .filter(_.getAs[Double]("quality") >= 0.5).map(_.getAs[Long]("doc_id")).toSet
+    val got = graft.operators.Pipeline.corpusClean(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got === good.diff(nonReps))
+  }
+
   test("native minhash band keys equal the xxhash64(slice) formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     val bands = 32
