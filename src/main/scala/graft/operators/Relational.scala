@@ -234,6 +234,48 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q13 image: order-count distribution — the agg-of-agg
+    * histogram.  First aggregation keys on custkey (left join keeps
+    * order-less customers at count 0), second on the count itself; the
+    * second input is one row per customer, so the histogram shuffle is
+    * tiny at any scale.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "5-LOW")
+    Tables.customer(s, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q22 image: above-average-balance customers with no urgent
+    * orders, per nation.  The global-average threshold is applied by
+    * exact decimal CROSS-MULTIPLICATION (bal·n > Σbal) — a
+    * floating-point average would be partition-order-dependent in its
+    * last bits and could flip boundary customers between engines.  The
+    * 1-row aggregate broadcasts; the order check is a left_anti.
+    * (Anti side = urgent orders: in this dataset virtually every
+    * customer has SOME order, so the classic no-orders predicate would
+    * select ~nothing.)
+    */
+  def q22NoOrders(s: SparkSession, dir: String): DataFrame = {
+    val posAvg = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast(D182)).as("s"), count(lit(1)).as("n"))
+    Tables.customer(s, dir)
+      .join(broadcast(posAvg))
+      .filter(col("c_acctbal").cast(D182) * col("n") > col("s"))
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(D182)).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Exact multi-distinct aggregate per market segment. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -293,6 +335,8 @@ object Relational {
     "q5_regionrev" -> (q5RegionRevenue _),
     "q17_small_qty" -> (q17SmallQty _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q13_custdist" -> (q13CustDist _),
+    "q22_no_orders" -> (q22NoOrders _),
     "join_shuffle" -> (joinShuffle _),
     "join_semi_anti" -> (joinSemiAnti _),
     "window_rank" -> (windowRank _),
@@ -358,6 +402,24 @@ object Relational {
         |JOIN part ON l.l_partkey = p_partkey AND p_brand = 'Brand#23'
         |JOIN a ON l.l_partkey = agg_partkey
         |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""".stripMargin,
+    "q13_custdist" ->
+      """WITH per AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist FROM per
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q22_no_orders" ->
+      """WITH a AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+        |           FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_d

@@ -48,6 +48,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.length === math.min(want, 100L).toInt)
   }
 
+  test("q13 histogram conserves the customer population") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q13CustDist(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("custdist")).sum
+    assert(total === graft.sources.Tables.customer(spark, sf).count())
+  }
+
+  test("q22 keeps only order-less customers above the positive-balance average") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q22NoOrders(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cust = graft.sources.Tables.customer(spark, sf).collect()
+    val pos = cust.map(_.getAs[Double]("c_acctbal")).filter(_ > 0)
+    val avg = pos.sum / pos.length
+    val withOrders = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val want = cust.filter(r => r.getAs[Double]("c_acctbal") > avg - 1e-9 &&
+      !withOrders.contains(r.getAs[Long]("c_custkey")))
+    assert(rows.map(_.getAs[Long]("numcust")).sum === want.length)
+  }
+
   test("set_ops partitions are disjoint and consistent") {
     val rows = Relational.setOps(spark, sf).collect()
       .map(r => (r.getAs[String]("op"), r.getAs[Long]("k")))
