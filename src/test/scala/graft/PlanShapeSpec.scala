@@ -60,6 +60,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("q22 broadcasts the 1-row scalar aggregate and anti-joins orders") {
+    val p = plan(Relational.q22NoOrders(spark, sf))
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("LeftAnti"))
+  }
+
   test("top_terms keeps the limit map-side (TakeOrderedAndProject)") {
     val p = plan(TextOps.topTerms(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))

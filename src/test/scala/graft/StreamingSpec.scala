@@ -241,6 +241,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(total === 1000L)
   }
 
+  test("epoch replay after a write failure drains stats to zero (no double count)") {
+    val ckpt = Files.createTempDirectory("graft-ckpt-replay").toString
+    val source = FileMsgSource(eventsDir, eventsRaw, toMsg)
+    val route = Frizzle.Route(identity, isValid = col("payload").isNotNull)
+    val stats = new FrizzleStats
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val delivered = new java.util.concurrent.atomic.AtomicLong
+    def sink(df: org.apache.spark.sql.DataFrame, dest: String, epoch: Long): Unit = {
+      if (failedOnce.compareAndSet(false, true))
+        throw new RuntimeException("transient sink failure")
+      delivered.addAndGet(df.count()); ()
+    }
+    // attempt 1: the sink throws mid-epoch → the query fails with the
+    // epoch un-acked
+    val q1 = Frizzle.runRouted(spark, source, route, dest = col("dest"), sink _, ckpt, stats = stats)
+    intercept[Exception] { q1.awaitTermination(120000) }
+    assert(stats.unAcked > 0, "failed epoch must stay pending")
+    assert(stats.ackedCount === 0)
+    // attempt 2: same checkpoint → Structured Streaming replays the
+    // epoch; begin() for the same epoch must overwrite, not add
+    val q2 = Frizzle.runRouted(spark, source, route, dest = col("dest"), sink _, ckpt, stats = stats)
+    q2.awaitTermination(120000)
+    assert(stats.unAcked === 0, s"unAcked=${stats.unAcked} after successful replay")
+    assert(stats.ackedCount === 1000L)
+    assert(delivered.get() === 1000L)
+  }
+
   test("kafka config plumbing maps frafka env vars") {
     val conf = KafkaPipeConfig.fromEnv(Map(
       "KAFKA_BROKERS" -> "b1:9092,b2:9092",
