@@ -40,6 +40,11 @@ object MinHashBandKeys {
 
   def compute(arr: ArrayData, bands: Int): ArrayData = {
     val n = arr.numElements()
+    // a non-divisible signature would silently drop trailing positions;
+    // bands > length would make every key the constant hashInt(b, 42)
+    // and collapse the LSH join to all-pairs
+    require(n % bands == 0 && n >= bands,
+      s"signature length $n must be a positive multiple of bands=$bands")
     val rows = n / bands
     val out = new Array[Any](bands)
     var b = 0

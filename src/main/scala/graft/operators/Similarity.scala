@@ -97,14 +97,14 @@ object Similarity {
 
   private[graft] def normalizedVecs(s: SparkSession, dir: String): DataFrame = vecs(s, dir)
 
-  /** Corpus row count for parameter derivation.  This IS a Spark job
-    * (a zero-column parquet scan — row-group metadata only, but still
-    * a listing pass), so the result is memoized per directory: the
-    * three LSH/IVF queries in one session pay it once.
+  /** Corpus row count for parameter derivation.  This IS a Spark job,
+    * but a cheap one: a zero-column parquet scan reads row-group
+    * metadata only.  Deliberately NOT memoized — a path-keyed cache
+    * would return stale counts after the data under the path changes
+    * in a long-lived session, silently mis-sizing buckets/cells.
     */
-  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[graft] def corpusSize(s: SparkSession, dir: String): Long =
-    sizeCache.computeIfAbsent(dir, d => Tables.embeddings(s, d).count()).longValue()
+    Tables.embeddings(s, dir).count()
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val bits = lshBitsFor(corpusSize(s, dir))

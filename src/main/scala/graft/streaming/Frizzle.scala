@@ -110,21 +110,32 @@ final case class FileMsgSource(path: String, raw: StructType, toMsg: DataFrame =
   * un-acked from the moment the epoch starts processing until its
   * writes complete and the offset commit lands.
   *
-  * Counts are keyed by epoch id so a failed-and-replayed epoch (the
-  * at-least-once contract) is idempotent: the replay's begin
-  * overwrites the failed attempt's pending entry instead of double
-  * counting, and commit clears it exactly once.
+  * Counts are keyed by (pipeline, epoch) — the pipeline identity is
+  * its checkpoint path, which is stable across restarts and unique
+  * per logical pipeline — so one stats object can safely aggregate
+  * several concurrent pipelines, and a failed-and-replayed epoch is
+  * idempotent in both directions: the replay's begin overwrites the
+  * failed attempt's pending entry, and a re-commit of an
+  * already-committed epoch (write succeeded but the offset commit
+  * crashed — the at-least-once corner) is ignored because epochs
+  * commit in increasing order per pipeline.
   */
 final class FrizzleStats {
   private val pendingByEpoch =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val committedUpTo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val committed = new java.util.concurrent.atomic.AtomicLong
-  private[streaming] def begin(epoch: Long, n: Long): Unit = {
-    pendingByEpoch.put(epoch, n); ()
+  private[streaming] def begin(pipeline: String, epoch: Long, n: Long): Unit = {
+    pendingByEpoch.put(s"$pipeline#$epoch", n); ()
   }
-  private[streaming] def commit(epoch: Long): Unit = {
-    val n = pendingByEpoch.remove(epoch)
-    if (n != null) { committed.addAndGet(n.longValue()); () }
+  private[streaming] def commit(pipeline: String, epoch: Long): Unit = {
+    val n = pendingByEpoch.remove(s"$pipeline#$epoch")
+    val high = committedUpTo.get(pipeline)
+    if (n != null && (high == null || epoch > high.longValue())) {
+      committedUpTo.put(pipeline, epoch)
+      committed.addAndGet(n.longValue()); ()
+    }
   }
   /** Rows in flight (epochs started but not yet acked). */
   def unAcked: Long = {
@@ -132,7 +143,9 @@ final class FrizzleStats {
     pendingByEpoch.values().forEach(n => total += n)
     total
   }
-  /** Rows whose epoch committed (cumulative acks). */
+  /** Rows whose epoch committed (cumulative acks, counted once per
+    * epoch even if the epoch replays after a successful write).
+    */
   def ackedCount: Long = committed.get
 }
 
@@ -221,7 +234,7 @@ object Frizzle {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val cached = batch.persist()
         try {
-          stats.begin(epoch, cached.count())
+          stats.begin(checkpoint, epoch, cached.count())
           // bounded driver-side list: one row per DESTINATION (topic),
           // never per message
           val dests = cached.select(col("__dest")).distinct()
@@ -229,7 +242,7 @@ object Frizzle {
           dests.foreach { d =>
             writeBatch(cached.filter(col("__dest") === d).drop("__dest"), d, epoch)
           }
-          stats.commit(epoch)
+          stats.commit(checkpoint, epoch)
         } finally { cached.unpersist(); () }
       }
       .start()

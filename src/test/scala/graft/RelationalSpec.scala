@@ -60,12 +60,16 @@ class RelationalSpec extends AnyFunSuite {
     val rows = Relational.q22NoOrders(spark, sf).collect()
     assert(rows.nonEmpty)
     val cust = graft.sources.Tables.customer(spark, sf).collect()
-    val pos = cust.map(_.getAs[Double]("c_acctbal")).filter(_ > 0)
-    val avg = pos.sum / pos.length
+    // replicate the query's exact decimal cross-multiplication
+    // (bal·n > Σbal) — a float average with an epsilon would disagree
+    // at exact-boundary balances
+    def dec(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val pos = cust.map(_.getAs[Double]("c_acctbal")).filter(_ > 0.0).map(dec)
+    val (s, n) = (pos.sum, pos.length)
     val withOrders = graft.sources.Tables.orders(spark, sf)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
-    val want = cust.filter(r => r.getAs[Double]("c_acctbal") > avg - 1e-9 &&
+    val want = cust.filter(r => dec(r.getAs[Double]("c_acctbal")) * n > s &&
       !withOrders.contains(r.getAs[Long]("c_custkey")))
     assert(rows.map(_.getAs[Long]("numcust")).sum === want.length)
   }
