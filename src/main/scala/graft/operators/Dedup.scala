@@ -108,71 +108,147 @@ object Dedup {
     * rep = the component's minimum doc_id — the "keep one per
     * cluster" step every dedup pipeline runs after pair generation.
     *
-    * Iterative min-label propagation over the (bounded) edge list:
-    * each round joins labels to edges and takes the min over self +
-    * neighbors, until a fixpoint.  Rounds needed = component diameter
-    * — near-dup clusters are small and dense, so a handful; the cap
-    * is a safety net, and convergence is verified, not assumed.  The
-    * edge list (near-dup pairs only, never the corpus) is persisted
-    * once; per round the only actions are a changed-row count — no
-    * data ever collects to the driver.  At extreme graph sizes swap
-    * the loop body for the large-star/small-star formulation; the
-    * per-round join/groupBy shape below is already that algorithm's
-    * inner step.
+    * Components come from the large-star/small-star contraction
+    * ([[connectedComponents]]): O(log n) rounds independent of
+    * component diameter, every round a fully-distributed
+    * aggregate+join over the edge list with the partition count
+    * derived from the edge volume ([[ccPartitions]]) — no
+    * single-partition stage and no diameter-bound round cap anywhere.
     */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    // cache the PAIR list, not the symmetrized edge view: the edge
-    // union references the pair subtree twice, and without the cache
-    // the whole shingle self-join pipeline would execute twice.  The
-    // pair list is tiny relative to the corpus (near-dup pairs only);
-    // collapsing it to one partition keeps every propagation round at
-    // a handful of tasks — at a billion-edge scale raise the partition
-    // count with the edge volume (the loop body is count-agnostic).
+    // cache the PAIR list: the contraction references it through both
+    // canonicalization branches, and without the cache the whole
+    // shingle self-join pipeline would execute per reference
     val pairs = ngramJaccardPairs(Tables.documents(s, dir), ShingleDfCap)
       .select(col("d1"), col("d2"))
-      .repartition(1)
       .persist()
-    // materialize the cache eagerly: the first loop job references the
-    // pair subtree through both union branches, and racing tasks would
-    // each compute the full shingle pipeline before any block lands
-    pairs.count()
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("comp"))
-        .persist()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val msgs = edges.join(labels, col("src") === col("id"))
-          .select(col("dst").as("id"), col("comp"))
-        val next = labels.select(col("id"), col("comp")).unionAll(msgs)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-          .persist()
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.comp") =!= col("o.comp"))
-          .count()
-        labels.unpersist(blocking = false)
-        labels = next
-        converged = changed == 0
-        rounds += 1
-      }
-      require(converged, s"component propagation did not converge in $rounds rounds")
+      // materialize eagerly: racing first-job tasks would each compute
+      // the full shingle pipeline before any cache block lands — and
+      // the count sizes the fixpoint's partitioning
+      val nPairs = pairs.count()
+      val labels = connectedComponents(pairs, ccPartitions(nPairs))
       val sizes = labels.groupBy(col("comp").as("srep")).agg(count(lit(1)).as("n_members"))
-      val result = labels.select(col("id").as("doc_id"), col("comp").as("rep"))
+      labels.select(col("id").as("doc_id"), col("comp").as("rep"))
         .join(sizes, col("rep") === col("srep"))
         .select(col("doc_id"), col("rep"), col("n_members"))
         .orderBy(col("doc_id"))
-        .localCheckpoint(eager = true)
-      // localCheckpoint truncates the lineage and materializes the
-      // (small) result, so the final labels cache — otherwise pinned
-      // per invocation — can be released immediately, and an eviction
-      // can never replay the propagation rounds
-      labels.unpersist(blocking = false)
-      result
     } finally { pairs.unpersist(blocking = false); () }
+  }
+
+  /** Fixpoint partition count derived from edge volume: ~250k edges
+    * (a few MB) per task, clamped to a sane ceiling.  At the test SFs
+    * this is 1 partition (47 pairs); at a billion-edge 100 TB pair
+    * graph it is thousands of tasks — the sizing the old hard-coded
+    * `repartition(1)` could not express.
+    */
+  private[graft] def ccPartitions(nPairs: Long): Int =
+    math.max(1, math.min(20000, (nPairs / 250000L).toInt + 1))
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14).  Input: a pair frame (d1, d2); output:
+    * (id, comp) with comp = the component's minimum node id, one row
+    * per distinct node.
+    *
+    * Edges are kept in canonical child>parent form.  Per round:
+    *
+    *  - large-star: for every node u, link each strictly-larger
+    *    neighbor to m = min(Γ(u) ∪ {u});
+    *  - small-star: group the resulting child→parent edges by child
+    *    and link the child and all its parents to the minimum parent.
+    *
+    * Both steps are a keyed min-aggregate plus a same-key join — no
+    * driver-side data, no single-partition stage, and map-side partial
+    * mins neutralize degree skew.  Components contract to stars rooted
+    * at their minimum in O(log n) rounds REGARDLESS of diameter (min
+    * labels hop one edge per round in plain propagation, so a
+    * chain-shaped cluster of diameter d would need d rounds there; the
+    * star steps shortcut paths multiplicatively instead).  The round
+    * cap scales with log²(edges) and is a runaway guard, not a
+    * diameter bound; convergence is verified (edge set unchanged), and
+    * the star shape is re-checked before labels are emitted.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, partitions: Int): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(partitions, col("u"))
+      .persist()
+    var n = edges.count()
+    // ceil(log2) of the edge count; LS/SS is proven to converge in
+    // O(log² n) alternating rounds (observed ~log n), so 2·lg² + 16 can
+    // only trip on an implementation bug, never on graph shape
+    val lg = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1)
+    val maxRounds = 16 + 2 * lg * lg
+    var converged = n == 0
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star over the symmetrized view of the cached edges
+      val sym = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // emitted rows are (child, parent) with child > parent by
+      // construction (m ≤ u < v); persisted because small-star reads
+      // it twice (min-aggregate + join)
+      val ls = sym.join(lmins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .repartition(partitions, col("u"))
+        .persist()
+      // small-star: per child u, every parent and u itself link to the
+      // minimum parent (strictly smaller than u, so min(v) suffices)
+      val smins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      // localCheckpoint — NOT persist — because each round's plan
+      // references the previous round's ~8× (sym twice inside ls,
+      // twice inside next): with lineage intact the logical plan grows
+      // 8^rounds and analysis itself dies around round 7.  The eager
+      // checkpoint truncates every round to a materialized leaf
+      // (constant plan size); superseded round RDDs are released by the
+      // context cleaner once unreferenced.  On a cluster a lost
+      // executor replays nothing (no lineage) — acceptable for an
+      // O(log n)-round loop whose per-round output is the shrinking
+      // edge list.
+      val next = ls.join(smins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(smins.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+        .repartition(partitions, col("u"))
+        .localCheckpoint(eager = true)
+      val nn = next.count()
+      // exact set-equality fixpoint check: same cardinality and no row
+      // of next outside edges ⇒ identical edge sets
+      val changed = if (nn != n) 1L else next.except(edges).count()
+      ls.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      edges = next
+      n = nn
+      converged = changed == 0
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    // verify the star invariant the label emit relies on: every child
+    // has exactly one parent and no node is both child and parent —
+    // with edges canonical child>parent, stars are then rooted at the
+    // component minimum
+    val multiParent = edges.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    val childAndParent = edges.select(col("u")).intersect(edges.select(col("v")).distinct()).count()
+    require(multiParent == 0 && childAndParent == 0,
+      s"contraction fixpoint is not a star forest (multiParent=$multiParent, childAndParent=$childAndParent)")
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+      .unionAll(edges.select(col("v")).distinct().select(col("v").as("id"), col("v").as("comp")))
+      // localCheckpoint materializes the (small) label set and truncates
+      // the round-by-round lineage, so the final edge cache can be
+      // released immediately and an eviction can never replay the
+      // contraction
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
+    labels
   }
 
   /** Train/test decontamination: for every "test" document, count the

@@ -117,6 +117,48 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (_, rep, n) => assert(n === sizes(rep)) }
   }
 
+  test("star contraction: 100k+-edge chain graph, diameter >> 20, multi-partition fixpoint") {
+    import org.apache.spark.sql.functions._
+    // 1,000 chains of 120 nodes each: 119,000 edges, component diameter
+    // 119 — min-label propagation (one hop per round) would need 119
+    // rounds; the star contraction converges in O(log n).  Run on 8
+    // partitions to exercise the distributed fixpoint path end to end.
+    val chainLen = 120L
+    val chains = 1000L
+    val edges = spark.range(chains * chainLen)
+      .filter(col("id") % chainLen =!= chainLen - 1)
+      .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+    val labels = Dedup.connectedComponents(edges, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === (chains * chainLen).toInt)
+    labels.foreach { case (id, comp) =>
+      assert(comp === (id / chainLen) * chainLen, s"node $id")
+    }
+  }
+
+  test("star contraction matches union-find on a seeded random graph (cycles, stars, merges)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 2000
+    val raw = Seq.fill(3000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical rep = component min (find gives min because merges
+    // always point the larger root at the smaller)
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponents(raw.toDF("d1", "d2"), 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("corpus_clean keeps exactly the quality reps") {
     val kept = Dedup.dedupComponents(spark, sf).collect()
     val nonReps = kept.filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("rep"))
