@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKScoredAgg
@@ -14,29 +15,78 @@ import graft.sources.Tables
   * scale path: L random-hyperplane tables × b bits bucket the corpus so
   * a query only scores its bucket cohort — the shuffle is keyed by
   * (table, bucket) and touches a vanishing fraction of the corpus.
+  * `annIvf` is the quantizer path: a coarse k-means splits the corpus
+  * into cells and queries probe only the nearest few.
+  *
+  * All three broadcast the QUERY side — that is what keeps the plans
+  * corpus-scan-shaped — so |Q| must be O(1) in corpus size.  The named
+  * driver entries use a fixed-size deterministic fixture
+  * ([[QueryCap]]); the `...For` variants accept a user query frame and
+  * enforce [[MaxQueries]] loudly instead of OOMing an executor
+  * mid-join.
   */
 object Similarity {
 
-  /** Query set: every 100th vector (deterministic, SF-independent). */
-  private def queryVecs(v: DataFrame): DataFrame =
+  /** Hard cap on a user-supplied query frame: the query side is
+    * broadcast to every executor, so it must stay a few tens of MB —
+    * 65,536 queries × (64-double embedding + ids) ≈ 35 MB.  Larger
+    * query sets are a different problem shape (corpus×corpus join):
+    * route them through [[Dedup.dedupEmbeddingLsh]]-style bucketing
+    * instead.
+    */
+  val MaxQueries = 65536
+
+  /** Size of the built-in deterministic query fixture.  The cap (with
+    * the ascending-id total order) makes |Q| independent of corpus
+    * size: every 100th vector WITHOUT a cap is n/100 rows — a broadcast
+    * and a scored set that grow linearly with the corpus, the classic
+    * hidden O(n²/100).
+    */
+  private[graft] val QueryCap = 1024
+
+  /** Query fixture: the first [[QueryCap]] of every-100th vectors in
+    * ascending id order — deterministic, SF-independent, and O(1) in
+    * corpus size.  orderBy+limit plans as TakeOrderedAndProject: each
+    * partition keeps ≤ cap rows and only the winners reach the driver.
+    */
+  private[graft] def queryVecs(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % 100 === 0)
+      .orderBy(col("vec_id"))
+      .limit(QueryCap)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+  /** Normalize any (vec_id, embedding) frame to (vec_id, e, nrm). */
+  private def prep(raw: DataFrame): DataFrame =
+    raw
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", l2Norm(col("e")))
       // zero vectors have no direction: cosine would be NULL in Spark
       // and NaN in DuckDB — excluded identically on both sides
       .filter(col("nrm") > 0)
 
-  /** Shared top-k tail: map-side combining [[TopKByScore]] aggregator —
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    prep(Tables.embeddings(s, dir))
+
+  /** User query frame → broadcast-ready (q_id, qe, qnrm), with the
+    * [[MaxQueries]] contract enforced by one cheap count action.
+    */
+  private def asQueries(queries: DataFrame): DataFrame = {
+    val q = prep(queries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val nq = q.count()
+    require(nq <= MaxQueries,
+      s"query frame has $nq rows; the broadcast contract caps it at $MaxQueries " +
+        "(for corpus-sized query sets use an LSH-bucketed self-join instead)")
+    q
+  }
+
+  /** Shared top-k tail: map-side combining [[TopKScoredAgg]] aggregator —
     * each partition carries ≤2k candidates per query, only the winners
     * cross the shuffle (a row_number window would shuffle every scored
     * row; at 100 TB that is the difference between shuffling |corpus|×|Q|
     * and |Q|×k).
     */
-  private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int): DataFrame =
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(TopKScoredAgg.topKScored(col("cos"), col("vec_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -44,18 +94,32 @@ object Similarity {
         round(col("t.score"), 6).as("cos6"))
       .orderBy(col("q_id"), col("rk"))
 
-  /** Exact cosine top-10 per query.  The query side is broadcast (tiny
-    * by construction), so the corpus is scanned once with no shuffle of
-    * corpus rows; the aggregator keeps the top-k map-side.
-    */
-  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
-    val q = queryVecs(v)
+  private def bruteforce(v: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(s, scored, 10)
+    topKPerQuery(scored, k)
   }
+
+  /** Exact cosine top-10 per fixture query.  The query side is
+    * broadcast (bounded by [[QueryCap]]), so the corpus is scanned once
+    * with no shuffle of corpus rows; the aggregator keeps the top-k
+    * map-side.  Exact all-pairs against the FULL corpus is still
+    * |Q|·n scoring work — the reference form the approximate paths are
+    * judged against, priced for bounded |Q|.
+    */
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    bruteforce(v, queryVecs(v), 10)
+  }
+
+  /** Public exact-top-k entry for a user query set.  Both frames carry
+    * (vec_id, embedding); `queries` must respect [[MaxQueries]]
+    * (asserted).  Work is |Q|·|corpus| exact scoring — the right tool
+    * for a bounded query set against any corpus size.
+    */
+  def annBruteforceFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    bruteforce(prep(corpus), asQueries(queries), k)
 
   /** Shared random-hyperplane machinery: 8 tables × b sign bits from a
     * fixed seeded gaussian matrix compiled into the plan as literals.
@@ -106,13 +170,11 @@ object Similarity {
   private[graft] def corpusSize(s: SparkSession, dir: String): Long =
     Tables.embeddings(s, dir).count()
 
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val bits = lshBitsFor(corpusSize(s, dir))
+  private def lshSearch(v: DataFrame, q0: DataFrame, k: Int, bits: Int): DataFrame = {
     def buckets(e: Column): Column = hyperplaneBuckets(e, bits)
-    val v = vecs(s, dir)
     val corpus = v.select(col("vec_id"), col("e"), col("nrm"), explode(buckets(col("e"))).as("tb"))
       .select(col("vec_id"), col("e"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
-    val q = queryVecs(v)
+    val q = q0
       .select(col("q_id"), col("qe"), col("qnrm"), explode(buckets(col("qe"))).as("tb"))
       .select(col("q_id"), col("qe"), col("qnrm"), col("tb.tbl"), col("tb.bucket"))
     // dedupe multi-table hits before the exact re-rank
@@ -123,28 +185,65 @@ object Similarity {
       .dropDuplicates("q_id", "vec_id")
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(s, scored, 10)
+    topKPerQuery(scored, k)
   }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    lshSearch(v, queryVecs(v), 10, lshBitsFor(corpusSize(s, dir)))
+  }
+
+  /** Public LSH entry for a user query set ([[MaxQueries]] contract,
+    * asserted).  Bucket width derives from the corpus row count (one
+    * count action — metadata-only on a parquet-backed frame).
+    */
+  def annLshFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    lshSearch(prep(corpus), asQueries(queries), k, lshBitsFor(corpus.count()))
+
+  /** Past this cell count the centroids move from plan literals to a
+    * broadcast relation: C·65 literal doubles are fine in codegen at
+    * 256 cells (~16k nodes) and pathological at 4096 (~266k — constant
+    * folding and method-size limits both blow up).
+    */
+  private[graft] val LiteralCells = 256
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer splits the
     * corpus into C cells; queries probe only the nprobe nearest cells
     * and re-rank exactly inside them.
     *
-    * Scale design: C ≈ √n (clamped to [16, 256] — beyond that the
-    * centroid literals should move to a broadcast relation), so the
-    * probed fraction nprobe/C = 1/√C vanishes as the corpus grows.
-    * Training runs DRIVER-LOCAL on a bounded deterministic sample
-    * (hash-rate filter keeping ≈64k vectors — a pure scan-filter, no
-    * full-corpus persist and no repeated corpus scans, collected and
-    * sorted by id so results are independent of partition layout):
-    * k-means needs a representative sample, not the population, so
-    * training cost is O(sample), independent of corpus size.  The
-    * learned centroids are broadcast model state (C×dim doubles),
-    * never the data.
+    * Scale design: C ≈ √n clamped to [16, 4096], so the probed
+    * fraction nprobe/C = 1/√C vanishes as the corpus grows.  Training
+    * runs DRIVER-LOCAL on a bounded deterministic sample (hash-rate
+    * filter keeping ≈64k vectors — a pure scan-filter, no full-corpus
+    * persist and no repeated corpus scans, collected and sorted by id
+    * so results are independent of partition layout): k-means needs a
+    * representative sample, not the population, so training cost is
+    * O(sample), independent of corpus size.  The learned centroids are
+    * broadcast model state (C×dim doubles), never the data — embedded
+    * as plan literals up to [[LiteralCells]] (zero-shuffle map-side
+    * assignment), as a broadcast relation beyond it (assignment becomes
+    * a broadcast product + one argmax aggregation over the corpus —
+    * the price of cell counts past the codegen literal budget).
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val n = corpusSize(s, dir)
-    val cells0 = math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val v = vecs(s, dir)
+    ivfSearch(v, queryVecs(v), 10, corpusSize(s, dir))
+  }
+
+  /** Public IVF entry for a user query set ([[MaxQueries]] contract,
+    * asserted).
+    */
+  def annIvfFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    ivfSearch(prep(corpus), asQueries(queries), k, corpus.count())
+
+  /** `forceCells` overrides the √n cell derivation (spec hook for the
+    * broadcast-relation path at small n).
+    */
+  private[graft] def ivfSearch(v: DataFrame, q0: DataFrame, k: Int, n: Long,
+      forceCells: Option[Int] = None): DataFrame = {
+    val s = v.sparkSession
+    val cells0 = forceCells.getOrElse(
+      math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt)))
     val maxTrain = 64 * 1024
 
     // deterministic pseudo-random sample: keep vectors whose id-hash
@@ -157,7 +256,7 @@ object Similarity {
     // accumulation order independent of partition layout.
     val rate = math.min(1.0, maxTrain.toDouble / math.max(n, 1L))
     val keepBelow = math.max(1L, (rate * 1000000L).toLong)
-    val sampleRows = vecs(s, dir)
+    val sampleRows = v
       .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(keepBelow))
       .select(col("vec_id"), col("e"), col("nrm"))
       .collect()
@@ -211,28 +310,57 @@ object Similarity {
         }
       }
     }
-    val centroids: Seq[(Int, Seq[Double])] =
-      cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq
 
-    def nearestCell(e: Column): Column =
-      array_min(array(centroids.map { case (cid, c) =>
-        struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
+    val (corpusAssigned, q) =
+      if (cells <= LiteralCells) {
+        // literal path: centroids compiled into the plan — cell
+        // assignment is pure map-side codegen'd arithmetic, zero
+        // additional shuffle over the corpus
+        val centroids: Seq[(Int, Seq[Double])] =
+          cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq
+        def nearestCell(e: Column): Column =
+          array_min(array(centroids.map { case (cid, c) =>
+            struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
+          }: _*)).getField("cid")
+        def probeCells(e: Column): Column =
+          slice(transform(array_sort(array(centroids.map { case (cid, c) =>
+            struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
+          }: _*)), s => s.getField("cid")), 1, nprobe)
+        (v.withColumn("cid", nearestCell(col("e"))),
+          q0.withColumn("probe", explode(probeCells(col("qe")))))
+      } else {
+        // broadcast-relation path: the centroid frame broadcasts to a
+        // product with each side, and the argmax collapses per row key.
+        // Corpus cost: one n×C broadcast product reduced by map-side
+        // partial max, then ONE corpus-wide shuffle for the final
+        // argmax — the documented price of cell counts beyond the
+        // literal budget.  Tie-breaks ((d desc, cid asc)) mirror the
+        // literal path exactly.
+        import s.implicits._
+        val cdf = broadcast(
+          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cvec"))
+        val assigned = v.crossJoin(cdf)
+          .groupBy(col("vec_id"))
+          .agg(
+            max(struct(dot(col("e"), col("cvec")).as("d"), (-col("cid")).as("negcid"))).as("best"),
+            // e/nrm are constant per vec_id, so first() is deterministic
+            first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("e"), col("nrm"), (-col("best.negcid")).as("cid"))
+        val qw = Window.partitionBy(col("q_id")).orderBy(col("d").desc, col("cid"))
+        val probes = q0.crossJoin(cdf)
+          .select(col("q_id"), col("qe"), col("qnrm"), col("cid"),
+            dot(col("qe"), col("cvec")).as("d"))
+          .withColumn("rn", row_number().over(qw))
+          .filter(col("rn") <= nprobe)
+          .select(col("q_id"), col("qe"), col("qnrm"), col("cid").as("probe"))
+        (assigned, probes)
+      }
 
-    def probeCells(e: Column): Column =
-      slice(transform(array_sort(array(centroids.map { case (cid, c) =>
-        struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
-      }: _*)), s => s.getField("cid")), 1, nprobe)
-
-    val v = vecs(s, dir)
-    val corpus = v.withColumn("cid", nearestCell(col("e")))
-    val q = queryVecs(v)
-      .withColumn("probe", explode(probeCells(col("qe"))))
-    val scored = corpus.join(broadcast(q),
+    val scored = corpusAssigned.join(broadcast(q),
         col("cid") === col("probe") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(s, scored, 10)
+    topKPerQuery(scored, k)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -246,7 +374,8 @@ object Similarity {
         |v AS (SELECT * FROM (SELECT vec_id, e,
         |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm
         |  FROM v0) WHERE nrm > 0),
-        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM v WHERE vec_id % 100 = 0),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM v
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
         |scored AS (SELECT q_id, vec_id,
         |  list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
         |  / (qnrm * nrm) AS cos

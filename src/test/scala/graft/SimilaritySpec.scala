@@ -56,6 +56,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("query fixture is O(1) in corpus size: capped at QueryCap rows") {
+    import org.apache.spark.sql.functions._
+    // synthetic 200k-vector corpus: every-100th-id alone would be 2,000
+    // queries (and keep growing with n); the fixture must stop at the cap
+    val big = spark.range(200000)
+      .select(col("id").as("vec_id"), array(lit(1.0)).as("e"), lit(1.0).as("nrm"))
+    assert(Similarity.queryVecs(big).count() === Similarity.QueryCap.toLong)
+    // deterministic: the FIRST cap ids in ascending order
+    val maxId = Similarity.queryVecs(big).agg(max(col("q_id"))).collect()(0).getLong(0)
+    assert(maxId === (Similarity.QueryCap.toLong - 1) * 100)
+  }
+
+  test("user query frames beyond MaxQueries are rejected before any join") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(10)
+      .select(col("id").as("vec_id"), array(lit(1.0)).as("embedding"))
+    val oversized = spark.range(Similarity.MaxQueries + 1L)
+      .select(col("id").as("vec_id"), array(lit(1.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annBruteforceFor(corpus, oversized, 10)
+    }
+    assert(e.getMessage.contains("broadcast contract"))
+  }
+
+  test("annBruteforceFor(user query frame) matches the named fixture entry") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 100 === 0).orderBy(col("vec_id")).limit(1024)
+    val got = Similarity.annBruteforceFor(emb, q, 10).collect().map(_.toString).toSeq
+    val want = Similarity.annBruteforce(spark, sf).collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
+  test("ivf broadcast-centroid path (cells > literal budget) keeps recall") {
+    import org.apache.spark.sql.functions._
+    val v = Similarity.normalizedVecs(spark, sf)
+    val df = Similarity.ivfSearch(v, Similarity.queryVecs(v), 10,
+      Similarity.corpusSize(spark, sf), forceCells = Some(300))
+    // past LiteralCells the centroids must ride a broadcast relation
+    // (plan-size stays O(1)), visible as the broadcast product join
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val ivf = topSets(df.collect())
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val recalls = bf.map { case (q, want) =>
+      ivf.getOrElse(q, Set()).intersect(want).size.toDouble / want.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.3, s"avg recall@10 = $avg")
+  }
+
   test("hyperplane bucket occupancy keeps candidate volume ~linear in n") {
     import org.apache.spark.sql.functions._
     val n = Similarity.corpusSize(spark, sf)
