@@ -276,6 +276,89 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q4 image: correlated EXISTS against the fact table,
+    * decorrelated to a left-semi join.  The correlation predicate
+    * (l_shipdate > o_orderdate + 90d — the late-shipment stand-in for
+    * Q4's commit/receipt columns, absent in this schema) rides the
+    * join as an extra non-equi condition, so Catalyst plans ONE
+    * orderkey-keyed join and the per-order subquery never executes
+    * per row.  Semi join = first match short-circuits; lineitem rows
+    * are never duplicated into the aggregate.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q21 image: the EXISTS + NOT EXISTS chain (suppliers whose
+    * late line was the ONLY late line on a multi-supplier order),
+    * decorrelated to one semi and one anti join.  "Late" =
+    * l_shipdate > o_orderdate + 120d on finished orders (the schema's
+    * stand-in for receipt-after-commit).  Both correlated subqueries
+    * key on l_orderkey, so the late-line frame shuffles once and the
+    * chain is two co-partitioned joins — never a per-row probe; the
+    * bounded supplier dim broadcasts at the end.
+    */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    late
+      .join(others,
+        col("o2_orderkey") === col("l_orderkey") && col("o2_suppkey") =!= col("l_suppkey"),
+        "left_semi")
+      .join(lateOthers,
+        col("o3_orderkey") === col("l_orderkey") && col("o3_suppkey") =!= col("l_suppkey"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q15 image: scalar-max view — top supplier(s) by revenue in
+    * a quarter.  The revenue view aggregates once; the scalar subquery
+    * decorrelates to a 1-row max aggregate broadcast back onto the
+    * SAME view (identical subtree → one exchange, reused), and the
+    * equality is exact because both sides stay decimal until the
+    * presentation cast.  Only the (usually 1-row) winners meet the
+    * supplier dim.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+        // explicit so BOTH consumers (join probe + scalar max) see the
+        // identical subtree: the suppkey join would push this null
+        // filter into its branch alone, and the two shuffles would no
+        // longer canonicalize equal — costing the exchange reuse
+        col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("total_d"))
+    val mx = rev.agg(max(col("total_d")).as("mx"))
+    rev.join(broadcast(mx), col("total_d") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_d").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Exact multi-distinct aggregate per market segment. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -337,6 +420,9 @@ object Relational {
     "q18_large_orders" -> (q18LargeOrders _),
     "q13_custdist" -> (q13CustDist _),
     "q22_no_orders" -> (q22NoOrders _),
+    "q4_priority" -> (q4OrderPriority _),
+    "q21_waiting" -> (q21Waiting _),
+    "q15_top_supplier" -> (q15TopSupplier _),
     "join_shuffle" -> (joinShuffle _),
     "join_semi_anti" -> (joinSemiAnti _),
     "window_rank" -> (windowRank _),
@@ -420,6 +506,39 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q21_waiting" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 120 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS total_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_d AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_d = (SELECT MAX(total_d) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_d

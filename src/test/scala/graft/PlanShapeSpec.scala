@@ -66,6 +66,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"))
   }
 
+  test("q4 decorrelates EXISTS to one semi join with date filters pushed to the orders scan") {
+    val p = plan(Relational.q4OrderPriority(spark, sf))
+    assert(p.contains("LeftSemi"), p.linesIterator.take(15).mkString("\n"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date filter must reach the scan")
+  }
+
+  test("q21 decorrelates the EXISTS + NOT EXISTS chain to one semi and one anti join") {
+    val p = plan(Relational.q21Waiting(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      p.linesIterator.take(20).mkString("\n"))
+    // the final ordering stays map-side bounded
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q15 broadcasts the 1-row scalar max back onto the shared revenue view") {
+    val df = Relational.q15TopSupplier(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("BroadcastExchange"))
+    // the revenue view's shuffle executes once — the scalar-max branch
+    // reads the same exchange (AQE runtime reuse)
+    assert(p.contains("ReusedExchange"), p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("top_terms keeps the limit map-side (TakeOrderedAndProject)") {
     val p = plan(TextOps.topTerms(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
