@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharPairs, CountInSet, DotProduct, MinHashBandKeys, MinHashSig, RollingHash64, SimHash64, WordShingles}
+import graft.functions.{CharPairs, CountInSet, DotProduct, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(string) - Rabin-Karp 64-bit rolling hash"),
       (args: Seq[Expression]) => RollingHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "repetition_stats(array<string>) - per-doc token/2-gram repetition statistics"),
+      (args: Seq[Expression]) => RepetitionStats(args.head)))
     e.injectFunction((FunctionIdentifier("count_in_set"),
       info("count_in_set", "count_in_set(array<string>, array<string>) - tokens present in the constant set"),
       (args: Seq[Expression]) => CountInSet(args.head,

@@ -149,7 +149,33 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
+  /** Gopher-style repetition signals per document: duplicate-token
+    * mass, most-frequent-2-gram mass, and duplicated-2-gram mass — the
+    * filters every production training pipeline runs to drop
+    * boilerplate/looping text.  (The corpus has no newlines, so the
+    * duplicate-LINE fraction appears at token granularity.)
+    *
+    * All three fractions are exact-int IEEE quotients from ONE native
+    * expression pass per row ([[graft.functions.RepetitionStats]]) —
+    * a pure scan-project with zero shuffle: per-doc statistics need no
+    * cross-document data, so a corpus-wide `groupBy(doc_id, gram)`
+    * would shuffle the whole token stream for nothing.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val r = graft.functions.RepetitionStats.repetitionStats(tokens(col("text")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"),
+        (lit(1.0) - col("r.n_distinct") / col("r.n_tokens")).as("dup_token_frac"),
+        when(col("r.total_2grams") > 0, col("r.top_2gram") / col("r.total_2grams"))
+          .otherwise(0.0).as("top_2gram_frac"),
+        when(col("r.total_2grams") > 0, col("r.dup_2grams") / col("r.total_2grams"))
+          .otherwise(0.0).as("dup_2gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
@@ -161,6 +187,24 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    // exact replay: 2-grams = space-joined adjacent tokens; every
+    // fraction is an int/int (or 1.0 minus one) IEEE quotient, so the
+    // doubles are bit-identical
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]
+        |    ELSE [] END) AS gram FROM t),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total2, MAX(c) AS top2,
+        |        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2
+        |        FROM gc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  1.0 - len(list_distinct(toks)) / len(toks) AS dup_token_frac,
+        |  CASE WHEN total2 > 0 THEN top2 / total2 ELSE 0.0 END AS top_2gram_frac,
+        |  CASE WHEN total2 > 0 THEN dup2 / total2 ELSE 0.0 END AS dup_2gram_frac
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -76,6 +76,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length === a.length)
   }
 
+  test("text_repetition matches a local ground truth, including planted loops") {
+    val rows = TextOps.textRepetition(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).trim.split("\\s+").toSeq
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val wantDupTok = 1.0 - toks.distinct.size.toDouble / toks.size
+      val wantTop = if (grams.isEmpty) 0.0 else counts.values.max.toDouble / grams.size
+      val wantDup = if (grams.isEmpty) 0.0
+        else counts.values.filter(_ > 1).sum.toDouble / grams.size
+      assert(r.getAs[Double]("dup_token_frac") === wantDupTok)
+      assert(r.getAs[Double]("top_2gram_frac") === wantTop)
+      assert(r.getAs[Double]("dup_2gram_frac") === wantDup)
+    }
+    // a pathological looping doc scores near 1.0 on every signal
+    import spark.implicits._
+    val loop = Seq((1L, ("spam ham " * 50).trim)).toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.RepetitionStats.repetitionStats(
+          graft.functions.TextFunctions.tokens(org.apache.spark.sql.functions.col("text"))).as("r"))
+      .select("r.n_tokens", "r.n_distinct", "r.top_2gram", "r.total_2grams", "r.dup_2grams")
+      .collect()(0)
+    assert(loop.getLong(0) === 100L && loop.getLong(1) === 2L)
+    assert(loop.getLong(2) === 50L && loop.getLong(3) === 99L && loop.getLong(4) === 99L)
+  }
+
   test("mm_frames samples k frames per doc with in-payload offsets") {
     val rows = Multimodal.mmFrames(spark, sf).collect()
     assert(rows.length === 500 * 4)
