@@ -1,6 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.functions.{col, count, xxhash64}
+
 object Bench {
+  /** Per-query timed runs; the reported number is the median, so one
+    * GC pause / scheduler hiccup cannot fake a 3× regression (a single
+    * outlier steered round-2's dedup_exact reading).
+    */
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,24 +16,33 @@ object Bench {
     // the library actually produces
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed pass to warm codegen, parquet readers, shuffle
-    // machinery AND the page cache for every input table — otherwise
-    // whichever query sorts first per table pays its cold read and the
-    // per-query timings measure disk order, not plans
+    // one untimed query to warm codegen, parquet readers and shuffle
+    // machinery
     try SparkEntry.queries.get("q1_pricing").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
-    // per-table try: one unreadable table must not leave the rest cold
+    // page-cache warmup must DECODE data pages: a bare count() prunes
+    // all columns and reads only row-group metadata, leaving the first
+    // timed query per table to pay the cold column read.  Hashing every
+    // column defeats pruning, so the scan touches every data page.
+    // Per-table try: one unreadable table must not leave the rest cold.
     graft.sources.Tables.all.foreach { t =>
-      try { graft.sources.Tables.table(spark, sfDir, t).count(); () }
-      catch { case _: Throwable => }
+      try {
+        val df = graft.sources.Tables.table(spark, sfDir, t)
+        df.agg(count(xxhash64(df.columns.map(col): _*))).collect()
+        ()
+      } catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
       }
       // a failed query must read as a failure (-1), not a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(Runs / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

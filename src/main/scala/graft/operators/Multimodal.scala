@@ -83,7 +83,12 @@ object Multimodal {
         |  sha256(text) AS sha, 'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the corpus is ASCII (verified at every SF), so the stub's byte
-    // histogram is recomputable from codepoints: bin = ascii % 16
+    // histogram is recomputable from codepoints: bin = ascii % 16.
+    // The pseudo width/height replay the Scala Long WRAP of
+    // doc_id * 2654435761 (resp. 40503) in HUGEINT mod-2⁶⁴ arithmetic
+    // before abs() — BIGINT multiplication would raise an overflow
+    // error past doc_id ≈ 3.5e9 where the engine silently wraps, so
+    // the straight abs(doc_id * k) form is only valid at toy ids
     "mm_features" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text FROM documents),
@@ -94,11 +99,23 @@ object Multimodal {
         |md AS (
         |  SELECT doc_id, bin AS mode_bin, cnt AS mode_cnt FROM hist
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin) = 1),
+        |wrap AS (
+        |  SELECT doc_id,
+        |    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % CAST('18446744073709551616' AS HUGEINT) AS HUGEINT) AS wu,
+        |    CAST((CAST(doc_id AS HUGEINT) * 40503) % CAST('18446744073709551616' AS HUGEINT) AS HUGEINT) AS hu
+        |  FROM documents),
+        |sgn AS (
+        |  SELECT doc_id,
+        |    abs(CAST(CASE WHEN wu >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN wu - CAST('18446744073709551616' AS HUGEINT) ELSE wu END AS BIGINT)) AS aw,
+        |    abs(CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT)) AS ah
+        |  FROM wrap),
         |meta AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    64 + abs(doc_id * 2654435761) % 192 AS w,
-        |    64 + abs(doc_id * 40503) % 192 AS h
-        |  FROM documents)
+        |  SELECT d.doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    64 + aw % 192 AS w,
+        |    64 + ah % 192 AS h
+        |  FROM documents d JOIN sgn USING (doc_id))
         |SELECT m.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(CASE WHEN w <= 224 AND h <= 224 THEN w
         |    ELSE GREATEST(1, CAST(ROUND(w * (224.0 / GREATEST(w, h))) AS BIGINT)) END AS BIGINT) AS resized_w,
