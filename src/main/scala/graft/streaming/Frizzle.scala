@@ -75,7 +75,14 @@ trait MsgSource {
   * topic → dest, offset-derived id.
   */
 final case class KafkaMsgSource(conf: KafkaPipeConfig) extends MsgSource {
-  def receive(spark: SparkSession): DataFrame =
+  def receive(spark: SparkSession): DataFrame = {
+    // preflight: the connector is a separate artifact, and without it
+    // `format("kafka")` fails at stream start with an opaque
+    // DataSource-lookup error — fail here with the actionable message
+    require(KafkaMsgSource.connectorAvailable,
+      "Kafka transport requires the spark-sql-kafka connector on the classpath " +
+        "(org.apache.spark:spark-sql-kafka-0-10_2.13 matching your Spark version); " +
+        "it is not present in this environment")
     spark.readStream.format("kafka").options(conf.sourceOptions).load()
       .select(
         concat_ws("-", col("topic"), col("partition"), col("offset")).as("msg_id"),
@@ -83,6 +90,14 @@ final case class KafkaMsgSource(conf: KafkaPipeConfig) extends MsgSource {
         col("value").as("payload"),
         col("topic").as("dest"),
         col("timestamp").as("ts"))
+  }
+}
+
+object KafkaMsgSource {
+  /** Whether the spark-sql-kafka connector is on the driver classpath. */
+  lazy val connectorAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: Throwable => false }
 }
 
 /** File transport: tail a directory of files as a stream (the local
@@ -165,6 +180,12 @@ object Sinks {
 
 object Frizzle {
 
+  /** Concurrency bound for per-destination writes inside one epoch —
+    * destinations are topics (bounded), and each write is a Spark job;
+    * a small pool keeps the scheduler busy without oversubscribing it.
+    */
+  private val MaxConcurrentDestWrites = 8
+
   /** A transform with a failure branch: rows where `isValid` is false
     * route to the dead-letter sink (frizzle `Fail`).
     */
@@ -205,10 +226,23 @@ object Frizzle {
     *
     * Per epoch: one persist of the batch, the distinct destination set
     * (bounded — destinations are topics, not keys), then one
-    * partition-pruned write per destination.  The batch epoch id is the
-    * ack unit, giving frafka's at-least-once contract; `stats` tracks
-    * un-acked/acked counts across epoch boundaries (`UnAcked()`),
-    * idempotently under epoch replay.
+    * partition-pruned write per destination, issued CONCURRENTLY on a
+    * bounded pool (the writes are independent Spark jobs, so epoch
+    * latency is ~max across destinations, not the sum; any write
+    * failure fails the epoch, preserving at-least-once).  The batch
+    * epoch id is the ack unit, giving frafka's at-least-once contract;
+    * `stats` tracks un-acked/acked counts across epoch boundaries
+    * (`UnAcked()`), idempotently under epoch replay.
+    *
+    * ORDERING CONTRACT (frafka's per-partition ordering image): within
+    * an epoch, rows that share a source partition reach each
+    * destination's `writeBatch` frame in source order, PROVIDED the
+    * route transform is narrow (select/filter/withColumn — anything
+    * without a shuffle).  Kafka assigns a key to one partition, so
+    * per-KEY order is preserved end to end exactly as frafka
+    * guarantees it; a shuffling transform (join/groupBy/repartition)
+    * voids the contract, same as it would in any consumer that
+    * re-keys mid-pipeline.  Pinned by StreamingSpec.
     */
   def runRouted(
       spark: SparkSession,
@@ -239,8 +273,26 @@ object Frizzle {
           // never per message
           val dests = cached.select(col("__dest")).distinct()
             .collect().map(_.getString(0)).sorted
-          dests.foreach { d =>
-            writeBatch(cached.filter(col("__dest") === d).drop("__dest"), d, epoch)
+          // concurrent writes on a bounded pool: each destination's
+          // write is an independent Spark job over the SAME persisted
+          // batch, so issuing them together makes epoch wall-time ~max
+          // not ~sum.  Await.result rethrows the first failure, so a
+          // failed write still fails the epoch (at-least-once).
+          if (dests.nonEmpty) {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(dests.length, MaxConcurrentDestWrites))
+            val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            try {
+              val writes = dests.toSeq.map { d =>
+                scala.concurrent.Future {
+                  writeBatch(cached.filter(col("__dest") === d).drop("__dest"), d, epoch)
+                }(ec)
+              }
+              // every future is already running; awaiting in order
+              // still rethrows the first failure encountered
+              writes.foreach(f => scala.concurrent.Await.result(f,
+                scala.concurrent.duration.Duration.Inf))
+            } finally { pool.shutdown() }
           }
           stats.commit(checkpoint, epoch)
         } finally { cached.unpersist(); () }

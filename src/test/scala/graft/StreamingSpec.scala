@@ -265,7 +265,121 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination(120000)
     assert(stats.unAcked === 0, s"unAcked=${stats.unAcked} after successful replay")
     assert(stats.ackedCount === 1000L)
-    assert(delivered.get() === 1000L)
+    // at-least-once: destination writes run concurrently, so dests
+    // whose write completed before the epoch failed receive the batch
+    // AGAIN on replay — duplicates the idempotent sink contract
+    // absorbs.  Stats still count the epoch exactly once (above);
+    // delivery is ≥ the batch, never less.
+    assert(delivered.get() >= 1000L)
+  }
+
+  test("per-key ordering: source order survives a narrow route into each destination write") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-order")
+    val ckpt = Files.createTempDirectory("graft-ckpt-order").toString
+    // ONE source partition (single file): offsets 0..199 interleaved
+    // round-robin over 4 keys — the Kafka image, where a key lives in
+    // exactly one partition and offsets increase within it
+    (0L until 200L).map(o => (o, s"k${o % 4}", s"payload-$o"))
+      .toDF("offset", "key", "body")
+      .coalesce(1).write.parquet(dir.resolve("in").toString)
+    val raw = StructType(Seq(StructField("offset", LongType),
+      StructField("key", StringType), StructField("body", StringType)))
+    def asMsg(df: DataFrame): DataFrame = df.select(
+      col("offset").cast("string").as("msg_id"),
+      col("key"),
+      encode(col("body"), "UTF-8").as("payload"),
+      when(col("key").isin("k0", "k1"), "t.a").otherwise("t.b").as("dest"),
+      lit(null).cast("timestamp").as("ts"))
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long)]]()
+    val q = Frizzle.runRouted(spark,
+      FileMsgSource(dir.resolve("in").toString, raw, asMsg),
+      Frizzle.Route(identity, lit(true)), col("dest"),
+      (df, dest, _) => {
+        seen.put(dest, df.select("key", "msg_id").collect()
+          .map(r => (r.getString(0), r.getString(1).toLong)))
+        ()
+      }, ckpt)
+    q.awaitTermination(120000)
+    assert(seen.size === 2)
+    seen.values.forEach { rows =>
+      rows.groupBy(_._1).values.foreach { perKey =>
+        val offs = perKey.map(_._2).toSeq
+        assert(offs === offs.sorted, s"per-key source order broken: $offs")
+      }
+    }
+    val all = {
+      val b = Seq.newBuilder[Long]
+      seen.values.forEach(rows => b ++= rows.map(_._2))
+      b.result()
+    }
+    assert(all.toSet === (0L until 200L).toSet)
+  }
+
+  test("destination writes run concurrently: epoch latency ~max, not ~sum") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-par")
+    val ckpt = Files.createTempDirectory("graft-ckpt-par").toString
+    (0L until 60L).map(i => (i, s"d${i % 6}"))
+      .toDF("offset", "dest0")
+      .coalesce(1).write.parquet(dir.resolve("in").toString)
+    val raw = StructType(Seq(StructField("offset", LongType), StructField("dest0", StringType)))
+    def asMsg(df: DataFrame): DataFrame = df.select(
+      col("offset").cast("string").as("msg_id"),
+      col("dest0").as("key"),
+      encode(col("dest0"), "UTF-8").as("payload"),
+      col("dest0").as("dest"),
+      lit(null).cast("timestamp").as("ts"))
+    val spans = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val q = Frizzle.runRouted(spark,
+      FileMsgSource(dir.resolve("in").toString, raw, asMsg),
+      Frizzle.Route(identity, lit(true)), col("dest"),
+      (df, dest, _) => {
+        val t0 = System.nanoTime()
+        df.count()
+        Thread.sleep(700)
+        spans.put(dest, (t0, System.nanoTime()))
+        ()
+      }, ckpt)
+    q.awaitTermination(120000)
+    assert(spans.size === 6)
+    var minStart = Long.MaxValue
+    var maxEnd = Long.MinValue
+    spans.values.forEach { case (a, b) =>
+      minStart = math.min(minStart, a); maxEnd = math.max(maxEnd, b)
+    }
+    val wall = (maxEnd - minStart) / 1e9
+    // six 0.7s writes sequentially are >= 4.2s; concurrent execution
+    // must land well under that (generous bound for scheduler noise)
+    assert(wall < 3.0, s"destination writes look sequential: wall=$wall s")
+  }
+
+  test("kafka source fails loudly when the connector jar is absent") {
+    assume(!KafkaMsgSource.connectorAvailable,
+      "connector present on this classpath — covered by the e2e test instead")
+    val e = intercept[IllegalArgumentException] {
+      KafkaMsgSource(KafkaPipeConfig.fromEnv(Map(
+        "KAFKA_BROKERS" -> "b:9092", "KAFKA_TOPICS" -> "t"))).receive(spark)
+    }
+    assert(e.getMessage.contains("spark-sql-kafka"))
+  }
+
+  test("kafka transport end-to-end (env-gated: real broker + connector required)") {
+    assume(sys.env.contains("KAFKA_BROKERS"),
+      "KAFKA_BROKERS not set — no broker in this container")
+    assume(KafkaMsgSource.connectorAvailable,
+      "spark-sql-kafka connector not on the classpath")
+    val conf = KafkaPipeConfig.fromEnv()
+    assume(conf.topics.nonEmpty, "KAFKA_TOPICS not set")
+    val ckpt = Files.createTempDirectory("graft-ckpt-kafka").toString
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val q = Frizzle.runRouted(spark, KafkaMsgSource(conf),
+      Frizzle.Route(identity, col("payload").isNotNull), col("dest"),
+      (df, _, _) => { n.addAndGet(df.count()); () }, ckpt)
+    q.awaitTermination(120000)
+    // drained whatever the topics held without error; the envelope
+    // mapping and ack path ran against a real broker
+    assert(n.get() >= 0L)
   }
 
   test("kafka config plumbing maps frafka env vars") {
