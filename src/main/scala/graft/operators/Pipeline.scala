@@ -25,9 +25,18 @@ object Pipeline {
     val goodQuality = TextOps.textQuality(s, dir)
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"), col("quality"))
+    // Gopher-style repetition gate: drop looping/boilerplate docs whose
+    // duplicated-2-gram mass reaches 0.5.  Inert on this synthetic
+    // corpus (max observed 0.27 at sf0.01) but the production filter a
+    // real pipeline runs — one more zero-shuffle scan, doc-id-only
+    // semi side.
+    val lowRepetition = TextOps.textRepetition(s, dir)
+      .filter(col("dup_2gram_frac") < 0.5)
+      .select(col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"))
       .join(goodQuality, Seq("doc_id"))
+      .join(lowRepetition, Seq("doc_id"), "left_semi")
       .join(nonReps, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"), col("quality"))
       .orderBy(col("doc_id"))
@@ -62,9 +71,18 @@ object Pipeline {
         |      THEN (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) / len(text)
         |      ELSE 0.0 END) * 0.3
         |  + (CASE WHEN n_chars >= 100 THEN 0.3 ELSE 0.0 END) AS quality
-        |  FROM tq)
+        |  FROM tq),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]
+        |    ELSE [] END) AS gram FROM tq),
+        |gc2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+        |rep AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2,
+        |        CAST(SUM(c) AS BIGINT) AS total2 FROM gc2 GROUP BY doc_id),
+        |badrep AS (SELECT doc_id FROM rep
+        |           WHERE (CASE WHEN total2 > 0 THEN dup2 / total2 ELSE 0.0 END) >= 0.5)
         |SELECT doc_id, n_chars, quality
         |FROM q
         |WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM nonrep)
+        |  AND doc_id NOT IN (SELECT doc_id FROM badrep)
         |ORDER BY doc_id""".stripMargin)
 }

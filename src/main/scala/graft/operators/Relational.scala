@@ -359,6 +359,68 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q10 image: returned-item report — customers ranked by
+    * revenue lost to returns in a half-year window.  The returnflag +
+    * date filters push to the scans, nation broadcasts, and the
+    * top-20 ranks in exact decimal space before the presentation cast
+    * (TakeOrderedAndProject — no global sort).
+    */
+  def q10Returned(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(discPrice).as("revenue_d"))
+      .orderBy(col("revenue_d").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_d").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+  }
+
+  /** TPC-H Q14 image: promo revenue share — the conditional-aggregate
+    * ratio.  One scan of the month's lineitem, part broadcast; both
+    * sums stay decimal-exact and the single division happens in double
+    * at the presentation boundary.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+    li.join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast("decimal(16,4)"))).as("promo_d"),
+        sum(discPrice).as("total_d"))
+      .select((lit(100.0) * col("promo_d").cast("double") / col("total_d").cast("double"))
+        .as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q19 image: disjunctive multi-attribute predicates — three
+    * (brand, size-range, quantity-range) conjunctions OR'd together.
+    * The shape exercises Catalyst's disjunction handling: per-side
+    * implications (the union of brand/size bounds) are derived and
+    * pushed below the join, and the full residual evaluates codegen'd
+    * inside it.
+    */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val pred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 21) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 40)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
   /** Exact multi-distinct aggregate per market segment. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -423,6 +485,9 @@ object Relational {
     "q4_priority" -> (q4OrderPriority _),
     "q21_waiting" -> (q21Waiting _),
     "q15_top_supplier" -> (q15TopSupplier _),
+    "q10_returned" -> (q10Returned _),
+    "q14_promo" -> (q14Promo _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "join_shuffle" -> (joinShuffle _),
     "join_semi_anti" -> (joinSemiAnti _),
     "window_rank" -> (windowRank _),
@@ -528,6 +593,33 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM late l3
         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q10_returned" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_name, n_name,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue_d
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_name, n_name
+        |  ORDER BY revenue_d DESC, c_custkey LIMIT 20)
+        |SELECT c_custkey, c_name, n_name, CAST(revenue_d AS DOUBLE) AS revenue
+        |FROM r ORDER BY revenue DESC, c_custkey""".stripMargin,
+    "q14_promo" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))
+        |    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

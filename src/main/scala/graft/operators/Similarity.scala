@@ -363,10 +363,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** kNN label vote — similarity search applied: each fixture query
+    * takes the majority label of its exact top-10 neighbors (ties →
+    * smaller label), alongside its own label for accuracy auditing.
+    * The vote consumes [[annBruteforce]]'s (small) result: label
+    * lookups broadcast the |Q|·k winner set into two narrow scans of
+    * the corpus labels, and the vote window runs over |Q|·#labels
+    * rows — nothing corpus-sized ever shuffles.
+    */
+  def knnLabelVote(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val top = annBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+    val votes = labels.join(broadcast(top), "vec_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))
+    val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+    labels.select(col("vec_id").as("qv"), col("label").as("own_label"))
+      .join(broadcast(pred), col("qv") === col("q_id"))
+      .select(col("q_id"), col("pred_label"), col("votes"), col("own_label"))
+      .orderBy(col("q_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _))
+    "ann_ivf" -> (annIvf _),
+    "knn_label_vote" -> (knnLabelVote _))
 
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" ->
@@ -382,5 +406,25 @@ object Similarity {
         |  FROM v, q WHERE vec_id <> q_id),
         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos6 FROM rk WHERE rk <= 10
-        |ORDER BY q_id, rk""".stripMargin)
+        |ORDER BY q_id, rk""".stripMargin,
+    "knn_label_vote" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        |v AS (SELECT * FROM (SELECT vec_id, e, label,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm
+        |  FROM v0) WHERE nrm > 0),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM v
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+        |scored AS (SELECT q_id, vec_id,
+        |  list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+        |  / (qnrm * nrm) AS cos
+        |  FROM v, q WHERE vec_id <> q_id),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored),
+        |top AS (SELECT q_id, vec_id FROM rk WHERE rk <= 10),
+        |votes AS (SELECT q_id, label, COUNT(*) AS votes
+        |          FROM top JOIN v USING (vec_id) GROUP BY q_id, label),
+        |win AS (SELECT q_id, label AS pred_label, votes FROM votes
+        |        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, label) = 1)
+        |SELECT w.q_id, pred_label, votes, e.label AS own_label
+        |FROM win w JOIN embeddings e ON w.q_id = e.vec_id
+        |ORDER BY w.q_id""".stripMargin)
 }

@@ -165,9 +165,11 @@ class DedupSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet
     val good = graft.operators.TextOps.textQuality(spark, sf).collect()
       .filter(_.getAs[Double]("quality") >= 0.5).map(_.getAs[Long]("doc_id")).toSet
+    val lowRep = graft.operators.TextOps.textRepetition(spark, sf).collect()
+      .filter(_.getAs[Double]("dup_2gram_frac") < 0.5).map(_.getAs[Long]("doc_id")).toSet
     val got = graft.operators.Pipeline.corpusClean(spark, sf).collect()
       .map(_.getAs[Long]("doc_id")).toSet
-    assert(got === good.diff(nonReps))
+    assert(got === good.diff(nonReps).intersect(lowRep))
   }
 
   test("native minhash band keys equal the xxhash64(slice) formulation bit-for-bit") {
