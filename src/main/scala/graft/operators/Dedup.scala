@@ -125,15 +125,58 @@ object Dedup {
     try {
       // materialize eagerly: racing first-job tasks would each compute
       // the full shingle pipeline before any cache block lands — and
-      // the count sizes the fixpoint's partitioning
+      // the count picks the solver + sizes the fixpoint's partitioning
       val nPairs = pairs.count()
-      val labels = connectedComponents(pairs, ccPartitions(nPairs))
+      val labels =
+        if (nPairs <= LocalCcMaxEdges) localComponents(s, pairs)
+        else connectedComponents(pairs, ccPartitions(nPairs))
       val sizes = labels.groupBy(col("comp").as("srep")).agg(count(lit(1)).as("n_members"))
       labels.select(col("id").as("doc_id"), col("comp").as("rep"))
         .join(sizes, col("rep") === col("srep"))
         .select(col("doc_id"), col("rep"), col("n_members"))
         .orderBy(col("doc_id"))
     } finally { pairs.unpersist(blocking = false); () }
+  }
+
+  /** Pair graphs at or below this edge count solve on the driver
+    * (≈8 MB collected — the same bounded-driver-state budget as IVF's
+    * training sample): a union-find over a small edge list is one
+    * collect instead of ~2 Spark jobs per contraction round, and the
+    * pair graph is usually tiny relative to the corpus.  Above the
+    * bound the distributed star contraction takes over — the driver
+    * never holds an unbounded structure.
+    */
+  private[graft] val LocalCcMaxEdges: Long = 1L << 19
+
+  /** Driver-local union-find (path compression + union-by-min-root, so
+    * each root is its component's minimum id) for pair graphs under
+    * [[LocalCcMaxEdges]].  Same (id, comp) output contract as
+    * [[connectedComponents]]; agreement between the two solvers is
+    * spec-pinned.
+    */
+  private[graft] def localComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val nx: Long = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    var i = 0
+    parent.keySet().forEach { k => out(i) = (k.longValue(), find(k)); i += 1 }
+    import s.implicits._
+    out.toSeq.sortBy(_._1).toDF("id", "comp")
   }
 
   /** Fixpoint partition count derived from edge volume: ~250k edges
@@ -176,7 +219,7 @@ object Dedup {
       .distinct()
       .repartition(partitions, col("u"))
       .persist()
-    var n = edges.count()
+    val n = edges.count()
     // ceil(log2) of the edge count; LS/SS is proven to converge in
     // O(log² n) alternating rounds (observed ~log n), so 2·lg² + 16 can
     // only trip on an implementation bug, never on graph shape
@@ -219,14 +262,18 @@ object Dedup {
         .distinct()
         .repartition(partitions, col("u"))
         .localCheckpoint(eager = true)
-      val nn = next.count()
-      // exact set-equality fixpoint check: same cardinality and no row
-      // of next outside edges ⇒ identical edge sets
-      val changed = if (nn != n) 1L else next.except(edges).count()
+      // exact set-equality fixpoint check in ONE action: both sides
+      // are distinct canonical sets, so an edge appears twice in the
+      // union iff it is in both — any group with count ≠ 2 is a
+      // difference (count + except would be two jobs per round, and
+      // the per-round action overhead dominates on small pair graphs)
+      val changed = next.unionAll(edges)
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2)
+        .count()
       ls.unpersist(blocking = false)
       edges.unpersist(blocking = false)
       edges = next
-      n = nn
       converged = changed == 0
       rounds += 1
     }

@@ -157,6 +157,11 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.connectedComponents(raw.toDF("d1", "d2"), 4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
+    // the driver-local small-graph solver must agree with the
+    // distributed contraction row for row
+    val local = Dedup.localComponents(spark, raw.toDF("d1", "d2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === want)
   }
 
   test("corpus_clean keeps exactly the quality reps") {
