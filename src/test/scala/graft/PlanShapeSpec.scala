@@ -91,6 +91,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("q19 pushes per-side OR implications into BOTH scans") {
+    val p = plan(Relational.q19Disjunctive(spark, sf))
+    // quantity-range union reaches the lineitem scan, brand/size union
+    // reaches the part scan — without these the disjunction would scan
+    // both tables in full at 100 TB
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), "lineitem side pushdown missing")
+    assert(p.contains("= Brand#12)"), "part side predicate missing below the join")
+  }
+
+  test("q10 ranks in decimal via TakeOrderedAndProject, nation broadcast") {
+    val p = plan(Relational.q10Returned(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("top_terms keeps the limit map-side (TakeOrderedAndProject)") {
     val p = plan(TextOps.topTerms(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
