@@ -206,7 +206,35 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Conversion funnel: users progressing view → click → purchase in
+    * strict event-time order (each stage's first qualifying event must
+    * follow the previous stage's).  Three type-filtered scans (the
+    * filter pushes to the parquet scan), each stage a user-keyed
+    * aggregate joined to the previous stage's (strictly shrinking)
+    * per-user frame — the ordered-sequence analytics shape, with no
+    * per-user event collection and state bounded at one row per user
+    * per stage.  Comparisons run on exact microsecond epochs, so both
+    * engines resolve boundaries identically.
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), epochUs(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy(col("stage"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_funnel" -> (eventFunnel _),
     "msg_ingest" -> (msgIngest _),
     "msg_route" -> (msgRoute _),
     "dead_letter_split" -> (deadLetterSplit _),
@@ -220,6 +248,19 @@ object EventOps {
     "sample_stratified" -> (sampleStratified _))
 
   def oracleSql: Map[String, String] = Map(
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click' AS stage, COUNT(*) AS n_users FROM c
+        |UNION ALL SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM p
+        |ORDER BY stage""".stripMargin,
     "msg_ingest" ->
       """SELECT CAST(event_id AS VARCHAR) AS msg_id, CAST(user_id AS VARCHAR) AS routing_key,
         |  CAST(octet_length(encode(props)) AS BIGINT) AS payload_bytes,

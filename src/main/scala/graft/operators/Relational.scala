@@ -309,6 +309,11 @@ object Relational {
     * bounded supplier dim broadcasts at the end.
     */
   def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    // the late frame is declared once but Catalyst derives its two
+    // consumers differently (join reorder pushes the semi below the
+    // orders join on the probe side), so the lineitem⋈orders work
+    // appears twice in the plan — the standard TPC-H Q21 trade; both
+    // derivations keep full pushdown
     val late = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))

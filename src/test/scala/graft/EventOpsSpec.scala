@@ -79,4 +79,29 @@ class EventOpsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
     assert(rows.length === rows.distinct.length)
   }
+
+  test("event_funnel matches a locally replayed strict-order funnel") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        graft.functions.TimeFunctions.epochUs(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, after: Long): Option[Long] =
+      byUser.getOrElse(u, Array.empty[(Long, String, Long)])
+        .filter(e => e._2 == tpe && e._3 > after).map(_._3).minOption
+    val t1 = byUser.keys.flatMap(u => firstAfter(u, "view", Long.MinValue).map(u -> _)).toMap
+    val t2 = t1.flatMap { case (u, t) => firstAfter(u, "click", t).map(u -> _) }
+    val t3 = t2.flatMap { case (u, t) => firstAfter(u, "purchase", t).map(u -> _) }
+    val got = EventOps.eventFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "1_view" -> t1.size.toLong,
+      "2_click" -> t2.size.toLong,
+      "3_purchase" -> t3.size.toLong))
+    // a funnel must shrink monotonically
+    assert(got("1_view") >= got("2_click") && got("2_click") >= got("3_purchase"))
+    assert(got("3_purchase") > 0, "test data should carry full conversions")
+  }
 }
