@@ -165,11 +165,15 @@ object Dedup {
       r
     }
     edges.foreach { case (a, b) =>
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) {
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      // self-pairs are dropped exactly as the distributed contraction
+      // drops them (u =!= v), so the two solvers agree on any input
+      if (a != b) {
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
       }
     }
     val out = new Array[(Long, Long)](parent.size())
@@ -186,7 +190,10 @@ object Dedup {
     * `repartition(1)` could not express.
     */
   private[graft] def ccPartitions(nPairs: Long): Int =
-    math.max(1, math.min(20000, (nPairs / 250000L).toInt + 1))
+    // clamp in Long BEFORE narrowing: a .toInt on the raw quotient
+    // wraps negative past ~5.4e14 edges and would silently collapse
+    // the sizing back to one partition at exactly the scale it exists for
+    math.max(1L, math.min(20000L, nPairs / 250000L + 1L)).toInt
 
   /** Connected components by alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
@@ -234,13 +241,15 @@ object Dedup {
       val lmins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       // emitted rows are (child, parent) with child > parent by
-      // construction (m ≤ u < v); persisted because small-star reads
-      // it twice (min-aggregate + join)
+      // construction (m ≤ u < v); eagerly checkpointed because
+      // small-star reads it twice (min-aggregate + join probe) in ONE
+      // job — a lazy persist would let the two racing stages each
+      // recompute the large-star subtree before cache blocks land
       val ls = sym.join(lmins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .repartition(partitions, col("u"))
-        .persist()
+        .localCheckpoint(eager = true)
       // small-star: per child u, every parent and u itself link to the
       // minimum parent (strictly smaller than u, so min(v) suffices)
       val smins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -271,7 +280,6 @@ object Dedup {
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
         .filter(col("c") =!= 2)
         .count()
-      ls.unpersist(blocking = false)
       edges.unpersist(blocking = false)
       edges = next
       converged = changed == 0

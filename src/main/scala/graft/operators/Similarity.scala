@@ -68,14 +68,21 @@ object Similarity {
     prep(Tables.embeddings(s, dir))
 
   /** User query frame → broadcast-ready (q_id, qe, qnrm), with the
-    * [[MaxQueries]] contract enforced by one cheap count action.
+    * [[MaxQueries]] contract enforced.  The limit+eager-checkpoint
+    * runs the user's query pipeline exactly ONCE and materializes at
+    * most MaxQueries+1 rows (bounded regardless of how large the
+    * frame really is); the contract count and the downstream
+    * broadcast both read the materialized leaf, so an expensive
+    * upstream pipeline never executes twice.
     */
   private def asQueries(queries: DataFrame): DataFrame = {
     val q = prep(queries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .limit(MaxQueries + 1)
+      .localCheckpoint(eager = true)
     val nq = q.count()
     require(nq <= MaxQueries,
-      s"query frame has $nq rows; the broadcast contract caps it at $MaxQueries " +
+      s"query frame exceeds the $MaxQueries-row broadcast contract " +
         "(for corpus-sized query sets use an LSH-bucketed self-join instead)")
     q
   }

@@ -288,10 +288,15 @@ object Frizzle {
                   writeBatch(cached.filter(col("__dest") === d).drop("__dest"), d, epoch)
                 }(ec)
               }
-              // every future is already running; awaiting in order
-              // still rethrows the first failure encountered
-              writes.foreach(f => scala.concurrent.Await.result(f,
-                scala.concurrent.duration.Duration.Inf))
+              // await EVERY write before leaving the block — a failed
+              // destination must not leave sibling writes running past
+              // the epoch (an orphaned write could race the replay's
+              // write into the same (dest, epoch) sink directory);
+              // then rethrow the first failure so the epoch still fails
+              val outcomes = writes.map(f => scala.util.Try(
+                scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+              outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+              ()
             } finally { pool.shutdown() }
           }
           stats.commit(checkpoint, epoch)
