@@ -184,14 +184,17 @@ object Similarity {
     val q = q0
       .select(col("q_id"), col("qe"), col("qnrm"), explode(buckets(col("qe"))).as("tb"))
       .select(col("q_id"), col("qe"), col("qnrm"), col("tb.tbl"), col("tb.bucket"))
-    // dedupe multi-table hits before the exact re-rank
+    // score FIRST, dedupe multi-table hits after: the cosine is
+    // deterministic per (q, v) so duplicates are identical, and the
+    // dedupe exchange then carries 3 skinny columns instead of two
+    // 64-double arrays per row (which would also force the aggregate
+    // into sort-based mode — array types have no mutable agg buffer)
     val scored = corpus.as("c").join(broadcast(q).as("q"),
         col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket") &&
           col("c.vec_id") =!= col("q.q_id"))
-      .select(col("q.q_id"), col("c.vec_id"), col("c.e"), col("c.nrm"), col("q.qe"), col("q.qnrm"))
+      .select(col("q.q_id"), col("c.vec_id"),
+        (dot(col("q.qe"), col("c.e")) / (col("q.qnrm") * col("c.nrm"))).as("cos"))
       .dropDuplicates("q_id", "vec_id")
-      .select(col("q_id"), col("vec_id"),
-        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
     topKPerQuery(scored, k)
   }
 
