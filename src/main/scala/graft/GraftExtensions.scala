@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharPairs, CountInSet, DotProduct, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WordShingles}
+import graft.functions.{CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -42,6 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(string) - Rabin-Karp 64-bit rolling hash"),
       (args: Seq[Expression]) => RollingHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("hyperplane_buckets"),
+      info("hyperplane_buckets", "hyperplane_buckets(array<double>, tables, bits, seed) - LSH bucket keys per table"),
+      (args: Seq[Expression]) => HyperplaneBuckets(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue(),
+        args(3).eval().asInstanceOf[Number].longValue())))
     e.injectFunction((FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(array<string>) - per-doc token/2-gram repetition statistics"),
       (args: Seq[Expression]) => RepetitionStats(args.head)))

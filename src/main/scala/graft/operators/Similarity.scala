@@ -146,15 +146,21 @@ object Similarity {
     math.max(6, math.min(24,
       math.ceil(math.log(math.max(n, 1L) / 8.0) / math.log(2.0)).toInt))
 
-  /** Unrolled construction: each plane's 64 literals appear exactly
-    * once in the tree (an element_at over one shared planes array
-    * would re-reference the whole literal matrix per bit and pay HOF
-    * per-element interpretation; this form is plain codegen'd
-    * arithmetic with 8·bits·64 literal nodes total).  Bit b carries
-    * weight 2^(bits-1-b) and the RNG stream is consumed in (table,
-    * bit) order, reproducing the original bucket values exactly.
+  /** One native [[graft.functions.HyperplaneBuckets]] call: all
+    * `tables × bits` sign-bit dot products in a single pass with the
+    * plane matrix as a reference object.  Bucket values are
+    * bit-identical to the literal construction it replaced (same RNG
+    * stream order, same left-to-right fold — pinned by
+    * SimilaritySpec against [[literalHyperplaneBuckets]]).
     */
-  private[graft] def hyperplaneBuckets(e: Column, bits: Int): Column = {
+  private[graft] def hyperplaneBuckets(e: Column, bits: Int): Column =
+    graft.functions.HyperplaneBuckets.hyperplaneBuckets(e, LshTables, bits, 12345L)
+
+  /** The unrolled-literal formulation the native expression replaced
+    * (each plane's 64 literals once in the tree, `when(dot > 0)` per
+    * bit) — kept as the parity reference for the spec.
+    */
+  private[graft] def literalHyperplaneBuckets(e: Column, bits: Int): Column = {
     val rnd = new scala.util.Random(12345)
     val tables = (0 until LshTables).map { t =>
       val bucket = (0 until bits).map { b =>

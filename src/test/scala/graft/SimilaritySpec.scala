@@ -106,6 +106,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.3, s"avg recall@10 = $avg")
   }
 
+  test("native hyperplane buckets equal the literal-plan formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val v = Similarity.normalizedVecs(spark, sf)
+    val bits = Similarity.lshBitsFor(Similarity.corpusSize(spark, sf))
+    def collect(bk: org.apache.spark.sql.Column) =
+      v.select(col("vec_id"), explode(bk).as("tb"))
+        .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val native = collect(Similarity.hyperplaneBuckets(col("e"), bits))
+    val literal = collect(Similarity.literalHyperplaneBuckets(col("e"), bits))
+    assert(native === literal)
+  }
+
   test("hyperplane bucket occupancy keeps candidate volume ~linear in n") {
     import org.apache.spark.sql.functions._
     val n = Similarity.corpusSize(spark, sf)
