@@ -29,4 +29,17 @@ object Formats {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC — the other columnar format Spark ships natively.  Schema
+    * stays explicit for symmetry with the text formats (ORC carries
+    * its own schema; passing one here is a CONTRACT check — a reader
+    * that silently adapts to whatever the file contains hides producer
+    * drift until query time).  Predicate pushdown and column pruning
+    * work as with parquet.
+    */
+  def readOrc(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

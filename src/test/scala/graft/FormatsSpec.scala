@@ -32,6 +32,17 @@ class FormatsSpec extends AnyFunSuite {
     assert(rows(back) === rows(base))
   }
 
+  test("orc round-trips the event subset and keeps predicate pushdown") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Formats.writeOrc(base, dir)
+    val back = Formats.readOrc(spark, dir, base.schema)
+    assert(rows(back) === rows(base))
+    // pushdown reaches the ORC scan like it does for parquet
+    val p = back.filter(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("event_type"), p.take(400))
+  }
+
   test("the frizzle pipeline runs unchanged over a csv transport") {
     val dir = Files.createTempDirectory("graft-csv-stream").toString
     Formats.writeCsv(base, dir)
