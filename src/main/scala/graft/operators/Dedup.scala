@@ -338,6 +338,48 @@ object Dedup {
       .orderBy(col("test_id"))
   }
 
+  /** Sub-document duplication audit: split every document into
+    * consecutive 10-token chunks and measure, per doc, how much of it
+    * is duplicated elsewhere in the corpus (the chunk-granularity
+    * approximation of suffix-array ExactSubstr dedup — the signal that
+    * catches templated/boilerplate SPANS exact whole-doc dedup misses).
+    *
+    * Scale shape: the chunk stream shuffles ONCE keyed by the 64-bit
+    * chunk hash (16 B/row instead of the ~60 B chunk text — at 10¹²
+    * chunks the hash key is the difference between a 24 TB and a 90 TB
+    * exchange; a 64-bit birthday collision alters one count in ~10⁷
+    * corpora and is the standard trade every production chunk-dedup
+    * makes), then re-aggregates per doc.  An occurrence is "duplicated"
+    * when its chunk text occurs anywhere else in the corpus (including
+    * the same doc — self-repetition is duplication too).
+    */
+  def dedupChunk(s: SparkSession, dir: String): DataFrame =
+    chunkAudit(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The audit over any (doc_id, text) frame — parameterized so the
+    * spec can plant known duplicate spans and pin exact counts.
+    */
+  private[graft] def chunkAudit(docs: DataFrame, chunkLen: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChunks = ceil(size(toks) / lit(chunkLen.toDouble)).cast("int")
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * chunkLen + 1, lit(chunkLen)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val occ = docs
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("ck"))
+    val byChunk = org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))
+    occ
+      .withColumn("freq", count(lit(1)).over(byChunk))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("freq") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks") / col("n_chunks")).as("dup_chunk_frac"))
+  }
+
   /** MinHash(128) signature per doc + banded LSH (32 bands × 4 rows).
     * Signatures come from the one-pass [[graft.functions.MinHashSig]]
     * expression (two-hash construction).  Pairs sharing ≥1 band bucket
@@ -484,6 +526,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_chunk" -> (dedupChunk _),
     "dedup_components" -> (dedupComponents _),
     "decontaminate" -> (decontaminate _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -518,6 +561,17 @@ object Dedup {
         |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         |WHERE c / (s1.n + s2.n - c) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+    // chunk grouping rides the chunk TEXT here (the engine's 64-bit
+    // hash key is collision-free at any test SF, so the counts agree)
+    "dedup_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |c AS (SELECT doc_id, unnest([array_to_string(tk[(i*10+1):(i*10+10)], ' ')
+        |    for i in generate_series(0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1)]) AS chunk FROM t),
+        |f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk) AS freq FROM c)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS dup_chunk_frac
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5

@@ -233,7 +233,29 @@ object EventOps {
       .orderBy(col("stage"))
   }
 
+  /** Per-user event-type transition matrix: for every consecutive
+    * (prev → next) pair in each user's event-time order, the corpus
+    * count — the Markov-chain statistic behind session modeling and
+    * anomaly scoring.  One shuffle on user_id for the lag window
+    * (total order: ts, then event_id — unique, so the sequence is
+    * deterministic on any partitioning), then a bounded-key
+    * (|types|²) aggregate that combines map-side.  The streaming
+    * equivalent keeps one last-type row per user in
+    * [[graft.streaming.Stateful]]; parity is spec-pinned.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions" -> (eventTransitions _),
     "event_funnel" -> (eventFunnel _),
     "msg_ingest" -> (msgIngest _),
     "msg_route" -> (msgRoute _),
@@ -248,6 +270,14 @@ object EventOps {
     "sample_stratified" -> (sampleStratified _))
 
   def oracleSql: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n FROM s
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
     "event_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),

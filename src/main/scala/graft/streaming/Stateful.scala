@@ -49,6 +49,37 @@ object Stateful {
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_msgs: Long, total_value: Double)
 
+  case class TypedEvent(user_id: Long, event_type: String, us: Long, event_id: Long)
+  case class LastType(event_type: String)
+  case class Transition(user_id: Long, prev_type: String, event_type: String)
+
+  /** Streaming counterpart of [[graft.operators.EventOps.eventTransitions]]:
+    * one `LastType` row of state per user carries the most recent event
+    * type across micro-batch boundaries, and every arriving event emits
+    * its (prev → next) pair.  Within a batch a user's rows are sorted by
+    * (event time, event_id) before folding — the per-user-per-batch set
+    * is bounded, and cross-batch order is the source's per-key delivery
+    * order (frafka's per-partition contract).  Batch/stream parity is
+    * spec-pinned.
+    */
+  def transitions(spark: SparkSession, events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastType, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[TypedEvent], state: GroupState[LastType]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.us, e.event_id))
+          var prev = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            prev.foreach(p => out += Transition(user, p.event_type, e.event_type))
+            prev = Some(LastType(e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: running per-user
     * totals, emitted on every update (Update mode).  The state per key
     * is one `UserTotals` — constant memory regardless of stream length.

@@ -237,6 +237,40 @@ class DedupSpec extends AnyFunSuite {
     assert(vol <= 50 * n, s"candidate volume $vol for n=$n")
   }
 
+  test("dedup_chunk: planted duplicate spans are counted exactly, join-free plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 1 and 2 share their first 10-token chunk exactly; doc 2's
+    // second (short) chunk repeats doc 3 entirely; doc 4 is unique
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"$span tail tokens"),
+      (3L, "tail tokens"),
+      (4L, "entirely unrelated words that appear nowhere else at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkAudit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"), r.getAs[Double]("dup_chunk_frac"))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))   // shared span dup, own tail unique
+    assert(out(2L) === ((2L, 2L, 1.0)))   // both chunks seen elsewhere
+    assert(out(3L) === ((1L, 1L, 1.0)))   // its whole text = doc 2's chunk
+    assert(out(4L) === ((1L, 0L, 0.0)))
+    // corpus run: join-free plan and conservation of the chunk count
+    val df = Dedup.dedupChunk(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"chunk audit needs no join:\n$plan")
+    val rows = df.collect()
+    val want = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(r => (r.getString(0).trim.split("\\s+").count(_.nonEmpty) + 9) / 10)
+      .map(_.toLong).sum
+    assert(rows.map(_.getAs[Long]("n_chunks")).sum === want)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("dup_chunk_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("shingle DF cap bounds candidate volume under corpus-wide boilerplate") {
     import spark.implicits._
     // 60 docs that are pure boilerplate (one shared shingle — DF 60)

@@ -80,6 +80,14 @@ class EventOpsSpec extends AnyFunSuite {
     assert(rows.length === rows.distinct.length)
   }
 
+  test("event_transitions conserve: every user with k events contributes k-1 pairs") {
+    val rows = EventOps.eventTransitions(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val ev = graft.sources.Tables.events(spark, sf)
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(total === want)
+  }
+
   test("event_funnel matches a locally replayed strict-order funnel") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)

@@ -74,6 +74,66 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("numcust")).sum === want.length)
   }
 
+  test("q6 is a join-free scan-aggregate with every predicate pushed or codegen'd") {
+    val df = Relational.q6Forecast(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q6 must not join:\n$plan")
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"))
+    val row = df.collect().head
+    assert(row.getAs[Long]("n_lines") > 0 && row.getAs[Double]("revenue") > 0.0)
+  }
+
+  test("q7 groups match an independent recount of the cross-nation pair join") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q7Volume(spark, sf).collect()
+    val pair = Set("NATION_1", "NATION_2")
+    rows.foreach { r =>
+      val sn = r.getAs[String]("supp_nation"); val cn = r.getAs[String]("cust_nation")
+      assert(pair.contains(sn) && pair.contains(cn) && sn != cn)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+    // independent group-count recount (plain joins, no broadcast hints);
+    // the selective pair can be empty at the smallest SF — equality
+    // still pins that the operator found every qualifying group
+    val t = graft.sources.Tables
+    val want = t.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(t.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(t.nation(spark, sf).select(col("n_nationkey").as("k1"), col("n_name").as("sn")),
+        col("s_nationkey") === col("k1"))
+      .join(t.nation(spark, sf).select(col("n_nationkey").as("k2"), col("n_name").as("cn")),
+        col("c_nationkey") === col("k2"))
+      .filter(col("sn").isin("NATION_1", "NATION_2") && col("cn").isin("NATION_1", "NATION_2") &&
+        col("sn") =!= col("cn"))
+      .groupBy(col("sn"), col("cn"), year(col("l_shipdate"))).count().count()
+    assert(rows.length.toLong === want)
+  }
+
+  test("q8 market share is a valid per-year fraction") {
+    val rows = Relational.q8MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0, s"share $share out of range")
+    }
+  }
+
+  test("q12 high+low counts conserve the filtered join cardinality") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q12ShipClass(spark, sf).collect()
+    val total = rows.map(r => r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(graft.sources.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(total === want)
+  }
+
   test("set_ops partitions are disjoint and consistent") {
     val rows = Relational.setOps(spark, sf).collect()
       .map(r => (r.getAs[String]("op"), r.getAs[Long]("k")))

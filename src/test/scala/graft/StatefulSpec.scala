@@ -64,6 +64,36 @@ class StatefulSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful transitions across batches match the batch lag-window image") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two micro-batches split mid-stream per user: the cross-batch
+    // (prev → next) pair only appears if state carried the last type
+    val all = Seq(
+      Stateful.TypedEvent(1, "view", 100, 1), Stateful.TypedEvent(1, "click", 200, 2),
+      Stateful.TypedEvent(2, "view", 150, 3), Stateful.TypedEvent(1, "purchase", 300, 4),
+      Stateful.TypedEvent(2, "error", 250, 5), Stateful.TypedEvent(2, "view", 350, 6),
+      Stateful.TypedEvent(1, "view", 400, 7))
+    val (b1, b2) = all.splitAt(4)
+    val mem = MemoryStream[Stateful.TypedEvent]
+    val q = Stateful.transitions(spark, mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("trans_stream").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans_stream")
+      .groupBy(col("prev_type"), col("event_type")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val batch = all.toDF()
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("flatMapGroupsWithState accumulates running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
