@@ -379,6 +379,146 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** PQ code book size: 8 subspaces × 16 centroids → one 4-bit code per
+    * subspace, 8 small ints per vector.  The codebook itself is
+    * 8·16·(dim/8) doubles — O(1) model state compiled into the plan.
+    */
+  private[graft] val PqSubspaces = 8
+  private[graft] val PqCodes = 16
+  private[graft] val PqRefine = 4
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the memory-bounded scale
+    * path: the corpus is represented by 8 sub-codes (≈8 B/vector
+    * instead of a 512 B embedding), queries score codes by
+    * asymmetric-distance table lookup, and only the top refine·k
+    * candidates per query touch the real embeddings again.
+    *
+    * Scale design: training is driver-local on the same bounded
+    * hash-rate sample as IVF (per-subspace Lloyd k-means, deterministic
+    * by construction); encoding is pure map-side codegen arithmetic
+    * (codebook literals, zero shuffle over the corpus); the ADC scan
+    * carries only (vec_id, 8 ints) per corpus row — at 100 TB the code
+    * relation is ~64 GB where the raw embeddings are ~4 TB, so the
+    * scoring scan reads 60× fewer bytes than brute force; the exact
+    * re-rank joins the |Q|·refine·k winner set (broadcast) back to the
+    * fat embeddings.  Approximate by construction → rows-only oracle;
+    * the spec pins recall@10 vs brute force.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    pqSearch(v, queryVecs(v), 10, corpusSize(s, dir))
+  }
+
+  /** Public PQ entry for a user query set ([[MaxQueries]] contract,
+    * asserted).
+    */
+  def annPqFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    pqSearch(prep(corpus), asQueries(queries), k, corpus.count())
+
+  /** Driver-local L2 Lloyd k-means over sub-vectors (deterministic:
+    * seeds = first k points, sequential accumulation, empty clusters
+    * keep their previous centroid).
+    */
+  private def kmeansL2(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = points(0).length
+    var cents = points.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = cents(c)(i) - p(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  private[graft] def pqSearch(v: DataFrame, q0: DataFrame, k: Int, n: Long): DataFrame = {
+    val s = v.sparkSession
+    val maxTrain = 64 * 1024
+    val rate = math.min(1.0, maxTrain.toDouble / math.max(n, 1L))
+    val keepBelow = math.max(1L, (rate * 1000000L).toLong)
+    // unit-normalized sample (PQ on unit vectors ⇒ ADC dot ≈ cosine)
+    val sampleRows = v
+      .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(keepBelow))
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val units: Array[Array[Double]] = sampleRows.map { r =>
+      val e = r.getSeq[Double](1); val nm = r.getDouble(2)
+      e.map(_ / nm).toArray
+    }
+    if (units.isEmpty) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("q_id", LongType), StructField("rk", IntegerType, nullable = false),
+          StructField("vec_id", LongType), StructField("cos6", DoubleType))))
+    }
+    val dim = units(0).length
+    val m = PqSubspaces
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val ksub = math.min(PqCodes, units.length)
+    // per-subspace codebooks over the sample's sub-vectors
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      kmeansL2(units.map(u => java.util.Arrays.copyOfRange(u, j * sub, (j + 1) * sub)), ksub, 5)
+    }
+
+    // encode map-side: nearest sub-centroid by L2 on the unit vector,
+    // expressed as argmax(dot(e_sub, c)/nrm − ½‖c‖²) so the raw (e, nrm)
+    // columns feed codegen directly — no per-element normalize HOF
+    def codeFor(j: Int): Column =
+      array_min(array(books(j).zipWithIndex.map { case (c, cid) =>
+        val score = dot(slice(col("e"), j * sub + 1, sub), typedLit(c.toSeq)) / col("nrm") -
+          lit(0.5 * c.map(x => x * x).sum)
+        struct((-score).as("negscore"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    val enc = v.select(col("vec_id"),
+      array((0 until m).map(codeFor): _*).as("codes"))
+
+    // per-query ADC tables: qt_j[c] = dot(q_sub_j, c)/‖q‖ — 8 arrays of
+    // 16 doubles riding the (broadcast) query row
+    val qtabCols = (0 until m).map { j =>
+      array(books(j).map(c =>
+        dot(slice(col("qe"), j * sub + 1, sub), typedLit(c.toSeq)) / col("qnrm")): _*).as(s"qt$j")
+    }
+    val qt = q0.select(col("q_id") +: qtabCols: _*)
+
+    // ADC scan: approx cosine = Σ_j qt_j[code_j] — pure element_at
+    // lookups over the 8-int code rows, the whole corpus never
+    // shuffles and never re-reads the fat embeddings
+    val approxCos = (0 until m).map { j =>
+      element_at(col(s"qt$j"), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val cand = enc.join(broadcast(qt), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), approxCos.as("cos"))
+    val shortlist = cand.groupBy(col("q_id"))
+      .agg(TopKScoredAgg.topKScored(col("cos"), col("vec_id"), PqRefine * k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"))
+
+    // exact re-rank of the |Q|·refine·k shortlist against the real
+    // embeddings (shortlist broadcasts into the corpus scan)
+    val scored = v.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q0), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** kNN label vote — similarity search applied: each fixture query
     * takes the majority label of its exact top-10 neighbors (ties →
     * smaller label), alongside its own label for accuracy auditing.
@@ -406,6 +546,7 @@ object Similarity {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "knn_label_vote" -> (knnLabelVote _))
 
   def oracleSql: Map[String, String] = Map(

@@ -44,6 +44,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.3, s"avg recall@10 = $avg")
   }
 
+  test("pq ann achieves useful recall against bruteforce and is deterministic") {
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val pqRows = Similarity.annPq(spark, sf).collect()
+    val pq = topSets(pqRows)
+    val recalls = bf.map { case (q, want) =>
+      pq.getOrElse(q, Set()).intersect(want).size.toDouble / want.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.3, s"avg recall@10 = $avg")
+    // exact re-rank: every reported cosine must equal the true cosine,
+    // so the top-1 neighbor's score matches bruteforce's where the ids agree
+    val bfScores = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos6")).toMap
+    pqRows.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      bfScores.get(key).foreach(want => assert(r.getAs[Double]("cos6") === want))
+    }
+    val again = Similarity.annPq(spark, sf).collect().map(_.toString).toSeq
+    assert(pqRows.map(_.toString).toSeq === again)
+  }
+
   test("ivf is deterministic across runs") {
     val a = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
     val b = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
