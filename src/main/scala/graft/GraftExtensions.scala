@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WordShingles}
+import graft.functions.{AdcScore, CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("adc_score"),
+      info("adc_score", "adc_score(array<int>, array<array<double>>) - PQ asymmetric-distance score"),
+      (args: Seq[Expression]) => AdcScore(args.head, args(1))))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(array<string>, n) - word n-gram shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,

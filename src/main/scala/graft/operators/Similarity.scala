@@ -486,25 +486,34 @@ object Similarity {
           lit(0.5 * c.map(x => x * x).sum)
         struct((-score).as("negscore"), lit(cid).as("cid"))
       }: _*)).getField("cid")
+    // MATERIALIZE the code table (production PQ persists it — encode
+    // once, search many).  Two wins: the ADC join reads ~16 B/vector
+    // rows instead of re-encoding per run, and the m·k-literal encode
+    // tree stays out of the join stage — fused, its size knocks the
+    // whole stage out of whole-stage codegen and the per-pair path
+    // drops to interpreted eval (measured 20× slower end to end).
     val enc = v.select(col("vec_id"),
       array((0 until m).map(codeFor): _*).as("codes"))
+      .localCheckpoint(eager = true)
 
-    // per-query ADC tables: qt_j[c] = dot(q_sub_j, c)/‖q‖ — 8 arrays of
-    // 16 doubles riding the (broadcast) query row
-    val qtabCols = (0 until m).map { j =>
-      array(books(j).map(c =>
-        dot(slice(col("qe"), j * sub + 1, sub), typedLit(c.toSeq)) / col("qnrm")): _*).as(s"qt$j")
-    }
-    val qt = q0.select(col("q_id") +: qtabCols: _*)
+    // per-query ADC tables: qtabs[j][c] = dot(q_sub_j, c)/‖q‖ — an
+    // 8×16-double lookup table riding the (broadcast) query row
+    val qt = q0.select(col("q_id"),
+      array((0 until m).map { j =>
+        array(books(j).map(c =>
+          dot(slice(col("qe"), j * sub + 1, sub), typedLit(c.toSeq)) / col("qnrm")): _*)
+      }: _*).as("qtabs"))
 
-    // ADC scan: approx cosine = Σ_j qt_j[code_j] — pure element_at
-    // lookups over the 8-int code rows, the whole corpus never
-    // shuffles and never re-reads the fat embeddings
-    val approxCos = (0 until m).map { j =>
-      element_at(col(s"qt$j"), element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
+    // ADC scan: approx cosine = Σ_j qtabs[j][code_j] via the native
+    // [[graft.functions.AdcScore]] — ONE eval per row.  This expression
+    // is the child of the top-k aggregate, whose update path runs
+    // interpreted (TypedImperativeAggregate has no codegen'd update):
+    // an m-way element_at tree there cost ~15 µs/row; the native eval
+    // is a tight primitive loop.  The corpus never shuffles and never
+    // re-reads the fat embeddings.
     val cand = enc.join(broadcast(qt), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), approxCos.as("cos"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.AdcScore.adcScore(col("codes"), col("qtabs")).as("cos"))
     val shortlist = cand.groupBy(col("q_id"))
       .agg(TopKScoredAgg.topKScored(col("cos"), col("vec_id"), PqRefine * k).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
