@@ -110,4 +110,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(TextOps.topTerms(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q8 pushes the part-type filter to the scan and broadcasts every dimension hop") {
+    val p = plan(Relational.q8MarketShare(spark, sf))
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), "p_type filter must reach the part scan")
+    // part, customer-nation(+region), supplier, supplier-nation all broadcast
+    assert(countIn(p, "BroadcastExchange") >= 4, p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("q12 pushes the returnflag IN-list and date window to the lineitem scan") {
+    val p = plan(Relational.q12ShipClass(spark, sf))
+    // (plan toString truncates scan metadata at 100 chars — match the
+    // pushed-filter prefix)
+    assert(p.contains("In(l_returnflag"), "IN-list must reach the scan")
+    assert(p.contains("IsNotNull(l_shipdate)"))
+  }
+
+  test("event_transitions shuffles once on user_id, then only the bounded-key aggregate") {
+    val p = plan(EventOps.eventTransitions(spark, sf))
+    // window exchange on user_id + aggregate exchange on the pair key +
+    // presentation sort — nothing else (no join, no extra repartition)
+    assert(!p.contains("Join"), p.linesIterator.take(12).mkString("\n"))
+    assert(countIn(p, "Exchange") <= 3)
+  }
 }
