@@ -72,12 +72,32 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Content-addressed payload registry: one row per distinct binary
+    * payload (its sha-256 address) with the copy count and the
+    * canonical keeper — byte-identity dedup, the first pass every
+    * media pipeline runs before any perceptual hashing.  One keyed
+    * aggregation over the sha (map-side partials; the payload itself
+    * never shuffles — only the 32-byte address does).  Emits ALL
+    * addresses (registry semantics): dedup consumers filter
+    * n_copies > 1, replication auditors read it whole.
+    */
+  def mmDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
+      .groupBy(col("sha"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("sha"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup" -> (mmDedup _),
     "mm_ingest" -> (mmIngest _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _))
 
   def oracleSql: Map[String, String] = Map(
+    "mm_dedup" ->
+      """SELECT sha256(text) AS sha, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY sha ORDER BY sha""".stripMargin,
     "mm_ingest" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha, 'text/plain' AS mime

@@ -105,6 +105,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(loop.getLong(2) === 50L && loop.getLong(3) === 99L && loop.getLong(4) === 99L)
   }
 
+  test("mm_dedup registry conserves the corpus and keeps the minimum doc per address") {
+    val rows = Multimodal.mmDedup(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_copies")).sum
+    assert(total === graft.sources.Tables.documents(spark, sf).count())
+    // keeper is a member: every keep_id must hash to its own sha
+    val byDoc = Multimodal.mmIngest(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("sha")).toMap
+    rows.foreach { r =>
+      assert(byDoc(r.getAs[Long]("keep_id")) === r.getAs[String]("sha"))
+    }
+  }
+
   test("mm_frames samples k frames per doc with in-payload offsets") {
     val rows = Multimodal.mmFrames(spark, sf).collect()
     assert(rows.length === 500 * 4)
