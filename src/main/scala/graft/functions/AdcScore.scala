@@ -37,11 +37,24 @@ case class AdcScore(left: Expression, right: Expression) extends BinaryExpressio
 
 object AdcScore {
   def compute(codes: ArrayData, tabs: ArrayData): Double = {
-    val m = math.min(codes.numElements(), tabs.numElements())
+    val m = codes.numElements()
+    // loud arity/bounds validation: the function is SQL-registered, and
+    // UnsafeArrayData skips index asserts in production JVMs — an
+    // unchecked bad code would read garbage memory, not throw
+    if (m != tabs.numElements()) {
+      throw new IllegalArgumentException(
+        s"adc_score: $m codes vs ${tabs.numElements()} lookup tables")
+    }
     var acc = 0.0
     var j = 0
     while (j < m) {
-      acc += tabs.getArray(j).getDouble(codes.getInt(j))
+      val tab = tabs.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= tab.numElements()) {
+        throw new IllegalArgumentException(
+          s"adc_score: code $c out of range [0, ${tab.numElements()}) in subspace $j")
+      }
+      acc += tab.getDouble(c)
       j += 1
     }
     acc

@@ -344,38 +344,58 @@ object Dedup {
     * approximation of suffix-array ExactSubstr dedup — the signal that
     * catches templated/boilerplate SPANS exact whole-doc dedup misses).
     *
-    * Scale shape: the chunk stream shuffles ONCE keyed by the 64-bit
-    * chunk hash (16 B/row instead of the ~60 B chunk text — at 10¹²
-    * chunks the hash key is the difference between a 24 TB and a 90 TB
-    * exchange; a 64-bit birthday collision alters one count in ~10⁷
-    * corpora and is the standard trade every production chunk-dedup
-    * makes), then re-aggregates per doc.  An occurrence is "duplicated"
-    * when its chunk text occurs anywhere else in the corpus (including
-    * the same doc — self-repetition is duplication too).
+    * Scale shape: chunk identity is the 64-bit chunk hash (16 B/row
+    * instead of the ~60 B chunk text — at 10¹² chunks that is a 24 TB
+    * exchange instead of 90 TB; a 64-bit birthday collision alters one
+    * count in ~10⁷ corpora and is the standard trade every production
+    * chunk-dedup makes).  Corpus-wide frequency is a keyed aggregate
+    * joined back to the per-(doc, chunk) rows — see [[chunkAudit]] for
+    * why that beats a window over the hot chunk key.  An occurrence is
+    * "duplicated" when its chunk text occurs anywhere else in the
+    * corpus (including the same doc — self-repetition is duplication
+    * too).
     */
   def dedupChunk(s: SparkSession, dir: String): DataFrame =
     chunkAudit(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
   /** The audit over any (doc_id, text) frame — parameterized so the
     * spec can plant known duplicate spans and pin exact counts.
+    *
+    * Skew note: a corpus-wide boilerplate chunk is the SIGNAL here (it
+    * must be counted, not dropped like jaccard's capped shingles), so
+    * the hot key cannot be filtered away.  A window count over ck
+    * would buffer every occurrence of that chunk in one task; instead
+    * the frequency is a keyed aggregate (map-side partials collapse
+    * each partition's occurrences of the hot chunk to one row) joined
+    * back to the per-(doc, chunk) rows — an SMJ that AQE's skew-join
+    * splitting can subdivide, which a window never can.
     */
   private[graft] def chunkAudit(docs: DataFrame, chunkLen: Int = 10): DataFrame = {
     val toks = tokens(col("text"))
     val nChunks = ceil(size(toks) / lit(chunkLen.toDouble)).cast("int")
-    val chunks = when(size(toks) > 0,
+    // tokens("") is [""], so guard on trimmed LENGTH: a truly empty doc
+    // has zero chunks (mirrored in the oracle SQL)
+    val chunks = when(length(trim(col("text"))) > 0,
       transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * chunkLen + 1, lit(chunkLen)), " ")))
       .otherwise(array().cast("array<string>"))
-    val occ = docs
+    // collapse to one row per (doc, chunk) with its in-doc occurrence
+    // count before anything keys on ck alone
+    val perDoc = docs
       .select(col("doc_id"), explode(chunks).as("chunk"))
-      .select(col("doc_id"), xxhash64(col("chunk")).as("ck"))
-    val byChunk = org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))
-    occ
-      .withColumn("freq", count(lit(1)).over(byChunk))
+      .groupBy(col("doc_id"), xxhash64(col("chunk")).as("ck"))
+      .agg(count(lit(1)).as("cnt"))
+    val freq = perDoc.groupBy(col("ck")).agg(sum(col("cnt")).as("freq"))
+    // merge hint: below the broadcast threshold Spark would build freq
+    // as a BroadcastHashJoin, recomputing the whole chunk pipeline for
+    // the built side; the sort-merge form lets both sides read the ONE
+    // (doc, chunk) exchange (ReusedExchange) — and at scale freq is
+    // |distinct chunks| rows, far past any broadcast threshold anyway
+    perDoc.hint("merge").join(freq.hint("merge"), "ck")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("freq") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        sum(col("cnt")).as("n_chunks"),
+        sum(when(col("freq") > 1, col("cnt")).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         (col("n_dup_chunks") / col("n_chunks")).as("dup_chunk_frac"))
   }
@@ -564,7 +584,8 @@ object Dedup {
     // chunk grouping rides the chunk TEXT here (the engine's 64-bit
     // hash key is collision-free at any test SF, so the counts agree)
     "dedup_chunk" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+        |           WHERE length(trim(text)) > 0),
         |c AS (SELECT doc_id, unnest([array_to_string(tk[(i*10+1):(i*10+10)], ' ')
         |    for i in generate_series(0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1)]) AS chunk FROM t),
         |f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk) AS freq FROM c)

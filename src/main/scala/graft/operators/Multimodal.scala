@@ -83,9 +83,13 @@ object Multimodal {
     */
   def mmDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
-      .groupBy(col("sha"))
+      // group on the RAW 32-byte digest (unhex), not its 64-char hex
+      // rendering — half the shuffled key bytes; hex only at the
+      // presentation boundary
+      .select(col("doc_id"), unhex(sha2(encode(col("text"), "UTF-8"), 256)).as("shab"))
+      .groupBy(col("shab"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .select(lower(hex(col("shab"))).as("sha"), col("n_copies"), col("keep_id"))
       .orderBy(col("sha"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

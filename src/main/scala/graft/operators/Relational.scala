@@ -445,9 +445,11 @@ object Relational {
         count(lit(1)).as("n_lines"))
 
   /** TPC-H Q7 image: volume shipping between two nations — the
-    * symmetric nation-pair disjunction.  Both nation lookups broadcast;
-    * the pair predicate ((A,B) or (B,A)) evaluates after the broadcasts
-    * so the fact side shuffles only for the orderkey join, and the
+    * symmetric nation-pair disjunction.  Supplier and both nation
+    * lookups broadcast; the pair predicate ((A,B) or (B,A)) evaluates
+    * after the broadcasts.  The fact stream shuffles twice — once for
+    * the orderkey join, once more on custkey for the customer join
+    * (customer scales with SF, so it is not broadcast-safe) — and the
     * (supp_nation, cust_nation, year) aggregate has 2·years groups.
     */
   def q7Volume(s: SparkSession, dir: String): DataFrame = {

@@ -260,35 +260,10 @@ object Similarity {
     val s = v.sparkSession
     val cells0 = forceCells.getOrElse(
       math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt)))
-    val maxTrain = 64 * 1024
-
-    // deterministic pseudo-random sample: keep vectors whose id-hash
-    // falls under the sampling rate — a pure scan-filter (no sort, no
-    // shuffle), unbiased under any physical data order, and the
-    // driver-side collect is ≈maxTrain rows regardless of cluster
-    // size.  (A hash-ORDERED take would merge a per-partition head on
-    // the driver — per-PARTITION state that grows with the cluster.)
-    // Sorting the collected rows by vec_id makes seeds and the float
-    // accumulation order independent of partition layout.
-    val rate = math.min(1.0, maxTrain.toDouble / math.max(n, 1L))
-    val keepBelow = math.max(1L, (rate * 1000000L).toLong)
-    val sampleRows = v
-      .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(keepBelow))
-      .select(col("vec_id"), col("e"), col("nrm"))
-      .collect()
-      .sortBy(_.getLong(0))
-    val units: Array[Array[Double]] = sampleRows.map { r =>
-      val e = r.getSeq[Double](1); val nm = r.getDouble(2)
-      e.map(_ / nm).toArray
-    }
-    if (units.isEmpty) {
-      // empty corpus: empty result with the contract schema, not a
-      // crash inside training
-      import org.apache.spark.sql.types._
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("q_id", LongType), StructField("rk", IntegerType, nullable = false),
-          StructField("vec_id", LongType), StructField("cos6", DoubleType))))
-    }
+    // bounded deterministic sample ([[trainingSample]]); empty corpus →
+    // empty result with the contract schema, not a crash inside training
+    val units = trainingSample(v, n)
+    if (units.isEmpty) return emptyTopK(s)
     val cells = math.min(cells0, units.length)
     // nprobe ~ √cells keeps recall while the probed fraction
     // nprobe/cells = 1/√cells VANISHES as the corpus grows (a
@@ -416,6 +391,42 @@ object Similarity {
   def annPqFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     pqSearch(prep(corpus), asQueries(queries), k, corpus.count())
 
+  /** Bounded deterministic training sample shared by the quantizer
+    * paths (IVF, PQ): keep vectors whose id-hash falls under the
+    * sampling rate — a pure scan-filter (no sort, no shuffle), unbiased
+    * under any physical data order, with a driver-side collect of
+    * ≈[[TrainMaxSample]] rows regardless of cluster size.  (A
+    * hash-ORDERED take would merge a per-partition head on the driver —
+    * per-PARTITION state that grows with the cluster.)  Rows are
+    * unit-normalized and sorted by vec_id so seeds and float
+    * accumulation order are independent of partition layout.
+    */
+  private[graft] val TrainMaxSample = 64 * 1024
+
+  private def trainingSample(v: DataFrame, n: Long): Array[Array[Double]] = {
+    val rate = math.min(1.0, TrainMaxSample.toDouble / math.max(n, 1L))
+    val keepBelow = math.max(1L, (rate * 1000000L).toLong)
+    v.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(keepBelow))
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val e = r.getSeq[Double](1); val nm = r.getDouble(2)
+        e.map(_ / nm).toArray
+      }
+  }
+
+  /** Empty result with the shared ANN contract schema — the
+    * empty-corpus early-out for the trained paths (never a crash
+    * inside training).
+    */
+  private def emptyTopK(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("q_id", LongType), StructField("rk", IntegerType, nullable = false),
+        StructField("vec_id", LongType), StructField("cos6", DoubleType))))
+  }
+
   /** Driver-local L2 Lloyd k-means over sub-vectors (deterministic:
     * seeds = first k points, sequential accumulation, empty clusters
     * keep their previous centroid).
@@ -448,25 +459,9 @@ object Similarity {
 
   private[graft] def pqSearch(v: DataFrame, q0: DataFrame, k: Int, n: Long): DataFrame = {
     val s = v.sparkSession
-    val maxTrain = 64 * 1024
-    val rate = math.min(1.0, maxTrain.toDouble / math.max(n, 1L))
-    val keepBelow = math.max(1L, (rate * 1000000L).toLong)
     // unit-normalized sample (PQ on unit vectors ⇒ ADC dot ≈ cosine)
-    val sampleRows = v
-      .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(keepBelow))
-      .select(col("vec_id"), col("e"), col("nrm"))
-      .collect()
-      .sortBy(_.getLong(0))
-    val units: Array[Array[Double]] = sampleRows.map { r =>
-      val e = r.getSeq[Double](1); val nm = r.getDouble(2)
-      e.map(_ / nm).toArray
-    }
-    if (units.isEmpty) {
-      import org.apache.spark.sql.types._
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("q_id", LongType), StructField("rk", IntegerType, nullable = false),
-          StructField("vec_id", LongType), StructField("cos6", DoubleType))))
-    }
+    val units = trainingSample(v, n)
+    if (units.isEmpty) return emptyTopK(s)
     val dim = units(0).length
     val m = PqSubspaces
     require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")

@@ -237,7 +237,7 @@ class DedupSpec extends AnyFunSuite {
     assert(vol <= 50 * n, s"candidate volume $vol for n=$n")
   }
 
-  test("dedup_chunk: planted duplicate spans are counted exactly, join-free plan") {
+  test("dedup_chunk: planted duplicate spans are counted exactly, shared-exchange skew-safe plan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // doc 1 and 2 share their first 10-token chunk exactly; doc 2's
@@ -256,11 +256,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) === ((2L, 2L, 1.0)))   // both chunks seen elsewhere
     assert(out(3L) === ((1L, 1L, 1.0)))   // its whole text = doc 2's chunk
     assert(out(4L) === ((1L, 0L, 0.0)))
-    // corpus run: join-free plan and conservation of the chunk count
+    // empty / whitespace-only docs have zero chunks (and so no row)
+    val empties = Dedup.chunkAudit(Seq((9L, ""), (10L, "   "), (11L, "one")).toDF("doc_id", "text"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(empties === Set(11L))
+    // corpus run: the per-(doc, chunk) aggregate feeds both the
+    // frequency count and the join probe from ONE exchange (skew-safe
+    // keyed-aggregate shape — no window over the hot chunk key).
+    // Exchange reuse is an AQE runtime decision: execute, then assert
+    // on the final adaptive plan.
     val df = Dedup.dedupChunk(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), s"chunk audit needs no join:\n$plan")
     val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("ReusedExchange"), s"perDoc exchange must be shared:\n$plan")
+    assert(!plan.contains("Window"), "frequency must be a keyed aggregate, not a window")
     val want = Tables.documents(spark, sf).select(col("text")).collect()
       .map(r => (r.getString(0).trim.split("\\s+").count(_.nonEmpty) + 9) / 10)
       .map(_.toLong).sum
