@@ -46,6 +46,69 @@ object Stateful {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  case class SessState(start_us: Long, last_us: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, sess_start_us: Long, sess_end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Custom sessionization with EVENT-TIME TIMEOUT state — the
+    * `flatMapGroupsWithState` ladder rung [[sessionAgg]]'s native
+    * `session_window` cannot show: one open-session struct per user,
+    * `state.setTimeoutTimestamp(last + gap)` arms expiry, and the
+    * session is emitted either when a later event overshoots the gap
+    * (closed in-stream) or when the WATERMARK passes the armed
+    * timestamp (`state.hasTimedOut` — closed by time passing, no
+    * further input needed).  State is removed on emit, so memory is
+    * one struct per ACTIVE user, not per user ever seen.  Parity with
+    * the batch session image is spec-pinned.
+    *
+    * Input needs (user_id, ts, value) with a watermark already set on
+    * ts (event-time timeout requires one).
+    */
+  def sessionizeWithTimeout(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000000): Dataset[SessionOut] = {
+    import spark.implicits._
+    // the watermark COLUMN (ts) must survive into the stateful
+    // operator's input schema — event-time timeout is rejected without
+    // it; us is the exact-microsecond copy the session math uses
+    val typed = events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Double)], state: GroupState[SessState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start_us, s.last_us, s.n, s.sum))
+          } else {
+            // per-user per-batch sets are bounded; sort restores
+            // event-time order within the batch
+            val sorted = batch.toSeq.sortBy(_._3)
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { case (_, _, us, v) =>
+              cur match {
+                case Some(s) if us - s.last_us <= gapUs =>
+                  cur = Some(SessState(s.start_us, math.max(s.last_us, us), s.n + 1, s.sum + v))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start_us, s.last_us, s.n, s.sum)
+                  cur = Some(SessState(us, us, 1L, v))
+                case None =>
+                  cur = Some(SessState(us, us, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // arm event-time expiry: fires when the watermark passes
+              // the session's gap boundary
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_msgs: Long, total_value: Double)
 

@@ -64,6 +64,40 @@ class StatefulSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("event-time-timeout sessionization closes sessions in-stream AND by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L // 1s in us
+    // a modern base: epoch-0 event times sit AT the initial watermark
+    // and would be dropped as late
+    val B = 1600000000L * M
+    val mem = MemoryStream[(Long, Long, Double)]
+    val src = mem.toDF().toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+      .withWatermark("ts", "1 second")
+    val q = Stateful.sessionizeWithTimeout(spark, src).writeStream
+      .outputMode("append").format("memory").queryName("sess_timeout").start()
+    // batch 1: user 1 a 2-event session, user 2 a single event
+    mem.addData((1L, B, 1.0), (1L, B + 600 * M, 2.0), (2L, B + 300 * M, 5.0))
+    q.processAllAvailable()
+    // batch 2: user 1 reappears past the 30-min gap (closes session 1
+    // in-stream); user 3's far-future event drives the watermark past
+    // everyone's gap boundary so the armed timeouts fire
+    mem.addData((1L, B + 3600 * M, 3.0), (3L, B + 36000 * M, 9.0))
+    q.processAllAvailable()
+    q.processAllAvailable() // drain the no-data timeout batch
+    q.stop()
+    val got = spark.table("sess_timeout")
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // user 3's session is still open (watermark never passed it) — absent
+    assert(got === Set(
+      (1L, B, B + 600 * M, 2L, 3.0),              // closed in-stream by the 60-min event
+      (1L, B + 3600 * M, B + 3600 * M, 1L, 3.0),  // closed by event-time timeout
+      (2L, B + 300 * M, B + 300 * M, 1L, 5.0)))   // closed by event-time timeout
+  }
+
   test("stateful transitions across batches match the batch lag-window image") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
