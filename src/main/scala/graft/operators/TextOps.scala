@@ -174,7 +174,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-3 most distinctive terms per document by a log-free TF-IDF
+    * (tf · N / df — same ranking intent as tf·log(N/df) without the
+    * transcendental, so every score is an exact-int IEEE quotient the
+    * oracle replays bit-for-bit) — the inverted-index weighting
+    * primitive behind retrieval and keyword extraction.
+    *
+    * One (doc, term) aggregate feeds BOTH the tf side and the df
+    * aggregate (merge-hinted join → the exchange is reused, same
+    * pattern as dedup_chunk); N broadcasts as a 1-row aggregate; the
+    * per-doc top-3 window shuffles the bounded distinct-pair frame on
+    * doc_id.
+    */
+  def topTfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = pairs.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = pairs.hint("merge").join(dfreq.hint("merge"), "term")
+      .join(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        ((col("tf") * col("n_docs")).cast("double") / col("dfc")).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_tfidf_terms" -> (topTfidfTerms _),
     "text_repetition" -> (textRepetition _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -187,6 +217,16 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    "top_tfidf_terms" ->
+      """WITH p0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |pairs AS (SELECT doc_id, term, COUNT(*) AS tf FROM p0 GROUP BY doc_id, term),
+        |d AS (SELECT term, COUNT(*) AS dfc FROM pairs GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, CAST(tf * n_docs AS DOUBLE) / dfc AS tfidf
+        |       FROM pairs JOIN d USING (term) CROSS JOIN n)
+        |SELECT doc_id, rk, term, tfidf FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // exact replay: 2-grams = space-joined adjacent tokens; every
     // fraction is an int/int (or 1.0 minus one) IEEE quotient, so the
     // doubles are bit-identical

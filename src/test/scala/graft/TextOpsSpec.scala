@@ -105,6 +105,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(loop.getLong(2) === 50L && loop.getLong(3) === 99L && loop.getLong(4) === 99L)
   }
 
+  test("top_tfidf_terms matches a local exact replay of the log-free ranking") {
+    val rows = TextOps.topTfidfTerms(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { g =>
+      assert(g.length <= 3)
+      assert(g.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to g.length))
+      val scores = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("tfidf"))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // exact replay: tf, df, N in plain Scala, same (score desc, term) order
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq).toMap
+    val n = docs.size.toLong
+    val dfc = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    docs.foreach { case (id, toks) =>
+      val want = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap.toSeq
+        .map { case (t, tf) => (t, (tf * n).toDouble / dfc(t)) }
+        .sortBy { case (t, sc) => (-sc, t) }.take(3)
+      val got = byDoc(id).sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[String]("term"), r.getAs[Double]("tfidf"))).toSeq
+      assert(got === want, s"doc $id")
+    }
+  }
+
   test("mm_dedup registry conserves the corpus and keeps the minimum doc per address") {
     val rows = Multimodal.mmDedup(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_copies")).sum
