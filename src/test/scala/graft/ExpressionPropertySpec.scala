@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** Property tests for the native Catalyst expressions: each one is
+  * checked against an independent reference formulation on randomized
+  * inputs — the codegen'd hot-path implementations must agree with the
+  * slow obvious ones on EVERY input, not just the corpus fixtures.
+  */
+class ExpressionPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic scalacheck sampling (no scalatest-plus bridge in
+    * the build): fixed seeds, so a failure reproduces exactly.
+    */
+  private def forAll[A](g: Gen[A], rounds: Int = 8)(body: A => Unit): Unit =
+    (1 to rounds).foreach { i =>
+      body(g.apply(Gen.Parameters.default, Seed(0x5eedL ^ i)).get)
+    }
+
+  private val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+  private val text: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+
+  test("rolling_hash64 equals a BigInt modular replay on random strings") {
+    import spark.implicits._
+    val P = BigInt(1000000007)
+    val M = BigInt(1) << 64
+    val HALF = BigInt(1) << 63
+    forAll(Gen.listOfN(20, text)) { ts =>
+      val df = ts.toDF("t")
+        .select(RollingHash64.rollingHash64(col("t")).as("h"))
+      val got = df.collect().map(_.getLong(0))
+      val want = ts.map { t =>
+        var acc = BigInt(0)
+        t.getBytes("UTF-8").foreach { b => acc = (acc * P + BigInt(b & 0xff)) % M }
+        (if (acc >= HALF) acc - M else acc).toLong
+      }
+      assert(got.toSeq === want)
+    }
+  }
+
+  test("adc_score equals the element_at formulation on random codes/tables") {
+    import spark.implicits._
+    val m = 8
+    val gen = for {
+      codes <- Gen.listOfN(m, Gen.choose(0, 15))
+      tabs <- Gen.listOfN(m, Gen.listOfN(16, Gen.choose(-5.0, 5.0)))
+    } yield (codes, tabs)
+    forAll(Gen.listOfN(10, gen)) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("codes", "tabs")
+        val got = df.select(AdcScore.adcScore(col("codes"), col("tabs")).as("s"))
+          .collect().map(_.getDouble(0))
+        // reference: the m-way element_at tree the native expr replaced
+        val ref = df.select((0 until m).map { j =>
+          element_at(element_at(col("tabs"), j + 1), element_at(col("codes"), j + 1) + 1)
+        }.reduce(_ + _).as("s")).collect().map(_.getDouble(0))
+        assert(got.toSeq === ref.toSeq)
+      }
+    }
+  }
+
+  test("char_pairs equals sliding(2) on random strings") {
+    import spark.implicits._
+    forAll(Gen.listOfN(20, text)) { ts =>
+      val df = ts.toDF("t").select(CharPairs.charPairs(col("t")).as("p"))
+      val got = df.collect().map(_.getSeq[String](0).toSeq)
+      val want = ts.map(t => if (t.length < 2) Seq.empty[String] else t.sliding(2).toSeq)
+      assert(got.toSeq === want)
+    }
+  }
+
+  test("word_shingles equals sliding(n).mkString on random token arrays") {
+    import spark.implicits._
+    forAll(Gen.listOfN(15, Gen.listOf(word))) { tokLists =>
+      if (tokLists.nonEmpty) {
+        val df = tokLists.toDF("toks")
+          .select(WordShingles.wordShingles(col("toks"), 3).as("sh"))
+        val got = df.collect().map(_.getSeq[String](0).toSeq)
+        val want = tokLists.map { toks =>
+          if (toks.length < 3) Seq.empty[String]
+          else toks.sliding(3).map(_.mkString(" ")).toSeq
+        }
+        assert(got.toSeq === want)
+      }
+    }
+  }
+
+  test("dot_product equals a strict left fold on random vectors") {
+    import spark.implicits._
+    val vec = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    forAll(Gen.listOfN(10, Gen.zip(vec, vec))) { pairs =>
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("a", "b")
+        val got = df.select(VectorFunctions.dot(col("a"), col("b")).as("d"))
+          .collect().map(_.getDouble(0))
+        val want = pairs.map { case (a, b) =>
+          a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+        }
+        assert(got.toSeq === want)
+      }
+    }
+  }
+}

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Multimodal, TextOps}
+import graft.sources.Tables
 
 class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
