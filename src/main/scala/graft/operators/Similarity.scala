@@ -271,36 +271,7 @@ object Similarity {
     // fraction of the corpus forever)
     val nprobe = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
-    // local spherical k-means: seeds = first C sample vectors, then
-    // Lloyd iterations entirely on the driver (sequential arithmetic →
-    // bit-deterministic across runs and partitionings)
-    var cents: Array[Array[Double]] = units.take(cells).map(_.clone())
-    for (_ <- 0 until 5) {
-      val dim = cents(0).length
-      val sums = Array.fill(cells)(new Array[Double](dim))
-      val counts = new Array[Long](cells)
-      units.foreach { u =>
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < cells) {
-          var d = 0.0; var i = 0
-          while (i < dim) { d += cents(c)(i) * u(i); i += 1 }
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
-        }
-        var i = 0
-        while (i < dim) { sums(best)(i) += u(i); i += 1 }
-        counts(best) += 1
-      }
-      cents = cents.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old
-        else {
-          val sm = sums(c)
-          val nrm = math.sqrt(sm.map(x => x * x).sum)
-          if (nrm > 0) sm.map(_ / nrm) else old
-        }
-      }
-    }
+    val cents = sphericalKMeans(units, cells, 5)
 
     val (corpusAssigned, q) =
       if (cells <= LiteralCells) {
@@ -427,6 +398,57 @@ object Similarity {
         StructField("vec_id", LongType), StructField("cos6", DoubleType))))
   }
 
+  /** Driver-local SPHERICAL k-means (cosine objective — assignment by
+    * max dot, centroids re-normalized): seeds = first k sample
+    * vectors, then Lloyd iterations entirely on the driver
+    * (sequential arithmetic → bit-deterministic across runs and
+    * partitionings; empty clusters keep their previous centroid).
+    * Shared by the IVF and IVF-PQ coarse quantizers.
+    */
+  private def sphericalKMeans(units: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = units.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val dim = cents(0).length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      units.foreach { u =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += cents(c)(i) * u(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += u(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val sm = sums(c)
+          val nrm = math.sqrt(sm.map(x => x * x).sum)
+          if (nrm > 0) sm.map(_ / nrm) else old
+        }
+      }
+    }
+    cents
+  }
+
+  /** Per-subspace PQ codebooks over the (unit-normalized) sample:
+    * m books of ksub L2-k-means centroids on the sub-vectors.  Shared
+    * by the PQ and IVF-PQ paths.
+    */
+  private def pqBooks(units: Array[Array[Double]], m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val dim = units(0).length
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      kmeansL2(units.map(u => java.util.Arrays.copyOfRange(u, j * sub, (j + 1) * sub)), ksub, 5)
+    }
+  }
+
   /** Driver-local L2 Lloyd k-means over sub-vectors (deterministic:
     * seeds = first k points, sequential accumulation, empty clusters
     * keep their previous centroid).
@@ -464,13 +486,9 @@ object Similarity {
     if (units.isEmpty) return emptyTopK(s)
     val dim = units(0).length
     val m = PqSubspaces
-    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
     val sub = dim / m
     val ksub = math.min(PqCodes, units.length)
-    // per-subspace codebooks over the sample's sub-vectors
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      kmeansL2(units.map(u => java.util.Arrays.copyOfRange(u, j * sub, (j + 1) * sub)), ksub, 5)
-    }
+    val books = pqBooks(units, m, ksub)
 
     // encode map-side: nearest sub-centroid by L2 on the unit vector,
     // expressed as argmax(dot(e_sub, c)/nrm − ½‖c‖²) so the raw (e, nrm)
@@ -523,6 +541,101 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-PQ composed ANN — the FAISS-default architecture, from the
+    * two already-verified pieces: the IVF coarse quantizer PRUNES (a
+    * query touches only its nprobe cells' code rows — 1/√C of the
+    * corpus, vanishing as it grows) and PQ codes make each touched
+    * row 16 B instead of 512 B.  Against plain PQ the ADC scan
+    * shrinks ~√C-fold; against plain IVF the probed rows are codes,
+    * not embeddings.  Exact re-rank keeps reported scores true.
+    *
+    * This variant quantizes the raw unit vectors, not the per-cell
+    * RESIDUALS (FAISS's extra precision step) — the residual trade
+    * costs one subtraction per encode but needs per-cell ADC tables
+    * (|Q|·nprobe·m·ksub entries); at 16 codes/subspace the raw-vector
+    * books already beat the LSH path's recall here, so the simpler
+    * form is kept and the spec pins the recall floor.
+    *
+    * Cells clamp to [[LiteralCells]]: both assignment expressions are
+    * codebook literals (map-side, zero training shuffle).  Approximate
+    * by construction → rows-only oracle.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    ivfPqSearch(v, queryVecs(v), 10, corpusSize(s, dir))
+  }
+
+  /** Public IVF-PQ entry for a user query set ([[MaxQueries]]
+    * contract, asserted).
+    */
+  def annIvfPqFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    ivfPqSearch(prep(corpus), asQueries(queries), k, corpus.count())
+
+  private[graft] def ivfPqSearch(v: DataFrame, q0: DataFrame, k: Int, n: Long): DataFrame = {
+    val s = v.sparkSession
+    val units = trainingSample(v, n)
+    if (units.isEmpty) return emptyTopK(s)
+    val dim = units(0).length
+    val m = PqSubspaces
+    val sub = dim / m
+    val ksub = math.min(PqCodes, units.length)
+    val cells = math.min(math.min(LiteralCells,
+      math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)), units.length)
+    val nprobe = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val cents = sphericalKMeans(units, cells, 5)
+    val books = pqBooks(units, m, ksub)
+    val centroids: Seq[(Int, Seq[Double])] =
+      cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq
+
+    // literal coarse assignment (same tie-break as ivfSearch: best dot,
+    // then smaller cid)
+    def nearestCell(e: Column, nrm: Column): Column =
+      array_min(array(centroids.map { case (cid, c) =>
+        struct((-(dot(e, typedLit(c)) / nrm)).as("negdot"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    def probeCells(e: Column, nrm: Column): Column =
+      slice(transform(array_sort(array(centroids.map { case (cid, c) =>
+        struct((-(dot(e, typedLit(c)) / nrm)).as("negdot"), lit(cid).as("cid"))
+      }: _*)), x => x.getField("cid")), 1, nprobe)
+    def codeFor(j: Int): Column =
+      array_min(array(books(j).zipWithIndex.map { case (c, cid) =>
+        val score = dot(slice(col("e"), j * sub + 1, sub), typedLit(c.toSeq)) / col("nrm") -
+          lit(0.5 * c.map(x => x * x).sum)
+        struct((-score).as("negscore"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+
+    // the materialized index relation: (vec_id, cid, codes) — encode
+    // once, search many; also keeps the giant literal encode tree out
+    // of the probe join stage (see pqSearch)
+    val index = v.select(col("vec_id"),
+      nearestCell(col("e"), col("nrm")).as("cid"),
+      array((0 until m).map(codeFor): _*).as("codes"))
+      .localCheckpoint(eager = true)
+
+    val qt = q0.select(col("q_id"),
+      explode(probeCells(col("qe"), col("qnrm"))).as("probe"),
+      array((0 until m).map { j =>
+        array(books(j).map(c =>
+          dot(slice(col("qe"), j * sub + 1, sub), typedLit(c.toSeq)) / col("qnrm")): _*)
+      }: _*).as("qtabs"))
+
+    // cell-pruned ADC scan: an EQUI broadcast join on cid — only the
+    // probed cells' code rows are ever scored
+    val cand = index.join(broadcast(qt),
+        col("cid") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.AdcScore.adcScore(col("codes"), col("qtabs")).as("cos"))
+    val shortlist = cand.groupBy(col("q_id"))
+      .agg(TopKScoredAgg.topKScored(col("cos"), col("vec_id"), PqRefine * k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"))
+    val scored = v.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q0), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** kNN label vote — similarity search applied: each fixture query
     * takes the majority label of its exact top-10 neighbors (ties →
     * smaller label), alongside its own label for accuracy auditing.
@@ -551,6 +664,7 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "knn_label_vote" -> (knnLabelVote _))
 
   def oracleSql: Map[String, String] = Map(

@@ -65,6 +65,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pqRows.map(_.toString).toSeq === again)
   }
 
+  test("ivfpq ann achieves useful recall and reports exact re-ranked scores") {
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val rows = Similarity.annIvfPq(spark, sf).collect()
+    val got = topSets(rows)
+    val recalls = bf.map { case (q, want) =>
+      got.getOrElse(q, Set()).intersect(want).size.toDouble / want.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.25, s"avg recall@10 = $avg")
+    val bfScores = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos6")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      bfScores.get(key).foreach(want => assert(r.getAs[Double]("cos6") === want))
+    }
+    val again = Similarity.annIvfPq(spark, sf).collect().map(_.toString).toSeq
+    assert(rows.map(_.toString).toSeq === again)
+  }
+
   test("ivf is deterministic across runs") {
     val a = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
     val b = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
