@@ -272,8 +272,24 @@ object Similarity {
     val nprobe = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
     val cents = sphericalKMeans(units, cells, 5)
+    val (corpusAssigned, q) = coarseAssign(v, q0, cents, nprobe)
+    val scored = corpusAssigned.join(broadcast(q),
+        col("cid") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(scored, k)
+  }
 
-    val (corpusAssigned, q) =
+  /** Coarse-quantizer assignment shared by IVF and IVF-PQ: returns
+    * (corpus + `cid`, queries exploded to one row per `probe` cell).
+    * Literal path up to [[LiteralCells]] (centroids compiled into the
+    * plan — map-side codegen, zero extra shuffle), broadcast-relation
+    * argmax beyond it (no codegen literal-budget ceiling).
+    */
+  private def coarseAssign(v: DataFrame, q0: DataFrame,
+      cents: Array[Array[Double]], nprobe: Int): (DataFrame, DataFrame) = {
+    val cells = cents.length
+    val out =
       if (cells <= LiteralCells) {
         // literal path: centroids compiled into the plan — cell
         // assignment is pure map-side codegen'd arithmetic, zero
@@ -298,6 +314,7 @@ object Similarity {
         // argmax — the documented price of cell counts beyond the
         // literal budget.  Tie-breaks ((d desc, cid asc)) mirror the
         // literal path exactly.
+        val s = v.sparkSession
         import s.implicits._
         val cdf = broadcast(
           cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cvec"))
@@ -317,12 +334,7 @@ object Similarity {
           .select(col("q_id"), col("qe"), col("qnrm"), col("cid").as("probe"))
         (assigned, probes)
       }
-
-    val scored = corpusAssigned.join(broadcast(q),
-        col("cid") === col("probe") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(scored, k)
+    out
   }
 
   /** PQ code book size: 8 subspaces × 16 centroids → one 4-bit code per
@@ -449,6 +461,47 @@ object Similarity {
     }
   }
 
+  /** Map-side PQ encode: codes[j] = nearest sub-centroid of book j by
+    * L2 on the unit vector, expressed as argmax(dot(e_sub, c)/nrm −
+    * ½‖c‖²) so the raw (e, nrm) columns feed codegen directly — no
+    * per-element normalize HOF.  Shared by the PQ and IVF-PQ paths.
+    */
+  private def pqCodesCol(books: Array[Array[Array[Double]]], sub: Int,
+      e: Column, nrm: Column): Column =
+    array(books.indices.map { j =>
+      array_min(array(books(j).zipWithIndex.map { case (c, cid) =>
+        val score = dot(slice(e, j * sub + 1, sub), typedLit(c.toSeq)) / nrm -
+          lit(0.5 * c.map(x => x * x).sum)
+        struct((-score).as("negscore"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }: _*)
+
+  /** Per-query ADC lookup tables: qtabs[j][c] = dot(q_sub_j, c)/‖q‖ —
+    * an m×ksub-double table riding the query row.  Shared by the PQ
+    * and IVF-PQ paths.
+    */
+  private def pqTabsCol(books: Array[Array[Array[Double]]], sub: Int,
+      qe: Column, qnrm: Column): Column =
+    array(books.indices.map { j =>
+      array(books(j).map(c => dot(slice(qe, j * sub + 1, sub), typedLit(c.toSeq)) / qnrm): _*)
+    }: _*)
+
+  /** Shared ADC tail: map-side top-(refine·k) shortlist over the
+    * approx scores, then exact re-rank of the broadcast shortlist
+    * against the real embeddings.
+    */
+  private def adcShortlistRerank(v: DataFrame, q0: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    val shortlist = cand.groupBy(col("q_id"))
+      .agg(TopKScoredAgg.topKScored(col("cos"), col("vec_id"), PqRefine * k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"))
+    val scored = v.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q0), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** Driver-local L2 Lloyd k-means over sub-vectors (deterministic:
     * seeds = first k points, sequential accumulation, empty clusters
     * keep their previous centroid).
@@ -490,15 +543,6 @@ object Similarity {
     val ksub = math.min(PqCodes, units.length)
     val books = pqBooks(units, m, ksub)
 
-    // encode map-side: nearest sub-centroid by L2 on the unit vector,
-    // expressed as argmax(dot(e_sub, c)/nrm − ½‖c‖²) so the raw (e, nrm)
-    // columns feed codegen directly — no per-element normalize HOF
-    def codeFor(j: Int): Column =
-      array_min(array(books(j).zipWithIndex.map { case (c, cid) =>
-        val score = dot(slice(col("e"), j * sub + 1, sub), typedLit(c.toSeq)) / col("nrm") -
-          lit(0.5 * c.map(x => x * x).sum)
-        struct((-score).as("negscore"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
     // MATERIALIZE the code table (production PQ persists it — encode
     // once, search many).  Two wins: the ADC join reads ~16 B/vector
     // rows instead of re-encoding per run, and the m·k-literal encode
@@ -506,16 +550,10 @@ object Similarity {
     // whole stage out of whole-stage codegen and the per-pair path
     // drops to interpreted eval (measured 20× slower end to end).
     val enc = v.select(col("vec_id"),
-      array((0 until m).map(codeFor): _*).as("codes"))
+      pqCodesCol(books, sub, col("e"), col("nrm")).as("codes"))
       .localCheckpoint(eager = true)
-
-    // per-query ADC tables: qtabs[j][c] = dot(q_sub_j, c)/‖q‖ — an
-    // 8×16-double lookup table riding the (broadcast) query row
     val qt = q0.select(col("q_id"),
-      array((0 until m).map { j =>
-        array(books(j).map(c =>
-          dot(slice(col("qe"), j * sub + 1, sub), typedLit(c.toSeq)) / col("qnrm")): _*)
-      }: _*).as("qtabs"))
+      pqTabsCol(books, sub, col("qe"), col("qnrm")).as("qtabs"))
 
     // ADC scan: approx cosine = Σ_j qtabs[j][code_j] via the native
     // [[graft.functions.AdcScore]] — ONE eval per row.  This expression
@@ -527,18 +565,7 @@ object Similarity {
     val cand = enc.join(broadcast(qt), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         graft.functions.AdcScore.adcScore(col("codes"), col("qtabs")).as("cos"))
-    val shortlist = cand.groupBy(col("q_id"))
-      .agg(TopKScoredAgg.topKScored(col("cos"), col("vec_id"), PqRefine * k).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.id").as("vec_id"))
-
-    // exact re-rank of the |Q|·refine·k shortlist against the real
-    // embeddings (shortlist broadcasts into the corpus scan)
-    val scored = v.join(broadcast(shortlist), "vec_id")
-      .join(broadcast(q0), "q_id")
-      .select(col("q_id"), col("vec_id"),
-        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(scored, k)
+    adcShortlistRerank(v, q0, cand, k)
   }
 
   /** IVF-PQ composed ANN — the FAISS-default architecture, from the
@@ -556,9 +583,10 @@ object Similarity {
     * books already beat the LSH path's recall here, so the simpler
     * form is kept and the spec pins the recall floor.
     *
-    * Cells clamp to [[LiteralCells]]: both assignment expressions are
-    * codebook literals (map-side, zero training shuffle).  Approximate
-    * by construction → rows-only oracle.
+    * Cells derive exactly as in [[annIvf]] (√n clamped to [16, 4096]):
+    * [[coarseAssign]] provides the literal assignment up to
+    * [[LiteralCells]] and the broadcast-relation argmax beyond it.
+    * Approximate by construction → rows-only oracle.
     */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
@@ -579,61 +607,41 @@ object Similarity {
     val m = PqSubspaces
     val sub = dim / m
     val ksub = math.min(PqCodes, units.length)
-    val cells = math.min(math.min(LiteralCells,
-      math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)), units.length)
+    // same cell derivation as ivfSearch — [[coarseAssign]] carries both
+    // the literal path and the broadcast-relation path past
+    // [[LiteralCells]], so C keeps growing as √n (no probed-fraction
+    // floor at high n)
+    val cells = math.min(
+      math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt)), units.length)
     val nprobe = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val cents = sphericalKMeans(units, cells, 5)
     val books = pqBooks(units, m, ksub)
-    val centroids: Seq[(Int, Seq[Double])] =
-      cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq
-
-    // literal coarse assignment (same tie-break as ivfSearch: best dot,
-    // then smaller cid)
-    def nearestCell(e: Column, nrm: Column): Column =
-      array_min(array(centroids.map { case (cid, c) =>
-        struct((-(dot(e, typedLit(c)) / nrm)).as("negdot"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    def probeCells(e: Column, nrm: Column): Column =
-      slice(transform(array_sort(array(centroids.map { case (cid, c) =>
-        struct((-(dot(e, typedLit(c)) / nrm)).as("negdot"), lit(cid).as("cid"))
-      }: _*)), x => x.getField("cid")), 1, nprobe)
-    def codeFor(j: Int): Column =
-      array_min(array(books(j).zipWithIndex.map { case (c, cid) =>
-        val score = dot(slice(col("e"), j * sub + 1, sub), typedLit(c.toSeq)) / col("nrm") -
-          lit(0.5 * c.map(x => x * x).sum)
-        struct((-score).as("negscore"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
+    val (assigned, probes) = coarseAssign(v, q0, cents, nprobe)
 
     // the materialized index relation: (vec_id, cid, codes) — encode
     // once, search many; also keeps the giant literal encode tree out
     // of the probe join stage (see pqSearch)
-    val index = v.select(col("vec_id"),
-      nearestCell(col("e"), col("nrm")).as("cid"),
-      array((0 until m).map(codeFor): _*).as("codes"))
+    val index = assigned.select(col("vec_id"), col("cid"),
+      pqCodesCol(books, sub, col("e"), col("nrm")).as("codes"))
       .localCheckpoint(eager = true)
 
-    val qt = q0.select(col("q_id"),
-      explode(probeCells(col("qe"), col("qnrm"))).as("probe"),
-      array((0 until m).map { j =>
-        array(books(j).map(c =>
-          dot(slice(col("qe"), j * sub + 1, sub), typedLit(c.toSeq)) / col("qnrm")): _*)
-      }: _*).as("qtabs"))
+    // broadcast shapes: the (q_id, probe) pairs are |Q|·nprobe NARROW
+    // rows; the fat m×ksub qtabs ride a SEPARATE |Q|-row broadcast
+    // joined by q_id — duplicating qtabs onto every probe row would
+    // multiply the broadcast by nprobe (~30× past the MaxQueries
+    // contract's documented budget)
+    val probePairs = probes.select(col("q_id"), col("probe"))
+    val qtabs = q0.select(col("q_id"),
+      pqTabsCol(books, sub, col("qe"), col("qnrm")).as("qtabs"))
 
     // cell-pruned ADC scan: an EQUI broadcast join on cid — only the
     // probed cells' code rows are ever scored
-    val cand = index.join(broadcast(qt),
+    val cand = index.join(broadcast(probePairs),
         col("cid") === col("probe") && col("vec_id") =!= col("q_id"))
+      .join(broadcast(qtabs), "q_id")
       .select(col("q_id"), col("vec_id"),
         graft.functions.AdcScore.adcScore(col("codes"), col("qtabs")).as("cos"))
-    val shortlist = cand.groupBy(col("q_id"))
-      .agg(TopKScoredAgg.topKScored(col("cos"), col("vec_id"), PqRefine * k).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.id").as("vec_id"))
-    val scored = v.join(broadcast(shortlist), "vec_id")
-      .join(broadcast(q0), "q_id")
-      .select(col("q_id"), col("vec_id"),
-        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(scored, k)
+    adcShortlistRerank(v, q0, cand, k)
   }
 
   /** kNN label vote — similarity search applied: each fixture query

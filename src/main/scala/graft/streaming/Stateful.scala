@@ -58,8 +58,21 @@ object Stateful {
     * (closed in-stream) or when the WATERMARK passes the armed
     * timestamp (`state.hasTimedOut` — closed by time passing, no
     * further input needed).  State is removed on emit, so memory is
-    * one struct per ACTIVE user, not per user ever seen.  Parity with
-    * the batch session image is spec-pinned.
+    * one struct per ACTIVE user, not per user ever seen.
+    *
+    * Ordering contract: under per-key event-time-ordered delivery
+    * (frafka's per-partition guarantee, which the runtime's routing
+    * preserves — see StreamingSpec's ordering spec) the emitted
+    * sessions EQUAL the batch image [[graft.operators.EventOps
+    * .winSession]]; the parity is spec-pinned on the real events
+    * table.  Under bounded disorder the single-struct state degrades
+    * gracefully rather than corrupting: a late event lands in the
+    * open session when it is within the session's gap-extended span
+    * (start − gap ≤ us, extending start downward if needed), and a
+    * late event gap-separated BELOW the open session emits
+    * immediately as its own closed 1-event session (the session it
+    * might have extended was already emitted — the price of one
+    * struct per user instead of session_window's open-session list).
     *
     * Input needs (user_id, ts, value) with a watermark already set on
     * ts (event-time timeout requires one).
@@ -84,16 +97,29 @@ object Stateful {
           } else {
             // per-user per-batch sets are bounded; sort restores
             // event-time order within the batch
-            val sorted = batch.toSeq.sortBy(_._3)
+            // (us, value) sort: us alone would fold equal-timestamp
+            // values in nondeterministic iterator order — the value
+            // tie-break makes the float accumulation order (and so the
+            // emitted sum) identical on every run and partitioning
+            val sorted = batch.toSeq.sortBy(t => (t._3, t._4))
             val closed = Seq.newBuilder[SessionOut]
             var cur = state.getOption
             sorted.foreach { case (_, _, us, v) =>
               cur match {
-                case Some(s) if us - s.last_us <= gapUs =>
-                  cur = Some(SessState(s.start_us, math.max(s.last_us, us), s.n + 1, s.sum + v))
-                case Some(s) =>
+                case Some(s) if us >= s.start_us - gapUs && us - s.last_us <= gapUs =>
+                  // in-order continuation, or a late event inside the
+                  // session's gap-extended span (start may move down)
+                  cur = Some(SessState(math.min(s.start_us, us),
+                    math.max(s.last_us, us), s.n + 1, s.sum + v))
+                case Some(s) if us > s.last_us =>
+                  // in-order gap overshoot: close, start fresh
                   closed += SessionOut(user, s.start_us, s.last_us, s.n, s.sum)
                   cur = Some(SessState(us, us, 1L, v))
+                case Some(_) =>
+                  // late AND gap-separated below the open session: its
+                  // own session ended long ago in event time — emit it
+                  // closed, keep the open session untouched
+                  closed += SessionOut(user, us, us, 1L, v)
                 case None =>
                   cur = Some(SessState(us, us, 1L, v))
               }

@@ -98,6 +98,48 @@ class StatefulSpec extends AnyFunSuite {
       (2L, B + 300 * M, B + 300 * M, 1L, 5.0)))   // closed by event-time timeout
   }
 
+  test("timeout sessionization EQUALS the batch winSession image under ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real events in event-time order, split into 3 batches at time
+    // boundaries (per-key order preserved — the runtime's ordering
+    // contract), then a far-future sentinel flushes every timeout
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        graft.functions.TimeFunctions.epochUs(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._2, t._1, t._3))
+    val cut1 = ev(ev.length / 3)._2
+    val cut2 = ev(2 * ev.length / 3)._2
+    val sentinel = (Long.MaxValue / 2, ev.last._2 + 365L * 86400 * 1000000, 0.0)
+    val mem = MemoryStream[(Long, Long, Double)]
+    val src = mem.toDF().toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+      .withWatermark("ts", "1 second")
+    val q = Stateful.sessionizeWithTimeout(spark, src).writeStream
+      .outputMode("append").format("memory").queryName("sess_parity").start()
+    mem.addData(ev.filter(_._2 <= cut1).toSeq: _*); q.processAllAvailable()
+    mem.addData(ev.filter(t => t._2 > cut1 && t._2 <= cut2).toSeq: _*); q.processAllAvailable()
+    mem.addData(ev.filter(_._2 > cut2) :+ sentinel: _*); q.processAllAvailable()
+    q.processAllAvailable() // no-data timeout batch
+    q.stop()
+    val got = spark.table("sess_parity")
+      .filter(col("user_id") =!= sentinel._1)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us"),
+        r.getAs[Long]("sess_end_us"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    val want = EventOps.winSession(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us"),
+        r.getAs[Long]("sess_end_us"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    // keys exact; sums approx (decimal-sum batch vs double-fold stream)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).sorted.toSeq ===
+      want.map(t => (t._1, t._2, t._3, t._4)).sorted.toSeq)
+    val gotSums = got.map(t => (t._1, t._2) -> t._5).toMap
+    want.foreach { t =>
+      assert(math.abs(gotSums((t._1, t._2)) - t._5) <= 1e-6 * math.max(1.0, math.abs(t._5)))
+    }
+  }
+
   test("stateful transitions across batches match the batch lag-window image") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
