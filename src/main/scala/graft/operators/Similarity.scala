@@ -599,7 +599,11 @@ object Similarity {
   def annIvfPqFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     ivfPqSearch(prep(corpus), asQueries(queries), k, corpus.count())
 
-  private[graft] def ivfPqSearch(v: DataFrame, q0: DataFrame, k: Int, n: Long): DataFrame = {
+  /** `forceCells` overrides the √n cell derivation (spec hook for the
+    * broadcast-relation assignment at small n, as in [[ivfSearch]]).
+    */
+  private[graft] def ivfPqSearch(v: DataFrame, q0: DataFrame, k: Int, n: Long,
+      forceCells: Option[Int] = None): DataFrame = {
     val s = v.sparkSession
     val units = trainingSample(v, n)
     if (units.isEmpty) return emptyTopK(s)
@@ -611,8 +615,8 @@ object Similarity {
     // the literal path and the broadcast-relation path past
     // [[LiteralCells]], so C keeps growing as √n (no probed-fraction
     // floor at high n)
-    val cells = math.min(
-      math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt)), units.length)
+    val cells = math.min(forceCells.getOrElse(
+      math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))), units.length)
     val nprobe = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val cents = sphericalKMeans(units, cells, 5)
     val books = pqBooks(units, m, ksub)

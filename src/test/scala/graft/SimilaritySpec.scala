@@ -84,6 +84,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again)
   }
 
+  test("ivfpq broadcast-relation path (cells > literal budget) keeps recall") {
+    val v = Similarity.normalizedVecs(spark, sf)
+    val df = Similarity.ivfPqSearch(v, Similarity.queryVecs(v), 10,
+      Similarity.corpusSize(spark, sf), forceCells = Some(300))
+    val got = topSets(df.collect())
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val recalls = bf.map { case (q, want) =>
+      got.getOrElse(q, Set()).intersect(want).size.toDouble / want.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.2, s"avg recall@10 = $avg")
+  }
+
   test("ivf is deterministic across runs") {
     val a = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
     val b = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
