@@ -97,6 +97,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.2, s"avg recall@10 = $avg")
   }
 
+  test("ivfpq scans codes via an equi broadcast join on cid (no nested-loop, checkpoint leaf)") {
+    val p = Similarity.annIvfPq(spark, sf).queryExecution.executedPlan.toString
+    // cell pruning = equi join; PQ's all-pairs BNLJ must NOT appear
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "ivfpq must not scan all (q, v) pairs")
+    // the ADC side reads the materialized code relation, not a re-encode
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"),
+      "code relation must be a materialized leaf")
+  }
+
   test("ivf is deterministic across runs") {
     val a = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
     val b = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
