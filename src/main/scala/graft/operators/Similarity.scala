@@ -210,8 +210,12 @@ object Similarity {
   }
 
   /** Public LSH entry for a user query set ([[MaxQueries]] contract,
-    * asserted).  Bucket width derives from the corpus row count (one
-    * count action — metadata-only on a parquet-backed frame).
+    * asserted).  Bucket width derives from the corpus row count — NOTE:
+    * this `...For` entry runs actions at PLAN-BUILD time (the bounded
+    * query materialization plus one `corpus.count()`), so `corpus`
+    * should be a materialized (parquet-backed) table, where the count
+    * is a metadata-only scan; on a derived frame it executes the full
+    * upstream pipeline once per call.
     */
   def annLshFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     lshSearch(prep(corpus), asQueries(queries), k, lshBitsFor(corpus.count()))
@@ -247,7 +251,9 @@ object Similarity {
   }
 
   /** Public IVF entry for a user query set ([[MaxQueries]] contract,
-    * asserted).
+    * asserted).  Same plan-build-time action contract as [[annLshFor]]:
+    * `corpus` should be a materialized table (one `corpus.count()` per
+    * call derives the cell count).
     */
   def annIvfFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     ivfSearch(prep(corpus), asQueries(queries), k, corpus.count())
@@ -287,55 +293,70 @@ object Similarity {
     * argmax beyond it (no codegen literal-budget ceiling).
     */
   private def coarseAssign(v: DataFrame, q0: DataFrame,
-      cents: Array[Array[Double]], nprobe: Int): (DataFrame, DataFrame) = {
-    val cells = cents.length
-    val out =
-      if (cells <= LiteralCells) {
-        // literal path: centroids compiled into the plan — cell
-        // assignment is pure map-side codegen'd arithmetic, zero
-        // additional shuffle over the corpus
-        val centroids: Seq[(Int, Seq[Double])] =
-          cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq
-        def nearestCell(e: Column): Column =
-          array_min(array(centroids.map { case (cid, c) =>
-            struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
-          }: _*)).getField("cid")
-        def probeCells(e: Column): Column =
-          slice(transform(array_sort(array(centroids.map { case (cid, c) =>
-            struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
-          }: _*)), s => s.getField("cid")), 1, nprobe)
-        (v.withColumn("cid", nearestCell(col("e"))),
-          q0.withColumn("probe", explode(probeCells(col("qe")))))
-      } else {
-        // broadcast-relation path: the centroid frame broadcasts to a
-        // product with each side, and the argmax collapses per row key.
-        // Corpus cost: one n×C broadcast product reduced by map-side
-        // partial max, then ONE corpus-wide shuffle for the final
-        // argmax — the documented price of cell counts beyond the
-        // literal budget.  Tie-breaks ((d desc, cid asc)) mirror the
-        // literal path exactly.
-        val s = v.sparkSession
-        import s.implicits._
-        val cdf = broadcast(
-          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cvec"))
-        val assigned = v.crossJoin(cdf)
-          .groupBy(col("vec_id"))
-          .agg(
-            max(struct(dot(col("e"), col("cvec")).as("d"), (-col("cid")).as("negcid"))).as("best"),
-            // e/nrm are constant per vec_id, so first() is deterministic
-            first(col("e")).as("e"), first(col("nrm")).as("nrm"))
-          .select(col("vec_id"), col("e"), col("nrm"), (-col("best.negcid")).as("cid"))
-        val qw = Window.partitionBy(col("q_id")).orderBy(col("d").desc, col("cid"))
-        val probes = q0.crossJoin(cdf)
-          .select(col("q_id"), col("qe"), col("qnrm"), col("cid"),
-            dot(col("qe"), col("cvec")).as("d"))
-          .withColumn("rn", row_number().over(qw))
-          .filter(col("rn") <= nprobe)
-          .select(col("q_id"), col("qe"), col("qnrm"), col("cid").as("probe"))
-        (assigned, probes)
-      }
-    out
-  }
+      cents: Array[Array[Double]], nprobe: Int): (DataFrame, DataFrame) =
+    (assignCells(v, cents), queryProbes(q0, cents, nprobe))
+
+  /** Corpus side of the coarse quantizer: adds `cid` = nearest-centroid
+    * id.  Literal argmax up to [[LiteralCells]] (pure map-side
+    * codegen'd arithmetic, zero additional shuffle over the corpus);
+    * past it the centroid frame broadcasts to an n×C product reduced by
+    * map-side partial max, then ONE corpus-wide shuffle for the final
+    * argmax — the documented price of cell counts beyond the literal
+    * budget.  Tie-breaks ((d desc, cid asc)) are identical on both
+    * paths.
+    */
+  private def assignCells(v: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    if (cents.length <= LiteralCells) {
+      val centroids: Seq[(Int, Seq[Double])] =
+        cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq
+      def nearestCell(e: Column): Column =
+        array_min(array(centroids.map { case (cid, c) =>
+          struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
+        }: _*)).getField("cid")
+      v.withColumn("cid", nearestCell(col("e")))
+    } else {
+      val s = v.sparkSession
+      import s.implicits._
+      val cdf = broadcast(
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cvec"))
+      v.crossJoin(cdf)
+        .groupBy(col("vec_id"))
+        .agg(
+          max(struct(dot(col("e"), col("cvec")).as("d"), (-col("cid")).as("negcid"))).as("best"),
+          // e/nrm are constant per vec_id, so first() is deterministic
+          first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("e"), col("nrm"), (-col("best.negcid")).as("cid"))
+    }
+
+  /** Query side of the coarse quantizer: one output row per (query,
+    * probed cell), carrying (q_id, qe, qnrm, probe).  Same
+    * literal/broadcast-relation split and tie-breaks as
+    * [[assignCells]]; |Q| is broadcast-bounded so the C-way product on
+    * the relation path is |Q|·C rows, never corpus-sized.
+    */
+  private def queryProbes(q0: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int): DataFrame =
+    if (cents.length <= LiteralCells) {
+      val centroids: Seq[(Int, Seq[Double])] =
+        cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq
+      def probeCells(e: Column): Column =
+        slice(transform(array_sort(array(centroids.map { case (cid, c) =>
+          struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
+        }: _*)), s => s.getField("cid")), 1, nprobe)
+      q0.withColumn("probe", explode(probeCells(col("qe"))))
+    } else {
+      val s = q0.sparkSession
+      import s.implicits._
+      val cdf = broadcast(
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cvec"))
+      val qw = Window.partitionBy(col("q_id")).orderBy(col("d").desc, col("cid"))
+      q0.crossJoin(cdf)
+        .select(col("q_id"), col("qe"), col("qnrm"), col("cid"),
+          dot(col("qe"), col("cvec")).as("d"))
+        .withColumn("rn", row_number().over(qw))
+        .filter(col("rn") <= nprobe)
+        .select(col("q_id"), col("qe"), col("qnrm"), col("cid").as("probe"))
+    }
 
   /** PQ code book size: 8 subspaces × 16 centroids → one 4-bit code per
     * subspace, 8 small ints per vector.  The codebook itself is
@@ -369,7 +390,10 @@ object Similarity {
   }
 
   /** Public PQ entry for a user query set ([[MaxQueries]] contract,
-    * asserted).
+    * asserted).  Same plan-build-time action contract as [[annLshFor]]
+    * (`corpus` should be a materialized table); this entry also
+    * RE-TRAINS and RE-ENCODES per call — for repeated searches over
+    * one corpus use [[buildPqIndex]]/[[searchPqIndex]].
     */
   def annPqFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     pqSearch(prep(corpus), asQueries(queries), k, corpus.count())
@@ -537,35 +561,117 @@ object Similarity {
     // unit-normalized sample (PQ on unit vectors ⇒ ADC dot ≈ cosine)
     val units = trainingSample(v, n)
     if (units.isEmpty) return emptyTopK(s)
-    val dim = units(0).length
-    val m = PqSubspaces
-    val sub = dim / m
-    val ksub = math.min(PqCodes, units.length)
-    val books = pqBooks(units, m, ksub)
+    val books = pqBooks(units, PqSubspaces, math.min(PqCodes, units.length))
 
-    // MATERIALIZE the code table (production PQ persists it — encode
-    // once, search many).  Two wins: the ADC join reads ~16 B/vector
-    // rows instead of re-encoding per run, and the m·k-literal encode
-    // tree stays out of the join stage — fused, its size knocks the
-    // whole stage out of whole-stage codegen and the per-pair path
-    // drops to interpreted eval (measured 20× slower end to end).
+    // MATERIALIZE the code table for this run.  Two wins: the ADC join
+    // reads ~16 B/vector rows instead of re-encoding per run, and the
+    // m·k-literal encode tree stays out of the join stage — fused, its
+    // size knocks the whole stage out of whole-stage codegen and the
+    // per-pair path drops to interpreted eval (measured 20× slower end
+    // to end).  The materialization dies with the session: for the
+    // cross-run encode-once/search-many shape, [[buildPqIndex]] returns
+    // this same relation for the user to persist and
+    // [[searchPqIndex]] searches it without re-training or re-encoding.
     val enc = v.select(col("vec_id"),
-      pqCodesCol(books, sub, col("e"), col("nrm")).as("codes"))
+      pqCodesCol(books, units(0).length / PqSubspaces, col("e"), col("nrm")).as("codes"))
       .localCheckpoint(eager = true)
+    pqSearchOn(enc, books, v, q0, k)
+  }
+
+  /** Search an already-encoded PQ code relation: qtabs ride a |Q|-row
+    * broadcast, the ADC scan touches only (vec_id, codes) rows, and the
+    * exact re-rank reads the fat embeddings for the shortlist alone.
+    *
+    * ADC scan: approx cosine = Σ_j qtabs[j][code_j] via the native
+    * [[graft.functions.AdcScore]] — ONE eval per row.  This expression
+    * is the child of the top-k aggregate, whose update path runs
+    * interpreted (TypedImperativeAggregate has no codegen'd update):
+    * an m-way element_at tree there cost ~15 µs/row; the native eval
+    * is a tight primitive loop.  The corpus never shuffles and never
+    * re-reads the fat embeddings.
+    */
+  private def pqSearchOn(codes: DataFrame, books: Array[Array[Array[Double]]],
+      v: DataFrame, q0: DataFrame, k: Int): DataFrame = {
+    val sub = books(0)(0).length
     val qt = q0.select(col("q_id"),
       pqTabsCol(books, sub, col("qe"), col("qnrm")).as("qtabs"))
-
-    // ADC scan: approx cosine = Σ_j qtabs[j][code_j] via the native
-    // [[graft.functions.AdcScore]] — ONE eval per row.  This expression
-    // is the child of the top-k aggregate, whose update path runs
-    // interpreted (TypedImperativeAggregate has no codegen'd update):
-    // an m-way element_at tree there cost ~15 µs/row; the native eval
-    // is a tight primitive loop.  The corpus never shuffles and never
-    // re-reads the fat embeddings.
-    val cand = enc.join(broadcast(qt), col("vec_id") =!= col("q_id"))
+    val cand = codes.join(broadcast(qt), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         graft.functions.AdcScore.adcScore(col("codes"), col("qtabs")).as("cos"))
     adcShortlistRerank(v, q0, cand, k)
+  }
+
+  /** Model relation behind the persisted index paths: one row per PQ
+    * codebook centroid ("book", subspace, code), coarse centroid
+    * ("cent", 0, cell id; IVF-PQ only) and flag row ("meta", 0,
+    * residual ? 1 : 0) — m·ksub + C + 1 rows total, O(1) in corpus
+    * size, so the search side can collect it to the driver in one
+    * bounded action.
+    */
+  private def modelToDf(s: SparkSession, books: Array[Array[Array[Double]]],
+      cents: Option[Array[Array[Double]]], residual: Boolean): DataFrame = {
+    import s.implicits._
+    val bookRows = for {
+      j <- books.indices; c <- books(j).indices
+    } yield ("book", j, c, books(j)(c).toSeq)
+    val centRows = cents.toSeq.flatMap(cs => cs.indices.map(i => ("cent", 0, i, cs(i).toSeq)))
+    val metaRows = Seq(("meta", 0, if (residual) 1 else 0, Seq.empty[Double]))
+    (bookRows ++ centRows ++ metaRows).toDF("kind", "grp", "idx", "vec")
+  }
+
+  /** Rebuild (books, coarse centroids, residual flag) from a model
+    * relation — rows are keyed by (kind, grp, idx) so the reconstruction
+    * is independent of file/row order after a parquet round-trip.
+    */
+  private def modelFromDf(model: DataFrame):
+      (Array[Array[Array[Double]]], Option[Array[Array[Double]]], Boolean) = {
+    val rows = model.select(col("kind"), col("grp"), col("idx"), col("vec")).collect()
+    val bookRows = rows.filter(_.getString(0) == "book")
+      .map(r => (r.getInt(1), r.getInt(2), r.getSeq[Double](3).toArray))
+    val m = if (bookRows.isEmpty) 0 else bookRows.map(_._1).max + 1
+    val books = Array.tabulate(m)(j => bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    val centRows = rows.filter(_.getString(0) == "cent")
+      .map(r => (r.getInt(2), r.getSeq[Double](3).toArray))
+    val cents = if (centRows.isEmpty) None else Some(centRows.sortBy(_._1).map(_._2))
+    val residual = rows.filter(_.getString(0) == "meta").exists(_.getInt(2) == 1)
+    (books, cents, residual)
+  }
+
+  /** Build a persistable PQ index over `corpus` ((vec_id, embedding)):
+    * trains codebooks on the bounded sample, returns the UNMATERIALIZED
+    * (vec_id, codes) relation plus the O(1) model relation.  The user
+    * writes both once ([[AnnIndex.write]] or
+    * [[graft.sources.Layout.writeBucketed]] on vec_id) and every later
+    * query batch pays only the 16 B/row ADC scan + shortlist re-rank —
+    * never the count/train/encode this build runs (one `corpus.count()`
+    * action here; build against a materialized table).
+    */
+  def buildPqIndex(corpus: DataFrame): AnnIndex = {
+    val v = prep(corpus)
+    val s = v.sparkSession
+    val units = trainingSample(v, corpus.count())
+    if (units.isEmpty)
+      return AnnIndex(v.select(col("vec_id"), typedLit(Seq.empty[Int]).as("codes")),
+        modelToDf(s, Array.empty, None, residual = false))
+    val books = pqBooks(units, PqSubspaces, math.min(PqCodes, units.length))
+    val codes = v.select(col("vec_id"),
+      pqCodesCol(books, units(0).length / PqSubspaces, col("e"), col("nrm")).as("codes"))
+    AnnIndex(codes, modelToDf(s, books, None, residual = false))
+  }
+
+  /** Search a prebuilt PQ index ([[buildPqIndex]], possibly re-read via
+    * [[AnnIndex.read]]).  `corpus` must be the relation the index was
+    * built from (vec_id-aligned) — only the |Q|·refine·k shortlist rows
+    * of it are ever read, for the exact re-rank.  No training, no
+    * encoding, no corpus count: the only driver action beyond the query
+    * contract check is the O(1) model collect.
+    */
+  def searchPqIndex(index: AnnIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val (books, centsOpt, _) = modelFromDf(index.model)
+    require(centsOpt.isEmpty, "model carries coarse centroids — IVF-PQ index, use searchIvfPqIndex")
+    if (books.isEmpty) return emptyTopK(corpus.sparkSession)
+    pqSearchOn(index.codes, books, prep(corpus), asQueries(queries), k)
   }
 
   /** IVF-PQ composed ANN — the FAISS-default architecture, from the
@@ -576,12 +682,10 @@ object Similarity {
     * shrinks ~√C-fold; against plain IVF the probed rows are codes,
     * not embeddings.  Exact re-rank keeps reported scores true.
     *
-    * This variant quantizes the raw unit vectors, not the per-cell
-    * RESIDUALS (FAISS's extra precision step) — the residual trade
-    * costs one subtraction per encode but needs per-cell ADC tables
-    * (|Q|·nprobe·m·ksub entries); at 16 codes/subspace the raw-vector
-    * books already beat the LSH path's recall here, so the simpler
-    * form is kept and the spec pins the recall floor.
+    * This entry quantizes the raw unit vectors; [[annIvfPqResidual]]
+    * is the FAISS-style refinement that quantizes per-cell RESIDUALS
+    * instead (finer codes for one subtraction per encode — see
+    * [[ivfPqBuild]] for why the cosine objective makes that cheap).
     *
     * Cells derive exactly as in [[annIvf]] (√n clamped to [16, 4096]):
     * [[coarseAssign]] provides the literal assignment up to
@@ -594,58 +698,204 @@ object Similarity {
   }
 
   /** Public IVF-PQ entry for a user query set ([[MaxQueries]]
-    * contract, asserted).
+    * contract, asserted).  Same plan-build-time action contract as
+    * [[annLshFor]] (`corpus` should be a materialized table); this
+    * entry also RE-TRAINS and RE-ENCODES per call — for repeated
+    * searches over one corpus use
+    * [[buildIvfPqIndex]]/[[searchIvfPqIndex]].
     */
   def annIvfPqFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     ivfPqSearch(prep(corpus), asQueries(queries), k, corpus.count())
 
-  /** `forceCells` overrides the √n cell derivation (spec hook for the
-    * broadcast-relation assignment at small n, as in [[ivfSearch]]).
+  /** Residual IVF-PQ — the FAISS precision step: codebooks quantize
+    * r = ê − cent[cid] instead of ê itself.  Residual magnitudes are a
+    * fraction of unit length, so the same 16-code books spend their
+    * resolution on a much smaller ball — finer ADC scores, better
+    * shortlist recall, identical index size.  Under the cosine/IP
+    * objective the score decomposes LINEARLY: cos ≈ q̂·cent[cid] +
+    * q̂·r, so the ADC tables stay per-QUERY (cell-independent — the
+    * per-cell-table cost that makes L2 residual IVF-PQ expensive never
+    * appears) and the cell term is ONE extra double riding each
+    * (q_id, probe) broadcast row.  Approximate by construction →
+    * rows-only oracle; the spec pins recall@10 at-or-above the
+    * raw-vector path's floor.
     */
-  private[graft] def ivfPqSearch(v: DataFrame, q0: DataFrame, k: Int, n: Long,
-      forceCells: Option[Int] = None): DataFrame = {
-    val s = v.sparkSession
-    val units = trainingSample(v, n)
-    if (units.isEmpty) return emptyTopK(s)
+  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    ivfPqSearch(v, queryVecs(v), 10, corpusSize(s, dir), residual = true)
+  }
+
+  /** Per-cell residuals of the training sample (driver-local, same
+    * argmax-by-dot assignment as the distributed [[assignCells]]):
+    * r = u − cent[nearest].
+    */
+  private def residualUnits(units: Array[Array[Double]],
+      cents: Array[Array[Double]]): Array[Array[Double]] =
+    units.map { u =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < u.length) { d += cents(c)(i) * u(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      val r = new Array[Double](u.length)
+      var i = 0
+      while (i < u.length) { r(i) = u(i) - cents(best)(i); i += 1 }
+      r
+    }
+
+  /** Residual vector column r = e/nrm − cent[cid], via ONE `typedLit`
+    * of the full centroid table (a single Literal node holding C×dim
+    * doubles + an element_at lookup — no per-centroid codegen
+    * unrolling, so this lookup has no [[LiteralCells]] ceiling).
+    */
+  private def residualCol(cents: Array[Array[Double]],
+      e: Column, nrm: Column, cid: Column): Column = {
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    zip_with(e, element_at(centLit, cid + 1), (x, c) => x / nrm - c)
+  }
+
+  /** Map-side residual PQ encode: codes[j] = argmin_c ‖r_sub − c‖,
+    * expressed as argmax(dot(r_sub, c) − ½‖c‖²) on the materialized
+    * residual column.
+    */
+  private def pqResidualCodesCol(books: Array[Array[Array[Double]]], sub: Int,
+      r: Column): Column =
+    array(books.indices.map { j =>
+      array_min(array(books(j).zipWithIndex.map { case (c, cid) =>
+        val score = dot(slice(r, j * sub + 1, sub), typedLit(c.toSeq)) -
+          lit(0.5 * c.map(x => x * x).sum)
+        struct((-score).as("negscore"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }: _*)
+
+  /** Shared IVF-PQ build over a prepped corpus: trains the coarse
+    * quantizer and the (optionally residual) PQ books on the bounded
+    * sample, and returns (books, cents, codes relation).  The codes
+    * relation — (vec_id, cid, codes), ~16 B/row — is NOT materialized
+    * here: the per-run entries localCheckpoint it, the persisted path
+    * hands it to the user to write.
+    */
+  private def ivfPqBuild(v: DataFrame, units: Array[Array[Double]],
+      forceCells: Option[Int], residual: Boolean, n: Long):
+      (Array[Array[Array[Double]]], Array[Array[Double]], DataFrame) = {
     val dim = units(0).length
-    val m = PqSubspaces
-    val sub = dim / m
+    val sub = dim / PqSubspaces
     val ksub = math.min(PqCodes, units.length)
-    // same cell derivation as ivfSearch — [[coarseAssign]] carries both
+    // same cell derivation as ivfSearch — [[assignCells]] carries both
     // the literal path and the broadcast-relation path past
     // [[LiteralCells]], so C keeps growing as √n (no probed-fraction
     // floor at high n)
     val cells = math.min(forceCells.getOrElse(
       math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))), units.length)
-    val nprobe = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val cents = sphericalKMeans(units, cells, 5)
-    val books = pqBooks(units, m, ksub)
-    val (assigned, probes) = coarseAssign(v, q0, cents, nprobe)
+    val books = pqBooks(if (residual) residualUnits(units, cents) else units,
+      PqSubspaces, ksub)
+    val assigned = assignCells(v, cents)
+    val codes =
+      if (residual)
+        assigned
+          .withColumn("rvec", residualCol(cents, col("e"), col("nrm"), col("cid")))
+          .select(col("vec_id"), col("cid"),
+            pqResidualCodesCol(books, sub, col("rvec")).as("codes"))
+      else
+        assigned.select(col("vec_id"), col("cid"),
+          pqCodesCol(books, sub, col("e"), col("nrm")).as("codes"))
+    (books, cents, codes)
+  }
 
-    // the materialized index relation: (vec_id, cid, codes) — encode
-    // once, search many; also keeps the giant literal encode tree out
-    // of the probe join stage (see pqSearch)
-    val index = assigned.select(col("vec_id"), col("cid"),
-      pqCodesCol(books, sub, col("e"), col("nrm")).as("codes"))
-      .localCheckpoint(eager = true)
-
-    // broadcast shapes: the (q_id, probe) pairs are |Q|·nprobe NARROW
-    // rows; the fat m×ksub qtabs ride a SEPARATE |Q|-row broadcast
-    // joined by q_id — duplicating qtabs onto every probe row would
-    // multiply the broadcast by nprobe (~30× past the MaxQueries
-    // contract's documented budget)
-    val probePairs = probes.select(col("q_id"), col("probe"))
+  /** Search an IVF-PQ code relation with a trained model in hand —
+    * the probe-join stage shared by the per-run entries and the
+    * persisted-index path.
+    *
+    * Broadcast shapes: the (q_id, probe[, bias]) pairs are |Q|·nprobe
+    * NARROW rows; the fat m×ksub qtabs ride a SEPARATE |Q|-row
+    * broadcast joined by q_id — duplicating qtabs onto every probe row
+    * would multiply the broadcast by nprobe (~30× past the MaxQueries
+    * contract's documented budget).  The ADC scan is an EQUI broadcast
+    * join on cid: only the probed cells' code rows are ever scored.
+    */
+  private def ivfPqSearchOn(codes: DataFrame, books: Array[Array[Array[Double]]],
+      cents: Array[Array[Double]], nprobe: Int, residual: Boolean,
+      v: DataFrame, q0: DataFrame, k: Int): DataFrame = {
+    val sub = books(0)(0).length
+    val probes = queryProbes(q0, cents, nprobe)
+    val probePairs =
+      if (residual) {
+        // the residual decomposition's cell term: bias = q̂·cent[probe]
+        // — one double per probe pair, not a per-cell ADC table
+        val centLit = typedLit(cents.map(_.toSeq).toSeq)
+        probes.select(col("q_id"), col("probe"),
+          (dot(col("qe"), element_at(centLit, col("probe") + 1)) / col("qnrm")).as("bias"))
+      } else probes.select(col("q_id"), col("probe"))
     val qtabs = q0.select(col("q_id"),
       pqTabsCol(books, sub, col("qe"), col("qnrm")).as("qtabs"))
-
-    // cell-pruned ADC scan: an EQUI broadcast join on cid — only the
-    // probed cells' code rows are ever scored
-    val cand = index.join(broadcast(probePairs),
+    val adc = graft.functions.AdcScore.adcScore(col("codes"), col("qtabs"))
+    val cand = codes.join(broadcast(probePairs),
         col("cid") === col("probe") && col("vec_id") =!= col("q_id"))
       .join(broadcast(qtabs), "q_id")
       .select(col("q_id"), col("vec_id"),
-        graft.functions.AdcScore.adcScore(col("codes"), col("qtabs")).as("cos"))
+        (if (residual) col("bias") + adc else adc).as("cos"))
     adcShortlistRerank(v, q0, cand, k)
+  }
+
+  /** `forceCells` overrides the √n cell derivation (spec hook for the
+    * broadcast-relation assignment at small n, as in [[ivfSearch]]);
+    * `residual` selects the per-cell-residual codebooks
+    * ([[annIvfPqResidual]]).
+    */
+  private[graft] def ivfPqSearch(v: DataFrame, q0: DataFrame, k: Int, n: Long,
+      forceCells: Option[Int] = None, residual: Boolean = false): DataFrame = {
+    val s = v.sparkSession
+    val units = trainingSample(v, n)
+    if (units.isEmpty) return emptyTopK(s)
+    val (books, cents, codes) = ivfPqBuild(v, units, forceCells, residual, n)
+    val nprobe = math.max(4, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    // per-run materialized index relation (encode once within the run;
+    // see pqSearch for the codegen rationale) — cross-run persistence
+    // is buildIvfPqIndex/searchIvfPqIndex
+    val index = codes.localCheckpoint(eager = true)
+    ivfPqSearchOn(index, books, cents, nprobe, residual, v, q0, k)
+  }
+
+  /** Build a persistable IVF-PQ index: (vec_id, cid, codes) relation +
+    * O(1) model relation (books, coarse centroids, residual flag).
+    * Write once with [[AnnIndex.write]] — codes files are partitioned
+    * by cell, so later searches physically read only probed cells —
+    * then [[searchIvfPqIndex]] any number of query batches.  Runs one
+    * `corpus.count()` action; build against a materialized table.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, residual: Boolean = false): AnnIndex = {
+    val v = prep(corpus)
+    val s = v.sparkSession
+    val n = corpus.count()
+    val units = trainingSample(v, n)
+    if (units.isEmpty)
+      return AnnIndex(
+        v.select(col("vec_id"), lit(0).as("cid"), typedLit(Seq.empty[Int]).as("codes")),
+        modelToDf(s, Array.empty, None, residual))
+    val (books, cents, codes) = ivfPqBuild(v, units, None, residual, n)
+    AnnIndex(codes, modelToDf(s, books, Some(cents), residual))
+  }
+
+  /** Search a prebuilt IVF-PQ index ([[buildIvfPqIndex]], possibly
+    * re-read via [[AnnIndex.read]]).  `corpus` must be the relation the
+    * index was built from (vec_id-aligned); only shortlist rows of it
+    * are read.  No training, no encoding, no corpus count — the model
+    * collect is the one bounded driver action, and nprobe re-derives
+    * from the persisted cell count exactly as the build did.
+    */
+  def searchIvfPqIndex(index: AnnIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val (books, centsOpt, residual) = modelFromDf(index.model)
+    if (books.isEmpty) return emptyTopK(corpus.sparkSession)
+    val cents = centsOpt.getOrElse(throw new IllegalArgumentException(
+      "model has no coarse centroids — PQ index? use searchPqIndex"))
+    val nprobe = math.max(4, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    ivfPqSearchOn(index.codes, books, cents, nprobe, residual,
+      prep(corpus), asQueries(queries), k)
   }
 
   /** kNN label vote — similarity search applied: each fixture query
@@ -677,6 +927,7 @@ object Similarity {
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "knn_label_vote" -> (knnLabelVote _))
 
   def oracleSql: Map[String, String] = Map(
@@ -714,4 +965,35 @@ object Similarity {
         |SELECT w.q_id, pred_label, votes, e.label AS own_label
         |FROM win w JOIN embeddings e ON w.q_id = e.vec_id
         |ORDER BY w.q_id""".stripMargin)
+}
+
+/** A persistable ANN index: `codes` is the corpus-sized quantized code
+  * relation ((vec_id, codes) for PQ; (vec_id, cid, codes) for IVF-PQ —
+  * ~16 B/row either way) and `model` the O(1) codebook/centroid/flag
+  * relation.  Built by [[Similarity.buildPqIndex]] /
+  * [[Similarity.buildIvfPqIndex]]; searched by
+  * [[Similarity.searchPqIndex]] / [[Similarity.searchIvfPqIndex]] —
+  * the build/search split the per-run `ann_pq`/`ann_ivfpq` entries
+  * deliberately fuse: encode ONCE at build time, persist, and every
+  * later query batch pays only the probe scan + shortlist re-rank.
+  */
+final case class AnnIndex(codes: DataFrame, model: DataFrame) {
+
+  /** Persist both relations under `path`.  IVF-PQ code files are
+    * partitioned by cell id, so a search against the re-read index
+    * prunes unprobed cells at the parquet-directory level — at 100 TB
+    * a query batch physically reads ~nprobe/C of the code files, not
+    * all of them.
+    */
+  def write(path: String): Unit = {
+    val w = codes.write.mode("overwrite")
+    (if (codes.columns.contains("cid")) w.partitionBy("cid") else w)
+      .parquet(s"$path/codes")
+    model.write.mode("overwrite").parquet(s"$path/model")
+  }
+}
+
+object AnnIndex {
+  def read(s: SparkSession, path: String): AnnIndex =
+    AnnIndex(s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/model"))
 }

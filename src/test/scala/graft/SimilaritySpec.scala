@@ -196,4 +196,78 @@ class SimilaritySpec extends AnyFunSuite {
     // Σ_bucket C(n_b,2) across all 8 tables stays a small multiple of n
     assert(vol <= 50 * n, s"candidate volume $vol for n=$n")
   }
+
+  // raw (vec_id, embedding) image of the deterministic query fixture —
+  // the frame a user of the persisted-index API would pass as `queries`
+  private def rawFixtureQueries = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 100 === 0).orderBy(col("vec_id")).limit(1024)
+  }
+
+  test("persisted PQ index: search-after-write-read equals the per-run entry") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    graft.operators.Similarity.buildPqIndex(emb).write(dir)
+    val idx = graft.operators.AnnIndex.read(spark, dir)
+    // model survives the round-trip: O(1) rows, books only (no cents)
+    assert(idx.model.count() <= (8 * 16 + 1).toLong)
+    val got = Similarity.searchPqIndex(idx, emb, rawFixtureQueries, 10)
+      .collect().map(_.toString).toSeq
+    val want = Similarity.annPq(spark, sf).collect().map(_.toString).toSeq
+    assert(got === want)
+    // the search plan reads the persisted parquet codes — no re-encode
+    val p = Similarity.searchPqIndex(idx, emb, rawFixtureQueries, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("parquet"), "persisted search must scan the code files")
+  }
+
+  test("persisted IVF-PQ index: cell-partitioned round-trip equals the per-run entry") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqidx").toString
+    Similarity.buildIvfPqIndex(emb).write(dir)
+    // codes were partitioned by cell id on disk (pruned probes at scan)
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(cellDirs >= 16, s"expected cid= partition dirs, saw $cellDirs")
+    val idx = graft.operators.AnnIndex.read(spark, dir)
+    val got = Similarity.searchIvfPqIndex(idx, emb, rawFixtureQueries, 10)
+      .collect().map(_.toString).toSeq
+    val want = Similarity.annIvfPq(spark, sf).collect().map(_.toString).toSeq
+    assert(got === want)
+    // wrong-search-entry misuse fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.searchPqIndex(idx, emb, rawFixtureQueries, 10)
+    }
+    assert(e.getMessage.contains("searchIvfPqIndex"))
+  }
+
+  test("residual ivfpq keeps recall, reports exact re-ranked scores, persists round-trip") {
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val rows = Similarity.annIvfPqResidual(spark, sf).collect()
+    val got = topSets(rows)
+    val recalls = bf.map { case (q, want) =>
+      got.getOrElse(q, Set()).intersect(want).size.toDouble / want.size
+    }
+    val avg = recalls.sum / recalls.size
+    // same floor as the raw-vector ivfpq path — residual books must not
+    // cost recall (they exist to add precision)
+    assert(avg >= 0.25, s"avg recall@10 = $avg")
+    val bfScores = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos6")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      bfScores.get(key).foreach(want => assert(r.getAs[Double]("cos6") === want))
+    }
+    // persisted residual index reproduces the per-run entry (the
+    // residual flag must survive the model round-trip: without the
+    // bias term the scores and shortlists would differ)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-residx").toString
+    Similarity.buildIvfPqIndex(emb, residual = true).write(dir)
+    val idx = graft.operators.AnnIndex.read(spark, dir)
+    val persisted = Similarity.searchIvfPqIndex(idx, emb, rawFixtureQueries, 10)
+      .collect().map(_.toString).toSeq
+    assert(persisted === rows.map(_.toString).toSeq)
+  }
 }
