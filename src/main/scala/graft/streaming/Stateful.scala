@@ -139,7 +139,7 @@ object Stateful {
   case class UserTotals(user_id: Long, n_msgs: Long, total_value: Double)
 
   case class TypedEvent(user_id: Long, event_type: String, us: Long, event_id: Long)
-  case class LastType(event_type: String)
+  case class LastType(event_type: String, us: Long)
   case class Transition(user_id: Long, prev_type: String, event_type: String)
 
   /** Streaming counterpart of [[graft.operators.EventOps.eventTransitions]]:
@@ -150,22 +150,57 @@ object Stateful {
     * is bounded, and cross-batch order is the source's per-key delivery
     * order (frafka's per-partition contract).  Batch/stream parity is
     * spec-pinned.
+    *
+    * State TTL: the per-user struct is DROPPED once the event-time
+    * watermark passes last-seen + ttl.  Without it this operator keeps
+    * one struct per user EVER SEEN — on an unbounded-cardinality
+    * stream (the 100 TB brief) that is a slow, certain leak.  Expiry
+    * emits nothing (there is no next event to pair), and an event
+    * arriving after its user's state expired starts a fresh chain, so
+    * the one (prev → next) pair spanning an idle gap longer than ttl
+    * is deliberately not produced; for every user whose idle gaps stay
+    * under ttl the output equals the batch lag-window image
+    * (spec-pinned).  Choose ttl ≫ any meaningful transition window.
+    *
+    * Input needs (user_id, event_type, ts, event_id) with a watermark
+    * already set on ts (event-time timeout requires one).
     */
-  def transitions(spark: SparkSession, events: Dataset[TypedEvent]): Dataset[Transition] = {
+  def transitions(spark: SparkSession, events: DataFrame,
+      ttlUs: Long = 7L * 86400 * 1000000): Dataset[Transition] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    val typed = events
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long, Long)]
+    typed.groupByKey(_._1)
       .flatMapGroupsWithState[LastType, Transition](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[TypedEvent], state: GroupState[LastType]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.us, e.event_id))
-          var prev = state.getOption
-          val out = Seq.newBuilder[Transition]
-          sorted.foreach { e =>
-            prev.foreach(p => out += Transition(user, p.event_type, e.event_type))
-            prev = Some(LastType(e.event_type))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, String, java.sql.Timestamp, Long, Long)],
+            state: GroupState[LastType]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // TTL expiry: drop the struct, emit nothing — the chain
+            // simply ends
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e._4, e._5))
+            var prev = state.getOption
+            val out = Seq.newBuilder[Transition]
+            sorted.foreach { e =>
+              prev.foreach(p => out += Transition(user, p.event_type, e._2))
+              prev = Some(LastType(e._2, e._4))
+            }
+            prev.foreach { p =>
+              state.update(p)
+              // arm expiry at last-seen + ttl; Spark rejects a timeout
+              // at-or-below the current watermark, so clamp just above
+              // it (the state is already expiry-due then — it goes on
+              // the very next trigger)
+              state.setTimeoutTimestamp(
+                math.max(p.us / 1000 + ttlUs / 1000, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          prev.foreach(state.update)
-          out.result().iterator
       }
   }
 

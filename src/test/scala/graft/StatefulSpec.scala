@@ -152,7 +152,11 @@ class StatefulSpec extends AnyFunSuite {
       Stateful.TypedEvent(1, "view", 400, 7))
     val (b1, b2) = all.splitAt(4)
     val mem = MemoryStream[Stateful.TypedEvent]
-    val q = Stateful.transitions(spark, mem.toDS()).writeStream
+    val src = mem.toDF()
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("event_id"))
+      .withWatermark("ts", "1 second")
+    val q = Stateful.transitions(spark, src).writeStream
       .outputMode("append").format("memory").queryName("trans_stream").start()
     mem.addData(b1: _*); q.processAllAvailable()
     mem.addData(b2: _*); q.processAllAvailable()
@@ -168,6 +172,42 @@ class StatefulSpec extends AnyFunSuite {
       .groupBy(col("prev_type"), col("event_type")).count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed === batch)
+  }
+
+  test("transitions state expires after the event-time TTL: idle user restarts a fresh chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L
+    val B = 1600000000L * M // modern base (epoch-0 would be born late)
+    val mem = MemoryStream[Stateful.TypedEvent]
+    val src = mem.toDF()
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("event_id"))
+      .withWatermark("ts", "1 second")
+    val q = Stateful.transitions(spark, src, ttlUs = 10 * M).writeStream
+      .outputMode("append").format("memory").queryName("trans_ttl").start()
+    // batch 1: user 1 chains view → click
+    mem.addData(Stateful.TypedEvent(1, "view", B, 1), Stateful.TypedEvent(1, "click", B + 1 * M, 2))
+    q.processAllAvailable()
+    // batch 2: an unrelated user drives the watermark far past user 1's
+    // last-seen + 10 s TTL; the armed timeout fires on the next trigger
+    // and silently drops user 1's state
+    mem.addData(Stateful.TypedEvent(2, "view", B + 3600 * M, 3))
+    q.processAllAvailable()
+    q.processAllAvailable() // drain the no-data timeout batch
+    // batch 3: user 1 returns AFTER expiry — no (click → purchase) pair
+    // may appear (the chain restarted); the next event pairs normally
+    mem.addData(Stateful.TypedEvent(1, "purchase", B + 3600 * M, 4))
+    q.processAllAvailable()
+    mem.addData(Stateful.TypedEvent(1, "view", B + 3601 * M, 5))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans_ttl")
+      .select("user_id", "prev_type", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, "view", "click"),      // batch-1 chain
+      (1L, "purchase", "view"))) // post-expiry fresh chain — NOT (click, purchase)
   }
 
   test("flatMapGroupsWithState accumulates running totals across batches") {
