@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimHash64.simhash64
@@ -370,15 +370,22 @@ object Dedup {
     * back to the per-(doc, chunk) rows — an SMJ that AQE's skew-join
     * splitting can subdivide, which a window never can.
     */
-  private[graft] def chunkAudit(docs: DataFrame, chunkLen: Int = 10): DataFrame = {
-    val toks = tokens(col("text"))
+  /** Fixed-width chunk split shared by [[chunkAudit]] and
+    * [[dedupLines]]: consecutive `chunkLen`-token spans.  tokens("")
+    * is [""], so the trimmed-LENGTH guard gives a truly empty doc zero
+    * chunks (mirrored in the oracle SQL).
+    */
+  private[graft] def chunkCol(text: Column, chunkLen: Int): Column = {
+    val toks = tokens(text)
     val nChunks = ceil(size(toks) / lit(chunkLen.toDouble)).cast("int")
-    // tokens("") is [""], so guard on trimmed LENGTH: a truly empty doc
-    // has zero chunks (mirrored in the oracle SQL)
-    val chunks = when(length(trim(col("text"))) > 0,
+    when(length(trim(text)) > 0,
       transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * chunkLen + 1, lit(chunkLen)), " ")))
       .otherwise(array().cast("array<string>"))
+  }
+
+  private[graft] def chunkAudit(docs: DataFrame, chunkLen: Int = 10): DataFrame = {
+    val chunks = chunkCol(col("text"), chunkLen)
     // collapse to one row per (doc, chunk) with its in-doc occurrence
     // count before anything keys on ck alone
     val perDoc = docs
@@ -398,6 +405,66 @@ object Dedup {
         sum(when(col("freq") > 1, col("cnt")).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         (col("n_dup_chunks") / col("n_chunks")).as("dup_chunk_frac"))
+  }
+
+  /** Corpus-level boilerplate-line REMOVAL — the C4-style cleaning step
+    * [[dedupChunk]] only audits: every line occurring ≥3 times
+    * corpus-wide is dropped, and each document is rebuilt from its
+    * surviving lines in order.  The synthetic corpus has no newlines,
+    * so this driver entry uses the same fixed 10-token chunk unit as
+    * [[dedupChunk]] as its "line"; [[removeBoilerplateLines]] is the
+    * real newline form for corpora with line structure.
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    linesRemoval(Tables.documents(s, dir), chunkCol(col("text"), 10), 3, " ")
+      .orderBy(col("doc_id"))
+
+  /** Newline-split boilerplate removal for corpora with real line
+    * structure (the C4/Gopher dup-line cleaning step; spec-pinned on
+    * planted multi-line docs — the synthetic corpus is single-line, so
+    * the driver entry [[dedupLines]] substitutes the chunk unit).
+    */
+  def removeBoilerplateLines(docs: DataFrame, minOccurs: Long = 3): DataFrame =
+    linesRemoval(docs, split(col("text"), "\n"), minOccurs, "\n")
+
+  /** Shared removal pipeline over an arbitrary line split.
+    *
+    * Scale shape: the frequency pipeline shuffles only (doc_id, pos,
+    * 64-bit line hash) — 24 B/row, never line text (the hash-identity
+    * trade [[dedupChunk]] documents); the corpus-wide count is a keyed
+    * aggregate with map-side partials (hot-boilerplate-safe, same
+    * reasoning as [[chunkAudit]]), and removal DECISIONS come back as
+    * ONE skinny (doc_id, removed-positions) row per affected doc.  The
+    * rebuild is then a map-side HOF over the
+    * original text: document text crosses at most one exchange (zero
+    * when the sparse decisions frame broadcasts — boilerplate-bearing
+    * docs are typically a small subset).
+    */
+  private[graft] def linesRemoval(docs: DataFrame, linesCol: Column,
+      minOccurs: Long, sep: String): DataFrame = {
+    val withLines = docs.select(col("doc_id"), linesCol.as("lines"))
+    val occ = withLines
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lk"))
+    val freq = occ.groupBy(col("lk")).agg(count(lit(1)).as("freq"))
+    // deliberately NOT one shared occ exchange (the dedup_chunk
+    // pattern): the frequency aggregate must keep its MAP-SIDE
+    // PARTIALS so a corpus-wide boilerplate line collapses per
+    // partition before the shuffle — sharing a raw repartition(lk)
+    // would forfeit them and funnel every occurrence of the hot key
+    // into one aggregate task.  The line split recomputes map-side per
+    // consumer (scan-bandwidth work); the merge hint keeps the
+    // occ⋈freq probe an AQE-skew-splittable SMJ
+    val removed = occ.hint("merge").join(freq.hint("merge"), "lk")
+      .filter(col("freq") >= minOccurs)
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("rm"))
+    withLines.join(removed, Seq("doc_id"), "left")
+      .withColumn("rmset", coalesce(col("rm"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("rmset")).cast("long").as("n_removed"),
+        array_join(filter(col("lines"),
+          (_, i) => !array_contains(col("rmset"), i)), sep).as("clean_text"))
   }
 
   /** MinHash(128) signature per doc + banded LSH (32 bands × 4 rows).
@@ -547,6 +614,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_chunk" -> (dedupChunk _),
+    "dedup_lines" -> (dedupLines _),
     "dedup_components" -> (dedupComponents _),
     "decontaminate" -> (decontaminate _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -593,6 +661,26 @@ object Dedup {
         |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
         |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS dup_chunk_frac
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same chunk-wrap replay as dedup_chunk; zipped unnests carry the
+    // 0-based position (as 1-based here — only order matters for the
+    // rebuild), and the FILTERed ordered list rebuilds clean_text
+    "dedup_lines" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |w AS (SELECT doc_id, CASE WHEN length(trim(text)) > 0
+        |    THEN [array_to_string(tk[(i*10+1):(i*10+10)], ' ')
+        |          for i in generate_series(0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1)]
+        |    ELSE [] END AS lines FROM t),
+        |o AS (SELECT doc_id, unnest(lines) AS line,
+        |             unnest(generate_series(1, len(lines))) AS pos FROM w),
+        |f AS (SELECT line, COUNT(*) AS freq FROM o GROUP BY line),
+        |a AS (SELECT doc_id,
+        |        SUM(CASE WHEN freq >= 3 THEN 1 ELSE 0 END) AS nrm,
+        |        array_to_string(list(line ORDER BY pos) FILTER (WHERE freq < 3), ' ') AS clean
+        |      FROM o JOIN f USING (line) GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(nrm, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(clean, '') AS clean_text
+        |FROM w LEFT JOIN a USING (doc_id) ORDER BY w.doc_id""".stripMargin,
     "decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5

@@ -174,6 +174,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document duplicate-LINE signals (Gopher's dup-line-frac and
+    * dup-line-char-frac) over a caller-supplied line split: the
+    * fraction of lines that are repeats of an earlier line, and the
+    * fraction of line characters sitting in repeated lines.  Pure
+    * per-row HOF arithmetic (exact int/int IEEE quotients) — zero
+    * shuffle at any corpus size.
+    *
+    * The synthetic corpus has no newlines — its line-granularity
+    * duplication signal appears at token granularity in
+    * [[textRepetition]] and at chunk granularity in
+    * [[graft.operators.Dedup.dedupChunk]] (both all-zero-free), so
+    * this stays a library operator for real-line corpora
+    * (`lineRepetition(split(col("text"), "\n"))`), spec-pinned on
+    * planted multi-line docs rather than shipped as a degenerate
+    * all-zero driver entry.
+    */
+  def lineRepetition(lines: Column): Column = {
+    val n = size(lines)
+    val dis = array_distinct(lines)
+    val per = transform(dis, l =>
+      struct(size(filter(lines, x => x === l)).as("cnt"), length(l).as("len")))
+    val totalChars = aggregate(lines, lit(0L), (acc, x) => acc + length(x))
+    val dupChars = aggregate(per, lit(0L), (acc, s) =>
+      acc + when(s.getField("cnt") > 1,
+        s.getField("cnt").cast("long") * s.getField("len")).otherwise(0L))
+    struct(
+      when(n > 0, lit(1.0) - size(dis).cast("double") / n)
+        .otherwise(0.0).as("dup_line_frac"),
+      when(totalChars > 0, dupChars.cast("double") / totalChars)
+        .otherwise(0.0).as("dup_line_char_frac"))
+  }
+
   /** Top-3 most distinctive terms per document by a log-free TF-IDF
     * (tf · N / df — same ranking intent as tf·log(N/df) without the
     * transcendental, so every score is an exact-int IEEE quotient the

@@ -281,6 +281,70 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_lines removes corpus-frequent lines exactly and rebuilds surviving text in order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the 10-token boilerplate span occurs 3× corpus-wide (threshold);
+    // the 'tail tokens' chunk only 2× (kept)
+    val span = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"$span tail tokens"),
+      (3L, s"unique one two three four five six seven eight nine $span"),
+      (4L, "tail tokens"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.linesRemoval(docs, Dedup.chunkCol(col("text"), 10), 3, " ")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((2L, 1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    assert(out(2L) === ((2L, 1L, "tail tokens")))
+    assert(out(3L) === ((2L, 1L,
+      "unique one two three four five six seven eight nine")))
+    assert(out(4L) === ((1L, 0L, "tail tokens")))
+    assert(out(5L) === ((0L, 0L, "")))
+    // corpus entry: decisions come back skinny, text never rides the
+    // frequency exchange; the frequency count keeps its map-side
+    // partials (hot-key safety) and the occ⋈freq probe stays a
+    // skew-splittable SMJ, never a window over the line key
+    val df = Dedup.dedupLines(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"frequency aggregate must combine map-side:\n$plan")
+    assert(plan.contains("SortMergeJoin"), "occ-freq probe must be the merge-hinted SMJ")
+    assert(!plan.contains("Window"), "line frequency must be a keyed aggregate, not a window")
+    // conservation: clean_text token count = original − 10·full-removed
+    // chunks (the final short chunk may hold fewer than 10 tokens)
+    val kept = rows.map(r => r.getAs[String]("clean_text"))
+      .map(t => if (t.trim.isEmpty) 0L else t.trim.split("\\s+").length.toLong).sum
+    val orig = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(r => r.getString(0).trim.split("\\s+").count(_.nonEmpty).toLong).sum
+    val removed = rows.map(_.getAs[Long]("n_removed")).sum
+    assert(removed > 0, "sf corpus must contain >=3x boilerplate chunks")
+    assert(kept >= orig - removed * 10 && kept < orig)
+  }
+
+  test("removeBoilerplateLines drops >=minOccurs newline-lines, preserves the rest verbatim") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "keep one\nBOILER LINE\nkeep two"),
+      (2L, "BOILER LINE\nunique a"),
+      (3L, "unique b\nBOILER LINE"),
+      (4L, "no boiler here\nat all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, minOccurs = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((3L, 1L, "keep one\nkeep two")))
+    assert(out(2L) === ((2L, 1L, "unique a")))
+    assert(out(3L) === ((2L, 1L, "unique b")))
+    assert(out(4L) === ((2L, 0L, "no boiler here\nat all")))
+  }
+
   test("shingle DF cap bounds candidate volume under corpus-wide boilerplate") {
     import spark.implicits._
     // 60 docs that are pure boilerplate (one shared shingle — DF 60)

@@ -171,4 +171,25 @@ class TextOpsSpec extends AnyFunSuite {
     val hist = graft.operators.MultimodalStub.fakeDecode(7L, "abcdefg".getBytes("UTF-8")).features
     assert(hist.length === 16 && math.abs(hist.sum - 1.0) < 1e-9)
   }
+
+  test("lineRepetition computes Gopher dup-line fractions on planted multi-line docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa\nbb\naa\ncccc"),  // 4 lines, 'aa' repeats: dup_line 1/4; chars 2+2+2+4=10, dup 4 → 0.4
+      (2L, "xx\nyy"),             // no repeats
+      (3L, "zz\nzz\nzz"),         // all one line: dup 2/3; chars all dup → 1.0
+      (4L, ""))                   // split("", \n) = [""] — 1 empty line, no repeat, 0 chars
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextOps.lineRepetition(split(col("text"), "\n")).as("r"))
+      .select(col("doc_id"), col("r.dup_line_frac"), col("r.dup_line_char_frac"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((0.25, 0.4)))
+    assert(out(2L) === ((0.0, 0.0)))
+    // the operator computes 1 − distinct/n, so expect that exact IEEE value
+    assert(out(3L) === ((1.0 - 1.0 / 3, 1.0)))
+    assert(out(4L) === ((0.0, 0.0)))
+  }
 }
