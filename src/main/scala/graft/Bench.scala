@@ -33,6 +33,11 @@ object Bench {
       } catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a full GC between queries keeps one query's garbage from
+      // surfacing as another's pause: with 70+ queries × 3 runs in one
+      // JVM, byte-identical queries have moved 2–8× run-to-run on
+      // accumulated heap pressure alone
+      System.gc()
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -42,16 +47,22 @@ object Bench {
         }
       }
       // a failed query must read as a failure (-1), not a fast success
-      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(Runs / 2))
+      name -> (if (times.exists(_ < 0)) Seq(-1.0) else times.sorted)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, t) => s"\"" + k + "\":" + t(t.length / 2) }
       .mkString("{", ",", "}")
+    // per-query max−min of the timed runs: a reader can tell scheduler/
+    // GC wobble (spread ≈ the delta vs last round) from a real plan
+    // regression (tight spread at the new, higher median)
+    val spreads = results.collect { case (k, t) if t.head >= 0 =>
+      s"\"" + k + "\":" + math.rint((t.last - t.head) * 1000) / 1000
+    }.mkString("{", ",", "}")
     // failures stay -1 per query but must never shrink the headline:
     // total sums successful queries only, and a nonzero failed count
     // flags the run as invalid
-    val failed = results.count(_._2 < 0)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2.head < 0)
+    val total = results.collect { case (_, t) if t.head >= 0 => t(t.length / 2) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
