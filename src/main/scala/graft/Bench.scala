@@ -49,20 +49,27 @@ object Bench {
       // a failed query must read as a failure (-1), not a fast success
       name -> (if (times.exists(_ < 0)) Seq(-1.0) else times.sorted)
     }
-    val qs = results.map { case (k, t) => s"\"" + k + "\":" + t(t.length / 2) }
+    // ms precision everywhere: the driver keeps only the last ~2000
+    // chars of output, and 70+ full-precision doubles push the final
+    // JSON line past that window (rounds 1–5 all came back unparsed).
+    def ms(x: Double): Double = math.rint(x * 1000) / 1000
+    val qs = results.map { case (k, t) => s"\"" + k + "\":" + ms(t(t.length / 2)) }
       .mkString("{", ",", "}")
     // per-query max−min of the timed runs: a reader can tell scheduler/
     // GC wobble (spread ≈ the delta vs last round) from a real plan
-    // regression (tight spread at the new, higher median)
+    // regression (tight spread at the new, higher median).  Printed on
+    // its own PREFIXED line (not inside the final JSON) so the
+    // machine-read line stays inside the tail window.
     val spreads = results.collect { case (k, t) if t.head >= 0 =>
-      s"\"" + k + "\":" + math.rint((t.last - t.head) * 1000) / 1000
+      s"\"" + k + "\":" + ms(t.last - t.head)
     }.mkString("{", ",", "}")
+    println(s"spread $spreads")
     // failures stay -1 per query but must never shrink the headline:
     // total sums successful queries only, and a nonzero failed count
     // flags the run as invalid
     val failed = results.count(_._2.head < 0)
-    val total = results.collect { case (_, t) if t.head >= 0 => t(t.length / 2) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    val total = ms(results.collect { case (_, t) if t.head >= 0 => t(t.length / 2) }.sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
