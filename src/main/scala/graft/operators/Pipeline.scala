@@ -42,10 +42,65 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-sampled corpus mixing: per-source keep rates derived
+    * from the data (rate_s = √(tokens_s / max_tokens) — the α = 0.5
+    * temperature that upweights small sources relative to proportional
+    * sampling), applied as a deterministic per-doc md5-threshold keep.
+    * This is the mixture-reweighting step between curation and
+    * training: rates come from one tiny per-source aggregate (|sources|
+    * rows) joined back BROADCAST onto a second narrow scan, and the
+    * keep decision is pure per-row hashing — reproducible on any
+    * engine and any partitioning, no corpus-sized shuffle anywhere.
+    *
+    * The hex-threshold compare pads both sides to 5 digits
+    * ('0'+hash16 vs %05x of the cutoff) so a full-keep source
+    * (cutoff = 65536 = '10000') orders correctly above every 16-bit
+    * hash — string compare of equal-length hex IS the numeric compare,
+    * and both engines format/compare identically.
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+    val perSrc = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_s"))
+    val mx = perSrc.agg(max(col("tok_s")).as("mx"))
+    val rates = perSrc.join(broadcast(mx))
+      .withColumn("rate", sqrt(col("tok_s").cast("double") / col("mx").cast("double")))
+      .withColumn("cutoff", floor(col("rate") * 65536).cast("long"))
+    val kept = d.join(broadcast(rates.select(col("source"), col("cutoff"))), "source")
+      .filter(concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4))
+        < format_string("%05x", col("cutoff")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.select(col("source"), col("n_docs"), col("tok_s"), col("rate"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tok_s"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_clean" -> (corpusClean _))
+    "corpus_clean" -> (corpusClean _),
+    "source_mix" -> (sourceMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "source_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok_s
+        |      FROM d GROUP BY source),
+        |m AS (SELECT MAX(tok_s) AS mx FROM s),
+        |r AS (SELECT source, n_docs, tok_s,
+        |  sqrt(CAST(tok_s AS DOUBLE) / CAST(mx AS DOUBLE)) AS rate,
+        |  CAST(floor(sqrt(CAST(tok_s AS DOUBLE) / CAST(mx AS DOUBLE)) * 65536) AS BIGINT) AS cutoff
+        |  FROM s, m),
+        |k AS (SELECT d.source, COUNT(*) AS n_kept
+        |      FROM d JOIN r ON d.source = r.source
+        |      WHERE '0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < printf('%05x', cutoff)
+        |      GROUP BY d.source)
+        |SELECT r.source, n_docs, tok_s, rate, COALESCE(n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
     "corpus_clean" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3

@@ -574,6 +574,22 @@ object Relational {
       .agg(sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Non-hierarchical GROUPING SETS — the shape ROLLUP/CUBE can't
+    * express: independent per-returnflag and per-linestatus margins
+    * plus the grand total in ONE pass (Spark expands the sets map-side
+    * exactly like rollup, so the input is scanned once, not once per
+    * set).  Rows are distinguished by their null pattern — each set
+    * leaves the other column null, so no grouping_id is needed and the
+    * (flag, status) order with nulls first is total.
+    */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Global top-20 orders by totalprice: TakeOrderedAndProject — each
     * partition keeps 20 rows, driver merges; no global sort.
     */
@@ -609,6 +625,7 @@ object Relational {
     "agg_approx" -> (aggApprox _),
     "set_ops" -> (setOps _),
     "rollup_agg" -> (rollupAgg _),
+    "grouping_sets" -> (groupingSetsAgg _),
     "top_k" -> (topK _))
 
   /** DuckDB oracle SQL; `agg_approx` intentionally omitted (sketches
@@ -852,6 +869,11 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "top_k" ->
       """SELECT o_orderkey, o_totalprice FROM orders

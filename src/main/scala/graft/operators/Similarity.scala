@@ -128,6 +128,35 @@ object Similarity {
   def annBruteforceFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     bruteforce(prep(corpus), asQueries(queries), k)
 
+  private def rangeSearch(v: DataFrame, q: DataFrame, tau: Double): DataFrame =
+    v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("q_id"), col("vec_id"))
+
+  /** Radius (range) search: ALL neighbors with cosine ≥ τ per fixture
+    * query, not a fixed k — the retrieval primitive when the question
+    * is "everything at least this similar" (near-duplicate harvesting
+    * around a probe set, contamination sweeps around known test docs).
+    * Same broadcast-query corpus-scan shape as [[annBruteforce]], but
+    * with NO top-k state at all: the τ predicate runs inside the scan
+    * stage, so the operator is a pure scan-filter whose output — not
+    * the corpus — is the only thing the presentation sort touches.
+    */
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    rangeSearch(v, queryVecs(v), 0.2)
+  }
+
+  /** Public radius-search entry for a user query set, under the same
+    * [[MaxQueries]] broadcast contract (and the same one-action
+    * materialization of `queries`) as [[annBruteforceFor]].
+    */
+  def annRangeFor(corpus: DataFrame, queries: DataFrame, tau: Double): DataFrame =
+    rangeSearch(prep(corpus), asQueries(queries), tau)
+
   /** Shared random-hyperplane machinery: 8 tables × b sign bits from a
     * fixed seeded gaussian matrix compiled into the plan as literals.
     * `hyperplaneBuckets(e, bits)` → `array<struct<tbl,bucket>>`.
@@ -922,6 +951,7 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_range" -> (annRange _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -931,6 +961,19 @@ object Similarity {
     "knn_label_vote" -> (knnLabelVote _))
 
   def oracleSql: Map[String, String] = Map(
+    "ann_range" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (SELECT * FROM (SELECT vec_id, e,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm
+        |  FROM v0) WHERE nrm > 0),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM v
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+        |scored AS (SELECT q_id, vec_id,
+        |  list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+        |  / (qnrm * nrm) AS cos
+        |  FROM v, q WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, round(cos, 6) AS cos6 FROM scored
+        |WHERE cos >= 0.2 ORDER BY q_id, vec_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |v AS (SELECT * FROM (SELECT vec_id, e,

@@ -235,7 +235,62 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** PII-scrub patterns: email-shaped tokens and digit runs.  Kept
+    * RE2-safe (no backreferences/lookaround) so the identical pattern
+    * runs on Spark's java.util.regex and RE2-based engines (the
+    * oracle) with the same match semantics.  Real deployments extend
+    * the alternation (phone formats, IP literals, ID schemes) — the
+    * plan shape is invariant in the pattern.
+    */
+  private[graft] val PiiPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]+"
+
+  /** PII scrubbing: redact email-shaped tokens and digit runs from a
+    * free-text column, keeping a per-row redaction count — the privacy
+    * pass a training-data pipeline runs before anything else sees the
+    * text, with the "how much PII per shard" audit riding along for
+    * free.  Pure scan-project (the regex engine is the whole cost):
+    * zero shuffle at any corpus size beyond the presentation sort.
+    * Runs over `events.props`, the synthetic corpus' only column with
+    * digit content.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        regexp_count(col("props"), lit(PiiPattern)).cast("long").as("n_redactions"),
+        regexp_replace(col("props"), PiiPattern, "<PII>").as("clean"))
+      .filter(col("n_redactions") > 0)
+      .orderBy(col("event_id"))
+
+  /** Corpus token-length histogram with cumulative token share — the
+    * curation statistic behind length filters and sequence-packing
+    * decisions ("what fraction of training tokens live in docs shorter
+    * than X").  One narrow scan → 32-token-wide bucket keys (bounded
+    * key space, map-side partials collapse each partition to one row
+    * per bucket) → the running share is a window over the
+    * POST-aggregate frame (tens of rows at any corpus size), so nothing
+    * corpus-sized is ever sorted.
+    */
+  def tokenHistogram(s: SparkSession, dir: String): DataFrame = {
+    val tok = size(tokens(col("text"))).cast("long")
+    val h = Tables.documents(s, dir)
+      .select((floor(tok / lit(32)) * 32).cast("long").as("bucket"), tok.as("tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    h.select(col("bucket"), col("n_docs"), col("tokens"),
+      (sum(col("tokens")).over(wCum).cast("double") /
+        sum(col("tokens")).over(wAll).cast("double")).as("cum_share"))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub" -> (piiScrub _),
+    "token_histogram" -> (tokenHistogram _),
     "top_tfidf_terms" -> (topTfidfTerms _),
     "text_repetition" -> (textRepetition _),
     "text_stats" -> (textStats _),
@@ -249,6 +304,23 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    "pii_scrub" ->
+      """WITH p AS (SELECT event_id,
+        |  CAST(len(regexp_extract_all(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]+')) AS BIGINT) AS n_redactions,
+        |  regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]+', '<PII>', 'g') AS clean
+        |FROM events)
+        |SELECT event_id, n_redactions, clean FROM p
+        |WHERE n_redactions > 0 ORDER BY event_id""".stripMargin,
+    "token_histogram" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok FROM documents),
+        |h AS (SELECT CAST(floor(tok / 32) * 32 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens FROM t GROUP BY 1)
+        |SELECT bucket, n_docs, tokens,
+        |  CAST(SUM(tokens) OVER (ORDER BY bucket) AS DOUBLE)
+        |    / CAST(SUM(tokens) OVER () AS DOUBLE) AS cum_share
+        |FROM h ORDER BY bucket""".stripMargin,
     "top_tfidf_terms" ->
       """WITH p0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
         |pairs AS (SELECT doc_id, term, COUNT(*) AS tf FROM p0 GROUP BY doc_id, term),

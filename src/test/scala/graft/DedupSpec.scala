@@ -177,6 +177,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got === good.diff(nonReps).intersect(lowRep))
   }
 
+  test("source_mix keeps everything from the heaviest source, rates follow sqrt temperature") {
+    val rows = graft.operators.Pipeline.sourceMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val mx = rows.map(_.getAs[Long]("tok_s")).max
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0 && rate <= 1.0)
+      assert(math.abs(rate - math.sqrt(r.getAs[Long]("tok_s").toDouble / mx)) < 1e-12)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      // cutoff 65536 ('10000') sorts above every 16-bit hash → full keep
+      if (r.getAs[Long]("tok_s") == mx)
+        assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_docs"))
+    }
+    val again = graft.operators.Pipeline.sourceMix(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("native minhash band keys equal the xxhash64(slice) formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     val bands = 32

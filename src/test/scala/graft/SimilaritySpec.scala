@@ -143,6 +143,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("broadcast contract"))
   }
 
+  test("ann_range returns exactly the pairs at or above the threshold") {
+    val got = Similarity.annRange(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    // local exact recompute of the fixture radius search
+    val vecs = graft.sources.Tables.embeddings(spark, sf).collect().map { r =>
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      (r.getAs[Long]("vec_id"), e, math.sqrt(e.map(x => x * x).sum))
+    }.filter(_._3 > 0)
+    val qs = vecs.filter(_._1 % 100 == 0).sortBy(_._1).take(1024)
+    val want = (for {
+      (qid, qe, qn) <- qs
+      (vid, e, n) <- vecs
+      if vid != qid
+      cos = qe.zip(e).map { case (a, b) => a * b }.sum / (qn * n)
+      if cos >= 0.2
+    } yield (qid, vid)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("annRangeFor(user query frame) matches the named fixture entry") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 100 === 0).orderBy(col("vec_id")).limit(1024)
+    val got = Similarity.annRangeFor(emb, q, 0.2).collect().map(_.toString).toSeq
+    val want = Similarity.annRange(spark, sf).collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
   test("annBruteforceFor(user query frame) matches the named fixture entry") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, sf)

@@ -25,6 +25,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.length === 500)
   }
 
+  test("pii_scrub removes every match and counts agree with a local regex replay") {
+    val rows = TextOps.piiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pat = java.util.regex.Pattern.compile(TextOps.PiiPattern)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_redactions") > 0)
+      // nothing matchable survives in the scrubbed text
+      assert(!pat.matcher(r.getAs[String]("clean").replace("<PII>", "")).find())
+    }
+    val raw = Tables.events(spark, sf).select("event_id", "props").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val m = pat.matcher(raw(r.getAs[Long]("event_id")))
+      var c = 0
+      while (m.find()) c += 1
+      assert(r.getAs[Long]("n_redactions") === c)
+    }
+  }
+
+  test("token histogram partitions the corpus and shares accumulate to 1") {
+    val rows = TextOps.tokenHistogram(spark, sf).collect()
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").length.toLong)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === toks.length)
+    assert(rows.map(_.getAs[Long]("tokens")).sum === toks.sum)
+    rows.foreach(r => assert(r.getAs[Long]("bucket") % 32 === 0))
+    val shares = rows.map(_.getAs[Double]("cum_share")).toSeq
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b })
+    assert(math.abs(shares.last - 1.0) < 1e-12)
+  }
+
   test("top terms agree with a locally computed document-frequency ranking") {
     val got = TextOps.topTerms(spark, sf).collect()
       .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"))).toSeq
