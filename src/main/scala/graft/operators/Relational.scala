@@ -530,6 +530,167 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  /** Derived partsupp relation — unblocks the five partsupp TPC-H
+    * shapes (Q2/Q9/Q11/Q16/Q20) the synthetic schema couldn't express:
+    * one row per distinct observed (l_partkey, l_suppkey) pair, so
+    * Q9's lineitem⋈partsupp composite-key join is total, with
+    * availqty / supplycost PURE MODULAR FUNCTIONS of the keys — the
+    * oracle replays the identical CTE, so the derivation is
+    * engine-exact.  supplycost carries twice: whole CENTS as BIGINT
+    * (for Q11's overflow-free integer cross-multiplied HAVING) and as
+    * an exact decimal via ×0.01 decimal multiplication (decimal ÷ int
+    * degrades to DOUBLE on some engines, so never divide).
+    * At scale this is one (partkey, suppkey)-keyed exact dedup of the
+    * fact table — the same shuffle Q9 pays for its join anyway.
+    */
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (pmod(col("ps_partkey") * 37 + col("ps_suppkey") * 17, lit(9999)) + 1)
+          .cast("long").as("ps_availqty"),
+        (pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 11, lit(99999)) + 100)
+          .cast("long").as("ps_cost_cents"),
+        ((pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 11, lit(99999)) + 100)
+          .cast(D182) * lit(new java.math.BigDecimal("0.01"))).as("ps_supplycost"))
+
+  /** Shared oracle CTE for the derived partsupp (see [[partsupp]]). */
+  private val PartsuppCte =
+    """partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST((ps_partkey * 37 + ps_suppkey * 17) % 9999 + 1 AS BIGINT) AS ps_availqty,
+      |    CAST((ps_partkey * 7 + ps_suppkey * 11) % 99999 + 100 AS BIGINT) AS ps_cost_cents,
+      |    CAST((ps_partkey * 7 + ps_suppkey * 11) % 99999 + 100 AS DECIMAL(18,2))
+      |      * CAST(0.01 AS DECIMAL(3,2)) AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem))""".stripMargin
+
+  /** TPC-H Q2 image: minimum-cost supplier — the correlated scalar
+    * subquery (min supplycost per part within a region) decorrelated to
+    * a per-part min aggregate joined back on (partkey, cost equality;
+    * exact decimals, so the equality is engine-identical).  Region →
+    * nation → supplier prune via broadcast hops onto the partsupp
+    * relation; the part filter is pushed; top-100 by
+    * TakeOrderedAndProject.
+    */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    val euroNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val euroSupp = Tables.supplier(s, dir)
+      .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+    val costs = partsupp(s, dir)
+      .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = costs.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    Tables.part(s, dir)
+      .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+      .join(costs, col("p_partkey") === col("ps_partkey"))
+      .join(minCost,
+        col("p_partkey") === col("mc_partkey") && col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), col("ps_supplycost").cast("double").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 image: product-line profit per nation per year.  amount =
+    * discounted revenue − supplycost·quantity, all decimal; the
+    * lineitem⋈partsupp join rides the composite (partkey, suppkey) key
+    * (one fact-fact shuffle, AQE-splittable), part/supplier/nation
+    * broadcast, orders joins on the orderkey shuffle.
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val amount = discPrice -
+      col("ps_supplycost").cast(D182) * col("l_quantity").cast(D182)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("red%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(partsupp(s, dir),
+        col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 image: important stock — per-part inventory value for
+    * one nation's suppliers, HAVING value > 0.0001 of the nation
+    * total.  The scalar-subquery threshold is a broadcast 1-row
+    * aggregate off the SAME grouped frame, and the compare
+    * cross-multiplies in INTEGER CENTS (value·10⁴ > total) — exact at
+    * any magnitude, where a decimal fraction multiply would overflow
+    * precision 38 and round differently per engine.
+    */
+  def q11Stock(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = partsupp(s, dir)
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
+    val total = vals.agg(sum(col("value_cents")).as("total_cents"))
+    vals.join(broadcast(total))
+      .filter(col("value_cents") * 10000 > col("total_cents"))
+      .select(col("ps_partkey"),
+        (col("value_cents").cast("double") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q16 image: supplier count per (brand, type, size) for
+    * non-excluded parts, minus "complaint" suppliers (stand-in:
+    * negative account balance — the schema has no comment column).
+    * The exclusion is a broadcast anti join; count-distinct dedups
+    * (brand, type, size, suppkey) in the aggregate's first shuffle.
+    */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val complaints = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#2" && !col("p_type").like("SMALL%") &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .join(partsupp(s, dir), col("p_partkey") === col("ps_partkey"))
+      .join(broadcast(complaints), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 image: promotion-candidate suppliers — the nested
+    * IN-chain (suppliers holding excess stock of a promo part)
+    * decorrelated to aggregates + semi joins: shipped quantity per
+    * (part, supplier) in the window, availqty > half of it via exact
+    * decimal cross-multiplication (2·availqty > Σqty), then one semi
+    * join up to suppliers in the target nation, ordered by name.
+    */
+  def q20Promo(s: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(s, dir)
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val shipped = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(D182)).as("qty"))
+    val excess = partsupp(s, dir)
+      .join(broadcast(promoParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(shipped,
+        col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+      .filter((col("ps_availqty") * 2).cast(D182) > col("qty"))
+      .select(col("ps_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
   /** Exact multi-distinct aggregate per market segment. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -617,6 +778,11 @@ object Relational {
     "q7_volume" -> (q7Volume _),
     "q8_marketshare" -> (q8MarketShare _),
     "q12_shipclass" -> (q12ShipClass _),
+    "q2_mincost" -> (q2MinCost _),
+    "q9_profit" -> (q9Profit _),
+    "q11_stock" -> (q11Stock _),
+    "q16_suppcnt" -> (q16SupplierCnt _),
+    "q20_promo" -> (q20Promo _),
     "join_shuffle" -> (joinShuffle _),
     "join_semi_anti" -> (joinSemiAnti _),
     "window_rank" -> (windowRank _),
@@ -632,6 +798,70 @@ object Relational {
     * are engine-specific → rows-only check).
     */
   def oracleSql: Map[String, String] = Map(
+    "q2_mincost" ->
+      s"""WITH $PartsuppCte,
+        |en AS (SELECT n_nationkey, n_name FROM nation
+        |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |es AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |       JOIN en ON s_nationkey = n_nationkey),
+        |costs AS (SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+        |          FROM partsupp JOIN es ON ps_suppkey = s_suppkey),
+        |mc AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM costs GROUP BY ps_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(ps_supplycost AS DOUBLE) AS supplycost
+        |FROM part
+        |JOIN costs ON p_partkey = costs.ps_partkey
+        |JOIN mc ON costs.ps_partkey = mc.ps_partkey AND ps_supplycost = min_cost
+        |WHERE p_size <= 15 AND p_type = 'ECONOMY'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q9_profit" ->
+      s"""WITH $PartsuppCte
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))
+        |    - CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_stock" ->
+      s"""WITH $PartsuppCte,
+        |ns AS (SELECT s_suppkey FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3'),
+        |vals AS (SELECT ps_partkey, SUM(ps_cost_cents * ps_availqty) AS value_cents
+        |         FROM partsupp JOIN ns ON ps_suppkey = s_suppkey GROUP BY ps_partkey),
+        |tot AS (SELECT SUM(value_cents) AS total_cents FROM vals)
+        |SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+        |FROM vals, tot WHERE value_cents * 10000 > total_cents
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q16_suppcnt" ->
+      s"""WITH $PartsuppCte
+        |SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM part JOIN partsupp ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_type NOT LIKE 'SMALL%'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_promo" ->
+      s"""WITH $PartsuppCte,
+        |pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |shipped AS (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |            FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |              AND l_partkey IN (SELECT p_partkey FROM pp)
+        |            GROUP BY l_partkey, l_suppkey),
+        |excess AS (SELECT DISTINCT ps_suppkey FROM partsupp
+        |           JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |           WHERE ps_partkey IN (SELECT p_partkey FROM pp)
+        |             AND CAST(ps_availqty * 2 AS DECIMAL(18,2)) > qty)
+        |SELECT s_name, s_acctbal FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1' AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+        |ORDER BY s_name""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -950,8 +950,86 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Distributed spherical k-means (Lloyd's) over the FULL corpus — the
+    * scale path for quantizer training when a bounded driver-local
+    * sample isn't enough (the per-run IVF/PQ entries train on
+    * [[trainingSample]]'s ≤64k rows; at 100 TB the production coarse
+    * quantizer trains on everything, with driver state still bounded).
+    *
+    * Each iteration is ONE distributed pass: literal-centroid argmax
+    * assignment (map-side codegen, the [[assignCells]] IVF path) then
+    * the centroid update as posexplode → (cid, dim)-keyed sums —
+    * map-side partials collapse every partition to ≤ k·dim rows, so
+    * the shuffle and the driver collect are O(k·dim), never
+    * corpus-sized.  The sums accumulate in DECIMAL(38,18): decimal
+    * addition is exact and therefore ORDER-INSENSITIVE, so training is
+    * bit-identical on any partitioning/cluster layout — double sums
+    * would make the trained model depend on shuffle arrival order.
+    * Empty cells keep their previous centroid.  Seeds are the k corpus
+    * vectors with the smallest (xxhash64(vec_id), vec_id) —
+    * deterministic, and TakeOrderedAndProject keeps the seed scan
+    * O(k) per partition.
+    *
+    * Runs `iters + 1` jobs at call time (one per Lloyd pass + seeding);
+    * `corpus` should be a materialized table.  Returns the trained
+    * unit centroids and the assigned (vec_id, e, nrm, cid) frame.
+    */
+  def kmeansTrain(corpus: DataFrame, k: Int, iters: Int): (Array[Array[Double]], DataFrame) = {
+    val v = prep(corpus)
+    val seeds = v
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("e"), col("nrm")).collect()
+      .map { r =>
+        val n = r.getAs[Double]("nrm")
+        r.getAs[scala.collection.Seq[Double]]("e").map(_ / n).toArray
+      }
+    require(seeds.nonEmpty, "kmeansTrain: empty corpus")
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val sums = assignCells(v, cents)
+        .select(col("cid"), col("nrm"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum((col("x") / col("nrm")).cast("decimal(38,18)")).as("sx"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("cid"))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid).map { rows =>
+          val acc = new Array[Double](old.length)
+          rows.foreach(r =>
+            acc(r.getAs[Int]("pos")) = r.getAs[java.math.BigDecimal]("sx").doubleValue())
+          val n = math.sqrt(acc.map(x => x * x).sum)
+          if (n > 0) acc.map(_ / n) else old
+        }.getOrElse(old)
+      }
+    }
+    (cents, assignCells(v, cents))
+  }
+
+  /** Driver entry: k = 8, 4 Lloyd passes over the embedding corpus;
+    * per-cluster size and mean within-cluster cosine (decimal-summed →
+    * one double division, so the report is as order-insensitive as the
+    * training).  Rows-only oracle (k-means isn't SQL-expressible); the
+    * spec pins determinism, partition totals, and objective ascent.
+    */
+  def kmeansEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, assigned) = kmeansTrain(Tables.embeddings(s, dir), 8, 4)
+    val centDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cid", "c"))
+    assigned.join(centDf, "cid")
+      .select(col("cid"),
+        ((dot(col("e"), col("c")) / col("nrm")).cast("decimal(38,18)")).as("cos_d"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("cos_d")).cast("double") / count(lit(1)), 6).as("mean_cos6"))
+      .orderBy(col("cid"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_range" -> (annRange _),
+    "kmeans_embed" -> (kmeansEmbed _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),

@@ -126,6 +126,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("IsNotNull(l_shipdate)"))
   }
 
+  test("q2 decorrelates min-cost with broadcast dim hops and a map-side top-100") {
+    val p = plan(Relational.q2MinCost(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countIn(p, "BroadcastExchange") >= 2, p)
+  }
+
+  test("q9 broadcasts every dimension around the composite-key partsupp join") {
+    val p = plan(Relational.q9Profit(spark, sf))
+    assert(countIn(p, "BroadcastExchange") >= 3, p)
+  }
+
   test("event_transitions shuffles once on user_id, then only the bounded-key aggregate") {
     val p = plan(EventOps.eventTransitions(spark, sf))
     // window exchange on user_id + aggregate exchange on the pair key +

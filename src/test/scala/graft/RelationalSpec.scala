@@ -134,6 +134,57 @@ class RelationalSpec extends AnyFunSuite {
     assert(total === want)
   }
 
+  test("q11 keeps exactly the parts above the integer cross-multiplied threshold") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n3 = graft.sources.Tables.supplier(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val vals = pairs.filter(p => n3.contains(p._2))
+      .groupBy(_._1).view.mapValues(_.map { case (p, su) =>
+        ((p * 37 + su * 17) % 9999 + 1) * ((p * 7 + su * 11) % 99999 + 100)
+      }.sum).toMap
+    val total = vals.values.sum
+    val want = vals.filter(_._2 * 10000 > total)
+    val got = Relational.q11Stock(spark, sf).collect()
+      .map(r => r.getAs[Long]("ps_partkey") -> r.getAs[Double]("value")).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, cents) => assert(got(k) === cents.toDouble / 100.0) }
+  }
+
+  test("q20 finds exactly the excess-stock promo suppliers (local replay)") {
+    import org.apache.spark.sql.functions._
+    val red = graft.sources.Tables.part(spark, sf).filter(col("p_name").like("red%"))
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val shipped = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity")).collect()
+      .filter(r => red.contains(r.getLong(0)))
+      .groupBy(r => (r.getLong(0), r.getLong(1))).view
+      .mapValues(_.map(r => BigDecimal(r.getDouble(2))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum).toMap
+    val pairs = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val excess = pairs.filter { case (p, su) =>
+      red.contains(p) && shipped.get((p, su)).exists { q =>
+        BigDecimal(((p * 37 + su * 17) % 9999 + 1) * 2) > q
+      }
+    }.map(_._2).toSet
+    val want = graft.sources.Tables.supplier(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf).filter(col("n_name") === "NATION_1"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .filter(r => excess.contains(r.getLong(0))).map(_.getString(1)).sorted.toSeq
+    val got = Relational.q20Promo(spark, sf).collect()
+      .map(_.getAs[String]("s_name")).toSeq
+    assert(got === want)
+  }
+
   test("set_ops partitions are disjoint and consistent") {
     val rows = Relational.setOps(spark, sf).collect()
       .map(r => (r.getAs[String]("op"), r.getAs[Long]("k")))

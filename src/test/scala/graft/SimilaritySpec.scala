@@ -143,6 +143,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("broadcast contract"))
   }
 
+  test("kmeans_embed: deterministic, partitions the corpus, objective ascends") {
+    val rows = Similarity.kmeansEmbed(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === n)
+    rows.foreach(r => assert(r.getAs[Double]("mean_cos6") >= -1.0 - 1e-9))
+    // bit-identical across runs: decimal-summed centroid updates make
+    // training order-insensitive, so a re-run is exactly equal
+    val again = Similarity.kmeansEmbed(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // Lloyd ascent: the 4-pass weighted mean within-cluster cosine is
+    // no worse than the 1-pass one (both from the same seeds)
+    def objective(iters: Int): Double = {
+      val (cents, assigned) = Similarity.kmeansTrain(
+        graft.sources.Tables.embeddings(spark, sf), 8, iters)
+      import org.apache.spark.sql.functions._
+      val local = assigned.select(col("cid"), col("e"), col("nrm")).collect()
+      local.map { r =>
+        val c = cents(r.getAs[Int]("cid"))
+        val e = r.getAs[scala.collection.Seq[Double]]("e")
+        e.zip(c).map { case (a, b) => a * b }.sum / r.getAs[Double]("nrm")
+      }.sum / local.length
+    }
+    assert(objective(4) >= objective(1) - 1e-9)
+  }
+
   test("ann_range returns exactly the pairs at or above the threshold") {
     val got = Similarity.annRange(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
