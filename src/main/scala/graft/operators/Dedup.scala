@@ -610,7 +610,75 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Incremental dedup: clear a NEW batch against an EXISTING corpus
+    * without reprocessing the corpus — the production shape for
+    * continuous ingestion (today's crawl vs the accumulated corpus,
+    * where corpus×corpus work was already paid in previous runs).
+    * One verdict per batch doc, exact match taking precedence:
+    * `exact_dup` (normalized-text fingerprint already in the corpus),
+    * `near_dup` (≥ τ 3-gram Jaccard with some corpus doc), `kept`.
+    *
+    * Both checks are BIPARTITE batch×corpus — never corpus×corpus:
+    * the exact pass semi-joins 16-byte fingerprints; the near pass
+    * rides the [[ShingleDfCap]]-capped shingle inverted index with the
+    * two sides joined on the shingle key, so candidate volume per
+    * shingle is ≤ min(df_batch, cap)·min(df_corpus, cap) and corpus
+    * text crosses the wire as skinny (doc_id, shingle) rows exactly
+    * once.  At 100 TB the corpus fingerprint/shingle relations live as
+    * maintained append-only tables rather than being recomputed per
+    * batch; the joins here are identical either way.
+    */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame, tau: Double): DataFrame = {
+    def fp(df: DataFrame) =
+      df.select(col("doc_id"), md5(encode(normText(col("text")), "UTF-8")).as("fp"))
+    val exactDup = fp(batch)
+      .join(fp(corpus), Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    // one union-side tag so the DF cap sees the combined frequency (a
+    // boilerplate shingle explodes the bipartite join no matter which
+    // side it is frequent on), then the two sides split back out of
+    // the SAME shingle-partitioned exchange
+    val tagged = batch.select(lit("b").as("side"), col("doc_id"), col("text"))
+      .unionAll(corpus.select(lit("c").as("side"), col("doc_id"), col("text")))
+      .select(col("side"), col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
+      .repartition(col("shingle"))
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val sh = tagged
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= ShingleDfCap)
+      .drop("df")
+    val sz = sh.groupBy(col("side"), col("doc_id")).agg(count(lit(1)).as("n"))
+    val nearDup = sh.filter(col("side") === "b").as("a").hint("merge")
+      .join(sh.filter(col("side") === "c").as("b").hint("merge"),
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("bd"), col("b.doc_id").as("cd"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.filter(col("side") === "b").select(col("doc_id").as("bd"), col("n").as("nb")), "bd")
+      .join(sz.filter(col("side") === "c").select(col("doc_id").as("cd"), col("n").as("nc")), "cd")
+      .filter(col("c") / (col("nb") + col("nc") - col("c")) >= tau)
+      .select(col("bd").as("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exactDup.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact_dup")
+          .when(col("is_near") === 1, "near_dup")
+          .otherwise("kept").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver entry: even doc_ids are the incoming batch, odd the
+    * existing corpus (same split as [[decontaminate]]), τ = 0.8.
+    */
+  def dedupIncrementalEntry(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    dedupIncremental(docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), 0.8)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncrementalEntry _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_chunk" -> (dedupChunk _),
@@ -626,6 +694,30 @@ object Dedup {
     * (their ScalaTest specs pin estimates against exact Jaccard).
     */
   def oracleSql: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS nt,
+        |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |fp AS (SELECT doc_id, md5(nt) AS fp FROM t),
+        |bexact AS (SELECT b.doc_id FROM fp b WHERE b.doc_id % 2 = 0
+        |           AND EXISTS (SELECT 1 FROM fp c WHERE c.doc_id % 2 = 1 AND c.fp = b.fp)),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS bd, b.doc_id AS cd, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |          GROUP BY bd, cd),
+        |near AS (SELECT DISTINCT bd AS doc_id FROM inter
+        |         JOIN sz s1 ON bd = s1.doc_id JOIN sz s2 ON cd = s2.doc_id
+        |         WHERE c / (s1.n + s2.n - c) >= 0.8)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id IN (SELECT doc_id FROM bexact) THEN 'exact_dup'
+        |       WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+        |       ELSE 'kept' END AS verdict
+        |FROM documents d WHERE d.doc_id % 2 = 0 ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS nt

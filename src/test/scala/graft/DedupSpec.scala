@@ -177,6 +177,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got === good.diff(nonReps).intersect(lowRep))
   }
 
+  test("dedup_incremental verdicts planted exact, near and fresh batch docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearEdit = (1 to 39).map(i => s"tok$i").mkString(" ") + " changed"
+    val corpus = Seq((1L, base), (3L, "some other corpus doc entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                       // exact copy of corpus doc 1
+      (12L, nearEdit),                   // tail-edited: J = 35/41 ≈ 0.85
+      (14L, "completely fresh material never seen before by anything"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dedupIncremental(corpus, batch, 0.8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got === Map(10L -> "exact_dup", 12L -> "near_dup", 14L -> "kept"))
+    // entry smoke: every even doc gets exactly one verdict
+    val entry = graft.operators.Dedup.dedupIncrementalEntry(spark, sf).collect()
+    val evens = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 0).count()
+    assert(entry.length.toLong === evens)
+    assert(entry.map(_.getAs[String]("verdict")).toSet.subsetOf(
+      Set("exact_dup", "near_dup", "kept")))
+  }
+
   test("source_mix keeps everything from the heaviest source, rates follow sqrt temperature") {
     val rows = graft.operators.Pipeline.sourceMix(spark, sf).collect()
     assert(rows.nonEmpty)
