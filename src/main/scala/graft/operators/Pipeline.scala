@@ -79,11 +79,75 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Sequence-packing plan statistics: how efficiently the corpus fills
+    * fixed-capacity training windows (cap = 512 tokens).  Docs are
+    * classed by `per_bin` = ⌊cap / tokens⌋ (how many same-class docs
+    * share one window under homogeneous next-fit); per class the bin
+    * count is pure integer arithmetic, so the whole report is one scan
+    * + a bounded-key aggregate — NO corpus-wide sort or row numbering
+    * (a global first-fit assignment would need one; the padding-waste
+    * numbers a pipeline actually plans with don't).  Oversized docs
+    * (tokens > cap) land in per_bin = 1 with utilization > 1 — the
+    * signal they need truncation/splitting upstream.
+    */
+  def packStats(s: SparkSession, dir: String): DataFrame = {
+    val cap = 512
+    val tok = size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+    Tables.documents(s, dir)
+      .select(tok.as("tok"))
+      .select(col("tok"),
+        greatest(lit(1L), floor(lit(cap) / greatest(col("tok"), lit(1L))).cast("long")).as("per_bin"))
+      .groupBy(col("per_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .withColumn("n_bins",
+        floor((col("n_docs") + col("per_bin") - 1) / col("per_bin")).cast("long"))
+      .withColumn("utilization",
+        col("tokens").cast("double") / (col("n_bins") * cap).cast("double"))
+      .orderBy(col("per_bin"))
+  }
+
+  /** The actual doc→window assignment: next-fit packing WITHIN each
+    * partition (packing is inherently sequential, so the honest
+    * distributed form is per-partition streaming — ladder step (d),
+    * the one place iterator order is the algorithm).  Bins never mix
+    * partitions: bin_id = (partition << 32) | local counter, docs are
+    * packed in doc_id order within the partition, and a bin is closed
+    * when the next doc would overflow `cap` (a doc larger than cap
+    * gets a bin alone).  Deterministic for a fixed partitioning;
+    * repartition first if cross-run bin identity matters.
+    * Input: (doc_id, tok); output: (doc_id, tok, bin_id).
+    */
+  def packNextFit(docs: DataFrame, cap: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("tok").cast("long")).as[(Long, Long)]
+      .sortWithinPartitions("doc_id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var bin = 0L
+        var used = 0L
+        it.map { case (id, tok) =>
+          if (used > 0 && used + tok > cap) { bin += 1; used = 0L }
+          used += tok
+          (id, tok, (pid << 32) | bin)
+        }
+      }.toDF("doc_id", "tok", "bin_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean _),
-    "source_mix" -> (sourceMix _))
+    "source_mix" -> (sourceMix _),
+    "pack_stats" -> (packStats _))
 
   def oracleSql: Map[String, String] = Map(
+    "pack_stats" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok FROM documents),
+        |b AS (SELECT GREATEST(1, CAST(floor(512 / GREATEST(tok, 1)) AS BIGINT)) AS per_bin, tok FROM t),
+        |g AS (SELECT per_bin, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens FROM b GROUP BY per_bin),
+        |n AS (SELECT *, CAST(floor((n_docs + per_bin - 1) / per_bin) AS BIGINT) AS n_bins FROM g)
+        |SELECT per_bin, n_docs, tokens, n_bins,
+        |  CAST(tokens AS DOUBLE) / CAST(n_bins * 512 AS DOUBLE) AS utilization
+        |FROM n ORDER BY per_bin""".stripMargin,
     "source_mix" ->
       """WITH d AS (SELECT doc_id, source,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok FROM documents),

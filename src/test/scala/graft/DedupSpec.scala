@@ -177,6 +177,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got === good.diff(nonReps).intersect(lowRep))
   }
 
+  test("packNextFit: bins respect capacity, every doc packed once, stats consistent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cap = 100
+    val docs = (1L to 200L).map(i => (i, (i * 37 % 90) + 5)).toDF("doc_id", "tok")
+      .repartition(4)
+    val packed = graft.operators.Pipeline.packNextFit(docs, cap).collect()
+    assert(packed.length === 200)
+    assert(packed.map(_.getAs[Long]("doc_id")).toSet === (1L to 200L).toSet)
+    packed.groupBy(_.getAs[Long]("bin_id")).values.foreach { bin =>
+      val total = bin.map(_.getAs[Long]("tok")).sum
+      assert(total <= cap || bin.length == 1, s"overfull multi-doc bin: $total")
+    }
+    // pack_stats: bins * capacity always covers the class token mass
+    // unless the class is the oversized one (per_bin = 1 can overflow)
+    val stats = graft.operators.Pipeline.packStats(spark, sf).collect()
+    val toks = graft.sources.Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").length.toLong)
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === toks.length)
+    assert(stats.map(_.getAs[Long]("tokens")).sum === toks.sum)
+    stats.foreach { r =>
+      val u = r.getAs[Double]("utilization")
+      assert(u > 0)
+      if (r.getAs[Long]("per_bin") > 1) assert(u <= 1.0)
+    }
+  }
+
   test("dedup_incremental verdicts planted exact, near and fresh batch docs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
