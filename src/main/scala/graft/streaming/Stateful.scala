@@ -35,6 +35,32 @@ object Stateful {
     * bound the join state (clicks older than purchase-watermark − 1h
     * are dropped) — the streaming image of the batch as-of/range join.
     */
+  /** Stream-static dedup: pass through only the stream docs whose
+    * normalized-text fingerprint is NOT in the static corpus relation —
+    * the streaming twin of [[graft.operators.Dedup.dedupIncremental]]'s
+    * exact pass, for continuous ingestion against an accumulated corpus
+    * table.  A stream-static join re-reads the static side per
+    * micro-batch plan (so a corpus UPDATED between batches is picked
+    * up); expressed as left-outer + null filter, the join carries only
+    * 16-byte fingerprints and the static side stays joinable at any
+    * corpus size (broadcast below threshold, shuffled hash above).
+    * In-stream duplicates of the SAME batch pass through here — chain
+    * [[graft.operators.EventOps.streamDedup]]-style keyed dedup
+    * upstream for effectively-once per fingerprint.
+    *
+    * `stream`: streaming (doc_id, text); `corpus`: static (doc_id,
+    * text).  Returns the novel stream rows (doc_id, fp).
+    */
+  def dedupAgainstCorpus(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    def fp(df: DataFrame) = df.select(col("doc_id"),
+      md5(encode(graft.functions.TextFunctions.normText(col("text")), "UTF-8")).as("fp"))
+    fp(stream).join(
+        fp(corpus).select(col("fp").as("c_fp")).distinct(),
+        col("fp") === col("c_fp"), "left_outer")
+      .filter(col("c_fp").isNull)
+      .select(col("doc_id"), col("fp"))
+  }
+
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
     val p = purchases.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))

@@ -41,6 +41,25 @@ class StatefulSpec extends AnyFunSuite {
     assert(streamed.size >= (batch.size * 0.8).toInt, s"${streamed.size} of ${batch.size}")
   }
 
+  test("stream-static dedup passes exactly the novel fingerprints through") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (10L, "alpha beta gamma"),          // exact dup of corpus doc 1
+      (11L, "Alpha,  Beta GAMMA!"),       // normalizes to the same text
+      (12L, "entirely novel content"))
+    val q = Stateful.dedupAgainstCorpus(
+        mem.toDF.toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("ssd_stream")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssd_stream").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got === Set(12L))
+  }
+
   test("stream-stream interval join matches the batch range join") {
     def side(tpe: String) = spark.readStream.schema(eventsRaw).parquet(eventsDir)
       .filter(col("event_type") === tpe)
