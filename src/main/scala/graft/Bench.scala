@@ -49,11 +49,14 @@ object Bench {
       // a failed query must read as a failure (-1), not a fast success
       name -> (if (times.exists(_ < 0)) Seq(-1.0) else times.sorted)
     }
-    // ms precision everywhere: the driver keeps only the last ~2000
-    // chars of output, and 70+ full-precision doubles push the final
-    // JSON line past that window (rounds 1–5 all came back unparsed).
+    // precision budget: the driver keeps only the last ~2000 chars of
+    // output, and 85 full-precision doubles push the final JSON line
+    // past that window (rounds 1–5 all came back unparsed).  The
+    // queries map rounds to 10 ms (well under the measured run-to-run
+    // spread); the spread line below keeps ms precision.
     def ms(x: Double): Double = math.rint(x * 1000) / 1000
-    val qs = results.map { case (k, t) => s"\"" + k + "\":" + ms(t(t.length / 2)) }
+    def cs(x: Double): Double = math.rint(x * 100) / 100
+    val qs = results.map { case (k, t) => s"\"" + k + "\":" + cs(t(t.length / 2)) }
       .mkString("{", ",", "}")
     // per-query max−min of the timed runs: a reader can tell scheduler/
     // GC wobble (spread ≈ the delta vs last round) from a real plan
