@@ -126,6 +126,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("IsNotNull(l_shipdate)"))
   }
 
+  test("dedup_incremental reuses the side-tagged shingle exchange across its consumers") {
+    val df = Dedup.dedupIncrementalEntry(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedExchange"), p.linesIterator.take(20).mkString("\n"))
+  }
+
   test("q2 decorrelates min-cost with broadcast dim hops and a map-side top-100") {
     val p = plan(Relational.q2MinCost(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
