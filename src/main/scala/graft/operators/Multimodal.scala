@@ -29,6 +29,22 @@ object Multimodal {
         lit("text/plain").as("mime"))
       .orderBy(col("doc_id"))
 
+  /** File-based ingest: the [[graft.sources.Formats.readBinaryFiles]]
+    * frame (path, modificationTime, length, content) normalized to the
+    * same content-addressed schema as [[mmIngest]] — id = the path's
+    * 64-bit hash (stable across re-listing), payload = file bytes.
+    * This is how a real media corpus (files on disk / object storage)
+    * enters the pipeline; downstream stages ([[mmFeatures]]'s decode,
+    * [[mmDedup]]'s address registry) are source-agnostic from here.
+    */
+  def ingestBinary(files: DataFrame): DataFrame =
+    files.select(
+      xxhash64(col("path")).as("doc_id"),
+      col("path"),
+      length(col("content")).cast("long").as("n_bytes"),
+      sha2(col("content"), 256).as("sha"),
+      col("content").as("payload"))
+
   /** Feature extraction over binary batches via `mapPartitions` on a
     * typed Dataset: partition-parallel, constant memory per batch, no
     * shuffle.  The "decode" (byte histogram + pseudo width/height) is a

