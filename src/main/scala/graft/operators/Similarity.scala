@@ -808,7 +808,8 @@ object Similarity {
     * hands it to the user to write.
     */
   private def ivfPqBuild(v: DataFrame, units: Array[Array[Double]],
-      forceCells: Option[Int], residual: Boolean, n: Long):
+      forceCells: Option[Int], residual: Boolean, n: Long,
+      trainedCents: Option[Array[Array[Double]]] = None):
       (Array[Array[Array[Double]]], Array[Array[Double]], DataFrame) = {
     val dim = units(0).length
     val sub = dim / PqSubspaces
@@ -819,7 +820,12 @@ object Similarity {
     // floor at high n)
     val cells = math.min(forceCells.getOrElse(
       math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))), units.length)
-    val cents = sphericalKMeans(units, cells, 5)
+    // caller-supplied coarse centroids (the full-corpus kmeansTrain
+    // path) override the driver-local sample training; PQ books still
+    // train on the bounded sample either way (they are per-subspace
+    // O(ksub·dim) state — the sample bounds THEIR training cost, the
+    // coarse quantizer is what benefits from seeing everything)
+    val cents = trainedCents.getOrElse(sphericalKMeans(units, cells, 5))
     val books = pqBooks(if (residual) residualUnits(units, cents) else units,
       PqSubspaces, ksub)
     val assigned = assignCells(v, cents)
@@ -896,7 +902,16 @@ object Similarity {
     * then [[searchIvfPqIndex]] any number of query batches.  Runs one
     * `corpus.count()` action; build against a materialized table.
     */
-  def buildIvfPqIndex(corpus: DataFrame, residual: Boolean = false): AnnIndex = {
+  /** `fullTrain = true` trains the coarse quantizer on the FULL corpus
+    * via [[kmeansTrain]] (order-insensitive decimal centroid updates —
+    * the same index on any partitioning) instead of the ≤64k
+    * driver-local sample: one extra distributed pass per Lloyd
+    * iteration, the right trade when the index is built once and
+    * searched for months.  PQ codebooks still train on the bounded
+    * sample (per-subspace O(ksub·dim) state).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, residual: Boolean = false,
+      fullTrain: Boolean = false): AnnIndex = {
     val v = prep(corpus)
     val s = v.sparkSession
     val n = corpus.count()
@@ -905,7 +920,13 @@ object Similarity {
       return AnnIndex(
         v.select(col("vec_id"), lit(0).as("cid"), typedLit(Seq.empty[Int]).as("codes")),
         modelToDf(s, Array.empty, None, residual))
-    val (books, cents, codes) = ivfPqBuild(v, units, None, residual, n)
+    val trained = if (fullTrain) {
+      val cells = math.min(
+        math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt)),
+        units.length)
+      Some(kmeansTrain(corpus, cells, 5)._1)
+    } else None
+    val (books, cents, codes) = ivfPqBuild(v, units, None, residual, n, trained)
     AnnIndex(codes, modelToDf(s, books, Some(cents), residual))
   }
 

@@ -296,6 +296,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("searchIvfPqIndex"))
   }
 
+  test("full-corpus-trained IVF-PQ index keeps recall and is deterministic") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfPqIndex(emb, fullTrain = true)
+    val got = Similarity.searchIvfPqIndex(idx, emb, rawFixtureQueries, 10).collect()
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val sets = topSets(got)
+    val recalls = bf.map { case (q, want) =>
+      sets.getOrElse(q, Set()).intersect(want).size.toDouble / want.size
+    }
+    assert(recalls.sum / recalls.size >= 0.3,
+      s"fullTrain recall@10 = ${recalls.sum / recalls.size}")
+    // decimal-summed training → the same index and results on a re-build
+    val again = Similarity.searchIvfPqIndex(
+      Similarity.buildIvfPqIndex(emb, fullTrain = true), emb, rawFixtureQueries, 10)
+      .collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("residual ivfpq keeps recall, reports exact re-ranked scores, persists round-trip") {
     val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
     val rows = Similarity.annIvfPqResidual(spark, sf).collect()
