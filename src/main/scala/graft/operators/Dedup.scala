@@ -358,18 +358,6 @@ object Dedup {
   def dedupChunk(s: SparkSession, dir: String): DataFrame =
     chunkAudit(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
-  /** The audit over any (doc_id, text) frame — parameterized so the
-    * spec can plant known duplicate spans and pin exact counts.
-    *
-    * Skew note: a corpus-wide boilerplate chunk is the SIGNAL here (it
-    * must be counted, not dropped like jaccard's capped shingles), so
-    * the hot key cannot be filtered away.  A window count over ck
-    * would buffer every occurrence of that chunk in one task; instead
-    * the frequency is a keyed aggregate (map-side partials collapse
-    * each partition's occurrences of the hot chunk to one row) joined
-    * back to the per-(doc, chunk) rows — an SMJ that AQE's skew-join
-    * splitting can subdivide, which a window never can.
-    */
   /** Fixed-width chunk split shared by [[chunkAudit]] and
     * [[dedupLines]]: consecutive `chunkLen`-token spans.  tokens("")
     * is [""], so the trimmed-LENGTH guard gives a truly empty doc zero
@@ -384,6 +372,18 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** The audit over any (doc_id, text) frame — parameterized so the
+    * spec can plant known duplicate spans and pin exact counts.
+    *
+    * Skew note: a corpus-wide boilerplate chunk is the SIGNAL here (it
+    * must be counted, not dropped like jaccard's capped shingles), so
+    * the hot key cannot be filtered away.  A window count over ck
+    * would buffer every occurrence of that chunk in one task; instead
+    * the frequency is a keyed aggregate (map-side partials collapse
+    * each partition's occurrences of the hot chunk to one row) joined
+    * back to the per-(doc, chunk) rows — an SMJ that AQE's skew-join
+    * splitting can subdivide, which a window never can.
+    */
   private[graft] def chunkAudit(docs: DataFrame, chunkLen: Int = 10): DataFrame = {
     val chunks = chunkCol(col("text"), chunkLen)
     // collapse to one row per (doc, chunk) with its in-doc occurrence
@@ -629,8 +629,10 @@ object Dedup {
     * batch; the joins here are identical either way.
     */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame, tau: Double): DataFrame = {
+    // the one canonical content fingerprint — the batch entry
+    // (dedup_exact), this, and the streaming twin must never diverge
     def fp(df: DataFrame) =
-      df.select(col("doc_id"), md5(encode(normText(col("text")), "UTF-8")).as("fp"))
+      df.select(col("doc_id"), fingerprint(col("text")).as("fp"))
     val exactDup = fp(batch)
       .join(fp(corpus), Seq("fp"), "left_semi")
       .select(col("doc_id"))

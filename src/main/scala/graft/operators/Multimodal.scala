@@ -41,7 +41,7 @@ object Multimodal {
     files.select(
       xxhash64(col("path")).as("doc_id"),
       col("path"),
-      length(col("content")).cast("long").as("n_bytes"),
+      col("length").as("n_bytes"),
       sha2(col("content"), 256).as("sha"),
       col("content").as("payload"))
 

@@ -1136,6 +1136,25 @@ final case class AnnIndex(codes: DataFrame, model: DataFrame) {
 }
 
 object AnnIndex {
-  def read(s: SparkSession, path: String): AnnIndex =
-    AnnIndex(s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/model"))
+  def read(s: SparkSession, path: String): AnnIndex = {
+    val model = s.read.parquet(s"$path/model")
+    val codes =
+      try s.read.parquet(s"$path/codes")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // an empty-corpus index wrote zero code rows → zero parquet
+          // data files → nothing to infer a schema from.  Reconstruct
+          // the empty relation instead of failing the round-trip (the
+          // model always carries its meta row, and every searcher
+          // short-circuits on an empty model before touching codes).
+          val hasCents = model
+            .filter(org.apache.spark.sql.functions.col("kind") === "cent")
+            .limit(1).count() > 0
+          val ddl = "vec_id BIGINT" + (if (hasCents) ", cid INT" else "") +
+            ", codes ARRAY<INT>"
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      }
+    AnnIndex(codes, model)
+  }
 }

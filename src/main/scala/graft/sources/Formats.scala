@@ -49,8 +49,11 @@ object Formats {
     * that [[graft.operators.Multimodal.ingestBinary]] turns into the
     * content-addressed payload schema).  `pathGlobFilter` prunes by
     * extension AT LISTING TIME (unmatched files are never opened);
-    * `maxBytesPerFile` guards the 2 GB row limit loudly instead of
-    * OOMing an executor mid-scan.  The scan parallelizes per file,
+    * files over `maxBytes` are EXCLUDED from this frame (a larger
+    * binary row heads toward the 2 GB row limit / executor OOM) —
+    * excluded means ABSENT, so audit the drop with the companion
+    * [[oversizedFiles]] rather than assuming this frame is the whole
+    * directory.  The scan parallelizes per file,
     * so a 100 TB media corpus reads at cluster bandwidth — but beware
     * the small-files problem: millions of tiny files bottleneck on
     * listing/open, which is exactly why the payload registry persists
@@ -63,4 +66,18 @@ object Formats {
       .option("pathGlobFilter", globFilter)
       .load(path)
       .filter(org.apache.spark.sql.functions.col("length") <= maxBytes)
+
+  /** The files [[readBinaryFiles]] excluded: (path, length) of
+    * everything over `maxBytes` under the same glob — the ingestion
+    * audit, so an oversized media file is a reported row, never a
+    * silent hole in the corpus.  Only metadata columns are projected,
+    * so the scan never opens the (large) file contents.
+    */
+  def oversizedFiles(s: SparkSession, path: String,
+      globFilter: String = "*", maxBytes: Long = 256L << 20): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter)
+      .load(path)
+      .filter(org.apache.spark.sql.functions.col("length") > maxBytes)
+      .select("path", "length")
 }

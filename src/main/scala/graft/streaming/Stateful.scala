@@ -53,7 +53,7 @@ object Stateful {
     */
   def dedupAgainstCorpus(stream: DataFrame, corpus: DataFrame): DataFrame = {
     def fp(df: DataFrame) = df.select(col("doc_id"),
-      md5(encode(graft.functions.TextFunctions.normText(col("text")), "UTF-8")).as("fp"))
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
     fp(stream).join(
         fp(corpus).select(col("fp").as("c_fp")).distinct(),
         col("fp") === col("c_fp"), "left_outer")

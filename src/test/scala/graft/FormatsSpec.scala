@@ -51,6 +51,12 @@ class FormatsSpec extends AnyFunSuite {
       Formats.readBinaryFiles(spark, dir.toString, globFilter = "*.img"))
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(again === ingested.map(_.getAs[Long]("doc_id")).toSet)
+    // oversized files are excluded from ingest but REPORTED, not lost
+    val tiny = Formats.readBinaryFiles(spark, dir.toString, "*.img", maxBytes = 12L)
+    val dropped = Formats.oversizedFiles(spark, dir.toString, "*.img", maxBytes = 12L)
+      .collect().map(r => r.getAs[String]("path").split('/').last).toSet
+    assert(tiny.count() + dropped.size === 2)
+    assert(dropped === Set("a.img"))   // "payload-alpha" is 13 bytes; beta is 12
   }
 
   test("jsonl round-trips the event subset with an explicit schema") {

@@ -296,6 +296,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("searchIvfPqIndex"))
   }
 
+  test("empty-corpus index survives the write/read/search round-trip") {
+    import org.apache.spark.sql.functions._
+    val empty = graft.sources.Tables.embeddings(spark, sf).filter(lit(false))
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptyidx").toString
+    Similarity.buildIvfPqIndex(empty).write(dir)
+    val idx = graft.operators.AnnIndex.read(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    assert(Similarity.searchIvfPqIndex(idx, emb, rawFixtureQueries, 10).count() === 0L)
+  }
+
   test("full-corpus-trained IVF-PQ index keeps recall and is deterministic") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val idx = Similarity.buildIvfPqIndex(emb, fullTrain = true)
