@@ -143,6 +143,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q9 broadcasts every dimension around the composite-key partsupp join") {
     val p = plan(Relational.q9Profit(spark, sf))
     assert(countIn(p, "BroadcastExchange") >= 3, p)
+    // the partsupp derivation dedups only the queried slice: the
+    // part-key semi join must sit BELOW the distinct's aggregate
+    assert(countIn(p, "LeftSemi") >= 1, p)
   }
 
   test("event_transitions shuffles once on user_id, then only the bounded-key aggregate") {
