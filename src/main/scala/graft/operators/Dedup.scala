@@ -636,11 +636,22 @@ object Dedup {
     val exactDup = fp(batch)
       .join(fp(corpus), Seq("fp"), "left_semi")
       .select(col("doc_id"))
+    // the near pass runs only on exact-SURVIVORS: an exact dup's
+    // verdict is decided (exact takes precedence), and on a real crawl
+    // exact dups are a large fraction of the batch — sparing them the
+    // shingle pipeline prunes the expensive side of the join by that
+    // fraction.  Output is unchanged: the CASE below would mask their
+    // near flag anyway.  (The DF cap is therefore measured over
+    // survivors ∪ corpus — fine, because the cap is a scale guard
+    // with an arbitrary threshold, not a semantic contract; pruned
+    // exact dups can only LOWER a shingle's frequency.)
+    val survivors = batch
+      .join(exactDup.select(col("doc_id")), Seq("doc_id"), "left_anti")
     // one union-side tag so the DF cap sees the combined frequency (a
     // boilerplate shingle explodes the bipartite join no matter which
     // side it is frequent on), then the two sides split back out of
     // the SAME shingle-partitioned exchange
-    val tagged = batch.select(lit("b").as("side"), col("doc_id"), col("text"))
+    val tagged = survivors.select(lit("b").as("side"), col("doc_id"), col("text"))
       .unionAll(corpus.select(lit("c").as("side"), col("doc_id"), col("text")))
       .select(col("side"), col("doc_id"),
         explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
