@@ -108,13 +108,54 @@ object Multimodal {
       .select(lower(hex(col("shab"))).as("sha"), col("n_copies"), col("keep_id"))
       .orderBy(col("sha"))
 
+  /** Perceptual near-dup fingerprint: a 16-bit signature from the
+    * decoder's byte histogram (bit b set ⇔ bin b holds more than the
+    * uniform 1/16 mass — the threshold compares 16·count > n in
+    * INTEGERS, so the signature is engine-exact).  Unlike [[mmDedup]]'s
+    * byte-identity sha, the phash is PERMUTATION-INVARIANT: re-encoded
+    * or re-ordered payloads with the same content distribution collide
+    * — the media analogue of near-dup text hashing (a real pipeline
+    * swaps the stub histogram for decoded-pixel/audio features; the
+    * grouping machinery is identical).  Cluster sizes come from a
+    * keyed aggregate joined back broadcast (≤ 2¹⁶ distinct signatures
+    * — bounded model-free state at any corpus size).
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val hashed = ds.mapPartitions { it =>
+      it.map { case (id, bytes) => (id, MultimodalStub.phash16(bytes).toLong) }
+    }.toDF("doc_id", "phash")
+    val sizes = hashed.groupBy(col("phash")).agg(count(lit(1)).as("n_same"))
+    hashed.join(broadcast(sizes), "phash")
+      .select(col("doc_id"), col("phash"), col("n_same"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
     "mm_ingest" -> (mmIngest _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _))
 
   def oracleSql: Map[String, String] = Map(
+    "mm_phash" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+        |  unnest([ascii(substr(text, CAST(i AS INT), 1)) % 16 for i in range(1, length(text)+1)]) AS bin
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, n, bin, COUNT(*) AS c FROM ch GROUP BY doc_id, n, bin),
+        |sig AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN c * 16 > n THEN (CAST(1 AS BIGINT) << bin) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cnt GROUP BY doc_id),
+        |alldocs AS (SELECT d.doc_id, COALESCE(s.phash, 0) AS phash
+        |            FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id),
+        |sz AS (SELECT phash, COUNT(*) AS n_same FROM alldocs GROUP BY phash)
+        |SELECT f.doc_id, f.phash, sz.n_same
+        |FROM alldocs f JOIN sz ON f.phash = sz.phash
+        |ORDER BY f.doc_id""".stripMargin,
     "mm_dedup" ->
       """SELECT sha256(text) AS sha, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY sha ORDER BY sha""".stripMargin,
@@ -240,6 +281,24 @@ object MultimodalStub {
       while (j < end) { h = h * 31 + (bytes(j) & 0xff); j += 1 }
       Frame(id, i, off, h)
     }
+  }
+
+  /** 16-bit perceptual signature from the byte histogram: bit b set ⇔
+    * bin b exceeds the uniform 1/16 mass.  The compare is 16·count > n
+    * in integers — no division, engine-exact, permutation-invariant in
+    * the payload bytes.
+    */
+  def phash16(bytes: Array[Byte]): Int = {
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { counts((bytes(i) & 0xff) % 16) += 1; i += 1 }
+    var sig = 0
+    var b = 0
+    while (b < 16) {
+      if (counts(b) * 16 > bytes.length) sig |= 1 << b
+      b += 1
+    }
+    sig
   }
 
   def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {

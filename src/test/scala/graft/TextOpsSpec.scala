@@ -161,6 +161,26 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_phash is permutation-invariant and cluster sizes conserve the corpus") {
+    // same byte multiset, different order → identical signature
+    val a = "alpha beta gamma delta".getBytes("UTF-8")
+    val b = new String(a.map(_.toChar)).reverse.getBytes("UTF-8")
+    assert(graft.operators.MultimodalStub.phash16(a) ===
+      graft.operators.MultimodalStub.phash16(b))
+    // disjoint byte distributions → different signatures
+    val c = "zzzzzzzzzzzz!!!!".getBytes("UTF-8")
+    assert(graft.operators.MultimodalStub.phash16(a) !==
+      graft.operators.MultimodalStub.phash16(c))
+    val rows = Multimodal.mmPhash(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === n)
+    // per-cluster sizes are consistent: each phash's n_same equals its
+    // actual row count
+    rows.groupBy(_.getAs[Long]("phash")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n_same")).toSet === Set(g.length.toLong))
+    }
+  }
+
   test("mm_dedup registry conserves the corpus and keeps the minimum doc per address") {
     val rows = Multimodal.mmDedup(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_copies")).sum
