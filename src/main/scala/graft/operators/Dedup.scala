@@ -641,10 +641,10 @@ object Dedup {
     // exact dups are a large fraction of the batch — sparing them the
     // shingle pipeline prunes the expensive side of the join by that
     // fraction.  Output is unchanged: the CASE below would mask their
-    // near flag anyway.  (The DF cap is therefore measured over
-    // survivors ∪ corpus — fine, because the cap is a scale guard
-    // with an arbitrary threshold, not a semantic contract; pruned
-    // exact dups can only LOWER a shingle's frequency.)
+    // near flag anyway.  The DF cap is therefore measured over
+    // survivors ∪ corpus — the oracle's sh0 excludes exact-dup batch
+    // docs the same way, so engine and oracle agree even when the cap
+    // binds (pruned exact dups can only LOWER a shingle's frequency).
     val survivors = batch
       .join(exactDup.select(col("doc_id")), Seq("doc_id"), "left_anti")
     // one union-side tag so the DF cap sees the combined frequency (a
@@ -716,7 +716,8 @@ object Dedup {
         |           AND EXISTS (SELECT 1 FROM fp c WHERE c.doc_id % 2 = 1 AND c.fp = b.fp)),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
         |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
-        |    ELSE [] END) AS shingle FROM t),
+        |    ELSE [] END) AS shingle FROM t
+        |    WHERE doc_id % 2 = 1 OR doc_id NOT IN (SELECT doc_id FROM bexact)),
         |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS bd, b.doc_id AS cd, COUNT(*) AS c

@@ -119,11 +119,20 @@ object Multimodal {
     * grouping machinery is identical).  Cluster sizes come from a
     * keyed aggregate joined back broadcast (≤ 2¹⁶ distinct signatures
     * — bounded model-free state at any corpus size).
+    *
+    * Two passes over the hash stage (the aggregate and the join probe
+    * both consume it): fine for the cheap stub, but a real decoder is
+    * the expensive stage — production computes the phash ONCE at
+    * ingest and persists it next to the payload ([[ingestBinary]]'s
+    * schema has the slot); this entry recomputes only because the
+    * synthetic corpus isn't pre-ingested.
     */
   def mmPhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // null-safe: a NULL text must hash like the oracle's COALESCE
+    // (empty bytes → signature 0), not NPE inside mapPartitions
     val ds = Tables.documents(s, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     val hashed = ds.mapPartitions { it =>
       it.map { case (id, bytes) => (id, MultimodalStub.phash16(bytes).toLong) }
@@ -142,6 +151,10 @@ object Multimodal {
     "mm_frames" -> (mmFrames _))
 
   def oracleSql: Map[String, String] = Map(
+    // ascii()-per-character = UTF-8-byte-per-byte only on an ASCII
+    // corpus (the established text_rollhash/mm_features assumption,
+    // verified at every SF) — a non-ASCII corpus would need a
+    // byte-level oracle replay here
     "mm_phash" ->
       """WITH ch AS (SELECT doc_id, length(text) AS n,
         |  unnest([ascii(substr(text, CAST(i AS INT), 1)) % 16 for i in range(1, length(text)+1)]) AS bin

@@ -638,13 +638,20 @@ object Similarity {
     * bounded action.
     */
   private def modelToDf(s: SparkSession, books: Array[Array[Array[Double]]],
-      cents: Option[Array[Array[Double]]], residual: Boolean): DataFrame = {
+      cents: Option[Array[Array[Double]]], residual: Boolean,
+      ivf: Boolean = false): DataFrame = {
     import s.implicits._
     val bookRows = for {
       j <- books.indices; c <- books(j).indices
     } yield ("book", j, c, books(j)(c).toSeq)
     val centRows = cents.toSeq.flatMap(cs => cs.indices.map(i => ("cent", 0, i, cs(i).toSeq)))
-    val metaRows = Seq(("meta", 0, if (residual) 1 else 0, Seq.empty[Double]))
+    // (meta, 0, flag) = residual; (meta, 1, flag) = ivf (codes carry a
+    // cid column).  The ivf flag matters for EMPTY indexes, whose cent
+    // row set is empty — without it a read-back empty IVF-PQ index
+    // would reconstruct PQ-shaped (no cid) codes.
+    val metaRows = Seq(
+      ("meta", 0, if (residual) 1 else 0, Seq.empty[Double]),
+      ("meta", 1, if (ivf || cents.nonEmpty) 1 else 0, Seq.empty[Double]))
     (bookRows ++ centRows ++ metaRows).toDF("kind", "grp", "idx", "vec")
   }
 
@@ -662,7 +669,8 @@ object Similarity {
     val centRows = rows.filter(_.getString(0) == "cent")
       .map(r => (r.getInt(2), r.getSeq[Double](3).toArray))
     val cents = if (centRows.isEmpty) None else Some(centRows.sortBy(_._1).map(_._2))
-    val residual = rows.filter(_.getString(0) == "meta").exists(_.getInt(2) == 1)
+    val residual = rows.filter(r => r.getString(0) == "meta" && r.getInt(1) == 0)
+      .exists(_.getInt(2) == 1)
     (books, cents, residual)
   }
 
@@ -919,7 +927,7 @@ object Similarity {
     if (units.isEmpty)
       return AnnIndex(
         v.select(col("vec_id"), lit(0).as("cid"), typedLit(Seq.empty[Int]).as("codes")),
-        modelToDf(s, Array.empty, None, residual))
+        modelToDf(s, Array.empty, None, residual, ivf = true))
     val trained = if (fullTrain) {
       val cells = math.min(
         math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt)),
@@ -1137,20 +1145,25 @@ final case class AnnIndex(codes: DataFrame, model: DataFrame) {
 
 object AnnIndex {
   def read(s: SparkSession, path: String): AnnIndex = {
+    import org.apache.spark.sql.functions.col
     val model = s.read.parquet(s"$path/model")
     val codes =
       try s.read.parquet(s"$path/codes")
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          // an empty-corpus index wrote zero code rows → zero parquet
-          // data files → nothing to infer a schema from.  Reconstruct
-          // the empty relation instead of failing the round-trip (the
-          // model always carries its meta row, and every searcher
-          // short-circuits on an empty model before touching codes).
-          val hasCents = model
-            .filter(org.apache.spark.sql.functions.col("kind") === "cent")
+        case e: org.apache.spark.sql.AnalysisException =>
+          // an EMPTY-corpus index wrote zero code rows → zero parquet
+          // data files → nothing to infer a schema from; reconstruct
+          // the empty relation (searchers short-circuit on the empty
+          // model before touching codes).  A model WITH trained books
+          // means codes were written — a missing/unreadable codes dir
+          // there is corruption, and fabricating an empty frame would
+          // turn it into silent zero-result searches: rethrow.
+          val hasBooks = model.filter(col("kind") === "book").limit(1).count() > 0
+          if (hasBooks) throw e
+          val isIvf = model
+            .filter(col("kind") === "meta" && col("grp") === 1 && col("idx") === 1)
             .limit(1).count() > 0
-          val ddl = "vec_id BIGINT" + (if (hasCents) ", cid INT" else "") +
+          val ddl = "vec_id BIGINT" + (if (isIvf) ", cid INT" else "") +
             ", codes ARRAY<INT>"
           s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType.fromDDL(ddl))

@@ -265,7 +265,8 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Similarity.buildPqIndex(emb).write(dir)
     val idx = graft.operators.AnnIndex.read(spark, dir)
     // model survives the round-trip: O(1) rows, books only (no cents)
-    assert(idx.model.count() <= (8 * 16 + 1).toLong)
+    // + the two meta rows (residual flag, ivf flag)
+    assert(idx.model.count() <= (8 * 16 + 2).toLong)
     val got = Similarity.searchPqIndex(idx, emb, rawFixtureQueries, 10)
       .collect().map(_.toString).toSeq
     val want = Similarity.annPq(spark, sf).collect().map(_.toString).toSeq
