@@ -67,6 +67,28 @@ object Formats {
       .load(path)
       .filter(org.apache.spark.sql.functions.col("length") <= maxBytes)
 
+  /** One-document-per-line text corpora (the rawest LLM-data
+    * interchange layout) → (doc_id, text, src_file): line text plus a
+    * provenance column, with doc_id = a 64-bit hash of (file, line) —
+    * stable across re-reads of the same files and computed WITHOUT a
+    * global order (zipWithIndex / monotonically_increasing_id would
+    * either shuffle everything or bind ids to the accidental partition
+    * layout).  Identical lines in the same file therefore SHARE an id:
+    * they are byte-identical duplicates by construction, which the
+    * dedup stages collapse anyway — aggregate multiplicity before
+    * dedup if provenance needs the copy count.  Splittable and
+    * parallel per file like any text scan; pair with
+    * [[graft.operators.Dedup.dedupIncremental]] for ingest-time dedup.
+    */
+  def readTextLines(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.read.text(path)
+      .select(
+        xxhash64(input_file_name(), col("value")).as("doc_id"),
+        col("value").as("text"),
+        input_file_name().as("src_file"))
+  }
+
   /** The files [[readBinaryFiles]] excluded: (path, length) of
     * everything over `maxBytes` under the same glob — the ingestion
     * audit, so an oversized media file is a reported row, never a
