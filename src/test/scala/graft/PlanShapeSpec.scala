@@ -126,6 +126,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("IsNotNull(l_shipdate)"))
   }
 
+  test("pack_stats aggregates without any window or corpus-wide row numbering") {
+    val p = plan(Pipeline.packStats(spark, sf))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("pii_scrub is scan-project only (one presentation-sort exchange)") {
+    val p = plan(TextOps.piiScrub(spark, sf))
+    assert(countIn(p, "Exchange") <= 1, p)
+    assert(p.contains("PushedFilters"))
+  }
+
   test("dedup_incremental reuses the side-tagged shingle exchange across its consumers") {
     val df = Dedup.dedupIncrementalEntry(spark, sf)
     df.collect()
