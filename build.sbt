@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver machine-reads the LAST line of `runMain graft.Bench`
+// output.  Two sbt decorations defeated that parse for six rounds:
+// LoggedOutput wraps forked stdout in "[info] " prefixes, and the
+// "[success] Total time..." line prints AFTER the program's final JSON.
+// StdoutOutput passes forked output through bare; showSuccess drops the
+// trailer — together the bench's JSON line is bare AND last.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consulted by the command loop, not by a task — sbt's
+// unused-key lint can't see that; silence the false positive
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

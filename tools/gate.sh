@@ -19,5 +19,23 @@ done
 if [ "${1:-}" != "quick" ]; then
   echo "== bench sf0.1 =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" | grep -F '"metric"'
+    sbt -batch "runMain graft.Bench" > /tmp/graft_bench.log 2>&1 || true
+  # Replicate the driver's parse: it keeps only the LAST 2000 chars and
+  # reads the final JSON line out of them.  Six rounds came back
+  # "parsed: null" because sbt decorated/trailed that line — this check
+  # makes a local pass predict a driver parse.
+  python3 - <<'EOF'
+import json
+tail = open('/tmp/graft_bench.log').read()[-2000:]
+lines = [l for l in tail.splitlines() if l.startswith('{')]
+assert lines, f"no bare JSON line in tail:\n{tail}"
+last = tail.splitlines()[-1] if tail.splitlines()[-1].strip() else tail.splitlines()[-2]
+assert last.startswith('{'), f"last tail line is not the JSON: {last!r}"
+parsed = json.loads(lines[-1])
+assert parsed.get('failed') == 0, f"bench reported failures: {parsed.get('failed')}"
+print(f"bench parsed OK: total={parsed['value']}s over {len(parsed['queries'])} queries")
+EOF
+  # full per-query spread map → committed evidence (the driver's tail
+  # window only fits a handful of entries)
+  [ -f target/bench_spread.json ] && cp target/bench_spread.json bench_spread_sf0.1.json
 fi
