@@ -655,12 +655,18 @@ object Dedup {
       .unionAll(corpus.select(lit("c").as("side"), col("doc_id"), col("text")))
       .select(col("side"), col("doc_id"),
         explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
-      .repartition(col("shingle"))
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val sh = tagged
-      .withColumn("df", count(lit(1)).over(byShingle))
+    // DF cap as a keyed aggregate joined back (the [[chunkAudit]]
+    // shape): map-side partials collapse a corpus-wide boilerplate
+    // shingle per partition before the shuffle, and because the
+    // frequency side is filtered BEFORE the join, a hot shingle simply
+    // finds no match — a window count would buffer every occurrence of
+    // it in one task before the cap could drop a single row, making the
+    // cap filter itself the skew bottleneck it exists to prevent.  The
+    // merge hints keep the join-back an AQE-skew-splittable SMJ.
+    val keep = tagged.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
-      .drop("df")
+      .select(col("shingle"))
+    val sh = tagged.hint("merge").join(keep.hint("merge"), "shingle")
     val sz = sh.groupBy(col("side"), col("doc_id")).agg(count(lit(1)).as("n"))
     val nearDup = sh.filter(col("side") === "b").as("a").hint("merge")
       .join(sh.filter(col("side") === "c").as("b").hint("merge"),

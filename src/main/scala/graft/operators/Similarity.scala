@@ -36,6 +36,15 @@ object Similarity {
     */
   val MaxQueries = 65536
 
+  /** Driver-collect budget for [[kmeansTrain]]: each Lloyd pass
+    * collects ≤ k·dim (cid, pos, decimal-sum) rows — ~50 B each, so
+    * 2²⁴ cells ≈ 800 MB of driver heap at the very worst.  Every other
+    * driver action in this file is contract-bounded (MaxQueries, the
+    * ≤64k training sample, the O(1) model relation); this pins the one
+    * that scales with a user-chosen k·dim product.
+    */
+  private[operators] val KmeansCollectBudget = 1L << 24
+
   /** Size of the built-in deterministic query fixture.  The cap (with
     * the ascending-id total order) makes |Q| independent of corpus
     * size: every 100th vector WITHOUT a cap is n/100 rows — a broadcast
@@ -956,6 +965,45 @@ object Similarity {
       prep(corpus), asQueries(queries), k)
   }
 
+  /** Encode-only append to a persisted index — the ANN twin of
+    * [[Dedup.dedupIncremental]]'s batch ingest.  New vectors are
+    * encoded with the index's PERSISTED model (codebooks, coarse
+    * centroids, residual flag) and unioned onto the code relation: no
+    * re-training and no re-encode of existing codes, so a daily-ingest
+    * user pays |batch| encode work instead of |corpus| per day.  The
+    * only driver action is the O(1) model collect — the spec pins both
+    * that (job count during append ≤ 1) and encode parity: under one
+    * model, append(build(A), B).codes ≡ the codes build(A∪B) would
+    * emit, bit-for-bit.  The returned index shares the caller's model
+    * relation verbatim, so searches mix old and new codes with
+    * identical ADC semantics.  Appending to an index with no trained
+    * books (built from an empty corpus) is refused — there is no model
+    * to encode with; rebuild instead.
+    */
+  def appendToIndex(index: AnnIndex, newVectors: DataFrame): AnnIndex = {
+    val (books, centsOpt, residual) = modelFromDf(index.model)
+    require(books.nonEmpty,
+      "appendToIndex: index has no trained model (empty-corpus build) — " +
+        "rebuild with buildPqIndex/buildIvfPqIndex instead")
+    val v = prep(newVectors)
+    val sub = books(0)(0).length
+    val codes = centsOpt match {
+      case Some(cents) =>
+        val assigned = assignCells(v, cents)
+        if (residual)
+          assigned
+            .withColumn("rvec", residualCol(cents, col("e"), col("nrm"), col("cid")))
+            .select(col("vec_id"), col("cid"),
+              pqResidualCodesCol(books, sub, col("rvec")).as("codes"))
+        else
+          assigned.select(col("vec_id"), col("cid"),
+            pqCodesCol(books, sub, col("e"), col("nrm")).as("codes"))
+      case None =>
+        v.select(col("vec_id"), pqCodesCol(books, sub, col("e"), col("nrm")).as("codes"))
+    }
+    AnnIndex(index.codes.unionByName(codes), index.model)
+  }
+
   /** kNN label vote — similarity search applied: each fixture query
     * takes the majority label of its exact top-10 neighbors (ties →
     * smaller label), alongside its own label for accuracy auditing.
@@ -1004,6 +1052,14 @@ object Similarity {
     * unit centroids and the assigned (vec_id, e, nrm, cid) frame.
     */
   def kmeansTrain(corpus: DataFrame, k: Int, iters: Int): (Array[Array[Double]], DataFrame) = {
+    // contract-bound the per-iteration driver collect like every other
+    // driver action in this file: each Lloyd pass brings back ≤ k·dim
+    // (cid, pos, sum) rows, so k and k·dim are asserted against
+    // [[KmeansCollectBudget]] up front rather than discovered as an OOM
+    // mid-train.  k is checked before any job; k·dim right after the
+    // seed collect reveals dim.
+    require(k > 0 && k <= 65536,
+      s"kmeansTrain: k=$k outside (0, 65536] — the per-iteration driver collect is k·dim rows")
     val v = prep(corpus)
     val seeds = v
       .withColumn("h", xxhash64(col("vec_id")))
@@ -1014,6 +1070,9 @@ object Similarity {
         r.getAs[scala.collection.Seq[Double]]("e").map(_ / n).toArray
       }
     require(seeds.nonEmpty, "kmeansTrain: empty corpus")
+    require(k.toLong * seeds(0).length <= KmeansCollectBudget,
+      s"kmeansTrain: k·dim = ${k.toLong * seeds(0).length} exceeds the " +
+        s"driver-collect budget $KmeansCollectBudget (k=$k, dim=${seeds(0).length})")
     var cents = seeds
     for (_ <- 1 to iters) {
       val sums = assignCells(v, cents)

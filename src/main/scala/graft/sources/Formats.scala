@@ -79,12 +79,38 @@ object Formats {
     * dedup if provenance needs the copy count.  Splittable and
     * parallel per file like any text scan; pair with
     * [[graft.operators.Dedup.dedupIncremental]] for ingest-time dedup.
+    *
+    * Collision bound: DISTINCT (file, line) pairs can also collide in
+    * 64 bits — birthday math puts the expected collision count at
+    * ~n²/2⁶⁵, so one silent doc-merge is expected somewhere past
+    * n ≈ 6×10⁹ lines and the risk is material from ~10⁸ on.  For
+    * corpora in that range use [[readTextLines128]], whose two-seed
+    * 128-bit id pushes the same bound past 10¹⁸ lines.
     */
   def readTextLines(s: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     s.read.text(path)
       .select(
         xxhash64(input_file_name(), col("value")).as("doc_id"),
+        col("value").as("text"),
+        input_file_name().as("src_file"))
+  }
+
+  /** [[readTextLines]] with a 128-bit id for corpora past ~10⁸ lines:
+    * (doc_id, doc_id2) are two INDEPENDENTLY-seeded 64-bit hashes of
+    * the same (file, line) — the seed rides as an extra hashed column,
+    * which reseeds xxhash64's whole avalanche, so the pair behaves as
+    * one 128-bit id (collision expectation ~n²/2¹²⁹: negligible at any
+    * physical corpus size).  Downstream keys join/group on BOTH
+    * columns; [[readTextLines]] stays the default because a 64-bit key
+    * halves shuffle-key width and is safe below ~10⁸ lines.
+    */
+  def readTextLines128(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.read.text(path)
+      .select(
+        xxhash64(input_file_name(), col("value")).as("doc_id"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), input_file_name(), col("value")).as("doc_id2"),
         col("value").as("text"),
         input_file_name().as("src_file"))
   }

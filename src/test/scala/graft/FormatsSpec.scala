@@ -44,6 +44,27 @@ class FormatsSpec extends AnyFunSuite {
     assert(again === got.map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  test("text-lines 128-bit ingest: independent id halves, stable, same doc_id as 64-bit") {
+    val dir = Files.createTempDirectory("graft-txt128")
+    Files.write(dir.resolve("a.txt"), "first doc\nsecond doc\nfirst doc\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("b.txt"), "third doc\n".getBytes("UTF-8"))
+    val got = Formats.readTextLines128(spark, dir.toString).collect()
+    assert(got.length === 4)
+    // (doc_id, doc_id2) pairs: 3 distinct, intra-file identical lines share
+    val pairs = got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("doc_id2")))
+    assert(pairs.distinct.length === 3)
+    // the second half is genuinely reseeded, not a copy of the first
+    got.foreach(r => assert(r.getAs[Long]("doc_id") !== r.getAs[Long]("doc_id2")))
+    // doc_id matches the 64-bit reader's, so the two ingests interoperate
+    val doc64 = Formats.readTextLines(spark, dir.toString).collect()
+      .map(r => r.getAs[String]("text") -> r.getAs[Long]("doc_id")).toMap
+    got.foreach(r => assert(doc64(r.getAs[String]("text")) === r.getAs[Long]("doc_id")))
+    // stable across re-reads
+    val again = Formats.readTextLines128(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("doc_id2"))).sorted.toSeq
+    assert(again === pairs.sorted.toSeq)
+  }
+
   test("binaryFile ingest reads real files, prunes by glob, content-addresses them") {
     val dir = Files.createTempDirectory("graft-bin")
     val payloads = Map("a.img" -> "payload-alpha", "b.img" -> "payload-beta",

@@ -353,4 +353,67 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(persisted === rows.map(_.toString).toSeq)
   }
+
+  // append(build(A), B) must reproduce, bit-for-bit, the codes build
+  // would emit for A∪B under A's model — asserted by carving A out of a
+  // FULL build (so the model is identical by construction) and checking
+  // the appended relation equals the full one.
+  private def appendParity(build: org.apache.spark.sql.DataFrame => graft.operators.AnnIndex): Unit = {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val full = build(emb)
+    val fullCodes = full.codes.orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    val idxA = graft.operators.AnnIndex(
+      full.codes.filter(col("vec_id") % 3 =!= 0), full.model)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    spark.sparkContext.setJobGroup("graft-append", "encode-only append")
+    val appended = Similarity.appendToIndex(idxA, b)
+    spark.sparkContext.clearJobGroup()
+    // encode-only: the sole driver action during append is the O(1)
+    // model collect — zero training jobs
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-append").length
+    assert(jobs <= 1, s"append ran $jobs jobs — training must not run")
+    val got = appended.codes.orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    assert(got === fullCodes)
+  }
+
+  test("appendToIndex: PQ encode parity, no training jobs") {
+    appendParity(Similarity.buildPqIndex)
+  }
+
+  test("appendToIndex: IVF-PQ encode parity (cells + codes), no training jobs") {
+    appendParity(Similarity.buildIvfPqIndex(_))
+  }
+
+  test("appendToIndex: residual IVF-PQ encode parity, no training jobs") {
+    appendParity(Similarity.buildIvfPqIndex(_, residual = true))
+  }
+
+  test("appendToIndex refuses an index with no trained model") {
+    import org.apache.spark.sql.functions._
+    val empty = graft.sources.Tables.embeddings(spark, sf).filter(lit(false))
+    val idx = Similarity.buildIvfPqIndex(empty)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(idx, graft.sources.Tables.embeddings(spark, sf))
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("kmeansTrain asserts its driver-collect contract up front") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // k bound: checked before any job
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(emb, 70000, 1)
+    }
+    assert(e1.getMessage.contains("65536"))
+    // k·dim bound: a 512-dim corpus with k=40000 passes the k check but
+    // blows the cell budget (40000·512 > 2²⁴)
+    import spark.implicits._
+    val wide = Seq.tabulate(4)(i => (i.toLong, Seq.fill(512)(1.0f + i)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(wide, 40000, 1)
+    }
+    assert(e2.getMessage.contains("budget"))
+  }
 }
