@@ -407,6 +407,49 @@ object Dedup {
         (col("n_dup_chunks") / col("n_chunks")).as("dup_chunk_frac"))
   }
 
+  /** Stride-1 ExactSubstr audit over `documents` with 20-token windows
+    * — see [[substrAudit]].
+    */
+  def dedupSubstr(s: SparkSession, dir: String): DataFrame =
+    substrAudit(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** Stride-1 ExactSubstr audit — closes the alignment gap
+    * [[chunkAudit]] documents: a duplicated span offset by even one
+    * token produces disjoint CHUNK hashes there (the spec's negative
+    * control proves the miss), but every w-token window at EVERY
+    * offset hashes here, so any duplicated run of ≥ w tokens is caught
+    * regardless of alignment — the relational form of suffix-array
+    * ExactSubstr dedup (byte-granular suffix arrays detect ≥L-byte
+    * repeats; fixed-w windows at stride 1 detect ≥w-token repeats with
+    * a join-shaped plan).  Docs shorter than w tokens have no windows
+    * and are absent from the output (mirrored in the oracle).
+    *
+    * Scale shape: identical to [[chunkAudit]] — window identity is the
+    * 64-bit [[graft.functions.WindowHashes]] hash (16 B/row; the ~7·w
+    * B window TEXT never shuffles), corpus frequency is a keyed
+    * aggregate (map-side partials collapse a boilerplate window's
+    * occurrences per partition) joined back as a merge-hinted SMJ both
+    * of whose sides read the ONE (doc, window) exchange.  Stride 1
+    * costs ~w× the ROWS of chunking but the same bytes-per-row scale
+    * class, and the hashes come from one O(n) incremental pass, not w
+    * slices per position.
+    */
+  private[graft] def substrAudit(docs: DataFrame, w: Int = 20): DataFrame = {
+    val wins = graft.functions.WindowHashes.windowHashes(tokens(col("text")), w)
+    val perDoc = docs
+      .select(col("doc_id"), explode(wins).as("wk"))
+      .groupBy(col("doc_id"), col("wk"))
+      .agg(count(lit(1)).as("cnt"))
+    val freq = perDoc.groupBy(col("wk")).agg(sum(col("cnt")).as("freq"))
+    perDoc.hint("merge").join(freq.hint("merge"), "wk")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_windows"),
+        sum(when(col("freq") > 1, col("cnt")).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows") / col("n_windows")).as("dup_window_frac"))
+  }
+
   /** Corpus-level boilerplate-line REMOVAL — the C4-style cleaning step
     * [[dedupChunk]] only audits: every line occurring ≥3 times
     * corpus-wide is dropped, and each document is rebuilt from its
@@ -701,6 +744,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_chunk" -> (dedupChunk _),
+    "dedup_substr" -> (dedupSubstr _),
     "dedup_lines" -> (dedupLines _),
     "dedup_components" -> (dedupComponents _),
     "decontaminate" -> (decontaminate _),
@@ -772,6 +816,19 @@ object Dedup {
         |SELECT doc_id, COUNT(*) AS n_chunks,
         |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
         |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS dup_chunk_frac
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // window grouping rides the window TEXT here, as dedup_chunk's
+    // does the chunk text (the engine's 64-bit window hash is
+    // collision-free at any test SF, so the counts agree); tk[i:i+19]
+    // is a 20-token inclusive slice
+    "dedup_substr" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |w AS (SELECT doc_id, unnest([array_to_string(tk[i:i+19], ' ')
+        |    for i in generate_series(1, len(tk)-19)]) AS win FROM t WHERE len(tk) >= 20),
+        |f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY win) AS freq FROM w)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS dup_window_frac
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same chunk-wrap replay as dedup_chunk; zipped unnests carry the
     // 0-based position (as 1-based here — only order matters for the

@@ -143,6 +143,33 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Real-decoder twin of [[mmFeatures]] for actual image FILES: the
+    * [[graft.sources.Formats.readBinaryFiles]] frame → content-
+    * addressed ingest → per-partition [[ImageCodec.decode]] → the same
+    * MediaScalars schema, with real pixel dimensions and a 16-bin
+    * LUMINANCE histogram where the synthetic corpus gets byte
+    * histograms.  Bytes no installed reader accepts (corrupt files,
+    * exotic formats) are DROPPED here — audit the gap by diffing
+    * doc_ids against the ingest frame, the same absent-not-silent
+    * contract as [[graft.sources.Formats.readBinaryFiles]]'s size cap.
+    * Partition-parallel, constant memory, no shuffle; the driver
+    * entries keep the deterministic stub because the synthetic corpus
+    * has no real images.
+    */
+  def mmFeaturesImage(files: DataFrame): DataFrame = {
+    val s = files.sparkSession
+    import s.implicits._
+    val ds = ingestBinary(files)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) => ImageCodec.decode(id, bytes).map(_.toScalars) }
+    }.toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("resized_w"), col("resized_h"), col("n_bytes"),
+        col("mode_bin"), col("mode_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
@@ -240,9 +267,73 @@ object Multimodal {
         |FROM h ORDER BY doc_id, frame_idx""".stripMargin)
 }
 
-/** ??? real decoder goes here — this container ships no media codecs.
-  * `fakeDecode` stands in with a deterministic transform of the bytes so
-  * the pipeline shape (typed rows out of binary batches) is testable.
+/** JDK-native image decoding behind the codec seam: `javax.imageio`
+  * ships PNG/JPEG/BMP/GIF/WBMP readers with every JRE — zero new
+  * dependencies — so IMAGE payloads decode for real
+  * ([[Multimodal.mmFeaturesImage]]); audio/video still need external
+  * codecs and keep the stub.  Features are a 16-bin LUMINANCE
+  * histogram (Rec.601 integer luma, 16-wide bins), so the
+  * [[MultimodalStub.phash16]] >1/16-mass signature rule runs unchanged
+  * over real pixels ([[phashPixels]]).
+  */
+object ImageCodec {
+
+  /** None ⇔ no installed reader accepts the bytes (corrupt or unknown
+    * format) — callers decide whether that is a drop or an error.
+    * Per-pixel getRGB keeps this colormodel-agnostic; a throughput-
+    * critical deployment would read raster bands directly.
+    */
+  def decode(id: Long, bytes: Array[Byte]): Option[MultimodalStub.MediaFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Double](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 4) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w.toLong * h, 1L).toDouble
+      var b = 0
+      while (b < 16) { hist(b) /= n; b += 1 }
+      val (rw, rh) = MultimodalStub.fitResize(w, h, 224)
+      Some(MultimodalStub.MediaFeatures(id, w, h, rw, rh, bytes.length.toLong, hist))
+    }
+  }
+
+  /** Pixel-domain 16-bit signature: bit b set ⇔ luminance bin b holds
+    * more than the uniform 1/16 mass — [[MultimodalStub.phash16]]'s
+    * rule over decoded pixels, so re-encoded (PNG↔BMP) images with the
+    * same pixel content collide, which is the point of a perceptual
+    * hash and what the byte-domain sha can never do.
+    */
+  def phashPixels(f: MultimodalStub.MediaFeatures): Int = {
+    var sig = 0
+    var b = 0
+    while (b < 16) {
+      if (f.features(b) > 1.0 / 16) sig |= 1 << b
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Deterministic byte-domain decoder for media WITHOUT a JDK codec
+  * (audio/video — this container ships none): `fakeDecode` stands in
+  * with a deterministic transform of the bytes so the pipeline shape
+  * (typed rows out of binary batches) is testable; images decode for
+  * real via [[ImageCodec]].
   */
 object MultimodalStub {
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,

@@ -272,9 +272,31 @@ object TextOps {
     * POST-aggregate frame (tens of rows at any corpus size), so nothing
     * corpus-sized is ever sorted.
     */
-  def tokenHistogram(s: SparkSession, dir: String): DataFrame = {
-    val tok = size(tokens(col("text"))).cast("long")
-    val h = Tables.documents(s, dir)
+  def tokenHistogram(s: SparkSession, dir: String): DataFrame =
+    tokenHistogramOver(Tables.documents(s, dir), size(tokens(col("text"))).cast("long"))
+
+  /** [[tokenHistogram]] under a REAL BPE vocabulary: the per-doc count
+    * is Σ over whitespace words of |BPE segmentation| using the bundled
+    * merge table ([[graft.functions.Bpe.default]]; swap in a model's
+    * own merges via [[graft.functions.Bpe.loadMergesFile]]) — so
+    * length-filter and packing decisions are stated in the unit that
+    * actually bills against a model's context window, not a whitespace
+    * proxy.  Same scan shape: the merge loop is per-row native-
+    * expression CPU, the aggregate keys stay the bounded bucket space.
+    * BPE is an iterative rewrite system — not SQL-expressible → rows-
+    * only oracle; the spec pins exact segmentations against an
+    * independent replica of the merge loop.
+    */
+  def tokenHistogramBpe(s: SparkSession, dir: String): DataFrame =
+    tokenHistogramOver(Tables.documents(s, dir),
+      graft.functions.Bpe.bpeTokenCount(tokens(col("text")), graft.functions.Bpe.default))
+
+  /** Shared histogram tail: 32-wide buckets of a per-doc token count,
+    * cumulative token share over the POST-aggregate frame (tens of
+    * rows at any corpus size — see [[tokenHistogram]]'s scale note).
+    */
+  private def tokenHistogramOver(docs: DataFrame, tok: Column): DataFrame = {
+    val h = docs
       .select((floor(tok / lit(32)) * 32).cast("long").as("bucket"), tok.as("tok"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
@@ -291,6 +313,7 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_scrub" -> (piiScrub _),
     "token_histogram" -> (tokenHistogram _),
+    "token_histogram_bpe" -> (tokenHistogramBpe _),
     "top_tfidf_terms" -> (topTfidfTerms _),
     "text_repetition" -> (textRepetition _),
     "text_stats" -> (textStats _),

@@ -349,6 +349,51 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substr: stride-1 windows catch the unaligned span dedup_chunk provably misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one 20-token span duplicated at DIFFERENT offsets (0 in doc 1,
+    // 1 in doc 2): every 10-token chunk boundary disagrees between the
+    // two docs, so chunk-aligned audit sees zero duplication — the
+    // documented alignment gap; every stride-1 window sees the span at
+    // both offsets.
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span ${(1 to 10).map(i => s"a$i").mkString(" ")}"),
+      (2L, s"off $span ${(1 to 11).map(i => s"b$i").mkString(" ")}"),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // negative control: the chunk approximation misses the offset span
+    val chunk = Dedup.chunkAudit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_chunks")).toMap
+    assert(chunk(1L) === 0L, "chunk audit should miss the unaligned span (negative control)")
+    assert(chunk(2L) === 0L)
+    // stride-1 windows catch exactly the span window, at both offsets
+    val sub = Dedup.substrAudit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    assert(sub(1L) === ((11L, 1L))) // 30 tokens → 11 windows, 1 dup
+    assert(sub(2L) === ((13L, 1L))) // 32 tokens → 13 windows, 1 dup
+    assert(sub(3L) === ((11L, 0L)))
+    // docs shorter than w have no windows and therefore no row
+    assert(Dedup.substrAudit(Seq((9L, "only three tokens")).toDF("doc_id", "text"))
+      .count() === 0L)
+    // corpus run keeps the chunkAudit plan shape: one (doc, window)
+    // exchange shared by frequency and probe, keyed aggregate (no
+    // window function) for the hot-key frequency
+    val df = Dedup.dedupSubstr(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("ReusedExchange"), s"perDoc exchange must be shared:\n$plan")
+    assert(!plan.contains("Window"), "frequency must be a keyed aggregate, not a window")
+    rows.foreach { r =>
+      val f = r.getAs[Double]("dup_window_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_windows") > 0L)
+    }
+  }
+
   test("dedup_lines removes corpus-frequent lines exactly and rebuilds surviving text in order") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -65,6 +65,35 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("window_hashes equals the direct per-window polynomial on random token arrays") {
+    import spark.implicits._
+    val M = BigInt(1) << 64
+    val HALF = BigInt(1) << 63
+    val Q = BigInt(WindowHashes.Q)
+    def tokenHash(t: String): BigInt = {
+      var acc = BigInt(0)
+      t.getBytes("UTF-8").foreach { b => acc = (acc * BigInt(1000000007) + BigInt(b & 0xff)) % M }
+      acc
+    }
+    forAll(Gen.listOfN(10, Gen.listOf(word)), rounds = 6) { arrs =>
+      Seq(1, 3, 7).foreach { w =>
+        val df = arrs.toDF("toks")
+          .select(WindowHashes.windowHashes(col("toks"), w).as("h"))
+        val got = df.collect().map(_.getSeq[Long](0).toSeq)
+        // reference: recompute every window from scratch — the rolled
+        // subtract-scale-add must equal the direct Σ th·Q^(w−1−j)
+        val want = arrs.map { toks =>
+          if (toks.length < w) Seq.empty[Long]
+          else toks.map(tokenHash).sliding(w).map { win =>
+            val acc = win.foldLeft(BigInt(0))((a, th) => (a * Q + th) % M)
+            (if (acc >= HALF) acc - M else acc).toLong
+          }.toSeq
+        }
+        assert(got.toSeq === want)
+      }
+    }
+  }
+
   test("char_pairs equals sliding(2) on random strings") {
     import spark.implicits._
     forAll(Gen.listOfN(20, text)) { ts =>

@@ -243,4 +243,96 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) === ((1.0 - 1.0 / 3, 1.0)))
     assert(out(4L) === ((0.0, 0.0)))
   }
+
+  test("image decode: real PNGs through binaryFile ingest yield pixel features and phash") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import java.nio.file.Files
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val dir = Files.createTempDirectory("graft-png")
+    // half black / half white → luminance bins 0 and 15 at mass 0.5 each
+    Files.write(dir.resolve("bw.png"),
+      png(50, 30)((x, _) => if (x < 25) 0x000000 else 0xffffff))
+    // same pixel HISTOGRAM as bw.png but rearranged (checkerboard):
+    // byte-identity sha differs, pixel phash must collide
+    Files.write(dir.resolve("bw2.png"),
+      png(50, 30)((x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff))
+    // solid mid-gray, oversized → bin 8, aspect-preserving resize
+    Files.write(dir.resolve("gray.png"), png(448, 224)((_, _) => 0x808080))
+    // corrupt bytes: no reader accepts → dropped, not thrown
+    Files.write(dir.resolve("broken.png"), Array[Byte](1, 2, 3, 4, 5))
+    val files = graft.sources.Formats.readBinaryFiles(spark, dir.toString, "*.png")
+    val got = Multimodal.mmFeaturesImage(files).collect()
+      .map(r => r.getAs[Long]("n_bytes") -> r).toList
+    assert(got.length === 3, "3 decodable images; the corrupt one is dropped")
+    val byName = files.collect().map { r =>
+      r.getAs[String]("path").split('/').last -> r.getAs[Array[Byte]]("content")
+    }.toMap
+    def scalarsOf(name: String) =
+      graft.operators.ImageCodec.decode(0L, byName(name)).get
+    // real pixel dimensions + resize arithmetic over them
+    val gray = scalarsOf("gray.png")
+    assert((gray.width, gray.height) === ((448, 224)))
+    assert((gray.resized_w, gray.resized_h) === ((224, 112)))
+    assert(gray.features(8) === 1.0) // solid 0x80 → luma 128 → bin 8
+    assert(graft.operators.ImageCodec.phashPixels(gray) === (1 << 8))
+    // permutation invariance over real pixels: same histogram, same sig
+    val bw = scalarsOf("bw.png")
+    val bw2 = scalarsOf("bw2.png")
+    assert(bw.features.toSeq === bw2.features.toSeq)
+    assert(bw.features(0) === 0.5 && bw.features(15) === 0.5)
+    assert(graft.operators.ImageCodec.phashPixels(bw) === ((1 << 15) | 1))
+    assert(graft.operators.ImageCodec.phashPixels(bw) ===
+      graft.operators.ImageCodec.phashPixels(bw2))
+  }
+
+  test("bpe apply: bundled merges segment exactly as the independent replica") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.Bpe
+    // expectations computed by a from-scratch replica of the merge
+    // loop over the bundled merges (rank order decides: e.g. "for"
+    // stays [f, or] because o-r outranks f-o; "thin" merges t-h before
+    // i-n because rank 0 < rank 2)
+    val want = Map(
+      "the" -> Seq("the"), "thin" -> Seq("th", "in"), "and" -> Seq("and"),
+      "with" -> Seq("with"), "that" -> Seq("that"), "for" -> Seq("f", "or"),
+      "ingest" -> Seq("ing", "es", "t"), "queen" -> Seq("qu", "e", "en"),
+      "xyzzy" -> Seq("x", "y", "z", "z", "y"), "a" -> Seq("a"))
+    val got = want.keys.toSeq.toDF("w")
+      .select(col("w"), Bpe.bpeSegment(col("w"), Bpe.default).as("seg"))
+      .collect().map(r => r.getAs[String]("w") -> r.getSeq[String](1).toSeq).toMap
+    assert(got === want)
+    // segments always rebuild the word; count is Σ segment sizes
+    val docs = Tables.documents(spark, sf).limit(50)
+    val check = docs.select(
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("toks"),
+        Bpe.bpeTokenCount(col("toks"), Bpe.default).as("n"),
+        transform(col("toks"), t => Bpe.bpeSegment(t, Bpe.default)).as("segs"))
+      .collect()
+    check.foreach { r =>
+      val toks = r.getSeq[String](0)
+      val segs = r.getSeq[scala.collection.Seq[String]](2)
+      assert(segs.map(_.length.toLong).sum === r.getAs[Long]("n"))
+      toks.zip(segs).foreach { case (w, s) => assert(s.mkString === w) }
+    }
+  }
+
+  test("token_histogram_bpe covers the corpus and cum_share reaches 1") {
+    val rows = TextOps.tokenHistogramBpe(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
+    // BPE counts exceed whitespace counts (subwords split words)
+    val bpeTokens = rows.map(_.getAs[Long]("tokens")).sum
+    val wsTokens = TextOps.tokenHistogram(spark, sf).collect()
+      .map(_.getAs[Long]("tokens")).sum
+    assert(bpeTokens > wsTokens)
+  }
 }
