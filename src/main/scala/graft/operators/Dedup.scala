@@ -450,6 +450,61 @@ object Dedup {
         (col("n_dup_windows") / col("n_windows")).as("dup_window_frac"))
   }
 
+  /** Stride-1 ExactSubstr REMOVAL over `documents` — see
+    * [[substrRemove]].
+    */
+  def dedupSubstrRemove(s: SparkSession, dir: String): DataFrame =
+    substrRemove(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The removal twin of [[substrAudit]] (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * cleaning step): every duplicated ≥w-token run keeps ONE canonical
+    * occurrence — the globally first by (doc_id, pos) — and every
+    * other occurrence's tokens are cut, with each doc rebuilt from its
+    * surviving tokens in order.  Overlapping duplicated windows merge
+    * naturally: the removal mask is the UNION of [start, start+w)
+    * over a doc's non-canonical duplicated-window starts, so a
+    * 25-token duplicated run removes 25 tokens, not 6 disjoint
+    * windows' worth.  (Rule is deterministic and engine-replayable; a
+    * canonical occurrence partially covered by ANOTHER duplicated
+    * window can still lose tokens — the documented approximation vs.
+    * suffix-array span merging.)
+    *
+    * Scale shape: windows shuffle as 16-byte hash rows ([[substrAudit]]
+    * trade); the canonical pick is a keyed (wk) count+min-struct
+    * aggregate whose MAP-SIDE PARTIALS collapse a hot boilerplate
+    * window per partition — deliberately NOT a shared raw occ exchange
+    * (the [[linesRemoval]] trade: sharing would forfeit the partials
+    * and funnel every occurrence of the hot key into one aggregate
+    * task; the occ pipeline recomputes per consumer at scan
+    * bandwidth, and the probe join stays an AQE-skew-splittable SMJ).
+    * Removal decisions come back as ONE skinny starts-array row per
+    * affected doc; the rebuild is a map-side HOF over the token array,
+    * so document text crosses at most one exchange.
+    */
+  private[graft] def substrRemove(docs: DataFrame, w: Int = 20): DataFrame = {
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val occ = toksDf.select(col("doc_id"),
+      posexplode(graft.functions.WindowHashes.windowHashes(col("toks"), w))
+        .as(Seq("pos", "wk")))
+    val dups = occ.groupBy(col("wk"))
+      .agg(count(lit(1)).as("freq"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("freq") > 1)
+    val starts = occ.hint("merge").join(dups.hint("merge"), "wk")
+      .filter(!(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toksDf.join(starts, Seq("doc_id"), "left")
+      .withColumn("st", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"),
+        (_, i) => !exists(col("st"), s => s <= i && i < s + w)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** Corpus-level boilerplate-line REMOVAL — the C4-style cleaning step
     * [[dedupChunk]] only audits: every line occurring ≥3 times
     * corpus-wide is dropped, and each document is rebuilt from its
@@ -745,6 +800,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_substr" -> (dedupSubstr _),
+    "dedup_substr_remove" -> (dedupSubstrRemove _),
     "dedup_lines" -> (dedupLines _),
     "dedup_components" -> (dedupComponents _),
     "decontaminate" -> (decontaminate _),
@@ -830,6 +886,29 @@ object Dedup {
         |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
         |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS dup_window_frac
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // canonical pick replayed as a struct-min (DuckDB structs compare
+    // lexicographically like Spark's); removal positions expand each
+    // non-canonical start by w offsets; zipped unnests align (pos, tok)
+    "dedup_substr_remove" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |o AS (SELECT doc_id, unnest(generate_series(0, len(tk)-20)) AS pos,
+        |             unnest([array_to_string(tk[i:i+19], ' ')
+        |               for i in generate_series(1, len(tk)-19)]) AS win
+        |      FROM t WHERE len(tk) >= 20),
+        |d AS (SELECT win, min(struct_pack(d := doc_id, p := pos)) AS keep
+        |      FROM o GROUP BY win HAVING COUNT(*) > 1),
+        |rmocc AS (SELECT doc_id, pos FROM o JOIN d USING (win)
+        |          WHERE NOT (doc_id = keep['d'] AND pos = keep['p'])),
+        |rmpos AS (SELECT DISTINCT doc_id, pos + j AS p FROM rmocc, generate_series(0, 19) g(j)),
+        |tokpos AS (SELECT doc_id, unnest(tk) AS tok,
+        |                  unnest(generate_series(0, len(tk)-1)) AS p FROM t),
+        |agg AS (SELECT tp.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN r.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(list(tok ORDER BY tp.p) FILTER (WHERE r.p IS NULL), ' '), '') AS clean_text
+        |  FROM tokpos tp LEFT JOIN rmpos r ON tp.doc_id = r.doc_id AND tp.p = r.p
+        |  GROUP BY tp.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_removed, clean_text
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // same chunk-wrap replay as dedup_chunk; zipped unnests carry the
     // 0-based position (as 1-based here — only order matters for the
     // rebuild), and the FILTERed ordered list rebuilds clean_text

@@ -394,6 +394,56 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substr_remove keeps the first occurrence and cuts merged overlapping spans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // S25 = a 25-token duplicated run: doc 1 owns the canonical copy
+    // (globally first by (doc_id, pos) → intact); doc 2 carries it at
+    // offset 1, so its SIX duplicated window starts (1..6) must merge
+    // into ONE 25-token cut, not disjoint windows.  Doc 3 repeats a
+    // 20-token span within itself (canonical = the earlier pos).
+    val s25 = (1 to 25).map(i => s"s$i").mkString(" ")
+    val s20 = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$s25 ${(1 to 5).map(i => s"a$i").mkString(" ")}"),
+      (2L, s"off $s25 ${(1 to 6).map(i => s"b$i").mkString(" ")}"),
+      (3L, s"$s20 $s20"),
+      (4L, (1 to 25).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.substrRemove(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L)._2 === 0L, "canonical copy stays intact")
+    assert(out(1L)._3.startsWith("s1 s2"))
+    assert(out(2L) === ((32L, 25L,
+      "off " + (1 to 6).map(i => s"b$i").mkString(" "))))
+    assert(out(3L) === ((40L, 20L, s20)))
+    assert(out(4L) === ((25L, 0L, (1 to 25).map(i => s"u$i").mkString(" "))))
+    // corpus run: the canonical pick keeps MAP-SIDE PARTIALS (the
+    // linesRemoval trade — a shared raw occ exchange would forfeit
+    // them and funnel a hot boilerplate window into one task), and no
+    // window function appears anywhere
+    val df = Dedup.dedupSubstrRemove(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("partial_min"), s"canonical pick must keep map-side partials:\n$plan")
+    assert(!plan.contains("Window"), "canonical pick must be a keyed aggregate, not a window")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_removed") >= 0L)
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_tokens"))
+    }
+    // removal is consistent with the audit: a doc with zero duplicated
+    // windows loses zero tokens
+    val audited = Dedup.dedupSubstr(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows")).toMap
+    rows.foreach { r =>
+      if (audited.getOrElse(r.getAs[Long]("doc_id"), 0L) == 0L)
+        assert(r.getAs[Long]("n_removed") === 0L)
+    }
+  }
+
   test("dedup_lines removes corpus-frequent lines exactly and rebuilds surviving text in order") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
