@@ -254,7 +254,36 @@ object EventOps {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** Cohort retention matrix: users bucketed by their FIRST event's
+    * epoch week (floor(epochSec/604800) — timezone-free and
+    * engine-replayable), distinct active users and event volume per
+    * (cohort, week offset) — the engagement analytic every event
+    * pipeline ships.
+    *
+    * Scale shape: a (user, week)-keyed pre-aggregate collapses raw
+    * events BEFORE anything user-keyed shuffles (map-side partials
+    * absorb a hot user's event volume), the first-week aggregate and
+    * the probe are merge-hinted SMJ on user_id off that collapsed
+    * frame, and the final aggregate has bounded (cohort, offset) keys.
+    */
+  def eventRetention(s: SparkSession, dir: String): DataFrame =
+    retentionOver(Tables.events(s, dir).select(col("user_id"), col("ts")))
+
+  private[graft] def retentionOver(events: DataFrame): DataFrame = {
+    val wk = events
+      .select(col("user_id"),
+        floor(epochSec(col("ts")) / 604800).cast("long").as("wk"))
+      .groupBy(col("user_id"), col("wk"))
+      .agg(count(lit(1)).as("n_ev"))
+    val first = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    wk.hint("merge").join(first.hint("merge"), "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"), sum(col("n_ev")).as("n_events"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_retention" -> (eventRetention _),
     "event_transitions" -> (eventTransitions _),
     "event_funnel" -> (eventFunnel _),
     "msg_ingest" -> (msgIngest _),
@@ -270,6 +299,15 @@ object EventOps {
     "sample_stratified" -> (sampleStratified _))
 
   def oracleSql: Map[String, String] = Map(
+    "event_retention" ->
+      """WITH w AS (SELECT user_id, (epoch_us(ts) // 1000000 // 604800) AS wk, COUNT(*) AS n_ev
+        |           FROM events GROUP BY user_id, wk),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "event_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type

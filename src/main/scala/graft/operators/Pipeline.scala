@@ -134,12 +134,61 @@ object Pipeline {
       }.toDF("doc_id", "tok", "bin_id")
   }
 
+  /** Training-sequence chunking over `documents`: seqLen = 64,
+    * overlap = 16 — see [[chunkSequences]].
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunkSequences(Tables.documents(s, dir).select(col("doc_id"), col("text")), 64, 16)
+      .orderBy(col("doc_id"), col("seq_idx"))
+
+  /** Split each document into ≤`seqLen`-token training sequences with
+    * `overlap` tokens of carried context (stride = seqLen − overlap) —
+    * the example-preparation stage between cleaning and packing
+    * ([[packNextFit]] bins what this emits).  A doc yields
+    * ⌈max(n−seqLen, 0)/stride⌉ + 1 sequences (the last possibly
+    * short); consecutive sequences share exactly `overlap` tokens, so
+    * concatenating each sequence minus its first `overlap` tokens
+    * rebuilds the doc (spec-pinned).  Pure map-side HOF over the token
+    * array — zero shuffle at any corpus size beyond the presentation
+    * sort.
+    */
+  private[graft] def chunkSequences(docs: DataFrame, seqLen: Int, overlap: Int): DataFrame = {
+    require(seqLen > 0 && overlap >= 0 && overlap < seqLen,
+      s"need 0 <= overlap < seqLen, got seqLen=$seqLen overlap=$overlap")
+    val stride = seqLen - overlap
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val nSeq = when(col("n") <= seqLen, lit(1))
+      .otherwise(ceil((col("n") - seqLen) / lit(stride.toDouble)).cast("int") + 1)
+    docs
+      .select(col("doc_id"), toks.as("tk"), size(toks).as("n"))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), nSeq - 1),
+          i => array_join(slice(col("tk"), i * stride + 1, lit(seqLen)), " ")))
+          .as(Seq("seq_idx", "seq_text")))
+      .select(col("doc_id"), col("seq_idx"),
+        least(lit(seqLen), col("n") - col("seq_idx") * stride).cast("long").as("n_seq_tokens"),
+        col("seq_text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_docs" -> (chunkDocs _),
     "corpus_clean" -> (corpusClean _),
     "source_mix" -> (sourceMix _),
     "pack_stats" -> (packStats _))
 
   def oracleSql: Map[String, String] = Map(
+    // stride = 64 − 16 = 48; tk[a:b] is an inclusive slice, so
+    // (i·48+1)..(i·48+64) is exactly the engine's 64-token window
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |p AS (SELECT doc_id, tk, len(tk) AS n,
+        |  CAST(CASE WHEN len(tk) <= 64 THEN 1
+        |       ELSE ceil((len(tk) - 64) / 48.0) + 1 END AS BIGINT) AS ns FROM t),
+        |s AS (SELECT doc_id, tk, n, unnest(generate_series(0, ns - 1)) AS seq_idx FROM p)
+        |SELECT doc_id, CAST(seq_idx AS INTEGER) AS seq_idx,
+        |  CAST(LEAST(64, n - seq_idx * 48) AS BIGINT) AS n_seq_tokens,
+        |  array_to_string(tk[(seq_idx*48 + 1):(seq_idx*48 + 64)], ' ') AS seq_text
+        |FROM s ORDER BY doc_id, seq_idx""".stripMargin,
     "pack_stats" ->
       """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok FROM documents),
         |b AS (SELECT GREATEST(1, CAST(floor(512 / GREATEST(tok, 1)) AS BIGINT)) AS per_bin, tok FROM t),

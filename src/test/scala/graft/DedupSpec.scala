@@ -394,6 +394,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk_docs sequences cover every token with exact overlap and rebuild the doc") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val toks100 = (1 to 100).map(i => s"w$i")
+    val docs = Seq(
+      (1L, toks100.mkString(" ")),
+      (2L, (1 to 5).map(i => s"x$i").mkString(" ")), // shorter than seqLen
+      (3L, (1 to 10).map(i => s"y$i").mkString(" "))) // exactly seqLen
+      .toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.chunkSequences(docs, 10, 2).collect() // stride 8
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    val d1 = byDoc(1L).sortBy(_.getAs[Int]("seq_idx"))
+    assert(d1.length === 13) // ceil((100-10)/8)+1
+    assert(d1.last.getAs[Long]("n_seq_tokens") === 4L) // start 96 → 4 left
+    // consecutive sequences share exactly the 2 overlap tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val at = a.getAs[String]("seq_text").split(" ")
+      val bt = b.getAs[String]("seq_text").split(" ")
+      assert(at.takeRight(2).toSeq === bt.take(2).toSeq)
+    }
+    // dropping each later sequence's overlap prefix rebuilds the doc
+    val rebuilt = d1.head.getAs[String]("seq_text").split(" ").toSeq ++
+      d1.tail.toSeq.flatMap(_.getAs[String]("seq_text").split(" ").drop(2).toSeq)
+    assert(rebuilt === toks100)
+    // short and exact-length docs emit ONE sequence, text intact
+    assert(byDoc(2L).length === 1)
+    assert(byDoc(2L).head.getAs[Long]("n_seq_tokens") === 5L)
+    assert(byDoc(2L).head.getAs[String]("seq_text") === (1 to 5).map(i => s"x$i").mkString(" "))
+    assert(byDoc(3L).length === 1)
+    assert(byDoc(3L).head.getAs[Long]("n_seq_tokens") === 10L)
+    // misuse fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.chunkSequences(docs, 10, 10)
+    }
+  }
+
   test("dedup_substr_remove keeps the first occurrence and cuts merged overlapping spans") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

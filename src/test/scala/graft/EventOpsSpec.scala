@@ -112,4 +112,33 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got("1_view") >= got("2_click") && got("2_click") >= got("3_purchase"))
     assert(got("3_purchase") > 0, "test data should carry full conversions")
   }
+
+  test("event_retention buckets users by first epoch week, counts per offset") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val W = 604800L
+    val ev = Seq(
+      ("a", 1000L * W + 10), ("a", 1000L * W + 20), // cohort 1000, 2 events wk 0
+      ("a", 1002L * W + 5), // offset 2
+      ("b", 1001L * W + 1), ("b", 1002L * W + 1), // cohort 1001, offsets 0 & 1
+      ("c", 1000L * W + 99)) // cohort 1000, offset 0 only
+      .toDF("user_id", "sec")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"))
+    val out = EventOps.retentionOver(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_wk"), r.getAs[Long]("week_offset")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"))).toMap
+    assert(out === Map(
+      (1000L, 0L) -> ((2L, 3L)), (1000L, 2L) -> ((1L, 1L)),
+      (1001L, 0L) -> ((1L, 1L)), (1001L, 1L) -> ((1L, 1L))))
+    // corpus invariants: offset 0 holds the whole cohort (a user is
+    // active in their own first week by definition), later offsets
+    // can never exceed it
+    val rows = EventOps.eventRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_wk")).values.foreach { g =>
+      val m = g.map(r => r.getAs[Long]("week_offset") -> r.getAs[Long]("n_users")).toMap
+      assert(m.contains(0L))
+      m.foreach { case (_, n) => assert(n <= m(0L)) }
+    }
+  }
 }
