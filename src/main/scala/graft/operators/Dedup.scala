@@ -434,7 +434,7 @@ object Dedup {
     * class, and the hashes come from one O(n) incremental pass, not w
     * slices per position.
     */
-  private[graft] def substrAudit(docs: DataFrame, w: Int = 20): DataFrame = {
+  def substrAudit(docs: DataFrame, w: Int = 20): DataFrame = {
     val wins = graft.functions.WindowHashes.windowHashes(tokens(col("text")), w)
     val perDoc = docs
       .select(col("doc_id"), explode(wins).as("wk"))
@@ -482,7 +482,7 @@ object Dedup {
     * affected doc; the rebuild is a map-side HOF over the token array,
     * so document text crosses at most one exchange.
     */
-  private[graft] def substrRemove(docs: DataFrame, w: Int = 20): DataFrame = {
+  def substrRemove(docs: DataFrame, w: Int = 20): DataFrame = {
     val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val occ = toksDf.select(col("doc_id"),
       posexplode(graft.functions.WindowHashes.windowHashes(col("toks"), w))

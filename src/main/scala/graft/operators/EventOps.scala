@@ -269,7 +269,7 @@ object EventOps {
   def eventRetention(s: SparkSession, dir: String): DataFrame =
     retentionOver(Tables.events(s, dir).select(col("user_id"), col("ts")))
 
-  private[graft] def retentionOver(events: DataFrame): DataFrame = {
+  def retentionOver(events: DataFrame): DataFrame = {
     val wk = events
       .select(col("user_id"),
         floor(epochSec(col("ts")) / 604800).cast("long").as("wk"))

@@ -152,7 +152,7 @@ object Pipeline {
     * array — zero shuffle at any corpus size beyond the presentation
     * sort.
     */
-  private[graft] def chunkSequences(docs: DataFrame, seqLen: Int, overlap: Int): DataFrame = {
+  def chunkSequences(docs: DataFrame, seqLen: Int, overlap: Int): DataFrame = {
     require(seqLen > 0 && overlap >= 0 && overlap < seqLen,
       s"need 0 <= overlap < seqLen, got seqLen=$seqLen overlap=$overlap")
     val stride = seqLen - overlap
