@@ -180,7 +180,7 @@ object Similarity {
     */
   private[operators] val LshTables = 8
 
-  private[graft] def lshBitsFor(n: Long): Int =
+  def lshBitsFor(n: Long): Int =
     math.max(6, math.min(24,
       math.ceil(math.log(math.max(n, 1L) / 8.0) / math.log(2.0)).toInt))
 
@@ -257,6 +257,53 @@ object Similarity {
     */
   def annLshFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     lshSearch(prep(corpus), asQueries(queries), k, lshBitsFor(corpus.count()))
+
+  /** Approximate k-NN JOIN: top-k cosine neighbors in `right` for
+    * EVERY row of `left` — the corpus×corpus retrieval shape the
+    * [[MaxQueries]] broadcast contract exists to refuse, in its
+    * scale-safe LSH-bucketed form (pair a fresh crawl with its nearest
+    * curated docs, label a whole corpus by neighbors, build a kNN
+    * graph for clustering).
+    *
+    * Shape: only 24 B/row bucket KEYS ride the bucket exchange and the
+    * bipartite bucket join ([[Dedup.dedupMinhash]]'s trade — never the
+    * 512 B embeddings); candidate (l, r) pairs dedupe across the 8
+    * tables; both sides' vectors come back by ID joins just for the
+    * surviving candidates; [[TopKScoredAgg]] then keeps ≤2k rows per
+    * left id map-side, so the final shuffle is |left|·k.  Candidate
+    * volume is Σ_bucket |L_b|·|R_b| with bucket width growing as
+    * log₂ n ([[lshBitsFor]]) — O(1) expected cohort per row at any
+    * corpus size, and AQE skew-splits a hot bucket.  Approximate by
+    * construction → rows-only oracle; the spec pins recall against
+    * exact bruteforce on the fixture queries.
+    */
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int, bits: Int): DataFrame = {
+    val l = prep(left)
+      .select(col("vec_id").as("lid"), col("e").as("le"), col("nrm").as("lnrm"))
+    val r = prep(right)
+    val lb = l.select(col("lid"), explode(hyperplaneBuckets(col("le"), bits)).as("tb"))
+      .select(col("lid"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val rb = r.select(col("vec_id"), explode(hyperplaneBuckets(col("e"), bits)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = lb.hint("merge").join(rb.hint("merge"), Seq("tbl", "bucket"))
+      .filter(col("lid") =!= col("vec_id"))
+      .select(col("lid"), col("vec_id"))
+      .dropDuplicates("lid", "vec_id")
+    val scored = cand
+      .join(l.hint("merge"), "lid")
+      .join(r.hint("merge"), "vec_id")
+      .select(col("lid").as("q_id"), col("vec_id"),
+        (dot(col("le"), col("e")) / (col("lnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Driver entry: the embedding corpus kNN-joined against itself
+    * (k = 5, self-pairs excluded) — the kNN-graph build.
+    */
+  def knnJoinEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    knnJoin(emb, emb, 5, lshBitsFor(corpusSize(s, dir)))
+  }
 
   /** Past this cell count the centroids move from plan literals to a
     * broadcast relation: C·65 literal doubles are fine in codegen at
@@ -1116,6 +1163,7 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_join" -> (knnJoinEmbeddings _),
     "ann_range" -> (annRange _),
     "kmeans_embed" -> (kmeansEmbed _),
     "ann_bruteforce" -> (annBruteforce _),

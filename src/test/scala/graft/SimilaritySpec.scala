@@ -377,6 +377,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === fullCodes)
   }
 
+  test("knn_join recalls bruteforce neighbors for every fixture query, k rows per id") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val joined = Similarity.knnJoin(emb, emb, 10,
+      Similarity.lshBitsFor(Similarity.corpusSize(spark, sf)))
+    val rows = joined.collect()
+    // every left id appears with at most k ranked rows and no self-pair
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    perQ.foreach { case (q, g) =>
+      assert(g.length <= 10)
+      assert(g.forall(_.getAs[Long]("vec_id") != q))
+      assert(g.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to g.length))
+    }
+    // corpus-wide coverage: the bucket join reaches (nearly) every row
+    val n = Similarity.corpusSize(spark, sf)
+    assert(perQ.size >= (n * 9) / 10, s"only ${perQ.size} of $n ids got neighbors")
+    // recall vs exact bruteforce on the fixture queries — same floor
+    // as the broadcast LSH path (identical bucket machinery)
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val got = rows.groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = bf.map { case (q, want) =>
+      got.getOrElse(q, Set()).intersect(want).size.toDouble / want.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.15, s"avg recall@10 = $avg")
+  }
+
   test("appendToIndex: PQ encode parity, no training jobs") {
     appendParity(Similarity.buildPqIndex)
   }

@@ -35,7 +35,9 @@ parsed = json.loads(lines[-1])
 assert parsed.get('failed') == 0, f"bench reported failures: {parsed.get('failed')}"
 print(f"bench parsed OK: total={parsed['value']}s over {len(parsed['queries'])} queries")
 EOF
-  # full per-query spread map → committed evidence (the driver's tail
-  # window only fits a handful of entries)
+  # full per-query spread + ms-precision median maps → committed
+  # evidence (the driver's tail window only fits a handful of entries,
+  # at coarsened precision)
   [ -f target/bench_spread.json ] && cp target/bench_spread.json bench_spread_sf0.1.json
+  [ -f target/bench_medians.json ] && cp target/bench_medians.json bench_medians_sf0.1.json
 fi
