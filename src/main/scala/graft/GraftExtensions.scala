@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScore, CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WordShingles}
+import graft.functions.{AdcScore, Bpe, BpeSegment, BpeTokenCount, CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WindowHashes, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -60,5 +60,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toObjectArray(org.apache.spark.sql.types.StringType)
           .map(_.toString).toSeq)))
+    e.injectFunction((FunctionIdentifier("window_hashes"),
+      info("window_hashes", "window_hashes(array<string>, w) - stride-1 rolling hashes of every w-token window"),
+      (args: Seq[Expression]) => WindowHashes(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+    // SQL forms bind the BUNDLED merge table (a merges-file path can't
+    // ride a SQL literal cleanly); the Column API takes any BpeTable
+    e.injectFunction((FunctionIdentifier("bpe_segment"),
+      info("bpe_segment", "bpe_segment(string) - BPE subword segmentation under the bundled merges"),
+      (args: Seq[Expression]) => BpeSegment(args.head, Bpe.default)))
+    e.injectFunction((FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count", "bpe_token_count(array<string>) - total BPE token count under the bundled merges"),
+      (args: Seq[Expression]) => BpeTokenCount(args.head, Bpe.default)))
   }
 }

@@ -23,6 +23,14 @@ class ExtensionsSpec extends AnyFunSuite {
         |""".stripMargin).head()
     assert(row2.getAs[Long]("rh") !== 0L)
     assert(row2.getAs[Int]("cs") === 1)
+    val row3 = spark.sql(
+      """SELECT size(window_hashes(array('a','b','c','d'), 2)) AS wh,
+        |  bpe_segment('thin') AS seg,
+        |  bpe_token_count(array('the', 'thin')) AS cnt
+        |""".stripMargin).head()
+    assert(row3.getAs[Int]("wh") === 3)
+    assert(row3.getAs[scala.collection.Seq[String]]("seg") === Seq("th", "in"))
+    assert(row3.getAs[Long]("cnt") === 3L) // [the] + [th, in]
   }
 
   test("full SQL surface works over registered views + custom functions") {
