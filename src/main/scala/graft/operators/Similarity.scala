@@ -1027,14 +1027,23 @@ object Similarity {
     * books (built from an empty corpus) is refused — there is no model
     * to encode with; rebuild instead.
     */
-  def appendToIndex(index: AnnIndex, newVectors: DataFrame): AnnIndex = {
+  def appendToIndex(index: AnnIndex, newVectors: DataFrame): AnnIndex =
+    AnnIndex(index.codes.unionByName(encodeForIndex(index, newVectors)), index.model)
+
+  /** Just the NEW vectors' code rows under the index's persisted model
+    * — the relation [[appendToIndex]] unions in.  Exposed so a daily
+    * ingest can pair it with [[AnnIndex.appendCodes]] and write ONLY
+    * the new files: no re-train ([[appendToIndex]]'s half) and no
+    * rewrite of existing code files (the storage half).
+    */
+  def encodeForIndex(index: AnnIndex, newVectors: DataFrame): DataFrame = {
     val (books, centsOpt, residual) = modelFromDf(index.model)
     require(books.nonEmpty,
       "appendToIndex: index has no trained model (empty-corpus build) — " +
         "rebuild with buildPqIndex/buildIvfPqIndex instead")
     val v = prep(newVectors)
     val sub = books(0)(0).length
-    val codes = centsOpt match {
+    centsOpt match {
       case Some(cents) =>
         val assigned = assignCells(v, cents)
         if (residual)
@@ -1048,7 +1057,6 @@ object Similarity {
       case None =>
         v.select(col("vec_id"), pqCodesCol(books, sub, col("e"), col("nrm")).as("codes"))
     }
-    AnnIndex(index.codes.unionByName(codes), index.model)
   }
 
   /** kNN label vote — similarity search applied: each fixture query
@@ -1243,14 +1251,32 @@ final case class AnnIndex(codes: DataFrame, model: DataFrame) {
     * all of them.
     */
   def write(path: String): Unit = {
-    val w = codes.write.mode("overwrite")
-    (if (codes.columns.contains("cid")) w.partitionBy("cid") else w)
-      .parquet(s"$path/codes")
+    AnnIndex.writeCodes(codes, path, org.apache.spark.sql.SaveMode.Overwrite)
     model.write.mode("overwrite").parquet(s"$path/model")
   }
 }
 
 object AnnIndex {
+
+  private def writeCodes(codes: org.apache.spark.sql.DataFrame, path: String,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val w = codes.write.mode(mode)
+    (if (codes.columns.contains("cid")) w.partitionBy("cid") else w)
+      .parquet(s"$path/codes")
+  }
+
+  /** Append NEW code rows to an index already on disk — the storage
+    * half of the daily-ingest story: existing code files are untouched
+    * (parquet append adds files inside the same cell directories, so
+    * probed-cell pruning keeps working) and the model is NOT rewritten
+    * because an encode-only append never changes it by contract.
+    * `newCodes` must come from [[Similarity.encodeForIndex]] against
+    * THIS path's index — appending codes encoded under a different
+    * model silently corrupts every search, which is why this takes the
+    * relation rather than re-deriving it.
+    */
+  def appendCodes(newCodes: org.apache.spark.sql.DataFrame, path: String): Unit =
+    writeCodes(newCodes, path, org.apache.spark.sql.SaveMode.Append)
   def read(s: SparkSession, path: String): AnnIndex = {
     import org.apache.spark.sql.functions.col
     val model = s.read.parquet(s"$path/model")

@@ -417,6 +417,37 @@ class SimilaritySpec extends AnyFunSuite {
     appendParity(Similarity.buildIvfPqIndex(_, residual = true))
   }
 
+  test("appendCodes: on-disk append equals a full build, existing files untouched") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val full = Similarity.buildIvfPqIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-appidx").toString
+    graft.operators.AnnIndex(
+      full.codes.filter(col("vec_id") % 3 =!= 0), full.model).write(dir)
+    def codeFiles = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .map(f => f.getParentFile.getName + "/" + f.getName).toSet
+    val before = codeFiles
+    val idx = graft.operators.AnnIndex.read(spark, dir)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    graft.operators.AnnIndex.appendCodes(Similarity.encodeForIndex(idx, b), dir)
+    // storage half: every pre-existing file is still there untouched
+    assert(before.subsetOf(codeFiles), "append must not rewrite existing code files")
+    assert(codeFiles.size > before.size, "append must add new files")
+    // read-back equals the one-shot full build, codes and searches alike
+    val back = graft.operators.AnnIndex.read(spark, dir)
+    val got = back.codes.select(col("vec_id"), col("cid"), col("codes"))
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    val want = full.codes.select(col("vec_id"), col("cid"), col("codes"))
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    assert(got === want)
+    val s1 = Similarity.searchIvfPqIndex(back, emb, rawFixtureQueries, 10)
+      .collect().map(_.toString).toSeq
+    val s2 = Similarity.searchIvfPqIndex(full, emb, rawFixtureQueries, 10)
+      .collect().map(_.toString).toSeq
+    assert(s1 === s2)
+  }
+
   test("appendToIndex refuses an index with no trained model") {
     import org.apache.spark.sql.functions._
     val empty = graft.sources.Tables.embeddings(spark, sf).filter(lit(false))
