@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScore, Bpe, BpeSegment, BpeTokenCount, CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WindowHashes, WordShingles}
+import graft.functions.{AdcScore, Bpe, BpeEncodeIds, BpeSegment, BpeTokenCount, CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WindowHashes, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -72,5 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("bpe_token_count"),
       info("bpe_token_count", "bpe_token_count(array<string>) - total BPE token count under the bundled merges"),
       (args: Seq[Expression]) => BpeTokenCount(args.head, Bpe.default)))
+    e.injectFunction((FunctionIdentifier("bpe_encode_ids"),
+      info("bpe_encode_ids", "bpe_encode_ids(array<string>) - concatenated vocab ids under the bundled merges (-1 = OOV)"),
+      (args: Seq[Expression]) => BpeEncodeIds(args.head, Bpe.default)))
   }
 }

@@ -323,6 +323,15 @@ class TextOpsSpec extends AnyFunSuite {
       assert(segs.map(_.length.toLong).sum === r.getAs[Long]("n"))
       toks.zip(segs).foreach { case (w, s) => assert(s.mkString === w) }
     }
+    // vocab ids: base alphabet 0..35 (a–z, 0–9), then merge outputs by
+    // rank — "th"=36 (rank 0), "the"=37 (rank 1), "in"=38 (rank 2);
+    // OOV symbols surface as −1, never silently dropped
+    val ids = Seq((Seq("the", "thin"), 0), (Seq("x!"), 1)).toDF("w", "i")
+      .select(Bpe.bpeEncodeIds(col("w"), Bpe.default).as("ids"), col("i"))
+      .orderBy(col("i"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(ids(0) === Seq(37, 36, 38))
+    assert(ids(1) === Seq(23, -1)) // 'x'=23, '!' is OOV
   }
 
   test("token_histogram_bpe covers the corpus and cum_share reaches 1") {
