@@ -15,7 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * expressions below ship it to executors once as a task-closure /
   * codegen reference object — never per row.
   */
-final class BpeTable(pairs: Array[(String, String)]) extends Serializable {
+final class BpeTable(pairs: Array[(String, String)], alphabet: Array[String])
+    extends Serializable {
+
+  /** Alphabet derived from the merges themselves: every distinct
+    * character appearing in any pair side — see
+    * [[BpeTable.derivedAlphabet]].
+    */
+  def this(pairs: Array[(String, String)]) =
+    this(pairs, BpeTable.derivedAlphabet(pairs))
+
   private val ranks = {
     val m = new java.util.HashMap[String, Integer](pairs.length * 2)
     pairs.zipWithIndex.foreach { case ((a, b), i) => m.put(a + "\u0000" + b, i) }
@@ -29,19 +38,21 @@ final class BpeTable(pairs: Array[(String, String)]) extends Serializable {
   }
 
   /** Symbol → vocab id, derived the standard BPE way: ids
-    * 0..|alphabet|−1 enumerate the base alphabet (a–z then 0–9, the
-    * bundled fixture's character set), then one id per merge OUTPUT in
-    * rank order — a trained tokenizer's vocab file is exactly this
-    * enumeration.  Unknown symbols map to −1: callers filter or
-    * substitute (a production byte-level vocab assigns every byte an
-    * id, so −1 never appears there).  Ids stay rank-aligned even if
-    * two merges produce the same output string (first wins).
+    * 0..|alphabet|−1 enumerate the base alphabet in its given order,
+    * then one id per merge OUTPUT in rank order — a trained
+    * tokenizer's vocab file is exactly this enumeration.  Unknown
+    * symbols map to −1: callers filter or substitute (a byte-level
+    * base alphabet assigns every byte an id, so −1 never appears
+    * there).  Ids stay rank-aligned even if two merges produce the
+    * same output string (first wins; likewise an alphabet entry
+    * duplicated by a later merge output).
     */
   private val vocab = {
-    val m = new java.util.HashMap[String, Integer](64 + pairs.length * 2)
+    val m = new java.util.HashMap[String, Integer](alphabet.length + pairs.length * 2)
     var id = 0
-    (('a' to 'z') ++ ('0' to '9')).foreach { c =>
-      m.put(String.valueOf(c), id); id += 1
+    alphabet.foreach { c =>
+      if (!m.containsKey(c)) m.put(c, id)
+      id += 1
     }
     pairs.foreach { case (a, b) =>
       if (!m.containsKey(a + b)) m.put(a + b, id)
@@ -53,6 +64,28 @@ final class BpeTable(pairs: Array[(String, String)]) extends Serializable {
   def idOf(sym: String): Int = {
     val r = vocab.get(sym)
     if (r == null) -1 else r.intValue()
+  }
+}
+
+object BpeTable {
+  /** Base alphabet a merges file implies: every distinct character
+    * appearing in any merge symbol, in code-point order (deterministic
+    * regardless of merge order).  A merges file is built bottom-up
+    * from characters, so this recovers uppercase, punctuation and
+    * byte-remap symbols (e.g. the Ġ space marker GPT-2's merges use)
+    * without a hardcoded charset — the previous a–z0–9 seeding made
+    * [[BpeEncodeIds]] emit −1 for every symbol outside the bundled
+    * fixture's alphabet.  Only a character that appears in NO merge
+    * stays unknown; a tokenizer whose full alphabet matters ships it
+    * explicitly (e.g. [[Bpe.ByteAlphabet]], or the fixture's
+    * [[Bpe.FixtureAlphabet]]) through the two-argument constructor.
+    */
+  def derivedAlphabet(pairs: Array[(String, String)]): Array[String] = {
+    val set = new java.util.TreeSet[String]()
+    pairs.foreach { case (a, b) =>
+      (a + b).foreach(c => { set.add(String.valueOf(c)); () })
+    }
+    set.toArray(Array.empty[String])
   }
 }
 
@@ -117,9 +150,9 @@ case class BpeTokenCount(child: Expression, table: BpeTable) extends UnaryExpres
   * segments under the merge table, each subword maps through the
   * derived vocab ([[BpeTable.idOf]]), concatenated in order — what a
   * training pipeline actually feeds a model, where
-  * [[BpeTokenCount]] only budgets.  Unknown symbols surface as −1
-  * rather than being dropped: a silent drop would desynchronize ids
-  * from the text they claim to encode.
+  * [[BpeTokenCount]] only budgets.  Unknown symbols — and null array
+  * elements — surface as −1 rather than being dropped: a silent drop
+  * would desynchronize ids from the text they claim to encode.
   */
 case class BpeEncodeIds(child: Expression, table: BpeTable) extends UnaryExpression {
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
@@ -144,12 +177,93 @@ case class BpeEncodeIds(child: Expression, table: BpeTable) extends UnaryExpress
   override def prettyName: String = "bpe_encode_ids"
 }
 
+/** Greedy BPE-budget training-sequence chunking of a word array: each
+  * sequence takes whole words while its BPE token total stays ≤
+  * `seqLen`, and the next sequence starts `overlap` WORDS back — so
+  * sequence boundaries respect word boundaries (a subword split across
+  * sequences would make neither side decodable) while the length
+  * budget is counted in the unit that bills against a model's context
+  * window.  The whitespace-unit [[graft.operators.Pipeline.chunkSequences]]
+  * keeps both bounds in words; this is its model-token twin.
+  *
+  * Per element of the result: (text, n_words, n_overlap, n_bpe), where
+  * n_overlap is the number of leading words shared with the previous
+  * sequence (actual carry: `min(overlap, progress)` — never the whole
+  * previous sequence, so every sequence advances) and n_bpe =
+  * Σ segment cost of its words.  A single word whose own BPE cost
+  * exceeds `seqLen` forms an overflowing one-word sequence (n_bpe >
+  * seqLen) — the same needs-truncation-upstream signal as
+  * [[graft.operators.Pipeline.packStats]]'s utilization > 1.  An empty
+  * word array yields one empty sequence, matching the whitespace twin.
+  * Concatenating each sequence's words minus its first n_overlap words
+  * rebuilds the document exactly (spec-pinned).  Native expression:
+  * the per-word greedy scan is sequential state — a fold no HOF
+  * expresses in O(n) — so it runs as one tight JVM loop inside
+  * whole-stage codegen, table shipped once as a reference object.
+  */
+case class BpeChunkSeqs(child: Expression, table: BpeTable, seqLen: Int, overlap: Int)
+    extends UnaryExpression {
+  require(seqLen > 0 && overlap >= 0,
+    s"need seqLen > 0 and overlap >= 0, got seqLen=$seqLen overlap=$overlap")
+
+  override def dataType: DataType = BpeChunkSeqs.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_chunk_seqs requires array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.chunkSeqs(input.asInstanceOf[ArrayData], table, seqLen, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.chunkSeqs($c, $ref, $seqLen, $overlap)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeChunkSeqs =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_chunk_seqs"
+}
+
+object BpeChunkSeqs {
+  val schema: DataType = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("text", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_words", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_overlap", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_bpe", LongType, nullable = false))),
+    containsNull = false)
+}
+
+
 object Bpe {
 
-  /** Parse merge lines ("left right", '#' comments and blanks skipped;
-    * rank = appearance order).
+  /** The 256-entry byte-level base: one single-char symbol per byte
+    * value (latin-1 code points 0–255, id = byte value).  For merges
+    * trained over raw bytes this guarantees no symbol is ever OOV —
+    * the property GPT-2-family tokenizers get from their byte
+    * alphabet.
     */
-  def loadMerges(lines: Iterator[String]): BpeTable = {
+  lazy val ByteAlphabet: Array[String] =
+    Array.tabulate(256)(b => String.valueOf(b.toChar))
+
+  /** The bundled fixture's corpus charset (a–z then 0–9) — kept
+    * explicit so fixture vocab ids are stable ('x' = 23) even for
+    * characters its ~50 merges never touch.
+    */
+  lazy val FixtureAlphabet: Array[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(String.valueOf).toArray
+
+  /** Parse merge lines ("left right", '#' comments and blanks skipped;
+    * rank = appearance order).  The vocab's base alphabet is
+    * `alphabet` if given, else derived from the merges' own symbol
+    * set ([[BpeTable.derivedAlphabet]]) — so a real model's merges
+    * file (uppercase, punctuation, byte-remap symbols) encodes with
+    * no −1 floods out of the box.
+    */
+  def loadMerges(lines: Iterator[String],
+      alphabet: Option[Array[String]] = None): BpeTable = {
     val pairs = lines
       .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -159,12 +273,16 @@ object Bpe {
         (sp(0), sp(1))
       }
       .toArray
-    new BpeTable(pairs)
+    alphabet match {
+      case Some(a) => new BpeTable(pairs, a)
+      case None    => new BpeTable(pairs)
+    }
   }
 
-  def loadMergesFile(path: String): BpeTable = {
+  def loadMergesFile(path: String,
+      alphabet: Option[Array[String]] = None): BpeTable = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try loadMerges(src.getLines()) finally src.close()
+    try loadMerges(src.getLines(), alphabet) finally src.close()
   }
 
   /** The bundled ~50-merge English fixture (authored for this repo —
@@ -176,7 +294,7 @@ object Bpe {
     val in = getClass.getResourceAsStream("/graft/bpe/merges.txt")
     require(in != null, "bundled merges resource missing")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try loadMerges(src.getLines()) finally src.close()
+    try loadMerges(src.getLines(), Some(FixtureAlphabet)) finally src.close()
   }
 
   /** The merge loop.  Returns words ≤1 char (and unknown alphabets)
@@ -234,12 +352,63 @@ object Bpe {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
+      // a null word emits the same −1 sentinel as an OOV symbol — a
+      // silent skip would desynchronize ids from the text they claim
+      // to encode, the exact contract −1 exists to protect
+      if (arr.isNullAt(i)) out += -1
+      else {
         val segs = segment(arr.getUTF8String(i).toString, t)
         var j = 0
         while (j < segs.length) { out += t.idOf(segs(j)); j += 1 }
       }
       i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[BpeChunkSeqs]] eval: one greedy O(n) pass.  Null words (legal
+    * in the input array type) cost 0 BPE tokens and render as empty
+    * strings — they cannot desynchronize the rebuild because the
+    * word COUNT structure is preserved.
+    */
+  def chunkSeqs(arr: ArrayData, t: BpeTable, seqLen: Int, overlapWords: Int): ArrayData = {
+    val n = arr.numElements()
+    val words = new Array[String](n)
+    val costs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      words(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      costs(i) = segment(words(i), t).length.toLong
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    if (n == 0) {
+      out += org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(""), 0L, 0L, 0L)
+    } else {
+      var b = 0
+      var prevEnd = 0
+      var first = true
+      while (b < n) {
+        var e = b
+        var acc = 0L
+        // first word unconditionally (an oversized word overflows its
+        // own sequence), then extend while the budget holds
+        acc += costs(e); e += 1
+        while (e < n && acc + costs(e) <= seqLen) { acc += costs(e); e += 1 }
+        val ov = if (first) 0L else (prevEnd - b).toLong
+        val sb = new java.lang.StringBuilder()
+        var w = b
+        while (w < e) {
+          if (w > b) sb.append(' ')
+          sb.append(words(w))
+          w += 1
+        }
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(sb.toString), (e - b).toLong, ov, acc)
+        prevEnd = e
+        first = false
+        b = if (e >= n) n else math.max(e - overlapWords, b + 1)
+      }
     }
     new GenericArrayData(out.toArray)
   }
@@ -251,4 +420,6 @@ object Bpe {
     ColumnShim.column(BpeTokenCount(ColumnShim.expression(c), t))
   def bpeEncodeIds(c: Column, t: BpeTable): Column =
     ColumnShim.column(BpeEncodeIds(ColumnShim.expression(c), t))
+  def bpeChunkSeqs(c: Column, t: BpeTable, seqLen: Int, overlap: Int): Column =
+    ColumnShim.column(BpeChunkSeqs(ColumnShim.expression(c), t, seqLen, overlap))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -90,10 +90,29 @@ object Pipeline {
     * (tokens > cap) land in per_bin = 1 with utilization > 1 — the
     * signal they need truncation/splitting upstream.
     */
-  def packStats(s: SparkSession, dir: String): DataFrame = {
-    val cap = 512
-    val tok = size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
-    Tables.documents(s, dir)
+  def packStats(s: SparkSession, dir: String): DataFrame =
+    packStatsOver(Tables.documents(s, dir),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"), 512)
+
+  /** [[packStats]] in MODEL-token units: the same windows-and-waste
+    * report with per-doc cost = `bpe_token_count` under the bundled
+    * merges — the number that actually bills against a context
+    * window (a "512-token" window of whitespace tokens overfills once
+    * subwords split).  BPE is an iterative rewrite system, not SQL →
+    * rows-only driver oracle; the spec pins this frame against an
+    * independently computed replica over segment().
+    */
+  def packStatsBpe(s: SparkSession, dir: String): DataFrame =
+    packStatsOver(Tables.documents(s, dir),
+      graft.functions.Bpe.bpeTokenCount(
+        graft.functions.TextFunctions.tokens(col("text")),
+        graft.functions.Bpe.default), 512)
+
+  /** Shared packing-report tail over any per-doc token cost column
+    * (the [[graft.operators.TextOps]] `tokenHistogramOver` shape).
+    */
+  private def packStatsOver(docs: DataFrame, tok: Column, cap: Int): DataFrame = {
+    docs
       .select(tok.as("tok"))
       .select(col("tok"),
         greatest(lit(1L), floor(lit(cap) / greatest(col("tok"), lit(1L))).cast("long")).as("per_bin"))
@@ -170,8 +189,40 @@ object Pipeline {
         col("seq_text"))
   }
 
+  /** Driver entry: BPE-budget chunking over `documents` — 64 MODEL
+    * tokens per sequence, 8 words of carried overlap (the whitespace
+    * twin [[chunkDocs]] carries 16 words against a 64-WORD budget;
+    * under subword inflation a 64-BPE-token budget holds fewer words,
+    * so the carry shrinks proportionally).
+    */
+  def chunkDocsBpe(s: SparkSession, dir: String): DataFrame =
+    chunkSequencesBpe(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      64, 8, graft.functions.Bpe.default)
+      .orderBy(col("doc_id"), col("seq_idx"))
+
+  /** [[chunkSequences]] in MODEL-token units — see
+    * [[graft.functions.BpeChunkSeqs]] for the exact semantics
+    * (whole-word boundaries, BPE-token budget, word-count overlap,
+    * per-sequence n_overlap_words making the rebuild invariant
+    * checkable).  Still one zero-shuffle map-side pass.
+    */
+  def chunkSequencesBpe(docs: DataFrame, seqLenBpe: Int, overlapWords: Int,
+      table: graft.functions.BpeTable): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.Bpe.bpeChunkSeqs(
+        graft.functions.TextFunctions.tokens(col("text")),
+        table, seqLenBpe, overlapWords).as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("seq_idx", "c")))
+      .select(col("doc_id"), col("seq_idx"),
+        col("c.n_words").as("n_seq_words"),
+        col("c.n_overlap").as("n_overlap_words"),
+        col("c.n_bpe").as("n_seq_bpe_tokens"),
+        col("c.text").as("seq_text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_docs" -> (chunkDocs _),
+    "chunk_docs_bpe" -> (chunkDocsBpe _),
+    "pack_stats_bpe" -> (packStatsBpe _),
     "corpus_clean" -> (corpusClean _),
     "source_mix" -> (sourceMix _),
     "pack_stats" -> (packStats _))

@@ -334,6 +334,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids(1) === Seq(23, -1)) // 'x'=23, '!' is OOV
   }
 
+  test("bpe vocab seeds from the merges' own alphabet: full-charset merges encode with no -1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.Bpe
+    // a real model's merges file reaches outside a-z0-9: uppercase,
+    // punctuation, and a byte-remap marker (GPT-2's Ġ word-boundary
+    // symbol).  The derived alphabet must recover every character so
+    // encoding this file's own corpus never floods -1.
+    val merges = Seq("T h", "Th e", "' s", "Ġ t", "Ġt h",
+      "e r", "o w", "N e", "Ne w")
+    val t = Bpe.loadMerges(merges.iterator)
+    // derived alphabet = code-point-ordered distinct chars of the
+    // merge symbols; ids then continue with merge outputs by rank
+    val alpha = Seq("'", "N", "T", "e", "h", "o", "r", "s", "t", "w", "Ġ")
+    alpha.zipWithIndex.foreach { case (c, i) =>
+      assert(t.idOf(c) === i, s"alphabet id of '$c'")
+    }
+    assert(t.idOf("Th") === alpha.length)     // rank-0 merge output
+    assert(t.idOf("Ġt") === alpha.length + 3)
+    val corpus = Seq("The", "There's", "Ġthe", "Newer", "show")
+    val ids = corpus.toDF("w")
+      .select(Bpe.bpeEncodeIds(array(col("w")), t).as("ids"))
+      .collect().flatMap(_.getSeq[Int](0))
+    assert(ids.nonEmpty && ids.forall(_ >= 0), s"-1 flood: ${ids.toSeq}")
+    // a character in NO merge is still honestly OOV under derivation…
+    assert(t.idOf("z") === -1)
+    // …and the byte-level base closes even that gap
+    val tb = Bpe.loadMerges(merges.iterator, Some(Bpe.ByteAlphabet))
+    assert(tb.idOf("z") === 'z'.toInt)
+    assert(tb.idOf("Th") === 256)
+    // null words emit the -1 sentinel, never a silent drop
+    val withNull = Seq(1).toDF("i")
+      .select(Bpe.bpeEncodeIds(array(lit("The"), lit(null.asInstanceOf[String]), lit("ow")), t).as("ids"))
+      .collect().head.getSeq[Int](0)
+    assert(withNull === Seq(t.idOf("The"), -1, t.idOf("ow")))
+  }
+
   test("token_histogram_bpe covers the corpus and cum_share reaches 1") {
     val rows = TextOps.tokenHistogramBpe(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
