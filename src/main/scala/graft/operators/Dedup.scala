@@ -77,14 +77,19 @@ object Dedup {
     val exploded = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
       .repartition(col("shingle"))
-    // DF cap as a window count over the shingle-partitioned exchange:
-    // no extra shuffle, and the filtered frame is still one exchange
-    // shared by both self-join sides and the size aggregate
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val sh = exploded
-      .withColumn("df", count(lit(1)).over(byShingle))
+    // DF cap as a keyed aggregate semi-joined back (the
+    // [[dedupIncremental]] shape): both the aggregate and the join
+    // read the one shingle-partitioned exchange, so no new shuffle —
+    // and a corpus-wide boilerplate shingle collapses to one (shingle,
+    // count) row map-side, then streams through the semi join and
+    // drops.  The window-count form this replaced had to BUFFER every
+    // occurrence of a hot shingle in a single task before the cap
+    // could drop the first row — the cap filter itself was the skew
+    // bottleneck it exists to prevent.
+    val keep = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-      .drop("df")
+      .select(col("shingle"))
+    val sh = exploded.hint("merge").join(keep.hint("merge"), Seq("shingle"), "left_semi")
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // merge hint: below the broadcast threshold Spark would flip this
     // self-join to a BroadcastHashJoin, recomputing the whole shingle
@@ -463,12 +468,16 @@ object Dedup {
     * other occurrence's tokens are cut, with each doc rebuilt from its
     * surviving tokens in order.  Overlapping duplicated windows merge
     * naturally: the removal mask is the UNION of [start, start+w)
-    * over a doc's non-canonical duplicated-window starts, so a
-    * 25-token duplicated run removes 25 tokens, not 6 disjoint
-    * windows' worth.  (Rule is deterministic and engine-replayable; a
-    * canonical occurrence partially covered by ANOTHER duplicated
-    * window can still lose tokens — the documented approximation vs.
-    * suffix-array span merging.)
+    * over a doc's non-canonical duplicated-window starts, MINUS the
+    * union of the doc's CANONICAL window spans — the exemption that
+    * upgrades "keep one occurrence" from best-effort to invariant:
+    * without it, a different run's non-canonical window overlapping a
+    * canonical span eats part of the one copy the rule promised to
+    * keep (round-7's documented approximation, now closed; the spec
+    * plants exactly that cross-run overlap).  INVARIANT: every
+    * duplicated window's canonical occurrence survives verbatim, so
+    * the cleaned corpus still contains at least one full copy of every
+    * duplicated ≥w-token run.
     *
     * Scale shape: windows shuffle as 16-byte hash rows ([[substrAudit]]
     * trade); the canonical pick is a keyed (wk) count+min-struct
@@ -495,10 +504,20 @@ object Dedup {
       .filter(!(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    // canonical spans per doc: one row per duplicated window key in
+    // `dups`, collapsing to one skinny starts-array row per doc that
+    // hosts a canonical — strictly smaller than `starts` (≤1 row per
+    // distinct duplicated window vs one per surviving occurrence)
+    val canon = dups
+      .groupBy(col("keep.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("keep.pos"))).as("canon_starts"))
     toksDf.join(starts, Seq("doc_id"), "left")
+      .join(canon, Seq("doc_id"), "left")
       .withColumn("st", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("cst", coalesce(col("canon_starts"), array().cast("array<int>")))
       .withColumn("kept", filter(col("toks"),
-        (_, i) => !exists(col("st"), s => s <= i && i < s + w)))
+        (_, i) => !exists(col("st"), s => s <= i && i < s + w) ||
+          exists(col("cst"), s => s <= i && i < s + w)))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
@@ -899,7 +918,10 @@ object Dedup {
         |      FROM o GROUP BY win HAVING COUNT(*) > 1),
         |rmocc AS (SELECT doc_id, pos FROM o JOIN d USING (win)
         |          WHERE NOT (doc_id = keep['d'] AND pos = keep['p'])),
-        |rmpos AS (SELECT DISTINCT doc_id, pos + j AS p FROM rmocc, generate_series(0, 19) g(j)),
+        |keeppos AS (SELECT DISTINCT keep['d'] AS doc_id, keep['p'] + j AS p
+        |            FROM d, generate_series(0, 19) g(j)),
+        |rmpos AS (SELECT DISTINCT doc_id, pos + j AS p FROM rmocc, generate_series(0, 19) g(j)
+        |          EXCEPT SELECT doc_id, p FROM keeppos),
         |tokpos AS (SELECT doc_id, unnest(tk) AS tok,
         |                  unnest(generate_series(0, len(tk)-1)) AS p FROM t),
         |agg AS (SELECT tp.doc_id, COUNT(*) AS n_tokens,

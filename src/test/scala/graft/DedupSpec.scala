@@ -430,6 +430,84 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk_docs_bpe: BPE-budget sequences respect word bounds, rebuild, and flag overflow") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.Bpe
+    val t = Bpe.default
+    def bpeCost(w: String): Int = Bpe.segment(w, t).length
+    // real-ish words plus one long unmergeable word that alone
+    // overflows a small budget
+    val words1 = Seq("the", "and", "with", "that", "queen", "ingest",
+      "xyzzy", "for", "thin", "wxqzkj", "the", "and") // mixed costs
+    val big = "zqxjkwvzqxjkwv" // mostly unmergeable → cost ~ length
+    assert(bpeCost(big) > 8)
+    val docs = Seq(
+      (1L, words1.mkString(" ")),
+      (2L, s"the $big and"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.chunkSequencesBpe(docs, 8, 2, t).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // every sequence's n_seq_bpe_tokens is the true BPE count of its
+    // words, and respects the budget unless it is a single-word
+    // overflow (the needs-truncation-upstream signal)
+    out.filter(_.getAs[Long]("doc_id") != 3L).foreach { r =>
+      val ws = r.getAs[String]("seq_text").split(" ").toSeq
+      assert(r.getAs[Long]("n_seq_words") === ws.length.toLong)
+      assert(r.getAs[Long]("n_seq_bpe_tokens") === ws.map(bpeCost).sum.toLong)
+      assert(r.getAs[Long]("n_seq_bpe_tokens") <= 8 || r.getAs[Long]("n_seq_words") === 1L,
+        s"multi-word sequence over budget: $r")
+    }
+    // rebuild: concatenating each sequence minus its first
+    // n_overlap_words words restores the doc exactly
+    def rebuild(id: Long): Seq[String] = byDoc(id).sortBy(_.getAs[Int]("seq_idx")).toSeq
+      .flatMap { r =>
+        r.getAs[String]("seq_text").split(" ").filter(_.nonEmpty)
+          .drop(r.getAs[Long]("n_overlap_words").toInt).toSeq
+      }
+    assert(rebuild(1L) === words1)
+    assert(rebuild(2L) === Seq("the", big, "and"))
+    // consecutive sequences genuinely share the declared overlap words
+    byDoc(1L).sortBy(_.getAs[Int]("seq_idx")).sliding(2).foreach { case Array(a, b) =>
+      val ov = b.getAs[Long]("n_overlap_words").toInt
+      val at = a.getAs[String]("seq_text").split(" ")
+      val bt = b.getAs[String]("seq_text").split(" ")
+      assert(at.takeRight(ov).toSeq === bt.take(ov).toSeq)
+    }
+    // the oversized word forms its own overflowing sequence
+    val over = byDoc(2L).filter(_.getAs[String]("seq_text") === big)
+    assert(over.length === 1 && over.head.getAs[Long]("n_seq_bpe_tokens") > 8L)
+    // empty doc → one empty sequence (whitespace-twin parity)
+    assert(byDoc(3L).length === 1)
+    assert(byDoc(3L).head.getAs[Long]("n_seq_bpe_tokens") === 0L)
+  }
+
+  test("pack_stats_bpe matches an independent replica in model-token units") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Bpe
+    val t = Bpe.default
+    // replica: per-doc BPE counts from segment(), then the same
+    // integer packing arithmetic as the operator
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = docs.map(d => d.trim.split("\\s+").filter(_.nonEmpty)
+      .map(w => Bpe.segment(w, t).length.toLong).sum)
+    val expect = toks.groupBy(tk => math.max(1L, 512L / math.max(tk, 1L)))
+      .view.mapValues(g => (g.length.toLong, g.sum)).toMap
+    val got = graft.operators.Pipeline.packStatsBpe(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    got.foreach { r =>
+      val pb = r.getAs[Long]("per_bin")
+      val (nDocs, tokens) = expect(pb)
+      assert(r.getAs[Long]("n_docs") === nDocs, s"per_bin=$pb n_docs")
+      assert(r.getAs[Long]("tokens") === tokens, s"per_bin=$pb tokens")
+      val nBins = (nDocs + pb - 1) / pb
+      assert(r.getAs[Long]("n_bins") === nBins)
+      assert(math.abs(r.getAs[Double]("utilization") -
+        tokens.toDouble / (nBins * 512).toDouble) < 1e-12)
+    }
+  }
+
   test("dedup_substr_remove keeps the first occurrence and cuts merged overlapping spans") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -477,6 +555,40 @@ class DedupSpec extends AnyFunSuite {
     rows.foreach { r =>
       if (audited.getOrElse(r.getAs[Long]("doc_id"), 0L) == 0L)
         assert(r.getAs[Long]("n_removed") === 0L)
+    }
+  }
+
+  test("dedup_substr_remove: a canonical span overlapped by another run's mask survives verbatim") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // cross-run overlap: run Y (canonical in doc 1) reappears in doc 2
+    // OVERLAPPING run X's canonical occurrence (X = y11..y20 z1..z10,
+    // so doc 2 = y1..y20 z1..z10 hosts Y at pos 0 and X at pos 10);
+    // doc 3 duplicates X.  Without the canonical exemption, Y's doc-2
+    // mask [0,20) eats the first half of X's only full copy and the
+    // cleaned corpus retains NO intact X anywhere — the round-7
+    // approximation this rule change closes.
+    val y = (1 to 20).map(i => s"y$i")
+    val z = (1 to 10).map(i => s"z$i")
+    val w5 = (1 to 5).map(i => s"w$i")
+    val docs = Seq(
+      (1L, y.mkString(" ")),                     // canonical Y
+      (2L, (y ++ z).mkString(" ")),              // Y dup at 0, canonical X at 10
+      (3L, (w5 ++ y.drop(10) ++ z).mkString(" "))) // X dup at 5
+      .toDF("doc_id", "text")
+    val out = Dedup.substrRemove(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((0L, y.mkString(" "))))
+    // doc 2: only Y's non-exempt prefix [0,10) goes; X stays whole
+    assert(out(2L) === ((10L, (y.drop(10) ++ z).mkString(" "))))
+    // doc 3: its X occurrence is non-canonical → fully cut
+    assert(out(3L) === ((20L, w5.mkString(" "))))
+    // the invariant itself: every duplicated window still has a full
+    // occurrence somewhere in the cleaned corpus
+    val cleaned = out.values.map(_._2).toSeq
+    Seq(y.mkString(" "), (y.drop(10) ++ z).mkString(" ")).foreach { run =>
+      assert(cleaned.exists(_.contains(run)), s"run '$run' lost its last copy")
     }
   }
 
