@@ -277,18 +277,51 @@ object Similarity {
     * construction → rows-only oracle; the spec pins recall against
     * exact bruteforce on the fixture queries.
     */
-  def knnJoin(left: DataFrame, right: DataFrame, k: Int, bits: Int): DataFrame = {
-    val l = prep(left)
-      .select(col("vec_id").as("lid"), col("e").as("le"), col("nrm").as("lnrm"))
+  /** Candidate stage of [[knnJoin]]: deduped (lid, vec_id) pairs with
+    * a `hits` column counting how many of the 8 LSH tables the pair
+    * collided in.  The count rides the SAME exchange a bare
+    * dropDuplicates would take (a keyed aggregate with map-side
+    * partials over the 16 B/row pair keys), so exposing it is free —
+    * it exists as a diagnostic and as the measurement surface for
+    * candidate-pruning experiments.
+    *
+    * MEASURED, then REJECTED (round 8): pruning pairs with `hits < 2`
+    * before the vector rejoin looks like a cheap plan win, but at the
+    * derived bucket widths one-table collisions ARE the signal: at
+    * sf0.01 (n=500, b=6) 93% of candidate pairs collide in exactly
+    * one table and the prune drops avg recall@10 0.180 → 0.020; at
+    * sf0.1 (n=2000, b=8) 98% are one-table and recall falls 0.150 →
+    * 0.055 even with a per-lid keep-best fallback (coverage 80%
+    * without it).  A per-lid top-64-by-hits cap keeps full coverage
+    * but still cuts sf0.1 recall to 0.120 — hit count is too coarse a
+    * similarity proxy at log₂(n/8) bits, where a true neighbor's
+    * per-table collision probability is well under 1.  The candidate
+    * exchange is skinny and the scoring join is bounded by
+    * Σ_bucket |L_b|·|R_b| with O(1) expected cohorts, so the unpruned
+    * plan IS the scale plan.
+    */
+  private[graft] def knnJoinCandidates(left: DataFrame, right: DataFrame,
+      bits: Int, excludeSelf: Boolean = true): DataFrame = {
+    val l = prep(left).select(col("vec_id").as("lid"), col("e").as("le"))
     val r = prep(right)
     val lb = l.select(col("lid"), explode(hyperplaneBuckets(col("le"), bits)).as("tb"))
       .select(col("lid"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val rb = r.select(col("vec_id"), explode(hyperplaneBuckets(col("e"), bits)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cand = lb.hint("merge").join(rb.hint("merge"), Seq("tbl", "bucket"))
-      .filter(col("lid") =!= col("vec_id"))
-      .select(col("lid"), col("vec_id"))
-      .dropDuplicates("lid", "vec_id")
+    val joined = lb.hint("merge").join(rb.hint("merge"), Seq("tbl", "bucket"))
+    (if (excludeSelf) joined.filter(col("lid") =!= col("vec_id")) else joined)
+      .groupBy(col("lid"), col("vec_id")).agg(count(lit(1)).as("hits"))
+  }
+
+  /** Scoring stage of [[knnJoin]]: both sides' vectors come back by ID
+    * joins for the surviving candidate pairs only, then
+    * [[TopKScoredAgg]] keeps ≤2k rows per left id map-side.
+    */
+  private[graft] def knnJoinScore(left: DataFrame, right: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
+    val l = prep(left)
+      .select(col("vec_id").as("lid"), col("e").as("le"), col("nrm").as("lnrm"))
+    val r = prep(right)
     val scored = cand
       .join(l.hint("merge"), "lid")
       .join(r.hint("merge"), "vec_id")
@@ -296,6 +329,20 @@ object Similarity {
         (dot(col("le"), col("e")) / (col("lnrm") * col("nrm"))).as("cos"))
     topKPerQuery(scored, k)
   }
+
+  /** `excludeSelf` controls the `lid =!= vec_id` candidate filter:
+    * true (default) for the self-join shape (kNN graph over one
+    * corpus), where an id paired with itself is a degenerate cos = 1
+    * "neighbor"; pass FALSE when left and right are DIFFERENT corpora
+    * (fresh crawl vs curated docs) — there numerically coinciding ids
+    * are distinct documents, and the filter would silently drop
+    * legitimate neighbor pairs.
+    */
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int, bits: Int,
+      excludeSelf: Boolean = true): DataFrame =
+    knnJoinScore(left, right,
+      knnJoinCandidates(left, right, bits, excludeSelf)
+        .select(col("lid"), col("vec_id")), k)
 
   /** Driver entry: the embedding corpus kNN-joined against itself
     * (k = 5, self-pairs excluded) — the kNN-graph build.
@@ -1030,6 +1077,24 @@ object Similarity {
   def appendToIndex(index: AnnIndex, newVectors: DataFrame): AnnIndex =
     AnnIndex(index.codes.unionByName(encodeForIndex(index, newVectors)), index.model)
 
+  /** The DELETE twin of [[appendToIndex]] — takedowns and re-dedup
+    * removals for a live index: drops `ids`' code rows (any frame with
+    * a `vec_id` column), leaving the model untouched.  Search equality
+    * is by construction, not approximation: encoding is per-row, so
+    * `deleteFromIndex(build(A), ids).codes` ≡ the codes
+    * `build(A ∖ ids)` would emit under the same model, bit-for-bit —
+    * and every search over the two is identical (spec-pinned).  The
+    * anti-join is broadcast for a small takedown list and an
+    * AQE-splittable shuffle join for a bulk purge; either way nothing
+    * corpus-sized lands on the driver.  For an index ON DISK, pair
+    * with [[AnnIndex.deleteFromIndex]] (tombstones, no file rewrites)
+    * and [[AnnIndex.compact]] (rewrites only affected cell dirs).
+    */
+  def deleteFromIndex(index: AnnIndex, ids: DataFrame): AnnIndex =
+    AnnIndex(index.codes.join(
+      ids.select(col("vec_id").cast("long")), Seq("vec_id"), "left_anti"),
+      index.model)
+
   /** Just the NEW vectors' code rows under the index's persisted model
     * — the relation [[appendToIndex]] unions in.  Exposed so a daily
     * ingest can pair it with [[AnnIndex.appendCodes]] and write ONLY
@@ -1277,6 +1342,106 @@ object AnnIndex {
     */
   def appendCodes(newCodes: org.apache.spark.sql.DataFrame, path: String): Unit =
     writeCodes(newCodes, path, org.apache.spark.sql.SaveMode.Append)
+
+  /** Tombstone-delete for an index ON DISK — the storage half of
+    * takedowns, symmetric with [[appendCodes]]: ids land as an
+    * append-only parquet relation under `path/tombstones` and NO code
+    * file is touched; [[read]] anti-joins them out, so every search
+    * over a re-read index excludes deleted vectors immediately.
+    * Batches accumulate (append mode) until [[compact]] folds them
+    * into the code files.  A vec_id is a permanent identity: appending
+    * a NEW row under a tombstoned id stays invisible until a compact
+    * clears the tombstone — re-ingest under a deleted id is a rebuild
+    * decision, not an append.
+    */
+  def deleteFromIndex(path: String, ids: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/tombstones")
+  }
+
+  /** Fold accumulated tombstones into the code files, rewriting ONLY
+    * the cell directories that contain a deleted vector: survivors of
+    * affected cells are rewritten through dynamic partition overwrite
+    * (untouched cells keep their files byte-identical — file-set
+    * pruning evidence stays valid), a cell whose every row was deleted
+    * has its directory removed explicitly (dynamic overwrite never
+    * touches a partition absent from the written frame), and the
+    * tombstone relation is deleted last — crash-safe ordering: a crash
+    * mid-compact leaves tombstones in place and [[read]] still
+    * correct, the rewrite merely redone.  The affected-cell list is
+    * bounded driver state (≤ C ≤ 4096 cells by construction).  A flat
+    * PQ index (no cell dirs) rewrites its one codes relation whole —
+    * the honest cost of a partition-less layout, documented here
+    * rather than hidden.
+    */
+  def compact(s: SparkSession, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val t = tombstonesOf(s, path).getOrElse(return)
+    val codes =
+      try s.read.parquet(s"$path/codes")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        deletePath(s, s"$path/tombstones"); return } // empty-corpus index
+    val fresh = s"$path/codes_compact_tmp"
+    if (codes.columns.contains("cid")) {
+      val affected = codes.join(t, Seq("vec_id"), "left_semi")
+        .select(col("cid")).distinct().collect().map(_.getInt(0))
+      if (affected.nonEmpty) {
+        val survivors = codes
+          .filter(col("cid").isin(affected.map(Integer.valueOf): _*))
+          .join(t, Seq("vec_id"), "left_anti")
+          // one file per rewritten cell dir, like the original
+          // cell-partitioned write
+          .repartition(col("cid"))
+        // surviving-cell list BEFORE the overwrite: the lazy plan holds
+        // the pre-rewrite file listing, so executing it after the write
+        // reads files the write just replaced.  Bounded driver state
+        // (≤ C cells), at the price of one extra affected-cell scan.
+        val surviving = survivors.select(col("cid")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        survivors.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cid")
+          .parquet(s"$path/codes")
+        // fully-emptied cells: dynamic overwrite wrote no partition for
+        // them, so their old files would survive — remove the dirs
+        affected.filterNot(surviving).foreach { c =>
+          deletePath(s, s"$path/codes/cid=$c")
+        }
+      }
+    } else {
+      // flat PQ: no partition boundary to scope the rewrite — write
+      // survivors aside, swap, drop the old relation
+      codes.join(t, Seq("vec_id"), "left_anti")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fresh)
+      deletePath(s, s"$path/codes")
+      renamePath(s, fresh, s"$path/codes")
+    }
+    deletePath(s, s"$path/tombstones")
+  }
+
+  private def tombstonesOf(s: SparkSession,
+      path: String): Option[org.apache.spark.sql.DataFrame] =
+    try Some(s.read.parquet(s"$path/tombstones"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  private def hadoopFs(s: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(s.sparkContext.hadoopConfiguration), hp)
+  }
+
+  private def deletePath(s: SparkSession, p: String): Unit = {
+    val (fs, hp) = hadoopFs(s, p)
+    fs.delete(hp, true); ()
+  }
+
+  private def renamePath(s: SparkSession, from: String, to: String): Unit = {
+    val (fs, hp) = hadoopFs(s, from)
+    fs.rename(hp, new org.apache.hadoop.fs.Path(to)); ()
+  }
+
   def read(s: SparkSession, path: String): AnnIndex = {
     import org.apache.spark.sql.functions.col
     val model = s.read.parquet(s"$path/model")
@@ -1301,6 +1466,15 @@ object AnnIndex {
           s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType.fromDDL(ddl))
       }
-    AnnIndex(codes, model)
+    // tombstones ([[deleteFromIndex]]) anti-join out here, so EVERY
+    // search over a re-read index excludes deleted vectors — searchers
+    // never know tombstones exist.  Broadcast for a small takedown
+    // list; the probe-time cid filter still pushes below the join to
+    // the scan, so cell-dir pruning survives.
+    val live = tombstonesOf(s, path) match {
+      case Some(t) => codes.join(t, Seq("vec_id"), "left_anti")
+      case None    => codes
+    }
+    AnnIndex(live, model)
   }
 }

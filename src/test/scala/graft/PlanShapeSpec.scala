@@ -166,4 +166,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.linesIterator.take(12).mkString("\n"))
     assert(countIn(p, "Exchange") <= 3)
   }
+
+  test("knn_join exchanges bucket keys only; vectors rejoin by id; top-k is map-side partial") {
+    val p = Similarity.knnJoinEmbeddings(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the two bucket-join exchanges carry exactly (id, tbl, bucket) —
+    // the 64-double embedding arrays must never ride the bucket
+    // exchange (24 B/row vs 512 B/row is the operator's core trade)
+    val exchanges = """\(\d+\) Exchange\nInput \[(\d+)\][^\n]*\nArguments: hashpartitioning\(([a-z_]+)#"""
+      .r.findAllMatchIn(p).map(m => (m.group(2), m.group(1).toInt)).toSeq
+    val bucketEx = exchanges.filter(_._1 == "tbl")
+    assert(bucketEx.length === 2, s"expected 2 bucket exchanges, got $exchanges")
+    assert(bucketEx.forall(_._2 == 3), s"bucket exchange grew past its 3 key columns: $bucketEx")
+    // candidate dedupe exchanges the bare 16 B pair key (Catalyst
+    // prunes the diagnostic hits count when unused)
+    assert(exchanges.exists { case (k, w) => k == "lid" && w == 2 })
+    // winners-only shuffle: the top-k aggregate combines map-side
+    assert(p.contains("partial_top_k_scored"), "top-k lost its partial (map-side) phase")
+  }
 }

@@ -405,6 +405,97 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.15, s"avg recall@10 = $avg")
   }
 
+  test("deleteFromIndex: delete then search equals a build over the survivors, same model") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val full = Similarity.buildIvfPqIndex(emb)
+    val delIds = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val deleted = Similarity.deleteFromIndex(full, delIds)
+    // codes parity: encoding is per-row, so the deleted index's codes
+    // must equal encode(A ∖ ids) under the same model, bit-for-bit
+    val wantCodes = Similarity.encodeForIndex(full, emb.filter(col("vec_id") % 7 =!= 0))
+    assert(deleted.codes.orderBy(col("vec_id")).collect().map(_.toString).toSeq ===
+      wantCodes.orderBy(col("vec_id")).collect().map(_.toString).toSeq)
+    // and search over the two is identical; no deleted id ever surfaces
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val a = Similarity.searchIvfPqIndex(deleted, emb, q).collect()
+    val b = Similarity.searchIvfPqIndex(
+      graft.operators.AnnIndex(wantCodes, full.model), emb, q).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.nonEmpty && a.forall(_.getAs[Long]("vec_id") % 7 != 0))
+  }
+
+  test("on-disk delete honors tombstones on read; compact rewrites only affected cell dirs") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val full = Similarity.buildIvfPqIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-delidx").toString
+    full.write(dir)
+    // takedown set: EVERY vector of one cell (that dir must vanish on
+    // compact) plus two ids from a second cell (that dir is rewritten)
+    val codes = full.codes.select(col("vec_id"), col("cid")).collect()
+    val byCell = codes.groupBy(_.getAs[Int]("cid"))
+    val emptiedCell = byCell.keys.min
+    val touchedCell = byCell.keys.filter(_ != emptiedCell).min
+    val delIds = byCell(emptiedCell).map(_.getAs[Long]("vec_id")) ++
+      byCell(touchedCell).map(_.getAs[Long]("vec_id")).take(2)
+    import spark.implicits._
+    graft.operators.AnnIndex.deleteFromIndex(dir, delIds.toSeq.toDF("vec_id"))
+    // tombstones honored immediately: no file rewritten, reads exclude
+    def fileSet(cell: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/codes/cid=$cell")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet
+    }
+    val before = byCell.keys.map(c => c -> fileSet(c)).toMap
+    val r1 = graft.operators.AnnIndex.read(spark, dir)
+    val want = codes.map(_.getAs[Long]("vec_id")).toSet -- delIds
+    assert(r1.codes.select(col("vec_id")).collect().map(_.getLong(0)).toSet === want)
+    assert(byCell.keys.forall(c => fileSet(c) === before(c)), "delete must not touch code files")
+    // materialize r1's search NOW — its lazy plan holds the pre-compact
+    // file listing, which the compaction below invalidates
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val r1Search = Similarity.searchIvfPqIndex(r1, emb, q).collect().map(_.toString).toSeq
+    // compact: emptied dir gone, untouched cells byte-identical,
+    // tombstones cleared, reads unchanged
+    graft.operators.AnnIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(fileSet(emptiedCell).isEmpty, "fully-deleted cell dir must be removed")
+    assert(fileSet(touchedCell) !== before(touchedCell), "affected cell must be rewritten")
+    byCell.keys.filterNot(Set(emptiedCell, touchedCell)).foreach { c =>
+      assert(fileSet(c) === before(c), s"unaffected cell $c was rewritten")
+    }
+    val r2 = graft.operators.AnnIndex.read(spark, dir)
+    assert(r2.codes.select(col("vec_id")).collect().map(_.getLong(0)).toSet === want)
+    // and the compacted index still searches identically to r1
+    assert(Similarity.searchIvfPqIndex(r2, emb, q).collect().map(_.toString).toSeq ===
+      r1Search)
+  }
+
+  test("knn_join excludeSelf=false keeps coinciding-id pairs (cross-corpus contract)") {
+    import org.apache.spark.sql.functions._
+    // model two corpora whose ids numerically coincide: left = a slice
+    // of the embeddings, right = the full table.  Under the
+    // cross-corpus contract the id-equal pair is a legitimate
+    // neighbor (identical vector, cosine exactly 1) and must surface.
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val left = emb.filter(col("vec_id") % 100 === 0)
+    val bits = Similarity.lshBitsFor(Similarity.corpusSize(spark, sf))
+    val rows = Similarity.knnJoin(left, emb, 3, bits, excludeSelf = false).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, g) =>
+      val self = g.filter(_.getAs[Long]("vec_id") == q)
+      assert(self.length === 1, s"q=$q lost its coinciding-id pair")
+      // identical vectors: rank 1 at cosine 1 (ties on cos sort by id)
+      assert(self.head.getAs[Double]("cos6") === 1.0)
+    }
+    // and the default (self-join shape) still excludes them
+    val defRows = Similarity.knnJoin(left, emb, 3, bits).collect()
+    assert(defRows.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("q_id")))
+  }
+
   test("appendToIndex: PQ encode parity, no training jobs") {
     appendParity(Similarity.buildPqIndex)
   }
