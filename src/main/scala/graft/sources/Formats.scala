@@ -105,12 +105,21 @@ object Formats {
     * columns; [[readTextLines]] stays the default because a 64-bit key
     * halves shuffle-key width and is safe below ~10⁸ lines.
     */
+  /** Seed for the second 64-bit lane of [[readTextLines128]].  A named
+    * constant of ITS OWN: this must never alias another hash domain's
+    * constant (e.g. [[graft.functions.WindowHashes.Q]], whose value it
+    * once accidentally shared) — two independently-chosen seeds can't
+    * silently converge under a refactor that "deduplicates" literals.
+    * Value: decimal digits of π scaled into a 64-bit odd constant.
+    */
+  private[sources] final val Line128Seed = 0x243F6A8885A308D3L // π's first 64 fractional bits
+
   def readTextLines128(s: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     s.read.text(path)
       .select(
         xxhash64(input_file_name(), col("value")).as("doc_id"),
-        xxhash64(lit(0x9E3779B97F4A7C15L), input_file_name(), col("value")).as("doc_id2"),
+        xxhash64(lit(Line128Seed), input_file_name(), col("value")).as("doc_id2"),
         col("value").as("text"),
         input_file_name().as("src_file"))
   }

