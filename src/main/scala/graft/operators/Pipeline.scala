@@ -79,6 +79,80 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Deterministic corpus SHUFFLE + sharding — the example-ordering
+    * step every training pipeline runs between curation and packing
+    * (consecutive examples from one source/crawl correlate; training
+    * wants them scattered).  Each doc's shuffle key is
+    * md5(doc_id) — reproducible on any engine, any partitioning, any
+    * run — its shard is the key's top 4 hex digits mod `shards`, and
+    * its position within the shard is its key rank there, so the full
+    * (shard, pos) order is a pure function of doc ids: re-running on
+    * re-partitioned (or re-ingested) data yields the SAME training
+    * order, which is what makes a loss curve reproducible.
+    *
+    * Scale shape: one exchange on the shard key, then a per-shard
+    * sort + rank — a global shuffle IS a sort, so the sort is the
+    * operator's honest cost, but it runs per shard (corpus/`shards`
+    * rows each, `shards` sized so a shard fits a task's spill
+    * budget) and ranks stream (row_number buffers nothing).  The
+    * md5-ordering trick means no RNG state anywhere — the "shuffle"
+    * is hash ordering, the standard deterministic-shuffle idiom.
+    */
+  def shuffleShards(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0 && shards <= 256, s"need 0 < shards <= 256, got $shards")
+    val key = md5(col("doc_id").cast("string"))
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    // hex digit → value via position in the digit alphabet: the one
+    // hex→int idiom BOTH engines express identically (DuckDB has no
+    // conv/strtol — SURVEY §5); the key's top byte picks the shard,
+    // so doc order WITHIN a shard (by full key) is independent of the
+    // shard count
+    def nib(i: Int) =
+      expr(s"instr('0123456789abcdef', substring(skey, $i, 1)) - 1")
+    docs
+      .select(col("doc_id"), key.as("skey"))
+      .withColumn("shard", ((nib(1) * 16 + nib(2)) % shards).cast("int"))
+      .withColumn("pos", row_number().over(byShard).cast("long") - 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Driver entry: 8 shards over `documents`. */
+  def shuffleShardsDocs(s: SparkSession, dir: String): DataFrame =
+    shuffleShards(Tables.documents(s, dir).select(col("doc_id")), 8)
+      .orderBy(col("shard"), col("pos"))
+
+  /** Deterministic train/validation/test split — held-out sets that
+    * stay stable across runs, re-partitions and re-ingests because
+    * membership is a pure per-doc hash threshold (the [[sourceMix]]
+    * idiom: equal-width padded-hex compare, identical in Spark and
+    * any SQL engine).  Fractions are in 16-bit units: a doc lands in
+    * `train` if its 16-bit md5 prefix < 0.90·65536, `val` below
+    * 0.95·65536, else `test`.  Per-doc assignment is map-side only;
+    * the driver entry reports the per-source × split composition (the
+    * leakage-audit view: a source skewed into test is a red flag) —
+    * one bounded-key aggregate.
+    */
+  def splitAssign(docs: DataFrame,
+      trainFrac: Double = 0.90, valFrac: Double = 0.05): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"need 0 < trainFrac, 0 <= valFrac, trainFrac+valFrac < 1; got $trainFrac/$valFrac")
+    val h = concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4))
+    val trainCut = format_string("%05x", lit(math.floor(trainFrac * 65536).toLong))
+    val valCut = format_string("%05x", lit(math.floor((trainFrac + valFrac) * 65536).toLong))
+    docs.withColumn("split",
+      when(h < trainCut, "train").when(h < valCut, "val").otherwise("test"))
+  }
+
+  /** Driver entry: 90/5/5 split composition by source. */
+  def splitAssignDocs(s: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+
   /** Sequence-packing plan statistics: how efficiently the corpus fills
     * fixed-capacity training windows (cap = 512 tokens).  Docs are
     * classed by `per_bin` = ⌊cap / tokens⌋ (how many same-class docs
@@ -225,9 +299,31 @@ object Pipeline {
     "pack_stats_bpe" -> (packStatsBpe _),
     "corpus_clean" -> (corpusClean _),
     "source_mix" -> (sourceMix _),
+    "shuffle_shards" -> (shuffleShardsDocs _),
+    "split_assign" -> (splitAssignDocs _),
     "pack_stats" -> (packStats _))
 
   def oracleSql: Map[String, String] = Map(
+    // the instr-alphabet nibble math mirrors the engine exactly
+    // (DuckDB has no conv/strtol — SURVEY §5)
+    "shuffle_shards" ->
+      """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |s AS (SELECT doc_id, skey,
+        |  CAST((16*(instr('0123456789abcdef', substr(skey,1,1))-1)
+        |        + instr('0123456789abcdef', substr(skey,2,1))-1) % 8 AS INTEGER) AS shard FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "split_assign" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+        |  '0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents),
+        |a AS (SELECT source,
+        |  CASE WHEN h < printf('%05x', 58982) THEN 'train'
+        |       WHEN h < printf('%05x', 62259) THEN 'val'
+        |       ELSE 'test' END AS split, tok FROM d)
+        |SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+        |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
     // stride = 64 − 16 = 48; tk[a:b] is an inclusive slice, so
     // (i·48+1)..(i·48+64) is exactly the engine's 64-token window
     "chunk_docs" ->

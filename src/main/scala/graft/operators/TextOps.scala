@@ -310,7 +310,78 @@ object TextOps {
       .orderBy(col("bucket"))
   }
 
+  /** Corpus-trained bigram-LM quality score — the CCNet-style language-
+    * model filter: train bigram statistics ON the corpus itself, score
+    * each doc by its add-1-smoothed bigram cross-entropy
+    * bits = −(1/N_d)·Σ n(w₁,w₂)·log₂((C(w₁,w₂)+1)/(C(w₁·)+V)).
+    * Low bits ⇒ the doc is made of corpus-typical word transitions
+    * (boilerplate reads LOW); high bits ⇒ rare/noisy transitions —
+    * the tails on BOTH ends are what a curation pass inspects.
+    *
+    * Scale shape: doc-level bigram TYPE counts first (one aggregate —
+    * repeated bigrams inside a doc collapse map-side), then corpus
+    * C(w₁,w₂)/C(w₁·) as keyed aggregates over those type rows;
+    * scoring joins are linear in type rows and a hot bigram ("of
+    * the") is ONE row on each count side, so the SMJ probe streams.
+    * V (distinct left words) is a 1-row broadcast.  FLOAT DISCIPLINE:
+    * a per-doc Σ of doubles is shuffle-order-dependent, so each doc's
+    * contributions fold LEFT-TO-RIGHT over a sort_array'd (w₁,w₂)
+    * list — bit-identical on any partitioning (spec pins this against
+    * an independent Scala replica, exact ==).  Not SQL-oracle-able
+    * (log₂ across engines differs in the last bit) → rows-only.
+    * Docs with <2 tokens have no bigram and score NULL with
+    * n_bigrams = 0 (kept, not dropped — a filter needs the row).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val occ = base
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      // LAZY checkpoint: four consumers (C₂, C₁, V's base, the probe)
+      // would each re-run the scan→tokenize→zip→aggregate pipeline —
+      // AQE declines to reuse these exchanges (consumer-specific
+      // pruning breaks canonical equality), so the type rows
+      // materialize ONCE on first action instead; lazy, so building
+      // the plan stays action-free (the [[Similarity]] per-call
+      // localCheckpoint precedent, at type-row not corpus width)
+      .localCheckpoint(eager = false)
+    val c2 = occ.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c2"))
+    val c1 = occ.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    // log₂ via ln(x)/ln(2) with ln = Math.log on both the engine and
+    // the spec replica — same libm, bit-identical
+    val contrib = col("n") *
+      (log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")) /
+        log(lit(2.0)))
+    val perDoc = occ
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(broadcast(v))
+      .select(col("doc_id"), col("w1"), col("w2"), col("n"), contrib.as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("w1"), col("w2"), col("contrib")))).as("cs"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-expr("aggregate(cs, 0D, (acc, x) -> acc + x.contrib)") /
+          col("n_bigrams").cast("double")).as("bits_per_bigram"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bits_per_bigram"))
+  }
+
+  /** Driver entry: bigram-LM scores over `documents`. */
+  def lmScoreDocs(s: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_score" -> (lmScoreDocs _),
     "pii_scrub" -> (piiScrub _),
     "token_histogram" -> (tokenHistogram _),
     "token_histogram_bpe" -> (tokenHistogramBpe _),

@@ -508,6 +508,59 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle_shards: deterministic hash order, partition-layout-independent, contiguous positions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 400L).toDF("doc_id")
+    def runOn(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      graft.operators.Pipeline.shuffleShards(df, 8).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+        .toSeq.sorted
+    val a = runOn(docs)
+    // same assignment under a completely different partition layout —
+    // the reproducible-training-order contract
+    assert(runOn(docs.repartition(13)) === a)
+    // every doc exactly once, shards in range, positions contiguous
+    // from 0 per shard
+    assert(a.map(_._1) === (1L to 400L))
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    a.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted === (0L until g.length.toLong))
+    }
+    // within a shard, position order IS md5 order (the shuffle)
+    val byShard = a.groupBy(_._2)
+    byShard.values.foreach { g =>
+      val inPos = g.sortBy(_._3).map(_._1)
+      val byHash = g.map(_._1).sortBy(id =>
+        java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+          .map("%02x".format(_)).mkString)
+      assert(inPos === byHash)
+    }
+    // and it genuinely reorders (not the identity permutation)
+    assert(byShard.values.exists(g => g.sortBy(_._3).map(_._1) != g.map(_._1).sorted))
+  }
+
+  test("split_assign: deterministic disjoint 90/5/5 split, stable under re-partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 2000L).toDF("doc_id")
+    val out = graft.operators.Pipeline.splitAssign(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+    assert(out.length === 2000)
+    val frac = out.groupBy(_._2).view.mapValues(_.length / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03, s"train frac ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.05) < 0.02)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.02)
+    // stability: identical assignment on a different layout
+    val again = graft.operators.Pipeline.splitAssign(docs.repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // misuse fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.splitAssign(docs, trainFrac = 0.99, valFrac = 0.05)
+    }
+  }
+
   test("dedup_substr_remove keeps the first occurrence and cuts merged overlapping spans") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -167,6 +167,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countIn(p, "Exchange") <= 3)
   }
 
+  test("lm_score scans the corpus once (type rows checkpoint; consumers must not re-scan)") {
+    val df = TextOps.lmScoreDocs(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans === 1, s"lm_score re-ran the bigram pipeline: $scans scans")
+  }
+
+  test("shuffle_shards and split_assign scan once and prune to the columns they use") {
+    val sh = Pipeline.shuffleShardsDocs(spark, sf)
+    sh.collect()
+    val pSh = sh.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(pSh).size === 1)
+    assert(pSh.contains("ReadSchema: struct<doc_id:bigint>"), "shard shuffle must not read text")
+    val sp = Pipeline.splitAssignDocs(spark, sf)
+    sp.collect()
+    val pSp = sp.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(pSp).size === 1)
+    // map-side assignment + one bounded-key aggregate + presentation
+    // sort — membership itself must add no exchange (count the FINAL
+    // adaptive plan only; the formatted dump appends the pre-AQE
+    // Initial Plan with its own node ids)
+    val finalPlan = pSp.split("== Initial Plan ==").head
+    val exIds = """\((\d+)\) Exchange""".r.findAllMatchIn(finalPlan).map(_.group(1)).toSet
+    assert(exIds.size <= 2, finalPlan.linesIterator.take(15).mkString("\n"))
+  }
+
   test("knn_join exchanges bucket keys only; vectors rejoin by id; top-k is map-side partial") {
     val p = Similarity.knnJoinEmbeddings(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)

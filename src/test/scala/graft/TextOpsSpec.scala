@@ -371,6 +371,62 @@ class TextOpsSpec extends AnyFunSuite {
     assert(withNull === Seq(t.idOf("The"), -1, t.idOf("ow")))
   }
 
+  test("lm_score: partition-layout-independent fold; replica agreement to float-fn tolerance") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val got = TextOps.lmScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Double]("bits_per_bigram")))).toMap
+    // independent replica: same formula, same left-to-right fold over
+    // (w1, w2)-sorted contributions, plain Scala collections
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq).toMap
+    val occ = toks.toSeq.flatMap { case (id, tk) =>
+      if (tk.length < 2) Nil
+      else tk.zip(tk.tail).groupBy(identity).map { case ((a, b), g) => (id, a, b, g.length.toLong) }
+    }
+    val c2 = occ.groupBy(t => (t._2, t._3)).view.mapValues(_.map(_._4).sum).toMap
+    val c1 = occ.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val v = c1.size.toLong
+    val ln2 = math.log(2.0)
+    val want = toks.map { case (id, tk) =>
+      val types = occ.filter(_._1 == id).sortBy(t => (t._2, t._3))
+      if (types.isEmpty) id -> ((0L, None))
+      else {
+        val nb = types.map(_._4).sum
+        val acc = types.foldLeft(0.0) { case (a, (_, w1, w2, n)) =>
+          a + n * (math.log((c2((w1, w2)) + 1).toDouble / (c1(w1) + v).toDouble) / ln2)
+        }
+        id -> ((nb, Some(-acc / nb.toDouble)))
+      }
+    }
+    assert(got.keySet === toks.keySet)
+    want.foreach { case (id, (nb, bits)) =>
+      assert(got(id)._1 === nb, s"doc $id n_bigrams")
+      (got(id)._2, bits) match {
+        case (Some(g), Some(w)) =>
+          // cross-IMPLEMENTATION check: Math.log differs from the
+          // engine's log by ≤1 ulp on some inputs (why this operator
+          // is rows-only, not SQL-oracled) — engine-vs-engine
+          // determinism is pinned EXACTLY below
+          assert(math.abs(g - w) <= 1e-12 * math.abs(w), s"doc $id bits: $g vs $w")
+        case (None, None) =>
+        case other => fail(s"doc $id: $other")
+      }
+    }
+    // partition-layout independence of the double fold (the sorted
+    // left-to-right aggregation contract)
+    val again = TextOps.lmScore(docs.repartition(17)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("bits_per_bigram"))).toMap
+    assert(again === got.view.mapValues(_._2).toMap)
+    // boilerplate reads LOW: a doc of corpus-typical transitions must
+    // score below the corpus median
+    val med = got.values.flatMap(_._2).toSeq.sorted.apply(got.size / 2)
+    assert(got.values.flatMap(_._2).min < med)
+  }
+
   test("token_histogram_bpe covers the corpus and cum_share reaches 1") {
     val rows = TextOps.tokenHistogramBpe(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
