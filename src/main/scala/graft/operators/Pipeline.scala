@@ -227,6 +227,50 @@ object Pipeline {
       }.toDF("doc_id", "tok", "bin_id")
   }
 
+  /** The packing story's MATERIALIZATION step — [[packStats]] reports,
+    * [[packNextFit]] assigns, this RENDERS: one row per bin with the
+    * member docs' text concatenated in doc_id order around a separator
+    * token, plus the fill statistics a data loader checks (n_docs,
+    * n_tokens, the capacity, slack).  Input: (doc_id, tok, text);
+    * output: (bin_id, n_docs, n_tokens, slack, packed_text).
+    *
+    * Scale shape: the bin assignment rides [[packNextFit]]'s
+    * per-partition stream; rendering is ONE exchange on bin_id whose
+    * per-bin state is bounded by the capacity itself (a bin holds ≤cap
+    * tokens of text by construction — the aggregate cannot
+    * accumulate more than the training window it renders).  Text
+    * order inside a bin is pinned by sort_array over (doc_id, text)
+    * structs, so the rendered sequence is deterministic under any
+    * merge order; bins never span partitions, so re-rendering a shard
+    * touches only its partition.  Deterministic for a fixed input
+    * partitioning (the [[packNextFit]] contract); the driver entry
+    * hash-repartitions on doc_id first so the gate sees one canonical
+    * layout.
+    */
+  def packRender(docs: DataFrame, cap: Int, sep: String = "<|doc|>"): DataFrame =
+    packNextFit(docs.select(col("doc_id"), col("tok")), cap)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        sort_array(collect_list(struct(col("doc_id"), col("text")))).as("members"))
+      .select(col("bin_id"), col("n_docs"), col("n_tokens"),
+        greatest(lit(cap.toLong) - col("n_tokens"), lit(0L)).as("slack"),
+        array_join(expr("transform(members, m -> m.text)"), s" $sep ").as("packed_text"))
+
+  /** Driver entry: 512-token next-fit bins over `documents`, rendered.
+    * Hash-repartitioned on doc_id to 8 partitions so bin identity is a
+    * pure function of the data (not the scan's split layout); ordered
+    * by bin_id for a stable presentation.
+    */
+  def packRenderDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"),
+        col("text"))
+      .repartition(8, col("doc_id"))
+    packRender(d, 512).orderBy(col("bin_id"))
+  }
+
   /** Training-sequence chunking over `documents`: seqLen = 64,
     * overlap = 16 — see [[chunkSequences]].
     */
@@ -301,6 +345,7 @@ object Pipeline {
     "source_mix" -> (sourceMix _),
     "shuffle_shards" -> (shuffleShardsDocs _),
     "split_assign" -> (splitAssignDocs _),
+    "pack_render" -> (packRenderDocs _),
     "pack_stats" -> (packStats _))
 
   def oracleSql: Map[String, String] = Map(

@@ -508,6 +508,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_render: bins respect capacity, every doc rendered once, rebuild in doc order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sep = "<|doc|>"
+    val docs = (1L to 60L).map { i =>
+      val n = (i % 7 + 1).toInt * 20 // 20..140 tokens
+      (i, n.toLong, (1 to n).map(j => s"d${i}w$j").mkString(" "))
+    }.toDF("doc_id", "tok", "text").repartition(4, col("doc_id"))
+    val out = graft.operators.Pipeline.packRender(docs, 256, sep).collect()
+    // every doc appears exactly once across all rendered bins
+    val rendered = out.flatMap(_.getAs[String]("packed_text").split(java.util.regex.Pattern.quote(sep)))
+      .map(_.trim).filter(_.nonEmpty)
+    val firstWords = rendered.map(_.split(" ").head)
+    assert(firstWords.sorted.toSeq === (1L to 60L).map(i => s"d${i}w1").sorted)
+    out.foreach { r =>
+      // capacity respected (cap 256 > max doc 140, so no oversize here)
+      assert(r.getAs[Long]("n_tokens") <= 256L)
+      assert(r.getAs[Long]("slack") === 256L - r.getAs[Long]("n_tokens"))
+      // members render in doc_id order and rebuild their texts exactly
+      val parts = r.getAs[String]("packed_text").split(java.util.regex.Pattern.quote(sep)).map(_.trim)
+      assert(parts.length.toLong === r.getAs[Long]("n_docs"))
+      val ids = parts.map(p => p.split(" ").head.drop(1).takeWhile(_ != 'w').toLong)
+      assert(ids.sorted.toSeq === ids.toSeq, "members must render in doc_id order")
+      assert(r.getAs[Long]("n_tokens") === parts.map(_.split(" ").length.toLong).sum)
+    }
+    // deterministic for a fixed partitioning
+    val again = graft.operators.Pipeline.packRender(docs, 256, sep).collect()
+    assert(again.map(_.toString).sorted.toSeq === out.map(_.toString).sorted.toSeq)
+  }
+
   test("shuffle_shards: deterministic hash order, partition-layout-independent, contiguous positions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
