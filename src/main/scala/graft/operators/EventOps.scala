@@ -282,7 +282,50 @@ object EventOps {
       .orderBy(col("cohort_wk"), col("week_offset"))
   }
 
+  /** Daily-volume anomaly detection per event type — the monitoring
+    * gate an ingestion pipeline runs before a day's data enters the
+    * corpus (a crawler loop or instrumentation bug shows up as a
+    * volume spike long before content-level checks fire): a day is
+    * flagged when its event count exceeds the type's mean + 2σ over
+    * all observed days.
+    *
+    * FLOAT DISCIPLINE makes this oracle-checkable: daily counts, Σc
+    * and Σc² are integer aggregates (order-insensitive), and
+    * mean/variance/z derive from those longs in ONE fixed expression
+    * tree per row — division, multiply and IEEE sqrt are all
+    * correctly-rounded, so the doubles are bit-identical on any
+    * engine that replays the same formula (unlike a σ from
+    * `stddev()`, whose streaming double accumulation is
+    * order-dependent).  Zero-variance types are unflaggable by
+    * construction and excluded before the z division.
+    *
+    * Scale shape: (type, day) keyed aggregate with map-side partials,
+    * then a |types|-row stats aggregate broadcast back — nothing
+    * corpus-sized shuffles twice.
+    */
+  def eventSpike(s: SparkSession, dir: String): DataFrame =
+    spikeOver(Tables.events(s, dir).select(col("event_type"), col("ts")))
+
+  def spikeOver(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    val mean = col("sc").cast("double") / col("n")
+    val vr = col("sc2").cast("double") / col("n") - mean * mean
+    daily.join(broadcast(stats), "event_type")
+      .filter(vr > 0 && col("c").cast("double") > mean + lit(2.0) * sqrt(vr))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        mean.as("mean_daily"),
+        ((col("c").cast("double") - mean) / sqrt(vr)).as("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_spike" -> (eventSpike _),
     "event_retention" -> (eventRetention _),
     "event_transitions" -> (eventTransitions _),
     "event_funnel" -> (eventFunnel _),
@@ -299,6 +342,22 @@ object EventOps {
     "sample_stratified" -> (sampleStratified _))
 
   def oracleSql: Map[String, String] = Map(
+    // the mean/var/z formula is replayed token-for-token from integer
+    // aggregates: correctly-rounded double ops ⇒ bit-identical values
+    "event_spike" ->
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS sc, SUM(c*c) AS sc2
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
+        |  CAST(sc AS DOUBLE)/n AS mean_daily,
+        |  (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE)/n)
+        |    / sqrt(CAST(sc2 AS DOUBLE)/n - (CAST(sc AS DOUBLE)/n)*(CAST(sc AS DOUBLE)/n)) AS z
+        |FROM d JOIN s USING (event_type)
+        |WHERE CAST(sc2 AS DOUBLE)/n - (CAST(sc AS DOUBLE)/n)*(CAST(sc AS DOUBLE)/n) > 0
+        |  AND CAST(c AS DOUBLE) > CAST(sc AS DOUBLE)/n
+        |      + 2.0*sqrt(CAST(sc2 AS DOUBLE)/n - (CAST(sc AS DOUBLE)/n)*(CAST(sc AS DOUBLE)/n))
+        |ORDER BY event_type, day""".stripMargin,
     "event_retention" ->
       """WITH w AS (SELECT user_id, (epoch_us(ts) // 1000000 // 604800) AS wk, COUNT(*) AS n_ev
         |           FROM events GROUP BY user_id, wk),

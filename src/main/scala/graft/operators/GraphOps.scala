@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms over relations the other operators emit — the
+  * near-dup pair graph ([[Dedup.dedupComponents]] already resolves
+  * components over it) and the kNN neighbor graph ([[Similarity
+  * .knnJoin]]).  Everything here is expressed as joins + keyed
+  * aggregates with bounded per-key state, iterated a FIXED number of
+  * rounds with lineage cuts — the components playbook.
+  */
+object GraphOps {
+
+  /** PageRank over an edge list — embedding-space centrality when run
+    * on the kNN graph: a vector many others count among their nearest
+    * neighbors is a hub of its region, the signal coreset-selection
+    * and diversity-sampling passes rank by (and the web-graph
+    * original is a classic document-quality prior).
+    *
+    * DETERMINISM: rank mass accumulates in DECIMAL (the
+    * [[Similarity.kmeansTrain]] trade) — decimal addition is exact ⇒
+    * order-insensitive ⇒ the ranks are bit-identical on any
+    * partitioning or cluster layout, where double sums would drift
+    * with shuffle arrival order.  The working type is
+    * DECIMAL(20,18), NOT (38,18): ranks are probabilities (≤ 1, two
+    * integer digits are ample) and the narrow type is what keeps
+    * Spark's decimal arithmetic EXACT — at (38,18), `+`/`*`/`/` all
+    * overflow precision 38 and `adjustPrecisionScale` silently cuts
+    * the result scale to 17/6, costing ~1e-7 per iteration (measured
+    * before this was fixed).  At (20,18): share = r/deg with deg as
+    * decimal(10,0) divides at scale 29 within precision 31; the sum
+    * widens to (30,18); damping (10,9) × inflow (20,18) multiplies
+    * exactly at scale 27; base (20,18) + that adds exactly at scale
+    * 18 — every step exact or a single deterministic HALF_UP
+    * rounding back to scale 18.
+    *
+    * Scale shape: per iteration one join of the rank relation onto
+    * the edge list (both partitioned by src — the exchange reuses
+    * round to round) and one dst-keyed sum with map-side partials;
+    * per-node state is one decimal.  Lineage cuts via lazy
+    * localCheckpoint every round keep the plan from growing with
+    * iteration count.  Dangling nodes (out-degree 0) leak their mass
+    * — documented, not redistributed: the kNN graph has out-degree k
+    * everywhere, and Σranks < 1 is the honest signature of sinks in
+    * other graphs.
+    *
+    * Input: (src, dst) long columns.  Output: (id, rank double,
+    * n_in long) — rank plus the in-degree diagnostic.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1,
+      s"need iters >= 1 and 0 < damping < 1, got $iters/$damping")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("id"), lit(0.0).as("rank"), lit(0L).as("n_in"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val D = "decimal(20,18)"
+    def d18(x: BigDecimal) =
+      lit(x.setScale(18, BigDecimal.RoundingMode.HALF_UP)).cast(D)
+    val base = (BigDecimal(1) - BigDecimal(damping)) / BigDecimal(n)
+    var rank = nodes.select(col("id"),
+      d18(BigDecimal(1) / BigDecimal(n)).as("r"))
+    (1 to iters).foreach { _ =>
+      // no join-strategy hints: AQE picks from ACTUAL sizes — the rank
+      // relation broadcasts while the graph is small and graduates to
+      // a shuffled join when it is corpus-sized; a forced merge hint
+      // would pay two sorts per iteration at every scale
+      val contrib = e
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"),
+          (col("r") / col("deg").cast("decimal(10,0)")).cast(D).as("share"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("inflow"))
+      rank = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (d18(base) +
+            (lit(BigDecimal(damping).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+              .cast("decimal(10,9)") *
+              coalesce(col("inflow").cast(D), d18(BigDecimal(0)))).cast(D))
+            .cast(D).as("r"))
+        .localCheckpoint(eager = false)
+    }
+    val indeg = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("n_in"))
+    rank.join(indeg, Seq("id"), "left")
+      .select(col("id"), col("r").cast("double").as("rank"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"))
+  }
+
+  /** Driver entry: PageRank centrality of the embedding corpus's kNN
+    * graph (k = 5 neighbor edges from [[Similarity.knnJoinEmbeddings]]),
+    * top 50 hubs.  Approximate upstream (LSH candidate generation) →
+    * rows-only oracle; the spec pins pageRank itself on exact planted
+    * graphs.
+    */
+  def knnPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnJoinEmbeddings(s, dir)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+    // 6 iterations: hub ORDERING stabilizes well before rank VALUES
+    // (0.85⁶ ≈ 0.38 residual) and each extra round is a full
+    // join+agg stage pair — the probe-measured knee for a top-50 cut
+    pageRank(edges, iters = 6)
+      .orderBy(col("rank").desc, col("id"))
+      .limit(50)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_pagerank" -> (knnPagerank _))
+
+  def oracleSql: Map[String, String] = Map()
+}

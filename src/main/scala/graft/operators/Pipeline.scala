@@ -271,6 +271,43 @@ object Pipeline {
     packRender(d, 512).orderBy(col("bin_id"))
   }
 
+  /** Text-file ingestion round-trip, 128-bit id edition — the driver
+    * path for [[graft.sources.Formats.readTextLines128]] (its 64-bit
+    * sibling is the ingest default; until this query only ScalaTest
+    * ever exercised the two-lane id).  The corpus is materialized as
+    * REAL one-doc-per-line text files (`partitionBy(source)` after a
+    * by-source repartition, so each source is exactly one part file
+    * and identical lines within a source share a file — the layout
+    * [[graft.sources.Formats.readTextLines]] documents), read back
+    * through the two-seed 128-bit id path, and audited per source:
+    * line count, distinct 64-bit ids, distinct 128-bit id pairs.
+    * Oracle-checkable because (file, line) distinctness ≡
+    * (source, text) distinctness under this layout and xxhash64
+    * collisions are negligible at test scale (~n²/2⁶⁵; the operator's
+    * documented bound — a collision would surface as an
+    * oracle-visible count drop).
+    *
+    * The one-file-per-source repartition is the DIAGNOSTIC's layout
+    * choice, not the ingest path's: real ingestion reads files that
+    * already exist, splittable and parallel per file.  The write is
+    * a temp-dir side effect, overwritten per run.
+    */
+  def ingestText128(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_text128_" + new java.io.File(dir).getName).getAbsolutePath
+    Tables.documents(s, dir).select(col("source"), col("text"))
+      .repartition(col("source"))
+      .write.mode("overwrite").partitionBy("source").text(tmp)
+    graft.sources.Formats.readTextLines128(s, tmp)
+      .select(regexp_extract(col("src_file"), "source=([^/]+)/", 1).as("source"),
+        col("doc_id"), col("doc_id2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("doc_id")).as("n_id64"),
+        countDistinct(col("doc_id"), col("doc_id2")).as("n_id128"))
+      .orderBy(col("source"))
+  }
+
   /** Training-sequence chunking over `documents`: seqLen = 64,
     * overlap = 16 — see [[chunkSequences]].
     */
@@ -346,9 +383,18 @@ object Pipeline {
     "shuffle_shards" -> (shuffleShardsDocs _),
     "split_assign" -> (splitAssignDocs _),
     "pack_render" -> (packRenderDocs _),
+    "ingest_text128" -> (ingestText128 _),
     "pack_stats" -> (packStats _))
 
   def oracleSql: Map[String, String] = Map(
+    // (file, line) distinctness ≡ (source, text) distinctness under
+    // the one-file-per-source layout; 64- and 128-bit lanes both
+    // resolve to distinct texts absent hash collisions (~n²/2⁶⁵)
+    "ingest_text128" ->
+      """SELECT source, COUNT(*) AS n_lines,
+        |  COUNT(DISTINCT text) AS n_id64,
+        |  COUNT(DISTINCT text) AS n_id128
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // the instr-alphabet nibble math mirrors the engine exactly
     // (DuckDB has no conv/strtol — SURVEY §5)
     "shuffle_shards" ->

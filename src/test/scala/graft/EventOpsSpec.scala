@@ -113,6 +113,38 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got("3_purchase") > 0, "test data should carry full conversions")
   }
 
+  test("event_spike flags exactly the planted spike day; zero-variance types never flag") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 86400L
+    // type "steady": 5/day for 10 days (var 0 — unflaggable by
+    // construction).  type "spiky": 4/day for 9 days, 40 on day 5.
+    val ev = (for {
+      d <- 0 until 10; i <- 0 until 5
+    } yield ("steady", d * day + i * 60 + 1)) ++
+      (for {
+        d <- 0 until 10; i <- 0 until (if (d == 5) 40 else 4)
+      } yield ("spiky", d * day + i * 60 + 1))
+    val df = ev.toDF("event_type", "sec")
+      .select(col("event_type"), to_timestamp(col("sec")).as("ts"))
+    val out = EventOps.spikeOver(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") === "spiky")
+    assert(r.getAs[Long]("n_events") === 40L)
+    // mean = (9·4+40)/10 = 7.6; var = (9·16+1600)/10 − 7.6² = 116.64
+    assert(r.getAs[Double]("mean_daily") === 7.6)
+    assert(math.abs(r.getAs[Double]("z") - (40.0 - 7.6) / math.sqrt(116.64)) < 1e-12)
+    // corpus run is non-empty and every flagged day really exceeds
+    // its type's mean
+    val rows = EventOps.eventSpike(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getAs[Long]("n_events").toDouble > x.getAs[Double]("mean_daily"))
+      assert(x.getAs[Double]("z") > 2.0)
+    }
+  }
+
   test("event_retention buckets users by first epoch week, counts per offset") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

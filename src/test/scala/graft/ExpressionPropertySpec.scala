@@ -120,6 +120,52 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_chunk_seqs invariants hold on random word arrays and budgets") {
+    import spark.implicits._
+    val t = Bpe.default
+    val gen = for {
+      ws <- Gen.listOf(word)
+      seqLen <- Gen.choose(3, 24)
+      overlap <- Gen.choose(0, 6)
+    } yield (ws, seqLen, overlap)
+    forAll(gen, rounds = 24) { case (ws, seqLen, overlap) =>
+      val rows = Seq(1).toDF("i")
+        .select(posexplode(Bpe.bpeChunkSeqs(
+          typedLit(ws), t, seqLen, overlap)).as(Seq("idx", "c")))
+        .select(col("idx"), col("c.text"), col("c.n_words"),
+          col("c.n_overlap"), col("c.n_bpe"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      def cost(w: String) = Bpe.segment(w, t).length.toLong
+      // empty input → one empty sequence; else every sequence
+      // non-empty with true counts
+      if (ws.isEmpty) assert(rows.toSeq === Seq((0, "", 0L, 0L, 0L)))
+      else {
+        rows.foreach { case (_, text, nw, _, nb) =>
+          val sw = text.split(" ").filter(_.nonEmpty).toSeq
+          assert(sw.length.toLong === nw)
+          assert(sw.map(cost).sum === nb)
+          // budget holds unless a single word overflows alone
+          assert(nb <= seqLen || nw === 1L)
+        }
+        // rebuild: drop each sequence's declared overlap prefix
+        val rebuilt = rows.flatMap { case (_, text, _, ov, _) =>
+          text.split(" ").filter(_.nonEmpty).drop(ov.toInt)
+        }
+        assert(rebuilt.toSeq === ws)
+        // declared overlaps really are shared suffix/prefix word runs
+        rows.sliding(2).foreach {
+          case Array((_, a, _, _, _), (_, b, _, ov, _)) =>
+            val at = a.split(" ").filter(_.nonEmpty)
+            val bt = b.split(" ").filter(_.nonEmpty)
+            assert(at.takeRight(ov.toInt).toSeq === bt.take(ov.toInt).toSeq)
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("dot_product equals a strict left fold on random vectors") {
     import spark.implicits._
     val vec = Gen.listOfN(16, Gen.choose(-10.0, 10.0))

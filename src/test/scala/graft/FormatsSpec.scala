@@ -65,6 +65,30 @@ class FormatsSpec extends AnyFunSuite {
     assert(again === pairs.sorted.toSeq)
   }
 
+  test("ingest_text128 audit equals a direct per-source count over documents") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Pipeline.ingestText128(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_id64"), r.getAs[Long]("n_id128")))
+      .toMap
+    val want = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("d"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n"), r.getAs[Long]("d")))
+      .toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (src, (n, d)) =>
+      val (lines, id64, id128) = got(src)
+      assert(lines === n, s"line count of $src")
+      // one file per source ⇒ (file, line) distinctness ≡ distinct
+      // texts; both id widths must resolve to it (collision-free at
+      // this scale by the documented ~n²/2⁶⁵ bound)
+      assert(id64 === d, s"64-bit ids of $src")
+      assert(id128 === d, s"128-bit ids of $src")
+    }
+  }
+
   test("binaryFile ingest reads real files, prunes by glob, content-addresses them") {
     val dir = Files.createTempDirectory("graft-bin")
     val payloads = Map("a.img" -> "payload-alpha", "b.img" -> "payload-beta",

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** Double-precision replay of the operator's iteration (the decimal
+    * accumulation differs from this by ≤ ulps per op; 1e-9 absolute
+    * covers 8 iterations with wide margin on unit-mass ranks).
+    */
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int,
+      damping: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length }
+    val n = nodes.length
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val inflow = edges
+        .map { case (s, d) => d -> rank(s) / outdeg(s) }
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      rank = nodes.map(id =>
+        id -> ((1.0 - damping) / n + damping * inflow.getOrElse(id, 0.0))).toMap
+    }
+    rank
+  }
+
+  test("pagerank matches a double replay on a star graph; n_in is the in-degree") {
+    import spark.implicits._
+    // leaves 1,2,3 -> hub 0; hub -> 1
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L))
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val ref = refRanks(edges, 8, 0.85)
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (id, r) =>
+      assert(math.abs(got(id)._1 - r) < 1e-9, s"rank of $id")
+    }
+    assert(got(0L)._2 === 3L)
+    assert(got(1L)._2 === 1L)
+    assert(got(2L)._2 === 0L)
+    // the 0↔1 cycle concentrates mass; leaves 2,3 decay to the base
+    assert(got(0L)._1 > got(2L)._1 && got(1L)._1 > got(2L)._1)
+    assert(got(2L)._1 === got(3L)._1)
+  }
+
+  test("symmetric cycle converges to exactly 1/n per node; total mass 1") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val ranks = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 8)
+      .collect().map(r => r.getDouble(1))
+    assert(ranks.length === 3)
+    ranks.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-15))
+    assert(math.abs(ranks.sum - 1.0) < 1e-12)
+  }
+
+  test("dangling node leaks mass (documented): total rank < 1, replay agrees") {
+    import spark.implicits._
+    val edges = Seq((10L, 20L)) // 20 has out-degree 0
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = refRanks(edges, 8, 0.85)
+    assert(got.values.sum < 1.0)
+    ref.foreach { case (id, r) => assert(math.abs(got(id) - r) < 1e-9) }
+  }
+
+  test("ranks are bit-identical across input partitionings (decimal claim)") {
+    import spark.implicits._
+    // irregular graph so unequal ranks actually exercise the sums
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 0L),
+      (3L, 2L), (4L, 3L), (2L, 4L))
+    def run(parts: Int) =
+      GraphOps.pageRank(edges.toDF("src", "dst").repartition(parts), iters = 6)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val a = run(1)
+    val b = run(7)
+    assert(a.zip(b).forall { case ((i, x), (j, y)) =>
+      i == j && java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+    }, "decimal accumulation must make ranks partitioning-invariant")
+  }
+
+  test("knn_pagerank returns top-50 hubs in rank order on the corpus") {
+    val rows = GraphOps.knnPagerank(spark, sf).collect()
+    assert(rows.length === 50)
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    assert(ranks.forall(_ > 0.0))
+  }
+}
