@@ -1235,7 +1235,54 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Cluster-stratified coreset selection — the diversity-sampling
+    * pass between dedup and mixing: cap every semantic region at
+    * `quota` docs, keeping each region's most PROTOTYPICAL members
+    * (highest cosine to the cluster centroid), so dense regions stop
+    * drowning sparse ones in the training mix (the SemDeDup /
+    * prototypes curation move, and what [[GraphOps.pageRank]] ranks
+    * globally this op enforces per-region).
+    *
+    * Scale shape: training is [[kmeansTrain]] (bounded k·dim driver
+    * state, decimal-exact ⇒ deterministic); assignment + scoring are
+    * map-side (literal-codegen argmax at this k); the SELECTION is one
+    * cid-keyed [[TopKScoredAgg]] — ≤2·quota rows per cluster survive
+    * each map partition, so the only shuffle after assignment carries
+    * ≤ partitions·k·2·quota winner rows, never the corpus.  k keys in
+    * the final aggregate is not a skew funnel for the same reason: the
+    * partials arrive pre-capped.  Output order (sim desc, vec_id asc)
+    * is total ⇒ the sample is bit-deterministic on any layout.
+    */
+  def diversitySample(corpus: DataFrame, k: Int, iters: Int,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"diversitySample: quota must be positive, got $quota")
+    val (cents, assigned) = kmeansTrain(corpus, k, iters)
+    val s = corpus.sparkSession
+    import s.implicits._
+    val centDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cid", "c"))
+    assigned.join(centDf, "cid")
+      .select(col("cid"), col("vec_id"),
+        (dot(col("e"), col("c")) / col("nrm")).as("sim"))
+      .groupBy(col("cid"))
+      .agg(TopKScoredAgg.topKScored(col("sim"), col("vec_id"), quota).as("top"))
+      .select(col("cid"), posexplode(col("top")).as(Seq("rank", "t")))
+      .select(col("cid"), col("rank").cast("long").as("rank"),
+        col("t.id").as("vec_id"), col("t.score").as("sim"))
+      .orderBy(col("cid"), col("rank"))
+  }
+
+  /** Driver entry: 8 clusters × 4 Lloyd passes, quota 32 — ≤256
+    * sampled prototypes over the embedding corpus.  Rows-only oracle
+    * (k-means isn't SQL); the spec replays the selection locally from
+    * the same deterministic model and checks exact equality.
+    */
+  def diversitySampleEmbeddings(s: SparkSession, dir: String): DataFrame =
+    diversitySample(Tables.embeddings(s, dir), 8, 4, 32)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "diversity_sample" -> (diversitySampleEmbeddings _),
     "knn_join" -> (knnJoinEmbeddings _),
     "ann_range" -> (annRange _),
     "kmeans_embed" -> (kmeansEmbed _),

@@ -211,4 +211,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // winners-only shuffle: the top-k aggregate combines map-side
     assert(p.contains("partial_top_k_scored"), "top-k lost its partial (map-side) phase")
   }
+
+  test("event_spike broadcasts the per-type stats and reuses the daily exchange") {
+    val df = EventOps.eventSpike(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"))
+    // the |types|-row stats relation must broadcast back onto the
+    // daily frame — a shuffled join here would re-key the whole
+    // (type, day) relation for a handful of stats rows
+    assert(p.contains("BroadcastExchange"), p.linesIterator.take(20).mkString("\n"))
+    // both consumers of the (type, day) aggregate read ONE exchange:
+    // stats and the flag join share the daily frame, so the corpus
+    // is scanned and the daily shuffle paid exactly once
+    assert(p.contains("ReusedExchange"),
+      "stats and flag-join must share the daily (type, day) exchange")
+    // daily counts combine map-side before the (type, day) shuffle
+    assert(countIn(p, "partial_count") >= 1)
+  }
 }

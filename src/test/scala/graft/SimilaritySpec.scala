@@ -168,6 +168,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(objective(4) >= objective(1) - 1e-9)
   }
 
+  test("diversity_sample equals a local replay of per-cluster top-quota prototypes") {
+    import org.apache.spark.sql.functions._
+    val quota = 32
+    val got = Similarity.diversitySampleEmbeddings(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    // replay the selection from the SAME deterministic model: score
+    // every member against its centroid, take quota by (sim desc, id)
+    val (cents, assigned) = Similarity.kmeansTrain(
+      graft.sources.Tables.embeddings(spark, sf), 8, 4)
+    val want = assigned.select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+      .collect()
+      .map { r =>
+        val c = cents(r.getAs[Int]("cid"))
+        val e = r.getAs[scala.collection.Seq[Double]]("e")
+        (r.getAs[Int]("cid"), r.getAs[Long]("vec_id"),
+          e.zip(c).map { case (a, b) => a * b }.sum / r.getAs[Double]("nrm"))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (cid, members) =>
+        members.sortBy(m => (-m._3, m._2)).take(quota).zipWithIndex
+          .map { case ((_, vid, sim), rank) => (cid, rank.toLong, vid, sim) }
+      }
+      .sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ===
+      want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-12, s"sim of cid=${g._1} rank=${g._2}")
+    }
+    // every cluster respects its cap and no cluster is silently empty
+    val perCid = got.groupBy(_._1).map { case (c, xs) => c -> xs.length }
+    assert(perCid.values.forall(_ <= quota))
+    assert(perCid.values.sum === got.length)
+  }
+
   test("ann_range returns exactly the pairs at or above the threshold") {
     val got = Similarity.annRange(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
