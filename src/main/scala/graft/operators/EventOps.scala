@@ -306,11 +306,26 @@ object EventOps {
   def eventSpike(s: SparkSession, dir: String): DataFrame =
     spikeOver(Tables.events(s, dir).select(col("event_type"), col("ts")))
 
+  /** (type, day) count frame — shared by [[spikeOver]]'s two
+    * consumers (AQE reuses the one exchange, plan-spec-pinned) and by
+    * [[spikeStats]] when a STREAMING monitor trains its baseline from
+    * history ([[graft.streaming.Stateful.spikeMonitor]]).
+    */
+  def dailyCounts(events: DataFrame): DataFrame = events
+    .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+    .groupBy(col("event_type"), col("day"))
+    .agg(count(lit(1)).as("c"))
+
+  /** Per-type volume baseline (n days, Σc, Σc²) — integer aggregates
+    * only, so mean/σ derive engine-exactly wherever they're consumed.
+    */
+  def spikeStats(events: DataFrame): DataFrame =
+    dailyCounts(events).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+
   def spikeOver(events: DataFrame): DataFrame = {
-    val daily = events
-      .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCounts(events)
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
         sum(col("c") * col("c")).as("sc2"))

@@ -61,6 +61,37 @@ object Stateful {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Streaming volume-anomaly gate — the DEPLOYMENT form of
+    * [[graft.operators.EventOps.spikeOver]]: the baseline (per-type
+    * n/Σc/Σc² from [[graft.operators.EventOps.spikeStats]] over
+    * HISTORY) is a static relation; the live stream's 1-day tumbling
+    * counts join it stream-static and a day flags when its count
+    * exceeds mean + z·σ.  Same fixed expression tree over integer
+    * aggregates as the batch op, so a flagged (type, day) carries the
+    * identical mean/z the batch audit would report (spec-pinned by
+    * streaming-vs-batch parity on the same events).
+    *
+    * State shape: windowed count state is (types × open days) rows —
+    * bounded by a caller watermark on `ts` in append deployments; the
+    * static side re-plans per micro-batch, so a nightly-refreshed
+    * baseline table is picked up without restarting the query.
+    * Epoch-aligned 1-day windows make `window.start` ≡ the batch op's
+    * `date_trunc('DAY')`.
+    */
+  def spikeMonitor(stream: DataFrame, stats: DataFrame,
+      z: Double = 2.0): DataFrame = {
+    val mean = col("sc").cast("double") / col("n")
+    val vr = col("sc2").cast("double") / col("n") - mean * mean
+    stream
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(stats), "event_type")
+      .filter(vr > 0 && col("c").cast("double") > mean + lit(z) * sqrt(vr))
+      .select(col("event_type"), col("window.start").as("day"),
+        col("c").as("n_events"), mean.as("mean_daily"),
+        ((col("c").cast("double") - mean) / sqrt(vr)).as("z"))
+  }
+
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
     val p = purchases.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))

@@ -212,6 +212,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_top_k_scored"), "top-k lost its partial (map-side) phase")
   }
 
+  test("diversity_sample selects via the map-side partial top-k, centroids broadcast") {
+    val p = plan(Similarity.diversitySampleEmbeddings(spark, sf))
+    // the selection must combine per-cluster winners BEFORE the cid
+    // shuffle — a window/rank formulation would funnel every cluster's
+    // full membership through one task per cid
+    assert(p.contains("partial_top_k_scored"),
+      "per-cluster selection lost its map-side partial phase")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("Window"), "selection must not use a window function")
+  }
+
   test("event_spike broadcasts the per-type stats and reuses the daily exchange") {
     val df = EventOps.eventSpike(spark, sf)
     df.collect()

@@ -143,6 +143,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming spike monitor flags exactly the batch audit's (type, day) set") {
+    val batchEvents = spark.read.schema(eventsRaw).parquet(eventsDir)
+      .select(col("event_type"), timestamp_micros(expr("ts div 1000")).as("ts"))
+    val stats = EventOps.spikeStats(batchEvents)
+    val src = spark.readStream.schema(eventsRaw).parquet(eventsDir)
+      .select(col("event_type"), timestamp_micros(expr("ts div 1000")).as("ts"))
+    val q = Stateful.spikeMonitor(src, stats)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("spike_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("spike_stream")
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("day"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("mean_daily"), r.getAs[Double]("z")))
+    // baseline trained on history ≡ batch audit over the same events:
+    // identical flags AND identical reported statistics
+    val batch = EventOps.spikeOver(batchEvents).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("day"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("mean_daily"), r.getAs[Double]("z")))
+    assert(streamed.map(t => (t._1, t._2, t._3)).toSet ===
+      batch.map(t => (t._1, t._2, t._3)).toSet)
+    assert(batch.nonEmpty)
+    val sMap = streamed.map(t => (t._1, t._2) -> (t._4, t._5)).toMap
+    batch.foreach { case (ty, day, _, m, zz) =>
+      val (sm, sz) = sMap((ty, day))
+      assert(sm === m); assert(sz === zz)
+    }
+  }
+
   test("watermark drops late rows from windowed aggregation") {
     import spark.implicits._
     val watched = Files.createTempDirectory("graft-late")

@@ -33,7 +33,9 @@ last = tail.splitlines()[-1] if tail.splitlines()[-1].strip() else tail.splitlin
 assert last.startswith('{'), f"last tail line is not the JSON: {last!r}"
 parsed = json.loads(lines[-1])
 assert parsed.get('failed') == 0, f"bench reported failures: {parsed.get('failed')}"
-print(f"bench parsed OK: total={parsed['value']}s over {len(parsed['queries'])} queries")
+q = parsed['queries']
+n = q.get('n_queries', len(q)) if isinstance(q, dict) else 0
+print(f"bench parsed OK: total={parsed['value']}s over {n} queries")
 EOF
   # Round-over-round delta report BEFORE the medians file is
   # overwritten: every query moving >1.5x either way vs the previous
