@@ -79,6 +79,85 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Target-mixture resampling — [[sourceMix]] DERIVES a mixture from
+    * the data (√ temperature); this APPLIES one the caller chose (the
+    * DoReMi/Pile shape: domain weights come out of a separate
+    * optimization or an editorial decision, and the pipeline's job is
+    * to hit them).  Keep rates are scaled so the most-upweighted
+    * source keeps everything — `rate_s = (w_s·T/tok_s) / max_t(...)`
+    * — which is the unique downsampling-only solution whose kept
+    * mixture is proportional to the targets with maximal data
+    * retention (you cannot sample a source ABOVE 1.0 without
+    * duplication, which is an epochs decision, not a filter).
+    * Sources absent from the weight map are EXCLUDED — a mixture plan
+    * defines the corpus, and a dropped source is visible as a missing
+    * row in this audit.
+    *
+    * Same scale shape as [[sourceMix]]: one |sources|-row aggregate,
+    * rates broadcast back onto a second narrow scan, keep = pure
+    * per-row md5 threshold (the equal-width padded-hex compare), one
+    * bounded-key aggregate — no corpus-sized shuffle.  The audit
+    * reports achieved vs target share; they differ only by the
+    * 16-bit cutoff quantization and per-source hash luck, both of
+    * which vanish in relative terms as docs-per-source grows.
+    *
+    * Input: (doc_id, source, tok).  Output per source: docs/tokens
+    * before, target weight, rate, docs/tokens kept, achieved token
+    * share of the kept corpus.
+    */
+  def importanceResample(docs: DataFrame,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "importanceResample needs a non-empty all-positive weight map")
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = weights.toSeq.sortBy(_._1).toDF("source", "target_w")
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_s"))
+    val tot = perSrc.agg(sum(col("tok_s")).as("tot"))
+    // ratio_s = w_s·T / tok_s (how far each source is below its
+    // target); dividing by the max makes the binding source keep 1.0.
+    // Expression order is pinned (w·T then ÷tok_s, ratio÷max, ·65536)
+    // so any engine replays the identical IEEE sequence.
+    val rel = perSrc.join(broadcast(w), "source")
+      .join(broadcast(tot))
+      .withColumn("ratio",
+        col("target_w") * col("tot").cast("double") / col("tok_s").cast("double"))
+    val mx = rel.agg(max(col("ratio")).as("mxr"))
+    val rates = rel.join(broadcast(mx))
+      .withColumn("rate", col("ratio") / col("mxr"))
+      .withColumn("cutoff", floor(col("rate") * 65536).cast("long"))
+    val kept = docs
+      .join(broadcast(rates.select(col("source"), col("cutoff"))), "source")
+      .filter(concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4))
+        < format_string("%05x", col("cutoff")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("tok_kept"))
+    val keptTot = kept.agg(sum(col("tok_kept")).as("kt"))
+    rates
+      .select(col("source"), col("n_docs"), col("tok_s"), col("target_w"), col("rate"))
+      .join(kept, Seq("source"), "left")
+      .join(broadcast(keptTot))
+      .select(col("source"), col("n_docs"), col("tok_s"), col("target_w"),
+        col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
+        (coalesce(col("tok_kept"), lit(0L)).cast("double") / col("kt").cast("double"))
+          .as("achieved_share"))
+      .orderBy(col("source"))
+  }
+
+  /** Driver entry: resample `documents` to a linear-ramp target
+    * mixture (src_i weighted i+1 — deliberately far from the corpus's
+    * near-uniform natural mixture, so every rate is exercised from
+    * ~1/20 up to the binding 1.0).
+    */
+  def importanceResampleDocs(s: SparkSession, dir: String): DataFrame =
+    importanceResample(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok")),
+      (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap)
+
   /** Deterministic corpus SHUFFLE + sharding — the example-ordering
     * step every training pipeline runs between curation and packing
     * (consecutive examples from one source/crawl correlate; training
@@ -380,6 +459,7 @@ object Pipeline {
     "pack_stats_bpe" -> (packStatsBpe _),
     "corpus_clean" -> (corpusClean _),
     "source_mix" -> (sourceMix _),
+    "importance_resample" -> (importanceResampleDocs _),
     "shuffle_shards" -> (shuffleShardsDocs _),
     "split_assign" -> (splitAssignDocs _),
     "pack_render" -> (packRenderDocs _),
@@ -435,6 +515,32 @@ object Pipeline {
         |SELECT per_bin, n_docs, tokens, n_bins,
         |  CAST(tokens AS DOUBLE) / CAST(n_bins * 512 AS DOUBLE) AS utilization
         |FROM n ORDER BY per_bin""".stripMargin,
+    // weights as INTEGER literals cast to DOUBLE (a bare `1.0` is
+    // DECIMAL in DuckDB — SURVEY §5); expression order mirrors the
+    // engine exactly: (w·T)/tok_s, ratio/max, ·65536, floor
+    "importance_resample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok FROM documents),
+        |w(source, wt) AS (VALUES ${(0 until 20).map(i => s"('src$i', ${i + 1})").mkString(", ")}),
+        |s AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok_s
+        |      FROM d GROUP BY source),
+        |t AS (SELECT CAST(SUM(tok_s) AS BIGINT) AS tot FROM s),
+        |r0 AS (SELECT s.source, n_docs, tok_s, CAST(wt AS DOUBLE) AS target_w,
+        |  CAST(wt AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(tok_s AS DOUBLE) AS ratio
+        |  FROM s JOIN w ON s.source = w.source, t),
+        |m AS (SELECT MAX(ratio) AS mxr FROM r0),
+        |r AS (SELECT *, ratio / mxr AS rate,
+        |  CAST(floor(ratio / mxr * 65536) AS BIGINT) AS cutoff FROM r0, m),
+        |k AS (SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(tok) AS BIGINT) AS tok_kept
+        |      FROM d JOIN r ON d.source = r.source
+        |      WHERE '0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < printf('%05x', cutoff)
+        |      GROUP BY d.source),
+        |kt AS (SELECT CAST(SUM(tok_kept) AS BIGINT) AS kt FROM k)
+        |SELECT r.source, n_docs, tok_s, target_w, rate,
+        |  COALESCE(n_kept, 0) AS n_kept, COALESCE(tok_kept, 0) AS tok_kept,
+        |  CAST(COALESCE(tok_kept, 0) AS DOUBLE) / CAST(kt AS DOUBLE) AS achieved_share
+        |FROM r LEFT JOIN k ON r.source = k.source, kt
+        |ORDER BY r.source""".stripMargin,
     "source_mix" ->
       """WITH d AS (SELECT doc_id, source,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok FROM documents),

@@ -245,6 +245,48 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("importance_resample: binding source keeps all, kept sets replicate the md5 threshold exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+    val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap
+    val rows = graft.operators.Pipeline.importanceResample(docs, weights).collect()
+    assert(rows.nonEmpty)
+    // independent JVM replica of the whole rate + keep computation
+    val raw = docs.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("tok")))
+    val tokS = raw.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tot = tokS.values.sum
+    val ratio = tokS.map { case (s, t) => s -> weights(s) * tot.toDouble / t.toDouble }
+    val mxr = ratio.values.max
+    def hex4(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x"
+    }
+    val expKept = raw.groupBy(_._2).map { case (s, ds) =>
+      val cutoff = math.floor(ratio(s) / mxr * 65536).toLong
+      s -> ds.filter(d => ("0" + hex4(d._1)) < f"$cutoff%05x")
+    }
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(math.abs(r.getAs[Double]("rate") - ratio(s) / mxr) === 0.0)
+      assert(r.getAs[Long]("n_kept") === expKept(s).length.toLong)
+      assert(r.getAs[Long]("tok_kept") === expKept(s).map(_._3).sum)
+      if (ratio(s) == mxr) // binding source: cutoff 65536 keeps every doc
+        assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_docs"))
+    }
+    // partitioning-invariant (pure per-row hash + bounded aggregates)
+    val again = graft.operators.Pipeline
+      .importanceResample(docs.repartition(7), weights).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // a source missing from the plan is excluded, visibly
+    val partial = graft.operators.Pipeline
+      .importanceResample(docs, weights - "src3").collect()
+    assert(!partial.map(_.getAs[String]("source")).contains("src3"))
+    assert(partial.length === rows.length - 1)
+  }
+
   test("native minhash band keys equal the xxhash64(slice) formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     val bands = 32
