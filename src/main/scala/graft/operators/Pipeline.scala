@@ -387,6 +387,45 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Column-profile audit — the pre-flight validation every pipeline
+    * run starts with (and the post-run regression check it ends
+    * with): per column, row/null/distinct counts and min/max, in one
+    * long-format relation a diff tool can compare across ingests.
+    * min/max are computed in the column's NATIVE type (so numerics
+    * order numerically, not "100" < "99") and cast to string only for
+    * presentation.
+    *
+    * Scale shape: ONE scan.  The multi-column exact distincts expand
+    * each row ×|cols| map-side (Spark's Expand) and shuffle each
+    * column's distinct values — that shuffle is the honest cost of
+    * EXACT distinct counts, which is what a validation gate wants
+    * (an approx profile belongs to `agg_approx`'s sketch family).
+    * Everything else aggregates with map-side partials into
+    * |cols| output rows.
+    */
+  def colProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "colProfile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_v"), col(s"${c}__mx").as("max_v"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Driver entry: profile every `documents` column (text included —
+    * its distinct count IS the exact-dup audit).
+    */
+  def colProfileDocs(s: SparkSession, dir: String): DataFrame =
+    colProfile(Tables.documents(s, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
   /** Training-sequence chunking over `documents`: seqLen = 64,
     * overlap = 16 — see [[chunkSequences]].
     */
@@ -460,6 +499,7 @@ object Pipeline {
     "corpus_clean" -> (corpusClean _),
     "source_mix" -> (sourceMix _),
     "importance_resample" -> (importanceResampleDocs _),
+    "col_profile" -> (colProfileDocs _),
     "shuffle_shards" -> (shuffleShardsDocs _),
     "split_assign" -> (splitAssignDocs _),
     "pack_render" -> (packRenderDocs _),
@@ -515,6 +555,16 @@ object Pipeline {
         |SELECT per_bin, n_docs, tokens, n_bins,
         |  CAST(tokens AS DOUBLE) / CAST(n_bins * 512 AS DOUBLE) AS utilization
         |FROM n ORDER BY per_bin""".stripMargin,
+    // per-column branches as UNION ALL (DuckDB re-scans per branch;
+    // the engine's single-scan Expand is the point of the operator);
+    // min/max in native type, cast to VARCHAR for presentation
+    "col_profile" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
+           |FROM documents""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // weights as INTEGER literals cast to DOUBLE (a bare `1.0` is
     // DECIMAL in DuckDB — SURVEY §5); expression order mirrors the
     // engine exactly: (w·T)/tok_s, ratio/max, ·65536, floor

@@ -223,6 +223,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "selection must not use a window function")
   }
 
+  test("col_profile scans the table once (Expand fans columns out map-side)") {
+    val p = plan(Pipeline.colProfileDocs(spark, sf))
+    assert(countIn(p, "FileScan") === 1,
+      p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("Expand"), "multi-column distinct lost its single-scan Expand")
+  }
+
   test("event_spike broadcasts the per-type stats and reuses the daily exchange") {
     val df = EventOps.eventSpike(spark, sf)
     df.collect()
