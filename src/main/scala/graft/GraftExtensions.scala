@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScore, Bpe, BpeEncodeIds, BpeSegment, BpeTokenCount, CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, RepetitionStats, RollingHash64, SimHash64, WindowHashes, WordShingles}
+import graft.functions.{AdcScore, Bpe, BpeEncodeIds, BpeSegment, BpeTokenCount, CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, NormalizeText, RepetitionStats, RollingHash64, SimHash64, WindowHashes, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue(),
         args(3).eval().asInstanceOf[Number].longValue())))
+    e.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(string) - NFC + control-strip + whitespace-collapse canonical form"),
+      (args: Seq[Expression]) => NormalizeText(args.head)))
     e.injectFunction((FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(array<string>) - per-doc token/2-gram repetition statistics"),
       (args: Seq[Expression]) => RepetitionStats(args.head)))

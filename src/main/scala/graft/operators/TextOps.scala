@@ -380,7 +380,27 @@ object TextOps {
   def lmScoreDocs(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
+  /** Canonical-form audit over `documents` — length, md5 fingerprint
+    * and a changed flag per doc under [[graft.functions.NormalizeText]]
+    * (NFC + control-strip + space-collapse; the transform every text
+    * pipeline runs before hashing so encoding artifacts can't split
+    * one document into several hash identities).  Pure scan-project,
+    * zero shuffle beyond the presentation sort; the md5 pins the
+    * normalized BYTES cross-engine, not just the length.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = graft.functions.NormalizeText.normalizeText(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("norm"), col("text"))
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("n_norm"),
+        md5(col("norm")).as("fp"),
+        (col("norm") =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (textNormalize _),
     "lm_score" -> (lmScoreDocs _),
     "pii_scrub" -> (piiScrub _),
     "token_histogram" -> (tokenHistogram _),
@@ -398,6 +418,17 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB's nfc_normalize (utf8proc) and the engine's
+    // java.text.Normalizer both implement UAX #15 NFC; the regexp
+    // chain replays steps 2-3 of the native one-pass form
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
+        |  md5(norm) AS fp, norm <> text AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       """WITH p AS (SELECT event_id,
         |  CAST(len(regexp_extract_all(props,

@@ -427,6 +427,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.values.flatMap(_._2).min < med)
   }
 
+  test("normalize_text: NFC composes, controls become spaces, runs collapse, ends trim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      ("e\u0301tude", "\u00e9tude"), // combining acute composes to one char
+      ("a\tb\r\nc", "a b c"), // controls become single spaces
+      ("  lots   of gaps  ", "lots of gaps"), // runs collapse, ends trim
+      ("\u00e9 d\u00e9j\u00e0", "\u00e9 d\u00e9j\u00e0"), // already-NFC fixed point
+      ("\u0000\u0001 \u007f", ""), // control/space-only collapses to empty
+      ("plain text", "plain text"))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.NormalizeText.normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+    // idempotent: the canonical form is its own canonical form
+    val twice = cases.map(_._1).toDF("t")
+      .select(graft.functions.NormalizeText.normalizeText(
+        graft.functions.NormalizeText.normalizeText(col("t"))).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice === got)
+    // SQL registration
+    assert(spark.sql("SELECT normalize_text('a\tb') AS n").collect().head.getString(0) === "a b")
+    // null passes through null
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(graft.functions.NormalizeText.normalizeText(col("t")).as("n")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("token_histogram_bpe covers the corpus and cum_share reaches 1") {
     val rows = TextOps.tokenHistogramBpe(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
