@@ -114,8 +114,80 @@ object GraphOps {
       .limit(50)
   }
 
+  /** Label-propagation communities over an edge list — the
+    * graph-native clustering pass (topic/near-field grouping) that
+    * complements the centroidal view ([[Similarity.kmeansEmbed]]
+    * partitions SPACE; this follows CONNECTIVITY, so two dense
+    * regions a centroid would merge stay separate unless edges
+    * actually bridge them).  RAW LPA is notoriously
+    * nondeterministic (random update order, random tie-breaks); this
+    * is the deterministic form: SYNCHRONOUS rounds, each node takes
+    * the most frequent label among its neighbors with ties broken by
+    * SMALLEST label, fixed `iters` rounds.  Synchronous updates can
+    * oscillate on bipartite substructures instead of converging —
+    * the documented trade for run-to-run reproducibility; a fixed
+    * round count bounds it, and community IDENTITY (the min-id
+    * anchor) stabilizes rounds before membership edges do.
+    *
+    * Scale shape per round: one join of the |V|-row label relation
+    * onto the symmetrized edge list (both keyed by dst) and two
+    * bounded aggregates — (src, label) counts collapse map-side, the
+    * per-src argmax is a single struct-max with map-side partials
+    * (no window function, no per-node neighbor list materialized).
+    * Lineage cuts via lazy localCheckpoint per round, the
+    * [[pageRank]] playbook.
+    *
+    * Input: (src, dst) long columns (direction ignored — edges are
+    * symmetrized; self-loops dropped).  Output: (id, label) with
+    * label = a member id of the community.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // symmetrized ⇒ every node occurs as src; isolated nodes have no
+    // edges at all and are out of scope (no label to propagate)
+    val nodes = e.select(col("src").as("id")).distinct()
+      .localCheckpoint(eager = false)
+    var lab = nodes.select(col("id"), col("id").as("label"))
+    (1 to iters).foreach { _ =>
+      val vote = e
+        .join(lab.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src"), col("nlabel")).agg(count(lit(1)).as("c"))
+        // argmax by (count, then SMALLEST label): labels are non-negative
+        // ids, so max over (c, -label) structs is exactly that order
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("nlabel")).as("neg"))).as("m"))
+        .select(col("src").as("id"), (-col("m.neg")).as("label"))
+      lab = nodes.join(vote, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    lab
+  }
+
+  /** Driver entry: community structure of the embedding corpus's kNN
+    * graph (same k = 5 edge relation as [[knnPagerank]]) — community
+    * sizes, largest first.  Approximate upstream (LSH candidates) →
+    * rows-only oracle; the spec pins labelPropagation itself on exact
+    * planted graphs.
+    */
+  def knnCommunities(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnJoinEmbeddings(s, dir)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+    labelPropagation(edges, iters = 4)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(50)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_pagerank" -> (knnPagerank _))
+    "knn_pagerank" -> (knnPagerank _),
+    "knn_communities" -> (knnCommunities _))
 
   def oracleSql: Map[String, String] = Map()
 }

@@ -84,6 +84,37 @@ class GraphOpsSpec extends AnyFunSuite {
     }, "decimal accumulation must make ranks partitioning-invariant")
   }
 
+  test("label propagation resolves two planted cliques across a bridge, deterministically") {
+    import spark.implicits._
+    // K4 on {0..3} and K4 on {10..13}, one bridge 3–10 (directed input;
+    // the operator symmetrizes)
+    def k4(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (k4(Seq(0L, 1L, 2L, 3L)) ++ k4(Seq(10L, 11L, 12L, 13L)) :+ (3L, 10L))
+    val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L))
+    Seq(0L, 1L, 2L, 3L).foreach(id => assert(got(id) === 0L, s"node $id"))
+    Seq(10L, 11L, 12L, 13L).foreach(id => assert(got(id) === 10L, s"node $id"))
+    // partitioning-invariant (synchronous rounds, deterministic argmax)
+    val again = GraphOps.labelPropagation(edges.toDF("src", "dst").repartition(7), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+    // self-loops are dropped, not voted
+    val self = GraphOps.labelPropagation(
+      (edges :+ (5L, 5L)).toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(!self.contains(5L))
+  }
+
+  test("knn_communities covers the corpus with multiple communities, largest first") {
+    val rows = GraphOps.knnCommunities(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val sizes = rows.map(_.getAs[Long]("n_members"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+    assert(sizes.forall(_ > 0))
+    assert(rows.length > 1, "kNN graph should not collapse to one community")
+  }
+
   test("knn_pagerank returns top-50 hubs in rank order on the corpus") {
     val rows = GraphOps.knnPagerank(spark, sf).collect()
     assert(rows.length === 50)
