@@ -327,11 +327,15 @@ object Dedup {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 5))).as("shingle"))
       .repartition(col("shingle"))
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val capped = sh
-      .withColumn("df", count(lit(1)).over(byShingle))
+    // DF cap as a keyed aggregate semi-joined back (the
+    // [[ngramJaccardPairs]] shape): a boilerplate shingle collapses to
+    // one (shingle, count) row map-side instead of buffering every
+    // occurrence in one window task; aggregate and semi join both read
+    // the one shingle-partitioned exchange
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
-      .drop("df")
+      .select(col("shingle"))
+    val capped = sh.hint("merge").join(keep.hint("merge"), Seq("shingle"), "left_semi")
     val train = capped.filter(col("doc_id") % 2 === 1)
       .select(col("shingle"), col("doc_id").as("train_id"))
     val test = capped.filter(col("doc_id") % 2 === 0)
