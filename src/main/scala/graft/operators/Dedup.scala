@@ -347,6 +347,56 @@ object Dedup {
       .orderBy(col("test_id"))
   }
 
+  /** [[decontaminate]]'s 100 TB form: the benchmark/test side is SMALL
+    * by contract (benchmarks are megabytes; the training corpus is the
+    * 100 TB side), so instead of shuffling every training shingle into
+    * a bipartite join, the test side's shingles compress into a Bloom
+    * filter that probes the training corpus MAP-SIDE — zero shuffle on
+    * the big side, no corpus-sized exchange anywhere.
+    *
+    * Build: per-partition filters merged in a tree
+    * (`treeAggregate` — the one imperative-RDD idiom here, because a
+    * sketch merge is genuinely per-partition state), sized by the test
+    * side's shingle count at fpp 0.001; [[graft.functions.BloomCountHits]]
+    * probes UTF-8 bytes against the same `putBinary` encoding.
+    * Contract bound: the test side must fit a broadcastable sketch
+    * (≤ 10⁸ shingles ≈ 180 MB at this fpp — asserted, the ANN
+    * broadcast-query-side shape).
+    *
+    * One-sided error, audit direction reversed from [[decontaminate]]:
+    * this flags TRAIN docs carrying test 5-grams (the removal
+    * candidates).  Every truly contaminated doc is flagged with its
+    * hit count ≥ the exact count (NO false negatives — a bloom can
+    * only over-count); a clean doc appears with probability
+    * ≈ fpp·n_shingles.  Exactness-critical audits re-check flagged
+    * docs with the exact join over the (now tiny) flagged subset.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val testSh = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(array_distinct(shingles(col("text"), 5))).as("shingle"))
+    // row count (with per-doc duplicates) upper-bounds distinct inserts
+    // — oversizing a bloom only lowers its fpp
+    val n = testSh.count()
+    require(n <= 100000000L,
+      s"test side has $n shingles; the broadcast-sketch contract caps at 1e8")
+    val bf = testSh.as[String].rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(math.max(n, 1L), 0.001))(
+      (f, sh) => { f.putBinary(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+      (a, b) => a.mergeInPlace(b))
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("train_id"),
+        array_distinct(shingles(col("text"), 5)).as("sh"))
+      .select(col("train_id"), size(col("sh")).cast("long").as("n_shingles"),
+        graft.functions.BloomCountHits.bloomCountHits(col("sh"), bf)
+          .cast("long").as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select(col("train_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles").cast("double")).as("hit_frac"))
+      .orderBy(col("train_id"))
+  }
+
   /** Sub-document duplication audit: split every document into
     * consecutive 10-token chunks and measure, per doc, how much of it
     * is duplicated elsewhere in the corpus (the chunk-granularity
@@ -827,6 +877,7 @@ object Dedup {
     "dedup_lines" -> (dedupLines _),
     "dedup_components" -> (dedupComponents _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),

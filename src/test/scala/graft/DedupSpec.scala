@@ -245,6 +245,38 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("decontaminate_bloom: no false negatives vs an exact replay, false positives within fpp") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def sh5(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }
+    val testSet = docs.filter(_._1 % 2 == 0).flatMap(d => sh5(d._2)).toSet
+    val exact = docs.filter(_._1 % 2 == 1)
+      .map { case (id, t) => id -> (sh5(t), sh5(t).count(testSet.contains)) }.toMap
+    val got = Dedup.decontaminateBloom(spark, sf).collect()
+      .map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hit"))).toMap
+    // every truly contaminated train doc is flagged, with hits >= exact
+    exact.foreach { case (id, (shs, ex)) =>
+      if (ex > 0) {
+        assert(got.contains(id), s"contaminated doc $id missing (false negative)")
+        assert(got(id)._2 >= ex, s"doc $id under-counted: ${got(id)._2} < $ex")
+        assert(got(id)._1 === shs.size.toLong)
+      }
+    }
+    // one-sided error: total overshoot bounded by the fpp budget
+    val totalFp = got.map { case (id, (_, hit)) => hit - exact(id)._2 }.sum
+    val probes = exact.values.map(_._1.size.toLong).sum
+    assert(totalFp <= math.max(3L, (10 * 0.001 * probes).toLong),
+      s"false-positive mass $totalFp over $probes probes exceeds the fpp budget")
+    // deterministic
+    val again = Dedup.decontaminateBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again === got.toSeq.sortBy(_._1).map { case (id, (ns, nh)) => (id, ns, nh) })
+  }
+
   test("importance_resample: binding source keeps all, kept sets replicate the md5 threshold exactly") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
