@@ -158,6 +158,55 @@ object Pipeline {
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok")),
       (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap)
 
+  /** Mixture PLANNING table — the decision [[importanceResample]]
+    * executes half of: given target domain weights and a total token
+    * budget for the training run, report per source how many tokens
+    * are wanted, what fraction of one pass that is (`epochs` — the
+    * number a data-mixture meeting actually argues about), the
+    * downsampling rate where epochs < 1, and the replication passes
+    * where epochs > 1 (a bigger-than-natural share cannot be sampled
+    * into existence — it is re-reads, with the diminishing-returns
+    * cost that implies; surfacing it IS the point of the table).
+    *
+    * Pure arithmetic over the |sources|-row aggregate — one scan, one
+    * bounded aggregate, one broadcast of a 1-row total.  IEEE order
+    * pinned (w/Σw, ·T, ÷tok_s) for exact oracle replay.
+    *
+    * Input: (source, tok) rows + weights + budget.  Output per
+    * source: tok_s, target_w (normalized), target_tok, epochs,
+    * sample_rate = min(1, epochs), n_passes = ⌈epochs⌉.
+    */
+  def mixturePlan(docs: DataFrame, weights: Map[String, Double],
+      totalTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0) && totalTokens > 0,
+      "mixturePlan needs positive weights and a positive token budget")
+    val s = docs.sparkSession
+    import s.implicits._
+    val wsum = weights.values.sum
+    val w = weights.toSeq.sortBy(_._1).map { case (k, v) => (k, v / wsum) }
+      .toDF("source", "target_w")
+    val perSrc = docs.groupBy(col("source")).agg(sum(col("tok")).as("tok_s"))
+    perSrc.join(broadcast(w), "source")
+      .withColumn("target_tok", col("target_w") * lit(totalTokens.toDouble))
+      .withColumn("epochs", col("target_tok") / col("tok_s").cast("double"))
+      .select(col("source"), col("tok_s"), col("target_w"), col("target_tok"),
+        col("epochs"),
+        least(lit(1.0), col("epochs")).as("sample_rate"),
+        ceil(col("epochs")).cast("long").as("n_passes"))
+      .orderBy(col("source"))
+  }
+
+  /** Driver entry: plan the linear-ramp mixture of
+    * [[importanceResampleDocs]] against a 200k-token budget — sized so
+    * light-weighted sources plan a sub-pass sample while heavy ones
+    * need multiple replication passes.
+    */
+  def mixturePlanDocs(s: SparkSession, dir: String): DataFrame =
+    mixturePlan(
+      Tables.documents(s, dir).select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok")),
+      (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap, 200000L)
+
   /** Deterministic corpus SHUFFLE + sharding — the example-ordering
     * step every training pipeline runs between curation and packing
     * (consecutive examples from one source/crawl correlate; training
@@ -500,6 +549,7 @@ object Pipeline {
     "source_mix" -> (sourceMix _),
     "importance_resample" -> (importanceResampleDocs _),
     "col_profile" -> (colProfileDocs _),
+    "mixture_plan" -> (mixturePlanDocs _),
     "shuffle_shards" -> (shuffleShardsDocs _),
     "split_assign" -> (splitAssignDocs _),
     "pack_render" -> (packRenderDocs _),
@@ -565,6 +615,23 @@ object Pipeline {
            |  COUNT(DISTINCT $c) AS n_distinct,
            |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
            |FROM documents""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // integer-valued weights keep the Σw normalization exact in any
+    // summation order; IEEE order mirrors the engine: w/Σw, ·T, ÷tok_s
+    "mixture_plan" ->
+      s"""WITH d AS (SELECT source,
+        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok FROM documents),
+        |w(source, wt) AS (VALUES ${(0 until 20).map(i => s"('src$i', ${i + 1})").mkString(", ")}),
+        |sw AS (SELECT CAST(SUM(wt) AS BIGINT) AS s FROM w),
+        |s AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS tok_s FROM d GROUP BY source),
+        |p AS (SELECT s.source, tok_s,
+        |  CAST(wt AS DOUBLE) / CAST(sw.s AS DOUBLE) AS target_w
+        |  FROM s JOIN w ON s.source = w.source, sw),
+        |q AS (SELECT *, target_w * CAST(200000 AS DOUBLE) AS target_tok FROM p),
+        |r AS (SELECT *, target_tok / CAST(tok_s AS DOUBLE) AS epochs FROM q)
+        |SELECT source, tok_s, target_w, target_tok, epochs,
+        |  LEAST(CAST(1 AS DOUBLE), epochs) AS sample_rate,
+        |  CAST(ceil(epochs) AS BIGINT) AS n_passes
+        |FROM r ORDER BY source""".stripMargin,
     // weights as INTEGER literals cast to DOUBLE (a bare `1.0` is
     // DECIMAL in DuckDB — SURVEY §5); expression order mirrors the
     // engine exactly: (w·T)/tok_s, ratio/max, ·65536, floor

@@ -319,6 +319,34 @@ class DedupSpec extends AnyFunSuite {
     assert(partial.length === rows.length - 1)
   }
 
+  test("mixture_plan replays exactly in the JVM; budget conserved; both regimes exercised") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+    val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap
+    val rows = graft.operators.Pipeline.mixturePlan(docs, weights, 200000L).collect()
+    assert(rows.length === 20)
+    val tokS = docs.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wsum = weights.values.sum
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val tw = weights(s) / wsum
+      val tt = tw * 200000.0
+      val ep = tt / tokS(s).toDouble
+      assert(r.getAs[Double]("target_w") === tw)
+      assert(r.getAs[Double]("target_tok") === tt)
+      assert(r.getAs[Double]("epochs") === ep)
+      assert(r.getAs[Double]("sample_rate") === math.min(1.0, ep))
+      assert(r.getAs[Long]("n_passes") === math.ceil(ep).toLong)
+    }
+    // the plan allocates exactly the budget across sources
+    assert(math.abs(rows.map(_.getAs[Double]("target_tok")).sum - 200000.0) < 1e-6)
+    // the ramp exercises both the downsample and the replication regime
+    assert(rows.exists(_.getAs[Double]("epochs") < 1.0))
+    assert(rows.exists(_.getAs[Double]("epochs") > 1.0))
+  }
+
   test("native minhash band keys equal the xxhash64(slice) formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     val bands = 32
