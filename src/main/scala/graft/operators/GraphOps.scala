@@ -154,7 +154,10 @@ object GraphOps {
       .localCheckpoint(eager = false)
     var lab = nodes.select(col("id"), col("id").as("label"))
     (1 to iters).foreach { _ =>
-      val vote = e
+      // the vote relation COVERS every node (symmetrization puts each
+      // node on the src side of ≥1 edge), so it IS the next label
+      // relation — no per-round rejoin against `nodes` needed
+      lab = e
         .join(lab.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src"), col("nlabel")).agg(count(lit(1)).as("c"))
         // argmax by (count, then SMALLEST label): labels are non-negative
@@ -162,8 +165,6 @@ object GraphOps {
         .groupBy(col("src"))
         .agg(max(struct(col("c"), (-col("nlabel")).as("neg"))).as("m"))
         .select(col("src").as("id"), (-col("m.neg")).as("label"))
-      lab = nodes.join(vote, Seq("id"), "left")
-        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
         .localCheckpoint(eager = false)
     }
     lab
