@@ -170,6 +170,27 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** [[mmFeaturesImage]]'s audio twin: real WAV/PCM decode over binary
+    * ingest via [[AudioCodec]] — format metadata + amplitude gates per
+    * doc; undecodable/compressed bytes are dropped (diff ids against
+    * the ingest frame to audit).  Partition-parallel, constant memory,
+    * no shuffle.  Spec-pinned on in-test-generated WAVs (the synthetic
+    * corpus has no real audio, the image-decode precedent).
+    */
+  def mmFeaturesAudio(files: DataFrame): DataFrame = {
+    val s = files.sparkSession
+    import s.implicits._
+    val ds = ingestBinary(files)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) => AudioCodec.decode(id, bytes) }
+    }.toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_frames"), col("duration_s"), col("rms"), col("peak"),
+        col("silence_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
@@ -329,11 +350,91 @@ object ImageCodec {
   }
 }
 
+/** JDK-native AUDIO decoding behind the codec seam:
+  * `javax.sound.sampled` ships a WAV/AIFF/AU container parser and PCM
+  * handling with every JRE — zero new dependencies — so uncompressed
+  * audio payloads decode for real, the [[ImageCodec]] treatment
+  * applied to the second modality.  Compressed codecs (MP3/AAC/Opus)
+  * have no JRE decoder and stay behind the declared stub; video still
+  * needs external codecs entirely.
+  *
+  * Features are the signals an audio curation pipeline filters on:
+  * format metadata (rate/channels/bit depth/frames/duration) plus
+  * amplitude statistics over normalized samples — RMS (too-quiet
+  * gate), peak (clipping gate at ≈1.0), and the fraction of samples
+  * under the 0.01 silence threshold (dead-air gate).  Supports the
+  * PCM layouts WAV actually uses: 16-bit signed (either endianness)
+  * and 8-bit unsigned/signed, any channel count (statistics pool all
+  * channels).  Undecodable or non-PCM bytes → None, the
+  * dropped-not-thrown contract.
+  */
+object AudioCodec {
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, duration_s: Double, rms: Double,
+      peak: Double, silence_frac: Double)
+
+  final val SilenceThreshold = 0.01
+
+  def decode(id: Long, bytes: Array[Byte]): Option[AudioFeatures] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException | _: RuntimeException => null
+      }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ok = (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+        (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+      if (!ok) return None
+      val data = ais.readAllBytes()
+      val big = fmt.isBigEndian
+      val bytesPerSample = bits / 8
+      val nSamples = data.length / bytesPerSample
+      var i = 0
+      var sumSq = 0.0
+      var peak = 0.0
+      var silent = 0L
+      while (i < nSamples) {
+        val x =
+          if (bits == 16) {
+            val o = i * 2
+            val v = if (big) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+            else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+            v / 32768.0
+          } else if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
+            ((data(i) & 0xff) - 128) / 128.0
+          else data(i) / 128.0
+        val a = math.abs(x)
+        sumSq += x * x
+        if (a > peak) peak = a
+        if (a < SilenceThreshold) silent += 1
+        i += 1
+      }
+      val frames =
+        if (ais.getFrameLength >= 0) ais.getFrameLength
+        else nSamples.toLong / math.max(fmt.getChannels, 1)
+      Some(AudioFeatures(id, fmt.getSampleRate.toInt, fmt.getChannels, bits,
+        frames, frames / math.max(fmt.getSampleRate.toDouble, 1e-9),
+        if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0,
+        peak,
+        if (nSamples > 0) silent.toDouble / nSamples else 0.0))
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => None
+    } finally ais.close()
+  }
+}
+
 /** Deterministic byte-domain decoder for media WITHOUT a JDK codec
-  * (audio/video — this container ships none): `fakeDecode` stands in
-  * with a deterministic transform of the bytes so the pipeline shape
-  * (typed rows out of binary batches) is testable; images decode for
-  * real via [[ImageCodec]].
+  * (compressed audio and all video — this container ships no external
+  * codecs): `fakeDecode` stands in with a deterministic transform of
+  * the bytes so the pipeline shape (typed rows out of binary batches)
+  * is testable; images decode for real via [[ImageCodec]] and
+  * uncompressed WAV/PCM audio via [[AudioCodec]].
   */
 object MultimodalStub {
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,

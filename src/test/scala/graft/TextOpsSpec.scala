@@ -292,6 +292,51 @@ class TextOpsSpec extends AnyFunSuite {
       graft.operators.ImageCodec.phashPixels(bw2))
   }
 
+  test("audio decode: real WAVs through binaryFile ingest yield format and amplitude gates") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.nio.file.Files
+    // 16-bit signed little-endian mono WAV from a sample generator
+    def wav(rate: Float, samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        data(i * 2) = (samples(i) & 0xff).toByte
+        data(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rate = 8000f
+    // full-scale square wave: RMS = peak = 1 (32768 clips to max short;
+    // use 32767/-32767 → amplitude 32767/32768)
+    val square = Array.tabulate[Short](8000)(i => if (i % 2 == 0) 32767 else -32767)
+    // half signal, half dead air → silence_frac 0.5
+    val halfSilent = Array.tabulate[Short](4000)(i => if (i < 2000) 16384 else 0)
+    val dir = Files.createTempDirectory("graft-wav")
+    Files.write(dir.resolve("square.wav"), wav(rate, square))
+    Files.write(dir.resolve("half.wav"), wav(rate, halfSilent))
+    Files.write(dir.resolve("broken.wav"), Array[Byte](82, 73, 70, 70, 1, 2, 3))
+    val files = graft.sources.Formats.readBinaryFiles(spark, dir.toString, "*.wav")
+    val got = Multimodal.mmFeaturesAudio(files).collect()
+      .map(r => r.getAs[Long]("n_frames") -> r).toMap
+    assert(got.size === 2, "2 decodable WAVs; the corrupt one is dropped")
+    val sq = got(8000L)
+    assert(sq.getAs[Int]("sample_rate") === 8000)
+    assert(sq.getAs[Int]("channels") === 1 && sq.getAs[Int]("bits") === 16)
+    assert(math.abs(sq.getAs[Double]("duration_s") - 1.0) < 1e-9)
+    val amp = 32767.0 / 32768.0
+    assert(math.abs(sq.getAs[Double]("rms") - amp) < 1e-9)
+    assert(math.abs(sq.getAs[Double]("peak") - amp) < 1e-9)
+    assert(sq.getAs[Double]("silence_frac") === 0.0)
+    val hs = got(4000L)
+    assert(math.abs(hs.getAs[Double]("silence_frac") - 0.5) < 1e-9)
+    assert(math.abs(hs.getAs[Double]("peak") - 0.5) < 1e-3)
+    assert(math.abs(hs.getAs[Double]("rms") - 0.5 * math.sqrt(0.5)) < 1e-3)
+  }
+
   test("bpe apply: bundled merges segment exactly as the independent replica") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
