@@ -230,6 +230,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Expand"), "multi-column distinct lost its single-scan Expand")
   }
 
+  test("importance_resample broadcasts every rate relation; keep is map-side (no window)") {
+    val p = plan(Pipeline.importanceResampleDocs(spark, sf))
+    assert(countIn(p, "BroadcastExchange") >= 2,
+      p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("Window"), "hash-threshold keep must not use a window")
+  }
+
+  test("mixture_plan is one scan + a broadcast of the weight relation") {
+    val p = plan(Pipeline.mixturePlanDocs(spark, sf))
+    assert(countIn(p, "FileScan") === 1)
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("decontaminate_bloom never shuffles the training side (probe is map-side)") {
+    val p = plan(Dedup.decontaminateBloom(spark, sf))
+    // one presentation sort is the only exchange; the bloom probe and
+    // the contamination filter ride the scan projection
+    assert(countIn(p, "Exchange") <= 1, p.linesIterator.take(15).mkString("\n"))
+    assert(countIn(p, "FileScan") === 1)
+    assert(p.contains("bloom_count_hits"), "probe must be the native expression")
+  }
+
+  test("decontaminate reads one shared shingle exchange for cap and join sides") {
+    val df = Dedup.decontaminate(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedExchange"), p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("Window"), "the DF cap must be the keyed aggregate, not a window")
+  }
+
   test("event_spike broadcasts the per-type stats and reuses the daily exchange") {
     val df = EventOps.eventSpike(spark, sf)
     df.collect()
