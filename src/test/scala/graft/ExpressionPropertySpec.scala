@@ -44,6 +44,39 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("normalize_text equals a java.text.Normalizer + regex replay on random unicode") {
+    import spark.implicits._
+    // characters spanning the interesting classes: ASCII, controls,
+    // spaces, combining marks, precomposed accents, CJK, DEL
+    val ch: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\u0000', '\u0001', '\u007f'),
+      2 -> Gen.oneOf('\u0301', '\u0308', 'e', 'a', '\u00e9', '\u00e4'),
+      1 -> Gen.oneOf('\u4e16', '\u754c'))
+    val str: Gen[String] = Gen.listOf(ch).map(_.mkString)
+    forAll(Gen.listOfN(24, str)) { ts =>
+      val got = ts.toDF("t")
+        .select(NormalizeText.normalizeText(col("t")).as("n"))
+        .collect().map(_.getString(0))
+      val want = ts.map { t =>
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+          .map(c => if (c < 0x20 || c == 0x7f) ' ' else c)
+          .mkString.replaceAll(" +", " ").trim
+      }
+      assert(got.toSeq === want)
+      // idempotence: the canonical form is a fixed point
+      val twice = got.toSeq.toDF("t")
+        .select(NormalizeText.normalizeText(col("t")).as("n"))
+        .collect().map(_.getString(0))
+      assert(twice.toSeq === got.toSeq)
+      // invariants: no controls, no leading/trailing/double spaces
+      got.foreach { s =>
+        assert(!s.exists(c => c < 0x20 || c == 0x7f))
+        assert(!s.contains("  ") && s.trim == s)
+      }
+    }
+  }
+
   test("adc_score equals the element_at formulation on random codes/tables") {
     import spark.implicits._
     val m = 8
