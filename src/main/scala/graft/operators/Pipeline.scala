@@ -207,6 +207,56 @@ object Pipeline {
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok")),
       (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap, 200000L)
 
+  /** Mixture MATERIALIZATION — executes the whole [[mixturePlan]],
+    * both regimes: every doc of source s is emitted ⌊epochs_s⌋ times
+    * (full replication passes), plus one more copy iff its 16-bit md5
+    * prefix clears the FRACTIONAL pass's threshold (the
+    * [[importanceResample]] idiom), so per source the expected output
+    * token mass is tok_s·epochs = its target share exactly, and every
+    * copy decision is a pure function of (doc_id, plan) —
+    * reproducible on any engine, any partitioning, any run.  The
+    * fractional pass reuses the SAME hash as full passes' docs (a doc
+    * is either in the partial epoch or not — matching how a real run
+    * truncates its last pass), and `copy_idx` distinguishes replicas
+    * downstream (e.g. [[shuffleShards]] on (doc_id, copy_idx) spreads
+    * them apart).
+    *
+    * Scale shape: the |sources|-row plan broadcasts onto one narrow
+    * scan; copies are a map-side `posexplode(sequence)` bounded by
+    * ⌈epochs⌉ ≤ n_passes per row — no corpus-sized shuffle, no RNG
+    * state.  Output: (doc_id, source, copy_idx).
+    */
+  def mixtureApply(docs: DataFrame, weights: Map[String, Double],
+      totalTokens: Long): DataFrame = {
+    val plan = mixturePlan(docs, weights, totalTokens)
+      .select(col("source"), col("epochs"))
+    val frac = col("epochs") - floor(col("epochs")).cast("double")
+    val rates = plan
+      .withColumn("full_copies", floor(col("epochs")))
+      .withColumn("cutoff", floor(frac * 65536).cast("long"))
+    docs
+      .join(broadcast(rates.select(col("source"), col("full_copies"), col("cutoff"))),
+        "source")
+      .withColumn("n_copies",
+        col("full_copies") +
+          when(concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4))
+            < format_string("%05x", col("cutoff")), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        posexplode(sequence(lit(0L), col("n_copies") - 1)).as(Seq("pos", "copy_idx")))
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  /** Driver entry: materialize the [[mixturePlanDocs]] plan (same ramp
+    * weights, same 200k budget); doc-level copy list, oracle-exact.
+    */
+  def mixtureApplyDocs(s: SparkSession, dir: String): DataFrame =
+    mixtureApply(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok")),
+      (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap, 200000L)
+
   /** Deterministic corpus SHUFFLE + sharding — the example-ordering
     * step every training pipeline runs between curation and packing
     * (consecutive examples from one source/crawl correlate; training
@@ -550,6 +600,7 @@ object Pipeline {
     "importance_resample" -> (importanceResampleDocs _),
     "col_profile" -> (colProfileDocs _),
     "mixture_plan" -> (mixturePlanDocs _),
+    "mixture_apply" -> (mixtureApplyDocs _),
     "shuffle_shards" -> (shuffleShardsDocs _),
     "split_assign" -> (splitAssignDocs _),
     "pack_render" -> (packRenderDocs _),
@@ -615,6 +666,29 @@ object Pipeline {
            |  COUNT(DISTINCT $c) AS n_distinct,
            |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
            |FROM documents""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // the plan replay (identical CTE chain to mixture_plan), then per
+    // doc: ⌊epochs⌋ full copies + one fractional-pass copy behind the
+    // 16-bit md5 threshold; copies enumerate via generate_series
+    "mixture_apply" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok FROM documents),
+        |w(source, wt) AS (VALUES ${(0 until 20).map(i => s"('src$i', ${i + 1})").mkString(", ")}),
+        |sw AS (SELECT CAST(SUM(wt) AS BIGINT) AS s FROM w),
+        |s AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS tok_s FROM d GROUP BY source),
+        |p AS (SELECT s.source, tok_s,
+        |  CAST(wt AS DOUBLE) / CAST(sw.s AS DOUBLE) AS target_w
+        |  FROM s JOIN w ON s.source = w.source, sw),
+        |q AS (SELECT *, target_w * CAST(200000 AS DOUBLE) AS target_tok FROM p),
+        |r AS (SELECT *, target_tok / CAST(tok_s AS DOUBLE) AS epochs FROM q),
+        |c AS (SELECT source, CAST(floor(epochs) AS BIGINT) AS full_copies,
+        |  CAST(floor((epochs - floor(epochs)) * 65536) AS BIGINT) AS cutoff FROM r),
+        |k AS (SELECT doc_id, d.source,
+        |  full_copies + CASE WHEN '0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |    < printf('%05x', cutoff) THEN 1 ELSE 0 END AS n_copies
+        |  FROM d JOIN c ON d.source = c.source)
+        |SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS copy_idx
+        |FROM k WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     // integer-valued weights keep the Σw normalization exact in any
     // summation order; IEEE order mirrors the engine: w/Σw, ·T, ÷tok_s
     "mixture_plan" ->

@@ -347,6 +347,43 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Double]("epochs") > 1.0))
   }
 
+  test("mixture_apply materializes exactly the JVM-replayed plan; copies are floor or floor+1") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+    val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap
+    val got = graft.operators.Pipeline.mixtureApply(docs, weights, 200000L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet
+    // independent replay: epochs per source, then per-doc copy count
+    val raw = docs.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("tok")))
+    val tokS = raw.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val wsum = weights.values.sum
+    def hex4(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x"
+    }
+    val want = raw.flatMap { case (id, s, _) =>
+      val epochs = weights(s) / wsum * 200000.0 / tokS(s).toDouble
+      val full = math.floor(epochs).toLong
+      val cutoff = math.floor((epochs - math.floor(epochs)) * 65536).toLong
+      val n = full + (if (("0" + hex4(id)) < f"$cutoff%05x") 1L else 0L)
+      (0L until n).map(id -> _)
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // replication regime actually exercised: some doc has >1 copy and
+    // some doc is sampled out entirely
+    assert(got.exists(_._2 >= 1L))
+    assert(raw.map(_._1).toSet.diff(got.map(_._1)).nonEmpty)
+    // partitioning invariance
+    val again = graft.operators.Pipeline
+      .mixtureApply(docs.repartition(7), weights, 200000L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet
+    assert(again === got)
+  }
+
   test("native minhash band keys equal the xxhash64(slice) formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     val bands = 32
