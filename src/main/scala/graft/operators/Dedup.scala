@@ -397,6 +397,52 @@ object Dedup {
       .orderBy(col("train_id"))
   }
 
+  /** Sub-document decontamination — [[decontaminate]] at WINDOW
+    * granularity (the published form of the check: verbatim benchmark
+    * SPANS inside training docs, which distinct-5-gram counting
+    * dilutes once a doc is long): per TRAIN doc, how many of its
+    * stride-1 w-token windows occur verbatim anywhere in the TEST
+    * side.  Catches a pasted benchmark paragraph regardless of
+    * alignment ([[substrAudit]]'s guarantee applied bipartite) and
+    * reports the contaminated FRACTION — the thresholdable number a
+    * removal policy acts on.
+    *
+    * Scale shape: window identity is the 64-bit [[graft.functions
+    * .WindowHashes]] hash (16 B/row exchanged, window text never
+    * shuffles); one wk-keyed exchange feeds BOTH the test distinct
+    * and the train semi-join probe (merge-hinted, ReusedExchange —
+    * the [[decontaminate]] plan); per-doc window totals come
+    * map-side from the un-exploded array on a second narrow scan
+    * (the documented scan-bandwidth trade).  Only contaminated docs
+    * are emitted.
+    */
+  def decontaminateSubstr(s: SparkSession, dir: String, w: Int = 20): DataFrame =
+    decontaminateSubstrOver(Tables.documents(s, dir), w)
+
+  /** [[decontaminateSubstr]] over any (doc_id, text) frame with the
+    * doc_id-parity split (even = test, odd = train) — parameterized so
+    * the spec can plant an offset span.
+    */
+  private[graft] def decontaminateSubstrOver(docs: DataFrame, w: Int): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      graft.functions.WindowHashes.windowHashes(tokens(col("text")), w).as("wks"))
+    val totals = base.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("train_id"), size(col("wks")).cast("long").as("n_windows"))
+      .filter(col("n_windows") > 0)
+    val wins = base.select(col("doc_id"), explode(col("wks")).as("wk"))
+      .repartition(col("wk"))
+    val test = wins.filter(col("doc_id") % 2 === 0).select(col("wk")).distinct()
+    val hits = wins.filter(col("doc_id") % 2 === 1)
+      .hint("merge").join(test.hint("merge"), Seq("wk"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_windows"))
+      .select(col("doc_id").as("train_id"), col("n_hit_windows"))
+    totals.join(hits, "train_id")
+      .select(col("train_id"), col("n_windows"), col("n_hit_windows"),
+        (col("n_hit_windows") / col("n_windows")).as("hit_frac"))
+      .orderBy(col("train_id"))
+  }
+
   /** Sub-document duplication audit: split every document into
     * consecutive 10-token chunks and measure, per doc, how much of it
     * is duplicated elsewhere in the corpus (the chunk-granularity
@@ -878,6 +924,7 @@ object Dedup {
     "dedup_components" -> (dedupComponents _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
+    "decontaminate_substr" -> ((s: SparkSession, dir: String) => decontaminateSubstr(s, dir)),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -951,6 +998,22 @@ object Dedup {
     // does the chunk text (the engine's 64-bit window hash is
     // collision-free at any test SF, so the counts agree); tk[i:i+19]
     // is a 20-token inclusive slice
+    // window TEXT replays the engine's 64-bit window hashes exactly
+    // absent collisions (the dedup_substr precedent); test distinct +
+    // train probe mirror the engine's one-exchange bipartite plan
+    "decontaminate_substr" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |w AS (SELECT doc_id, unnest([array_to_string(tk[i:i+19], ' ')
+        |    for i in generate_series(1, len(tk)-19)]) AS win FROM t WHERE len(tk) >= 20),
+        |test AS (SELECT DISTINCT win FROM w WHERE doc_id % 2 = 0),
+        |tr AS (SELECT doc_id, win FROM w WHERE doc_id % 2 = 1),
+        |tot AS (SELECT doc_id AS train_id, COUNT(*) AS n_windows FROM tr GROUP BY doc_id),
+        |h AS (SELECT doc_id AS train_id, COUNT(*) AS n_hit_windows
+        |      FROM tr JOIN test USING (win) GROUP BY doc_id)
+        |SELECT train_id, n_windows, n_hit_windows,
+        |  CAST(n_hit_windows AS BIGINT) / CAST(n_windows AS BIGINT) AS hit_frac
+        |FROM tot JOIN h USING (train_id)
+        |ORDER BY train_id""".stripMargin,
     "dedup_substr" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |w AS (SELECT doc_id, unnest([array_to_string(tk[i:i+19], ' ')

@@ -245,6 +245,35 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("decontaminate_substr catches an offset verbatim span that chunk alignment would miss") {
+    import spark.implicits._
+    // 25-token benchmark paragraph; the train doc embeds it VERBATIM
+    // at offset 10 amid unique filler — every 5-gram of the filler is
+    // unique, but the span's 6 interior 20-token windows must hit
+    val span = (0 until 25).map(i => s"bench$i")
+    val filler1 = (0 until 10).map(i => s"pre$i")
+    val filler2 = (0 until 10).map(i => s"post$i")
+    val docs = Seq(
+      (2L, span.mkString(" ")),                                // test side
+      (1L, (filler1 ++ span ++ filler2).mkString(" ")),        // contaminated train
+      (3L, (0 until 40).map(i => s"clean$i").mkString(" "))) // clean train
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateSubstrOver(docs, 20).collect()
+      .map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_hit_windows"))).toMap
+    // only the contaminated doc flagged; span yields 25-20+1 = 6
+    // matching windows; doc 1 has 45-20+1 = 26 windows total
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === ((26L, 6L)))
+    // sub-window contamination (< w tokens shared) stays silent: a
+    // 19-token prefix of the span in an otherwise-unique doc
+    val short = Seq(
+      (2L, span.mkString(" ")),
+      (1L, ((0 until 10).map(i => s"x$i") ++ span.take(19)).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.decontaminateSubstrOver(short, 20).collect().isEmpty)
+  }
+
   test("decontaminate_bloom: no false negatives vs an exact replay, false positives within fpp") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
