@@ -409,12 +409,16 @@ object Dedup {
     *
     * Scale shape: window identity is the 64-bit [[graft.functions
     * .WindowHashes]] hash (16 B/row exchanged, window text never
-    * shuffles); one wk-keyed exchange feeds BOTH the test distinct
-    * and the train semi-join probe (merge-hinted, ReusedExchange —
-    * the [[decontaminate]] plan); per-doc window totals come
-    * map-side from the un-exploded array on a second narrow scan
-    * (the documented scan-bandwidth trade).  Only contaminated docs
-    * are emitted.
+    * shuffles); the train probe is a merge SMJ semi join on the
+    * wk-keyed exchange; per-doc window totals come map-side from the
+    * un-exploded array on a separate narrow scan (the documented
+    * scan-bandwidth trade).  The dir entry's doc_id-parity fixture
+    * makes Catalyst specialize the split into per-side scans (the
+    * parity predicates push to the parquet scan — three corpus scans
+    * total here); a REAL deployment passes the benchmark as its own
+    * SMALL table, making this two corpus scans + one tiny test scan
+    * with identical exchange volume.  Only contaminated docs are
+    * emitted.
     */
   def decontaminateSubstr(s: SparkSession, dir: String, w: Int = 20): DataFrame =
     decontaminateSubstrOver(Tables.documents(s, dir), w)

@@ -261,6 +261,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "the DF cap must be the keyed aggregate, not a window")
   }
 
+  test("decontaminate_substr: semi-probe on window hashes, parity pushed to the scans, no window fn") {
+    val df = Dedup.decontaminateSubstr(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("LeftSemi"))
+    // the declared fixture shape: parity predicates specialize three
+    // scans (totals, train windows, test windows) — no fourth; count
+    // only the Final Plan section (the AQE string repeats the scans
+    // in its Initial Plan echo)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(countIn(finalSection, "FileScan") === 3,
+      finalSection.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("Window"), "window-hash audit must not use a window function")
+  }
+
   test("event_spike broadcasts the per-type stats and reuses the daily exchange") {
     val df = EventOps.eventSpike(spark, sf)
     df.collect()
