@@ -371,20 +371,32 @@ object Dedup {
     * ≈ fpp·n_shingles.  Exactness-critical audits re-check flagged
     * docs with the exact join over the (now tiny) flagged subset.
     */
-  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+  /** Distributed Bloom sketch of a (text) frame's distinct 5-gram
+    * shingles: per-partition filters merged in a tree, fpp 0.001,
+    * UTF-8 `putBinary` (the [[graft.functions.BloomCountHits]] probe
+    * contract).  Broadcast-side bound asserted (≤ 1e8 shingles).
+    * Shared by [[decontaminateBloom]] and the streaming gate
+    * [[graft.streaming.Stateful.contaminationGate]].
+    */
+  def shingleBloom(docs: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val testSh = docs.filter(col("doc_id") % 2 === 0)
+    val sh = docs
       .select(explode(array_distinct(shingles(col("text"), 5))).as("shingle"))
     // row count (with per-doc duplicates) upper-bounds distinct inserts
     // — oversizing a bloom only lowers its fpp
-    val n = testSh.count()
+    val n = sh.count()
     require(n <= 100000000L,
-      s"test side has $n shingles; the broadcast-sketch contract caps at 1e8")
-    val bf = testSh.as[String].rdd.treeAggregate(
+      s"sketch side has $n shingles; the broadcast-sketch contract caps at 1e8")
+    sh.as[String].rdd.treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(math.max(n, 1L), 0.001))(
-      (f, sh) => { f.putBinary(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+      (f, x) => { f.putBinary(x.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
       (a, b) => a.mergeInPlace(b))
+  }
+
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bf = shingleBloom(docs.filter(col("doc_id") % 2 === 0))
     docs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id").as("train_id"),
         array_distinct(shingles(col("text"), 5)).as("sh"))

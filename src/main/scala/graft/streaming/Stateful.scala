@@ -92,6 +92,32 @@ object Stateful {
         ((col("c").cast("double") - mean) / sqrt(vr)).as("z"))
   }
 
+  /** Streaming contamination gate — the DEPLOYMENT form of
+    * [[graft.operators.Dedup.decontaminateBloom]]: a crawler/ingest
+    * stream of (doc_id, text) is annotated IN-FLIGHT with the number
+    * of its 5-gram shingles that might occur in the benchmark Bloom
+    * sketch, so contaminated docs can be parked before they ever land
+    * in the corpus.  The sketch is built batch-side from the test
+    * relation (same `putBinary` UTF-8 contract) and rides the
+    * stateless projection as an expression reference — no state
+    * store, no watermark, works in append mode at ingest bandwidth;
+    * refreshing the benchmark means restarting the query with a new
+    * sketch (a Bloom cannot be updated stream-side without
+    * rebuilding, and benchmark sets change at release cadence, not
+    * per batch).  Same one-sided error as the batch op: a truly
+    * contaminated doc always flags (n_hit ≥ exact); clean docs flag
+    * at ≈ fpp per shingle.  Batch-vs-stream parity is spec-pinned.
+    */
+  def contaminationGate(stream: DataFrame,
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val sh = array_distinct(graft.functions.TextFunctions.shingles(col("text"), 5))
+    stream
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        graft.functions.BloomCountHits.bloomCountHits(col("sh"), bf)
+          .cast("long").as("n_hit"))
+  }
+
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
     val p = purchases.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))

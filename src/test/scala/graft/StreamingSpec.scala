@@ -174,6 +174,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming contamination gate equals the batch bloom audit on the same corpus") {
+    val docsRaw = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val d = Files.createTempDirectory("graft-docs")
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val batchDocs = spark.read.schema(docsRaw).parquet(d.toString)
+    val bf = graft.operators.Dedup.shingleBloom(batchDocs.filter(col("doc_id") % 2 === 0))
+    val src = spark.readStream.schema(docsRaw).parquet(d.toString)
+      .filter(col("doc_id") % 2 === 1)
+    val q = Stateful.contaminationGate(src, bf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contamination_gate")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("contamination_gate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // in-flight annotation ≡ the batch audit (same sketch, same probe):
+    // flagged set AND hit counts identical; clean docs ride with 0
+    val batch = graft.operators.Dedup.decontaminateBloom(spark, sf).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hit"))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed.filter(_._3 > 0) === batch)
+    // every train doc passed through the gate exactly once
+    assert(streamed.size.toLong ===
+      batchDocs.filter(col("doc_id") % 2 === 1).count())
+  }
+
   test("watermark drops late rows from windowed aggregation") {
     import spark.implicits._
     val watched = Files.createTempDirectory("graft-late")
