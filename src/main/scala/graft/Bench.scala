@@ -68,8 +68,13 @@ object Bench {
     // sf as the directory BASENAME: the full path spent 16 chars of
     // the ~1997-char tail ceiling on information the driver already
     // records in its own sf field
+    val sfName = new java.io.File(sfDir).getName
+    // degraded-precision pointers must name the medians file for THIS
+    // SF — a hardcoded sf0.1 pointer next to a dynamic sf field sent
+    // readers of any other-SF run to the wrong committed evidence
+    val mediansFile = s"bench_medians_$sfName.json"
     def lineWith(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}"""
     // self-healing precision, guarded on the ASSEMBLED line (the map
     // alone once under-counted the fixed fields' share of the window):
     // 10 ms per-query values, then 100 ms (the run-to-run spread
@@ -90,7 +95,7 @@ object Bench {
     // The bare pointer remains the terminal stage.
     def qsTop(): String = {
       val fixed = """"n_queries":""" + results.length +
-        ""","_full":"bench_medians_sf0.1.json""""
+        s""","_full":"$mediansFile""""
       val byCost = results.sortBy { case (_, t) => -t(t.length / 2) }
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
       var used = lineWith("{" + fixed + "}").length
@@ -109,7 +114,7 @@ object Bench {
         else {
           val lTop = lineWith(qsTop())
           if (lTop.length <= 1960) lTop
-          else lineWith("""{"_see":"bench_medians_sf0.1.json"}""")
+          else lineWith(s"""{"_see":"$mediansFile"}""")
         }
       }
     }

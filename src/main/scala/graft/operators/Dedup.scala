@@ -383,11 +383,16 @@ object Dedup {
     import s.implicits._
     val sh = docs
       .select(explode(array_distinct(shingles(col("text"), 5))).as("shingle"))
-    // row count (with per-doc duplicates) upper-bounds distinct inserts
-    // — oversizing a bloom only lowers its fpp
-    val n = sh.count()
+    // size and bound on the DISTINCT shingle count (HLL, rsd 2%), not
+    // the exploded row count: a duplicate-heavy sketch side (the same
+    // boilerplate shingle across every doc) fits the broadcast
+    // contract and should neither be rejected nor oversized for its
+    // duplicates.  The 1.1 margin restores the oversize-only-lowers-
+    // fpp property against HLL under-estimation (≥ 5σ at rsd 0.02).
+    val n = (sh.agg(approx_count_distinct(col("shingle"), 0.02))
+      .head.getLong(0) * 1.1).toLong
     require(n <= 100000000L,
-      s"sketch side has $n shingles; the broadcast-sketch contract caps at 1e8")
+      s"sketch side has ~$n distinct shingles; the broadcast-sketch contract caps at 1e8")
     sh.as[String].rdd.treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(math.max(n, 1L), 0.001))(
       (f, x) => { f.putBinary(x.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },

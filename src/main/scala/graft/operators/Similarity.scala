@@ -1410,18 +1410,26 @@ object AnnIndex {
 
   /** Fold accumulated tombstones into the code files, rewriting ONLY
     * the cell directories that contain a deleted vector: survivors of
-    * affected cells are rewritten through dynamic partition overwrite
-    * (untouched cells keep their files byte-identical — file-set
-    * pruning evidence stays valid), a cell whose every row was deleted
-    * has its directory removed explicitly (dynamic overwrite never
-    * touches a partition absent from the written frame), and the
-    * tombstone relation is deleted last — crash-safe ordering: a crash
-    * mid-compact leaves tombstones in place and [[read]] still
-    * correct, the rewrite merely redone.  The affected-cell list is
-    * bounded driver state (≤ C ≤ 4096 cells by construction).  A flat
-    * PQ index (no cell dirs) rewrites its one codes relation whole —
-    * the honest cost of a partition-less layout, documented here
-    * rather than hidden.
+    * affected cells are materialized to executor-local disk BEFORE the
+    * dynamic partition overwrite (the overwrite rewrites the very
+    * files the survivor plan reads — persisting first removes any
+    * dependence on read-tasks-before-commit ordering inside one job,
+    * which committers are free to change across Spark versions), then
+    * written; untouched cells keep their files byte-identical —
+    * file-set pruning evidence stays valid.  A cell whose every row
+    * was deleted has its directory removed explicitly (dynamic
+    * overwrite never touches a partition absent from the written
+    * frame).  The tombstone relation is deleted last — crash-safe
+    * ordering: a crash mid-compact leaves tombstones in place and
+    * [[read]] still correct, the rewrite merely redone.  The
+    * affected-cell list is bounded driver state (≤ C ≤ 4096 cells by
+    * construction); the persisted survivor set is ≤ C cells of codes
+    * (16 B/row), equally bounded.  A flat PQ index (no cell dirs)
+    * rewrites its one codes relation whole — the honest cost of a
+    * partition-less layout — swapped via rename with the old relation
+    * kept aside until the new one is in place, so EVERY crash point
+    * leaves either `codes` or the `codes_old` fallback that [[read]]
+    * picks up, never a window with no readable relation.
     */
   def compact(s: SparkSession, path: String): Unit = {
     import org.apache.spark.sql.functions.col
@@ -1441,10 +1449,11 @@ object AnnIndex {
           // one file per rewritten cell dir, like the original
           // cell-partitioned write
           .repartition(col("cid"))
-        // surviving-cell list BEFORE the overwrite: the lazy plan holds
-        // the pre-rewrite file listing, so executing it after the write
-        // reads files the write just replaced.  Bounded driver state
-        // (≤ C cells), at the price of one extra affected-cell scan.
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // the surviving-cell collect materializes the persist (it
+        // scans every survivor partition), so the overwrite below
+        // reads cached blocks, NOT the files it is replacing — and
+        // the formerly-separate affected-cell re-scan is gone
         val surviving = survivors.select(col("cid")).distinct()
           .collect().map(_.getInt(0)).toSet
         survivors.write
@@ -1452,6 +1461,7 @@ object AnnIndex {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("cid")
           .parquet(s"$path/codes")
+        survivors.unpersist()
         // fully-emptied cells: dynamic overwrite wrote no partition for
         // them, so their old files would survive — remove the dirs
         affected.filterNot(surviving).foreach { c =>
@@ -1460,11 +1470,16 @@ object AnnIndex {
       }
     } else {
       // flat PQ: no partition boundary to scope the rewrite — write
-      // survivors aside, swap, drop the old relation
+      // survivors aside, keep the old relation as codes_old until the
+      // fresh one is renamed in, then drop it.  Crash between the two
+      // renames leaves codes absent but codes_old present → [[read]]
+      // falls back (tombstones still on disk keep it correct).
       codes.join(t, Seq("vec_id"), "left_anti")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fresh)
-      deletePath(s, s"$path/codes")
+      deletePath(s, s"$path/codes_old") // stale fallback from a prior crash
+      renamePath(s, s"$path/codes", s"$path/codes_old")
       renamePath(s, fresh, s"$path/codes")
+      deletePath(s, s"$path/codes_old")
     }
     deletePath(s, s"$path/tombstones")
   }
@@ -1496,6 +1511,12 @@ object AnnIndex {
       try s.read.parquet(s"$path/codes")
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
+          // a flat-PQ [[compact]] that crashed between its two renames
+          // leaves the pre-compact relation as codes_old (and the
+          // tombstones still on disk, so the anti-join below keeps the
+          // view correct) — pick it up before concluding empty/corrupt
+          try s.read.parquet(s"$path/codes_old")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
           // an EMPTY-corpus index wrote zero code rows → zero parquet
           // data files → nothing to infer a schema from; reconstruct
           // the empty relation (searchers short-circuit on the empty
@@ -1512,6 +1533,7 @@ object AnnIndex {
             ", codes ARRAY<INT>"
           s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          }
       }
     // tombstones ([[deleteFromIndex]]) anti-join out here, so EVERY
     // search over a re-read index excludes deleted vectors — searchers

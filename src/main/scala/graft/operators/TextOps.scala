@@ -420,7 +420,15 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     // DuckDB's nfc_normalize (utf8proc) and the engine's
     // java.text.Normalizer both implement UAX #15 NFC; the regexp
-    // chain replays steps 2-3 of the native one-pass form
+    // chain replays steps 2-3 of the native one-pass form.
+    // Unicode-VERSION coupling: the two engines ship different Unicode
+    // table snapshots, and a codepoint assigned (or given a new
+    // decomposition) between their versions can normalize differently,
+    // flaking the md5 fingerprint.  The oracle therefore stands on the
+    // synthetic corpus being ASCII-plus-stable-BMP (combining accents,
+    // NBSP, fullwidth forms — stable since Unicode 3.x); richer
+    // corpora should use the engine-side spec (NormalizeText
+    // idempotence/reference tests) rather than this cross-engine hash
     "text_normalize" ->
       """WITH n AS (SELECT doc_id, text,
         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),

@@ -17,8 +17,12 @@ for sf in $sfs; do
 done
 
 if [ "${1:-}" != "quick" ]; then
-  echo "== bench sf0.1 =="
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  # BENCH_SF parameterizes the whole bench leg (dir, delta report,
+  # committed artifact names) — a non-default SF no longer mislabels
+  # its evidence as sf0.1
+  bsf="${BENCH_SF:-sf0.1}"
+  echo "== bench $bsf =="
+  SPARK_GRAFT_SF_DIR="/root/testdata/$bsf" SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" > /tmp/graft_bench.log 2>&1 || true
   # Replicate the driver's parse: it keeps only the LAST 2000 chars and
   # reads the final JSON line out of them.  Six rounds came back
@@ -44,11 +48,12 @@ EOF
   # (plan change vs co-tenancy wobble) without judge-side archaeology.
   python3 - <<'EOF'
 import json, os
+bsf = os.environ.get('BENCH_SF', 'sf0.1')
 if not (os.path.exists('target/bench_medians.json')
-        and os.path.exists('bench_medians_sf0.1.json')):
+        and os.path.exists(f'bench_medians_{bsf}.json')):
     print('bench delta: no prior committed medians to diff — skipping')
 else:
-    prev = json.load(open('bench_medians_sf0.1.json'))
+    prev = json.load(open(f'bench_medians_{bsf}.json'))
     cur = json.load(open('target/bench_medians.json'))
     spread = (json.load(open('target/bench_spread.json'))
               if os.path.exists('target/bench_spread.json') else {})
@@ -59,14 +64,14 @@ else:
         lo, hi = sorted((prev[q], cur[q]))
         if lo > 0 and hi / lo > 1.5:
             moved.append((q, prev[q], cur[q], f'{cur[q]/prev[q]:.2f}x'))
-    lines = ['# Bench delta vs previous committed medians (sf0.1)',
+    lines = [f'# Bench delta vs previous committed medians ({bsf})',
              '# query prev_s cur_s move spread_s  (>1.5x either way, plus new/gone)']
     for q, p, c, tag in moved:
         lines.append(f'{q} {p if p is not None else "-"} '
                      f'{c if c is not None else "-"} {tag} {spread.get(q, "-")}')
     if not moved:
         lines.append('(no query moved >1.5x)')
-    open('bench_delta_sf0.1.txt', 'w').write('\n'.join(lines) + '\n')
+    open(f'bench_delta_{bsf}.txt', 'w').write('\n'.join(lines) + '\n')
     print('\n'.join(lines))
 EOF
   # full per-query spread + ms-precision median maps → committed
@@ -80,6 +85,6 @@ EOF
       exit 1
     fi
   done
-  cp target/bench_spread.json bench_spread_sf0.1.json
-  cp target/bench_medians.json bench_medians_sf0.1.json
+  cp target/bench_spread.json "bench_spread_$bsf.json"
+  cp target/bench_medians.json "bench_medians_$bsf.json"
 fi
