@@ -36,6 +36,44 @@ object EventOps {
       epochSec(col("ts")).as("ts_sec"))
       .orderBy(col("ts_sec"), col("msg_id"))
 
+  /** Writer schema for the Avro payload round trip — the scalar-record
+    * shape a frizzle `Msg.Data()` actually carries (see
+    * [[graft.sources.AvroCodec]] for scope and wire format).
+    */
+  private[graft] val EventAvroSchema =
+    """{"type":"record","name":"Event","namespace":"graft","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"},
+      |{"name":"props","type":["null","string"],"default":null}]}""".stripMargin
+
+  /** Structured payload decode: events serialized to single-record Avro
+    * binary (the Kafka-value wire shape) and decoded back through
+    * [[graft.sources.AvroCodec]], then aggregated per type — the batch
+    * image of "consume `Data()`, decode against the registry schema,
+    * route on a decoded field".  The encode→decode round trip is the
+    * identity on the record fields, so every output scalar is
+    * recomputable by the oracle STRAIGHT from the events table — a
+    * hash mismatch here means the codec corrupted a value in flight.
+    * Both codec passes pipeline with the scan (no shuffle until the
+    * final small aggregate); at 100 TB the cost is two partition-local
+    * codec passes, which is what a real consume-decode path pays once.
+    */
+  def msgDecodeAvro(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+    val wire = graft.sources.AvroCodec.toAvro(ev, EventAvroSchema)
+    val dec = graft.sources.AvroCodec.fromAvro(wire, EventAvroSchema)
+    dec.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(col("value").cast(D182)).cast("double").as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(length(col("props")).cast("long")).as("sum_props_chars"))
+      .orderBy(col("event_type"))
+  }
+
   /** Destination routing (`Sink.Send(msg, dest)`): stable topic mapping
     * from the event type, aggregated per destination.
     */
@@ -345,6 +383,7 @@ object EventOps {
     "event_transitions" -> (eventTransitions _),
     "event_funnel" -> (eventFunnel _),
     "msg_ingest" -> (msgIngest _),
+    "msg_decode_avro" -> (msgDecodeAvro _),
     "msg_route" -> (msgRoute _),
     "dead_letter_split" -> (deadLetterSplit _),
     "stream_dedup" -> (streamDedup _),
@@ -408,6 +447,15 @@ object EventOps {
         |  CAST(octet_length(encode(props)) AS BIGINT) AS payload_bytes,
         |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec
         |FROM events ORDER BY ts_sec, msg_id""".stripMargin,
+    // the Avro round trip is the identity on the record fields, so the
+    // oracle recomputes the aggregate straight from events — any codec
+    // value corruption breaks the hash
+    "msg_decode_avro" ->
+      """SELECT event_type, COUNT(*) AS n_msgs,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |  CAST(SUM(length(props)) AS BIGINT) AS sum_props_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "msg_route" ->
       """SELECT 'events.' || event_type AS dest, COUNT(*) AS n_msgs,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

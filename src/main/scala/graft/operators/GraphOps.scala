@@ -40,16 +40,26 @@ object GraphOps {
     * round to round) and one dst-keyed sum with map-side partials;
     * per-node state is one decimal.  Lineage cuts via lazy
     * localCheckpoint every round keep the plan from growing with
-    * iteration count.  Dangling nodes (out-degree 0) leak their mass
-    * — documented, not redistributed: the kNN graph has out-degree k
-    * everywhere, and Σranks < 1 is the honest signature of sinks in
-    * other graphs.
+    * iteration count.
+    *
+    * Dangling nodes (out-degree 0): by DEFAULT their mass leaks —
+    * Σranks < 1 is the honest signature of sinks, and the kNN graph
+    * has out-degree k everywhere so the default costs nothing there.
+    * `redistributeDangling = true` turns on the textbook correction
+    * for GENERAL graphs: each round the dangling nodes' total rank is
+    * collected as ONE decimal scalar (a semi-join aggregate over the
+    * dangling slice — O(1) driver state, never O(nodes)) and re-spread
+    * uniformly inside the damping term, so Σranks stays ≈ 1 (exact up
+    * to one HALF_UP rounding per node per round; spec-pinned on a
+    * planted sink graph).  The scalar's /n happens driver-side in
+    * BigDecimal at an explicit scale-18 HALF_UP — the same decimal
+    * discipline as every other step, so bit-determinism is unchanged.
     *
     * Input: (src, dst) long columns.  Output: (id, rank double,
     * n_in long) — rank plus the in-degree diagnostic.
     */
   def pageRank(edges: DataFrame, iters: Int = 8,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1,
       s"need iters >= 1 and 0 < damping < 1, got $iters/$damping")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -63,6 +73,12 @@ object GraphOps {
       return nodes.select(col("id"), lit(0.0).as("rank"), lit(0L).as("n_in"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
+    // the out-degree-0 slice, computed once; empty on the kNN graph
+    val danglingIds =
+      if (redistributeDangling)
+        nodes.join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+          .localCheckpoint(eager = false)
+      else null
     val D = "decimal(20,18)"
     def d18(x: BigDecimal) =
       lit(x.setScale(18, BigDecimal.RoundingMode.HALF_UP)).cast(D)
@@ -81,13 +97,24 @@ object GraphOps {
           (col("r") / col("deg").cast("decimal(10,0)")).cast(D).as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("inflow"))
+      // dangling correction: one decimal scalar per round (exact sum,
+      // then a single explicit HALF_UP /n in driver BigDecimal), added
+      // inside the damping term like a uniform inflow
+      val dmShare: BigDecimal =
+        if (redistributeDangling) {
+          val row = rank.join(danglingIds, Seq("id"), "left_semi")
+            .agg(sum(col("r")).as("s")).head
+          val dm = Option(row.getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+          (dm / BigDecimal(n)).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        } else BigDecimal(0)
       rank = nodes
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (d18(base) +
             (lit(BigDecimal(damping).setScale(9, BigDecimal.RoundingMode.HALF_UP))
               .cast("decimal(10,9)") *
-              coalesce(col("inflow").cast(D), d18(BigDecimal(0)))).cast(D))
+              (coalesce(col("inflow").cast(D), d18(BigDecimal(0))) + d18(dmShare))
+                .cast(D)).cast(D))
             .cast(D).as("r"))
         .localCheckpoint(eager = false)
     }

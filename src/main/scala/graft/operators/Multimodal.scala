@@ -191,14 +191,137 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL image codec through the correctness gate: each document row
+    * becomes a deterministic two-gray RGB PNG ENCODED EXECUTOR-SIDE
+    * (`ImageIO.write`), which [[ImageCodec.decode]] then decodes back
+    * to pixels — a full PNG encode→decode round trip per row, the
+    * driver-facing twin of the spec-only [[mmFeaturesImage]] path.
+    * The fixture geometry is arithmetic in (doc_id, n_chars): width
+    * (n%13+2) × height (n%7+2), first k pixels gray g1 = 32·(id mod 7)
+    * + 8, rest g1+16 — two distinct 16-wide luminance bins (Rec.601
+    * luma of gray v is exactly v), k nudged off npx/2 so the histogram
+    * mode is never tied.  Every emitted scalar is therefore
+    * recomputable in ANSI SQL: the oracle predicts what the real
+    * decoder must SEE, so a codec or histogram bug breaks the hash.
+    * n_bytes is deliberately NOT emitted (deflate output size is not
+    * SQL-expressible).  One partition-local pass, no shuffle, bounded
+    * memory (≤ 14×8 px per image).
+    */
+  def mmDecodeImage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.flatMap { case (id, nc) =>
+        val w = (nc % 13 + 2).toInt
+        val h = (nc % 7 + 2).toInt
+        val npx = w * h
+        var k = (nc % npx).toInt
+        if (2 * k == npx) k += 1
+        val g1 = java.lang.Math.floorMod(id, 7L).toInt * 32 + 8
+        val g2 = g1 + 16
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < npx) {
+          val v = if (p < k) g1 else g2
+          img.setRGB(p % w, p / w, (v << 16) | (v << 8) | v)
+          p += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream(256)
+        javax.imageio.ImageIO.write(img, "png", baos)
+        ImageCodec.decode(id, baos.toByteArray).map(_.toScalars)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("resized_w"), col("resized_h"), col("mode_bin"), col("mode_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[mmDecodeImage]]'s audio twin: a deterministic 16-bit mono 8 kHz
+    * WAV per document (k loud samples of amplitude 256·(id mod 75 +
+    * 50) followed by silence, written via `AudioSystem.write`), decoded
+    * back through [[AudioCodec.decode]].  The amplitude is a multiple
+    * of 256 under 2¹⁵, so every decoded statistic is an EXACT IEEE
+    * expression the oracle replays: normalized sample A/2¹⁵ is exact,
+    * its square is exact, the k-term sum is exact, and division + sqrt
+    * are correctly rounded identically in both engines — bit-equal
+    * doubles, full hash check on a real codec path.
+    */
+  def mmDecodeAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, nc) =>
+        val n = (nc % 41 + 20).toInt
+        val k = (nc % (n - 1) + 1).toInt
+        val amp = (java.lang.Math.floorMod(id, 75L).toInt + 50) * 256
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < k) { // little-endian 16-bit PCM
+          data(2 * i) = (amp & 0xff).toByte
+          data(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val baos = new java.io.ByteArrayOutputStream(512)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        AudioCodec.decode(id, baos.toByteArray)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_frames"), col("duration_s"), col("rms"), col("peak"),
+        col("silence_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
     "mm_ingest" -> (mmIngest _),
     "mm_features" -> (mmFeatures _),
+    "mm_decode_image" -> (mmDecodeImage _),
+    "mm_decode_audio" -> (mmDecodeAudio _),
     "mm_frames" -> (mmFrames _))
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle PREDICTS what the real PNG decode must see: fixture
+    // geometry and two-bin histogram replayed from (doc_id, n_chars)
+    // arithmetic; mode_frac is count/npx, a correctly-rounded IEEE
+    // quotient in both engines.  w ≤ 14, h ≤ 8 → resize is identity.
+    "mm_decode_image" ->
+      """WITH g AS (SELECT doc_id,
+        |  n_chars % 13 + 2 AS w, n_chars % 7 + 2 AS h, n_chars FROM documents),
+        |q AS (SELECT doc_id, w, h, w*h AS npx,
+        |  n_chars % (w*h) AS k0 FROM g),
+        |r AS (SELECT doc_id, w, h, npx,
+        |  CASE WHEN 2*k0 = npx THEN k0 + 1 ELSE k0 END AS k FROM q)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w AS BIGINT) AS resized_w, CAST(h AS BIGINT) AS resized_h,
+        |  CAST(CASE WHEN k > npx - k THEN (doc_id % 7) * 2
+        |       ELSE (doc_id % 7) * 2 + 1 END AS BIGINT) AS mode_bin,
+        |  CAST(GREATEST(k, npx - k) AS DOUBLE) / npx AS mode_frac
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // normalized amplitude A/32768 is exact (A a multiple of 256 under
+    // 2^15), k·x² is exact, /n and sqrt correctly rounded → bit-equal
+    "mm_decode_audio" ->
+      """WITH p AS (SELECT doc_id, n_chars % 41 + 20 AS n, n_chars FROM documents),
+        |q AS (SELECT doc_id, n, n_chars % (n - 1) + 1 AS k,
+        |  (doc_id % 75 + 50) * 256 AS amp FROM p),
+        |x AS (SELECT doc_id, n, k, CAST(amp AS DOUBLE) / 32768 AS xv FROM q)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n AS DOUBLE) / 8000 AS duration_s,
+        |  sqrt(k * (xv * xv) / n) AS rms,
+        |  xv AS peak,
+        |  CAST(n - k AS DOUBLE) / n AS silence_frac
+        |FROM x ORDER BY doc_id""".stripMargin,
     // ascii()-per-character = UTF-8-byte-per-byte only on an ASCII
     // corpus (the established text_rollhash/mm_features assumption,
     // verified at every SF) — a non-ASCII corpus would need a

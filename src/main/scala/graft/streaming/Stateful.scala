@@ -287,6 +287,56 @@ object Stateful {
       }
   }
 
+  case class StateOpMetrics(query_name: String, query_id: String,
+      batch_id: Long, operator: String, n_rows_total: Long,
+      n_rows_updated: Long, n_rows_removed: Long, memory_used_bytes: Long,
+      n_shuffle_partitions: Long)
+
+  /** Per-stateful-operator state-store metrics as a queryable DataFrame
+    * — the ops-visibility surface a pipeline operator reaches for FIRST
+    * in production ("is session state growing without bound? did the
+    * TTL actually remove rows?").  One row per state operator per
+    * query, read from each query's `lastProgress` (the engine's own
+    * per-micro-batch accounting — rows total/updated/removed and state
+    * memory straight from the state store, no extra instrumentation
+    * cost).  Queries with no progress yet (or no stateful operator)
+    * contribute no rows.
+    *
+    * This is DRIVER-side metadata (a handful of rows per query), built
+    * with `createDataFrame` — monitoring scale is O(queries ×
+    * operators), never O(data).  Join against an alerting rule table
+    * or write to a metrics sink on a schedule; for history over recent
+    * batches use [[stateMetricsHistory]].
+    */
+  def stateMetrics(spark: SparkSession,
+      queries: Seq[org.apache.spark.sql.streaming.StreamingQuery]): DataFrame = {
+    import spark.implicits._
+    queries.flatMap { q =>
+      Option(q.lastProgress).toSeq.flatMap(p => progressRows(q, p))
+    }.toDF()
+  }
+
+  /** [[stateMetrics]] over each query's full `recentProgress` window
+    * (spark.sql.streaming.numRecentProgressUpdates batches, default
+    * 100) — the growth-TREND view: state rows per operator per batch,
+    * so "n_rows_total is monotonically climbing" is one window
+    * expression away.
+    */
+  def stateMetricsHistory(spark: SparkSession,
+      queries: Seq[org.apache.spark.sql.streaming.StreamingQuery]): DataFrame = {
+    import spark.implicits._
+    queries.flatMap(q => q.recentProgress.toSeq.flatMap(p => progressRows(q, p))).toDF()
+  }
+
+  private def progressRows(q: org.apache.spark.sql.streaming.StreamingQuery,
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Seq[StateOpMetrics] =
+    p.stateOperators.toSeq.map { so =>
+      StateOpMetrics(
+        Option(q.name).getOrElse(""), q.id.toString, p.batchId,
+        so.operatorName, so.numRowsTotal, so.numRowsUpdated,
+        so.numRowsRemoved, so.memoryUsedBytes, so.numShufflePartitions)
+    }
+
   /** Custom keyed state via `flatMapGroupsWithState`: running per-user
     * totals, emitted on every update (Update mode).  The state per key
     * is one `UserTotals` — constant memory regardless of stream length.

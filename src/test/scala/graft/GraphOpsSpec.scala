@@ -49,6 +49,51 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(2L)._1 === got(3L)._1)
   }
 
+  test("dangling redistribution conserves total mass 1 on a planted sink graph") {
+    import spark.implicits._
+    // 3 is a pure sink (out-degree 0): 0->1, 0->3, 1->3, 2->0
+    val edges = Seq((0L, 1L), (0L, 3L), (1L, 3L), (2L, 0L))
+    // default: the sink leaks its mass every round — Σ < 1, the
+    // documented honest signature
+    val leaky = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 8)
+      .collect().map(_.getDouble(1))
+    assert(leaky.sum < 0.9, s"expected visible leak, got ${leaky.sum}")
+    // with redistribution: Σrank ≈ 1 (exact up to one scale-18 HALF_UP
+    // per node per round — 1e-12 is orders of magnitude of headroom)
+    val kept = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 8,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(kept.values.sum - 1.0) < 1e-12, s"sum=${kept.values.sum}")
+    // the sink holds the most mass (everything flows into 3), and the
+    // double replay with the same correction agrees
+    assert(kept(3L) === kept.values.max)
+    def ref(iters: Int): Map[Long, Double] = {
+      val nodes = Seq(0L, 1L, 2L, 3L)
+      val outdeg = Map(0L -> 2, 1L -> 1, 2L -> 1)
+      var rank = nodes.map(_ -> 0.25).toMap
+      (1 to iters).foreach { _ =>
+        val inflow = Map(
+          1L -> rank(0L) / 2, 3L -> (rank(0L) / 2 + rank(1L)), 0L -> rank(2L))
+        val dm = rank(3L) / 4
+        rank = nodes.map(id =>
+          id -> (0.15 / 4 + 0.85 * (inflow.getOrElse(id, 0.0) + dm))).toMap
+      }
+      rank
+    }
+    val expect = ref(8)
+    expect.foreach { case (id, r) =>
+      assert(math.abs(kept(id) - r) < 1e-9, s"rank of $id")
+    }
+    // no dangling nodes → flag is a no-op bit-for-bit
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val a = GraphOps.pageRank(cyc.toDF("src", "dst"), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = GraphOps.pageRank(cyc.toDF("src", "dst"), iters = 4,
+        redistributeDangling = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("symmetric cycle converges to exactly 1/n per node; total mass 1") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))

@@ -247,4 +247,45 @@ class StatefulSpec extends AnyFunSuite {
     assert(last(2L) === ((2L, 2L, 5.0)))
     q.stop()
   }
+
+  test("state-metrics frame reports the planted state counts per operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Stateful.UserEvent]
+    val q = Stateful.runningTotals(spark, mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("metrics_probe").start()
+    mem.addData(Stateful.UserEvent(1, 1.0), Stateful.UserEvent(2, 2.0), Stateful.UserEvent(3, 3.0))
+    q.processAllAvailable()
+    val m1 = Stateful.stateMetrics(spark, Seq(q)).collect()
+    // one flatMapGroupsWithState operator holding exactly the 3 planted
+    // user structs, with real memory accounted
+    assert(m1.length === 1)
+    val r1 = m1.head
+    assert(r1.getAs[String]("query_name") === "metrics_probe")
+    assert(r1.getAs[String]("operator") === "flatMapGroupsWithState")
+    assert(r1.getAs[Long]("n_rows_total") === 3L)
+    assert(r1.getAs[Long]("n_rows_updated") === 3L)
+    assert(r1.getAs[Long]("memory_used_bytes") > 0L)
+    // second batch touches one existing + one new key: total grows to
+    // 4, updated counts only this batch's writes
+    mem.addData(Stateful.UserEvent(1, 1.0), Stateful.UserEvent(4, 4.0))
+    q.processAllAvailable()
+    val r2 = Stateful.stateMetrics(spark, Seq(q)).collect().head
+    assert(r2.getAs[Long]("n_rows_total") === 4L)
+    assert(r2.getAs[Long]("n_rows_updated") === 2L)
+    // history view keeps one row per batch, monotone in batch_id, and
+    // its latest row equals the lastProgress view
+    val hist = Stateful.stateMetricsHistory(spark, Seq(q))
+      .orderBy("batch_id").collect()
+    assert(hist.length >= 2)
+    assert(hist.last.getAs[Long]("n_rows_total") === 4L)
+    // a query with no stateful operator contributes no rows
+    val mem2 = MemoryStream[Stateful.UserEvent]
+    val q2 = mem2.toDS().writeStream
+      .outputMode("append").format("memory").queryName("stateless_probe").start()
+    mem2.addData(Stateful.UserEvent(9, 9.0))
+    q2.processAllAvailable()
+    assert(Stateful.stateMetrics(spark, Seq(q2)).isEmpty)
+    q.stop(); q2.stop()
+  }
 }
