@@ -84,6 +84,37 @@ class AvroCodecSpec extends AnyFunSuite {
       AvroCodec.parseSchema(arr)).getMessage.contains("record"))
   }
 
+  test("decode runs on a STREAMING frame — the frizzle Data() consume path") {
+    // the codec seam is mapPartitions over an Encoders.row dataset,
+    // which Structured Streaming plans per micro-batch like any other
+    // narrow op — this pins that the consume-side decode needs no
+    // batch-only machinery
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sch = """{"type":"record","name":"M","fields":[
+      |{"name":"k","type":"long"},{"name":"v","type":"double"}]}""".stripMargin
+    // wire bytes produced by the batch encoder — same single-record
+    // format a Kafka value would carry
+    val payloads = {
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(1L, 1.5), Row(2L, 2.5), Row(3L, 3.5)),
+        StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))))
+      AvroCodec.toAvro(df, sch, keep = Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("avro_payload")))
+    }
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData(payloads.toIndexedSeq: _*)
+    val q = AvroCodec.fromAvro(
+        mem.toDF.toDF("msg_id", "avro_payload"), sch, keep = Seq("msg_id"))
+      .writeStream.outputMode("append").format("memory").queryName("avro_stream")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("avro_stream").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("msg_id"), r.getAs[Long]("k"), r.getAs[Double]("v")))
+    assert(got.toSeq === Seq((1L, 1L, 1.5), (2L, 2L, 2.5), (3L, 3L, 3.5)))
+  }
+
   test("bytes fields round-trip as fresh arrays (no record-reuse aliasing)") {
     val sch = """{"type":"record","name":"B","fields":[
       |{"name":"k","type":"long"},{"name":"p","type":"bytes"}]}""".stripMargin

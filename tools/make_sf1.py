@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Build a 10x ("sf1") scale-up of the documents and embeddings tables
+from the driver's sf0.1 testdata, for SCALE MEASUREMENT ONLY (never for
+correctness gating — the oracle gate always runs on the driver's own
+parquet).
+
+Construction: 10 isomorphic shards, so every per-shard statistic the
+operators depend on is EXACTLY preserved and the only thing that grows
+is data volume:
+
+- documents: copy c remaps doc_id -> doc_id + c*10_000_000 and suffixes
+  every whitespace-token with "~c" (c>0).  Within a copy the
+  token/shingle structure is isomorphic to the original (same counts,
+  same near-dup relationships); across copies the shingle sets are
+  DISJOINT, so the pair graph is 10 independent shards — a clean lower
+  bound on cross-doc interaction, with none of the artificial
+  10-clique blowup naive duplication would plant.  n_chars is
+  recomputed from the transformed text.
+
+- embeddings: copy c remaps vec_id likewise and multiplies each
+  dimension d by a deterministic sign s(c,d) in {+1,-1}.  A sign flip
+  is an exact isometry even in float32 (multiplying by +-1.0 is
+  lossless), so within-copy distances, cosines, kNN graphs and
+  cluster structure are bit-identical to the original; across copies
+  the vectors decorrelate (expected cosine ~ 0 at dim 64), so LSH/IVF
+  buckets don't artificially collapse the way exact duplication
+  (10 identical points per site) would.
+
+Output: /root/repo/target/sf1/{documents,embeddings}.parquet plus
+symlinks to the sf0.1 parquet for the remaining tables (session warmup
+reads them; the measured queries touch only the two scaled tables).
+"""
+import os
+import re
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/target/sf1"
+COPIES = 10
+STRIDE = 10_000_000
+
+os.makedirs(DST, exist_ok=True)
+
+# ---- documents ----
+t = pq.read_table(f"{SRC}/documents.parquet")
+doc_id = t.column("doc_id").to_numpy()
+text = t.column("text").to_pylist()
+lang = t.column("lang")
+source = t.column("source")
+
+chunks = []
+for c in range(COPIES):
+    if c == 0:
+        txt = text
+    else:
+        suf = f"~{c}"
+        txt = [re.sub(r"(\S+)", lambda m: m.group(1) + suf, s) if s is not None else None
+               for s in text]
+    chunks.append(pa.table({
+        "doc_id": pa.array(doc_id + c * STRIDE, type=pa.int64()),
+        "text": pa.array(txt, type=pa.string()),
+        "lang": lang,
+        "source": source,
+        "n_chars": pa.array([len(s) if s is not None else 0 for s in txt], type=pa.int64()),
+    }))
+docs = pa.concat_tables(chunks)
+pq.write_table(docs, f"{DST}/documents.parquet")
+print(f"documents: {docs.num_rows} rows")
+
+# ---- embeddings ----
+t = pq.read_table(f"{SRC}/embeddings.parquet")
+vec_id = t.column("vec_id").to_numpy()
+emb = np.array(t.column("embedding").to_pylist(), dtype=np.float32)  # (n, 64)
+label = t.column("label")
+rng_dim = emb.shape[1]
+
+chunks = []
+for c in range(COPIES):
+    # deterministic sign pattern per (copy, dim); copy 0 = identity
+    rs = np.random.RandomState(1234 + c)
+    signs = np.where(rs.rand(rng_dim) < 0.5, -1.0, 1.0).astype(np.float32) if c else np.ones(rng_dim, np.float32)
+    e = emb * signs
+    chunks.append(pa.table({
+        "vec_id": pa.array(vec_id + c * STRIDE, type=pa.int64()),
+        "embedding": pa.array([row for row in e.tolist()], type=pa.list_(pa.float32())),
+        "label": label,
+    }))
+embt = pa.concat_tables(chunks)
+pq.write_table(embt, f"{DST}/embeddings.parquet")
+print(f"embeddings: {embt.num_rows} rows")
+
+# remaining tables: symlink sf0.1 (warmup only)
+for f in os.listdir(SRC):
+    if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+        dst = f"{DST}/{f}"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{f}", dst)
+print("done:", DST)
