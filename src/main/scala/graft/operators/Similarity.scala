@@ -1437,7 +1437,24 @@ object AnnIndex {
     val codes =
       try s.read.parquet(s"$path/codes")
       catch { case _: org.apache.spark.sql.AnalysisException =>
-        deletePath(s, s"$path/tombstones"); return } // empty-corpus index
+        // codes absent: EITHER an empty-corpus index OR a flat-PQ
+        // compact that crashed between its two renames and left the
+        // pre-compact relation as codes_old.  The order matters — the
+        // empty-corpus branch deletes the tombstones, which in the
+        // crash state would RESURRECT the deleted rows through
+        // [[read]]'s codes_old fallback.  Recover the fallback into
+        // place first, then compact it normally.
+        val recovered =
+          try { val c = s.read.parquet(s"$path/codes_old"); c.schema; Some(c) }
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        recovered match {
+          case Some(_) =>
+            renamePath(s, s"$path/codes_old", s"$path/codes")
+            s.read.parquet(s"$path/codes")
+          case None =>
+            deletePath(s, s"$path/tombstones"); return // empty-corpus index
+        }
+      }
     val fresh = s"$path/codes_compact_tmp"
     if (codes.columns.contains("cid")) {
       val affected = codes.join(t, Seq("vec_id"), "left_semi")

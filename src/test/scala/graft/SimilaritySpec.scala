@@ -507,6 +507,36 @@ class SimilaritySpec extends AnyFunSuite {
       r1Search)
   }
 
+  test("flat-PQ compact crash window: codes_old fallback on read, re-run compact converges") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val full = Similarity.buildPqIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-crashidx").toString
+    full.write(dir)
+    import spark.implicits._
+    val delIds = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    graft.operators.AnnIndex.deleteFromIndex(dir, delIds)
+    val want = full.codes.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      .filterNot(_ % 5 == 0)
+    // simulate the crash point between compact's two renames: the old
+    // relation sits aside as codes_old, the fresh one never landed
+    assert(new java.io.File(s"$dir/codes")
+      .renameTo(new java.io.File(s"$dir/codes_old")))
+    // read() picks up the fallback, tombstones still anti-joined — the
+    // pre-compact view survives every crash point
+    val r = graft.operators.AnnIndex.read(spark, dir)
+    assert(r.codes.select(col("vec_id")).collect().map(_.getLong(0)).toSet === want)
+    // re-running compact must RECOVER (restore the fallback, then fold
+    // the tombstones) — not take the empty-corpus branch, which would
+    // clear tombstones and resurrect the deleted rows via the fallback
+    graft.operators.AnnIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(!new java.io.File(s"$dir/codes_old").exists())
+    assert(new java.io.File(s"$dir/codes").exists())
+    val r2 = graft.operators.AnnIndex.read(spark, dir)
+    assert(r2.codes.select(col("vec_id")).collect().map(_.getLong(0)).toSet === want)
+  }
+
   test("knn_join excludeSelf=false keeps coinciding-id pairs (cross-corpus contract)") {
     import org.apache.spark.sql.functions._
     // model two corpora whose ids numerically coincide: left = a slice
