@@ -1254,9 +1254,25 @@ object Similarity {
     * is total ⇒ the sample is bit-deterministic on any layout.
     */
   def diversitySample(corpus: DataFrame, k: Int, iters: Int,
-      quota: Int): DataFrame = {
+      quota: Int, sampleTrain: Boolean = false): DataFrame = {
     require(quota > 0, s"diversitySample: quota must be positive, got $quota")
-    val (cents, assigned) = kmeansTrain(corpus, k, iters)
+    // sampleTrain is the 100 TB knob: centroids from the shared ≤64k
+    // deterministic hash sample, Lloyd entirely driver-local, then ONE
+    // distributed assignment+selection pass — versus kmeansTrain's
+    // iters+1 full-corpus passes.  Region caps only need centroids
+    // good enough to separate semantic regions; prototypical-member
+    // selection within a region is robust to the centroid jitter a
+    // 64k sample carries (spec-pinned: identical selections on
+    // well-separated planted clusters).  The default stays full-train
+    // — exact Lloyd's, and the committed oracle replay depends on it.
+    val (cents, assigned) =
+      if (sampleTrain) {
+        val v = prep(corpus)
+        val units = trainingSample(v, corpus.count())
+        require(units.nonEmpty, "diversitySample: empty corpus")
+        val cs = sphericalKMeans(units, k, iters)
+        (cs, assignCells(v, cs))
+      } else kmeansTrain(corpus, k, iters)
     val s = corpus.sparkSession
     import s.implicits._
     val centDf = broadcast(

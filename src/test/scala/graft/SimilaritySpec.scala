@@ -507,6 +507,42 @@ class SimilaritySpec extends AnyFunSuite {
       r1Search)
   }
 
+  test("diversity_sample sampleTrain: identical selection on well-separated planted clusters") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 tight clusters along distinct axes of a 8-dim space, 40 members
+    // each with tiny deterministic within-cluster jitter — any sane
+    // centroid training separates them, so sample-trained (driver-local
+    // Lloyd over the hash sample — here the whole corpus, n < 64k) and
+    // full-corpus-trained selections must agree row-for-row
+    val vecs = (0 until 120).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.05)
+      base(c) = 10.0 + (i % 7) * 0.01   // prototypicality varies in-cluster
+      base((c + 3) % 8) += (i % 5) * 0.002
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val full = Similarity.diversitySample(vecs, k = 3, iters = 4, quota = 10)
+      .collect().map(_.toString).toSeq
+    val sampled = Similarity.diversitySample(vecs, k = 3, iters = 4, quota = 10,
+        sampleTrain = true)
+      .collect().map(_.toString).toSeq
+    // cid numbering can differ between trainers; compare the SELECTED
+    // id sets per rank-ordered cluster (membership + order inside each
+    // cluster is the contract; the label is arbitrary)
+    def byCluster(rows: Seq[String]): Set[Seq[String]] = rows
+      .map(_.stripPrefix("[").stripSuffix("]").split(","))
+      .groupBy(_.head)
+      .values.map(_.sortBy(_(1).toLong).map(a => a(1) + ":" + a(2)).toSeq)
+      .toSet
+    assert(byCluster(sampled) === byCluster(full))
+    assert(sampled.size === 30)
+    // and the sampled path is deterministic across invocations
+    val again = Similarity.diversitySample(vecs, k = 3, iters = 4, quota = 10,
+        sampleTrain = true).collect().map(_.toString).toSeq
+    assert(again === sampled)
+  }
+
   test("flat-PQ compact crash window: codes_old fallback on read, re-run compact converges") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, sf)
