@@ -73,6 +73,11 @@ object GraphOps {
       return nodes.select(col("id"), lit(0.0).as("rank"), lit(0L).as("n_in"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
+    // edges with their src out-degree, joined ONCE: both sides are
+    // static across rounds, so re-joining inside the loop paid one
+    // whole join (and its exchanges) per iteration for an identical
+    // result — the per-round work is now rank-join + dst-sum only
+    val edeg = e.join(outdeg, "src").localCheckpoint(eager = false)
     // the out-degree-0 slice, computed once; empty on the kNN graph
     val danglingIds =
       if (redistributeDangling)
@@ -90,9 +95,8 @@ object GraphOps {
       // relation broadcasts while the graph is small and graduates to
       // a shuffled join when it is corpus-sized; a forced merge hint
       // would pay two sorts per iteration at every scale
-      val contrib = e
+      val contrib = edeg
         .join(rank.withColumnRenamed("id", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst"),
           (col("r") / col("deg").cast("decimal(10,0)")).cast(D).as("share"))
         .groupBy(col("dst"))
