@@ -161,6 +161,78 @@ object AvroCodec {
     }(Encoders.row(outSchema))
   }
 
+  /** Avro CONTAINER FILES (the `.avro` object-container format — what
+    * export jobs and Kafka Connect sinks actually emit, magic bytes
+    * `Obj\x01`, embedded writer schema, deflate/null codecs) decoded
+    * to rows through the [[Formats.readBinaryFiles]] edge: one row per
+    * record, with the source path attached as `src_file` provenance.
+    * The READER schema is the caller's (same subset contract as the
+    * single-record codec) and Avro's standard schema resolution
+    * reconciles it with each file's embedded writer schema — so files
+    * written with extra fields or reordered fields still decode, the
+    * Avro evolution story.
+    *
+    * Parallelism is PER FILE (the binaryFile contract): fine for the
+    * many-files layout container corpora ship in, wrong for one
+    * monolithic multi-GB file — that needs a splittable input format,
+    * and this reader's `maxBytes` guard (from readBinaryFiles)
+    * excludes such files rather than OOMing an executor; audit drops
+    * with [[Formats.oversizedFiles]].  Decode streams record-by-record
+    * (DataFileStream) — constant memory per file regardless of record
+    * count.
+    */
+  def readAvroFiles(s: org.apache.spark.sql.SparkSession, path: String,
+      schemaJson: String, globFilter: String = "*.avro",
+      maxBytes: Long = 256L << 20): DataFrame = {
+    val avro = parseSchema(schemaJson)
+    val decoded = sparkSchema(avro)
+    val outSchema = StructType(
+      StructField("src_file", StringType, nullable = false) +: decoded.fields)
+    val nFields = decoded.length
+    val files = Formats.readBinaryFiles(s, path, globFilter, maxBytes)
+      .select(col("path"), col("content"))
+    files.flatMap { row =>
+      val sch = new Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord]()
+      reader.setExpected(sch) // resolve writer schema -> caller's reader schema
+      val stream = new org.apache.avro.file.DataFileStream[GenericRecord](
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("content")), reader)
+      val src = row.getAs[String]("path")
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = stream.hasNext; if (!h) stream.close(); h }
+        def next(): Row = {
+          val rec = stream.next()
+          val out = new Array[Any](1 + nFields)
+          out(0) = src
+          var i = 0
+          while (i < nFields) { out(1 + i) = fromAvroValue(rec.get(i)); i += 1 }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[readAvroFiles]]' write half, for tests and small exports: the
+    * frame's schema-named columns into ONE container file (driver-side
+    * stream — a distributed writer would need executor-direct file
+    * commits, which parquet already does better; big exports should
+    * stay parquet and this exists to round-trip the ingest edge).
+    */
+  def writeAvroFile(df: DataFrame, schemaJson: String, file: String): Unit = {
+    val avro = parseSchema(schemaJson)
+    val fieldNames = avro.getFields.asScala.map(_.name).toSeq
+    val rows = df.select(fieldNames.map(col): _*).collect()
+    val writer = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avro))
+    writer.create(avro, new java.io.File(file))
+    try rows.foreach { r =>
+      val rec = new GenericData.Record(avro)
+      var i = 0
+      while (i < fieldNames.length) { rec.put(i, toAvroValue(r.get(i))); i += 1 }
+      writer.append(rec)
+    } finally writer.close()
+  }
+
   /** External Row value → Avro runtime value (bytes ride as ByteBuffer). */
   private def toAvroValue(v: Any): AnyRef = v match {
     case null => null

@@ -73,6 +73,50 @@ class AvroCodecSpec extends AnyFunSuite {
       base.orderBy("event_id").collect().toSeq)
   }
 
+  test("property: random scalar records round-trip bit-exactly (fixed-seed scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sch = """{"type":"record","name":"P","fields":[
+      |{"name":"b","type":"boolean"},
+      |{"name":"i","type":"int"},
+      |{"name":"l","type":"long"},
+      |{"name":"f","type":"float"},
+      |{"name":"d","type":"double"},
+      |{"name":"s","type":["null","string"],"default":null},
+      |{"name":"y","type":"bytes"}]}""".stripMargin
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("y", BinaryType)))
+    // extreme values on purpose: varint boundaries, subnormals, NaN
+    // payloads, empty/None strings, empty byte arrays
+    val row: Gen[Row] = for {
+      b <- Gen.oneOf(true, false)
+      i <- Gen.oneOf(Gen.const(Int.MinValue), Gen.const(Int.MaxValue), Gen.chooseNum(-1000, 1000))
+      l <- Gen.oneOf(Gen.const(Long.MinValue), Gen.const(Long.MaxValue), Gen.chooseNum(-1000000L, 1000000L))
+      f <- Gen.oneOf(Gen.const(Float.NaN), Gen.const(Float.MinPositiveValue), Gen.chooseNum(-1e30f, 1e30f))
+      d <- Gen.oneOf(Gen.const(Double.NaN), Gen.const(java.lang.Double.MIN_VALUE), Gen.chooseNum(-1e300, 1e300))
+      s <- Gen.oneOf(Gen.const(null: String), Gen.const(""), Gen.listOf(Gen.alphaNumChar).map(_.mkString))
+      y <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    } yield Row(b, i, l, f, d, s, y)
+    (1 to 6).foreach { round =>
+      val rows = Gen.listOfN(25, row)
+        .apply(org.scalacheck.Gen.Parameters.default, Seed(0xa55e7L ^ round)).get
+      val df = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+      val back = AvroCodec.fromAvro(AvroCodec.toAvro(df, sch), sch).collect()
+      // compare via bit patterns so NaN == NaN and -0.0 != 0.0
+      def key(r: Row) = (r.getBoolean(0), r.getInt(1), r.getLong(2),
+        java.lang.Float.floatToRawIntBits(r.getFloat(3)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(4)),
+        Option(r.getString(5)),
+        r.getAs[Array[Byte]](6).toSeq)
+      assert(back.map(key).sortBy(_.toString).toSeq ===
+        rows.map(key).sortBy(_.toString).toSeq, s"round $round")
+    }
+  }
+
   test("schema subset is enforced at parse time, not row time") {
     val nested = """{"type":"record","name":"Bad","fields":[
       |{"name":"inner","type":{"type":"record","name":"I","fields":[
@@ -113,6 +157,35 @@ class AvroCodecSpec extends AnyFunSuite {
     val got = spark.table("avro_stream").orderBy("k").collect()
       .map(r => (r.getAs[Long]("msg_id"), r.getAs[Long]("k"), r.getAs[Double]("v")))
     assert(got.toSeq === Seq((1L, 1L, 1.5), (2L, 2L, 2.5), (3L, 3L, 3.5)))
+  }
+
+  test("avro container files: write, re-ingest with provenance, schema evolution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrofiles")
+    val writerSch = """{"type":"record","name":"W","fields":[
+      |{"name":"k","type":"long"},
+      |{"name":"extra","type":"string"},
+      |{"name":"v","type":"double"}]}""".stripMargin
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, "a", 1.5), Row(2L, "b", 2.5), Row(3L, "c", 3.5)),
+      StructType(Seq(StructField("k", LongType),
+        StructField("extra", StringType), StructField("v", DoubleType))))
+    AvroCodec.writeAvroFile(df.filter(col("k") < 3), writerSch, s"$dir/p0.avro")
+    AvroCodec.writeAvroFile(df.filter(col("k") === 3), writerSch, s"$dir/p1.avro")
+    // same-schema read: all rows back, src_file carries which file
+    val full = AvroCodec.readAvroFiles(spark, dir.toString, writerSch)
+    assert(full.schema.fieldNames.toSeq === Seq("src_file", "k", "extra", "v"))
+    val rows = full.collect().map(r =>
+      (r.getAs[String]("src_file").split('/').last, r.getAs[Long]("k"),
+        r.getAs[String]("extra"), r.getAs[Double]("v"))).sortBy(_._2)
+    assert(rows.toSeq === Seq(("p0.avro", 1L, "a", 1.5),
+      ("p0.avro", 2L, "b", 2.5), ("p1.avro", 3L, "c", 3.5)))
+    // evolution: a narrower, REORDERED reader schema resolves against
+    // each file's embedded writer schema by field name
+    val readerSch = """{"type":"record","name":"W","fields":[
+      |{"name":"v","type":"double"},{"name":"k","type":"long"}]}""".stripMargin
+    val narrow = AvroCodec.readAvroFiles(spark, dir.toString, readerSch)
+      .orderBy("k").collect().map(r => (r.getAs[Double]("v"), r.getAs[Long]("k")))
+    assert(narrow.toSeq === Seq((1.5, 1L), (2.5, 2L), (3.5, 3L)))
   }
 
   test("bytes fields round-trip as fresh arrays (no record-reuse aliasing)") {
