@@ -56,6 +56,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.get("dlq") === expectedDlq)
   }
 
+  test("avro payloads decode IN-FLIGHT inside a routed pipeline; routing keys off decoded fields") {
+    // the full consume story composed end-to-end: producer side packs
+    // each message's payload as single-record Avro binary, the route
+    // transform decodes it mid-stream, and BOTH the validity gate and
+    // the destination come from DECODED fields — nothing downstream
+    // ever sees the wire bytes
+    import graft.sources.AvroCodec
+    val sch = """{"type":"record","name":"Ev","fields":[
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"}]}""".stripMargin
+    val ckpt = Files.createTempDirectory("graft-ckpt-avro").toString
+    val sink = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def toAvroMsg(df: DataFrame): DataFrame = AvroCodec.toAvro(
+      df.select(col("event_id").cast("string").as("msg_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value")),
+      sch, keep = Seq("msg_id", "ts"))
+    val source = FileMsgSource(eventsDir, eventsRaw, toAvroMsg)
+    val route = Frizzle.Route(
+      df => AvroCodec.fromAvro(df, sch, "avro_payload", keep = Seq("msg_id", "ts"))
+        .withColumn("dest", concat(lit("events."), col("event_type"))),
+      isValid = col("value") >= 1.0)
+    val q = Frizzle.runRouted(spark, source, route, dest = col("dest"),
+      (df, dest, _) => { sink.merge(dest, df.count(), (a, b) => a + b); () },
+      ckpt)
+    q.awaitTermination(120000)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val expected = ev.filter(col("value") >= 1.0)
+      .groupBy(concat(lit("events."), col("event_type")).as("d"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.foreach { case (d, n) => assert(sink.get(d) === n, s"dest $d") }
+    assert(sink.get("dlq") === ev.filter(col("value") < 1.0).count())
+  }
+
   test("routed fan-out sends each destination exactly its rows, dlq the failures, across two epochs") {
     val ckpt = Files.createTempDirectory("graft-ckpt-fanout").toString
     // two copies of the file + maxFilesPerTrigger=1 → two ack epochs
