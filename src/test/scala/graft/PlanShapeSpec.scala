@@ -294,4 +294,32 @@ class PlanShapeSpec extends AnyFunSuite {
     // daily counts combine map-side before the (type, day) shuffle
     assert(countIn(p, "partial_count") >= 1)
   }
+
+  test("labelPropagation round: both aggregates share the one src-keyed exchange") {
+    // the round-9 rework keys the per-round vote exchange by src
+    // alone, so the (src,nlabel) count and the per-src argmax run in
+    // one stage — replicate ONE round's plan (the loop hides each
+    // round behind a localCheckpoint lineage cut) and pin it
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val lab = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "label")
+    val round = e
+      .join(lab.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+      .repartition(col("src"))
+      .groupBy(col("src"), col("nlabel")).agg(count(lit(1)).as("c"))
+      .groupBy(col("src"))
+      .agg(max(struct(col("c"), (-col("nlabel")).as("neg"))).as("m"))
+      .select(col("src").as("id"), (-col("m.neg")).as("label"))
+    val p = plan(round)
+    // exactly one shuffle exchange downstream of the join: the
+    // repartition(src).  A second one means an aggregate stopped
+    // accepting HashPartitioning(src) as satisfying its clustering
+    // and the one-stage property silently regressed.
+    val shuffles = countIn(p, "Exchange hashpartitioning")
+    assert(shuffles === 1,
+      s"expected the single src repartition, found $shuffles:\n" +
+        p.linesIterator.take(25).mkString("\n"))
+  }
 }
