@@ -26,7 +26,7 @@ class StatefulSpec extends AnyFunSuite {
 
   test("streaming session_window emits the batch sessions that closed") {
     val src = spark.readStream.schema(eventsRaw).parquet(eventsDir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"), col("value"))
+      .select(TestSpark.eventsTs.as("ts"), col("user_id"), col("value"))
     val q = Stateful.sessionAgg(src).writeStream
       .outputMode("append").format("memory").queryName("sess_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -63,7 +63,7 @@ class StatefulSpec extends AnyFunSuite {
   test("stream-stream interval join matches the batch range join") {
     def side(tpe: String) = spark.readStream.schema(eventsRaw).parquet(eventsDir)
       .filter(col("event_type") === tpe)
-      .select(col("event_id"), col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
+      .select(col("event_id"), col("user_id"), TestSpark.eventsTs.as("ts"))
     val q = Stateful.purchaseClickJoin(side("purchase"), side("click"))
       .writeStream.outputMode("append").format("memory").queryName("ssj_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

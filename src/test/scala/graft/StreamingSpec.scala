@@ -36,7 +36,7 @@ class StreamingSpec extends AnyFunSuite {
       col("user_id").cast("string").as("key"),
       encode(col("props"), "UTF-8").as("payload"),
       concat(lit("events."), col("event_type")).as("dest"),
-      timestamp_micros(expr("ts div 1000")).as("ts"))
+      TestSpark.eventsTs.as("ts"))
 
   test("frizzle pipeline routes valid vs dead-letter with checkpointed acks") {
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
@@ -70,7 +70,7 @@ class StreamingSpec extends AnyFunSuite {
     val sink = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     def toAvroMsg(df: DataFrame): DataFrame = AvroCodec.toAvro(
       df.select(col("event_id").cast("string").as("msg_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        TestSpark.eventsTs.as("ts"),
         col("event_type"), col("value")),
       sch, keep = Seq("msg_id", "ts"))
     val source = FileMsgSource(eventsDir, eventsRaw, toAvroMsg)
@@ -160,7 +160,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming tumbling window agrees with the batch image") {
     val src = spark.readStream.schema(eventsRaw).parquet(eventsDir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+      .select(TestSpark.eventsTs.as("ts"), col("event_type"), col("value"))
     val agg = src.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = agg.writeStream.outputMode("complete")
@@ -179,10 +179,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming spike monitor flags exactly the batch audit's (type, day) set") {
     val batchEvents = spark.read.schema(eventsRaw).parquet(eventsDir)
-      .select(col("event_type"), timestamp_micros(expr("ts div 1000")).as("ts"))
+      .select(col("event_type"), TestSpark.eventsTs.as("ts"))
     val stats = EventOps.spikeStats(batchEvents)
     val src = spark.readStream.schema(eventsRaw).parquet(eventsDir)
-      .select(col("event_type"), timestamp_micros(expr("ts div 1000")).as("ts"))
+      .select(col("event_type"), TestSpark.eventsTs.as("ts"))
     val q = Stateful.spikeMonitor(src, stats)
       .writeStream.outputMode("complete")
       .format("memory").queryName("spike_stream")
