@@ -234,9 +234,123 @@ object GraphOps {
       .limit(50)
   }
 
+  /** Per-node triangle counts over an undirected edge list — the
+    * graph-cohesion diagnostic for dedup clusters: a near-dup
+    * component whose members form triangles is a genuine clique of
+    * copies (every member pairwise-similar), while a triangle-free
+    * chain is transitive drift (A~B~C with A̸~C) — exactly the case
+    * where "keep one representative per component" quietly drops
+    * documents that were never actually similar to the kept one.
+    *
+    * Degree-oriented enumeration (Suri & Vassilvitskii, WWW'11): each
+    * undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher one, wedges are built only from each node's
+    * OUT-edges, and a wedge (u→v, u→w) closes iff {v,w} is an edge.
+    * Every triangle then has exactly one wedge-center (its
+    * minimum-order node), so each is found once — and out-degree under
+    * this orientation is O(√m), so wedge volume is Σ outdeg² = O(m^1.5)
+    * REGARDLESS of degree skew, where naive wedge-building at a
+    * celebrity node of degree d contributes d² alone ("the curse of
+    * the last reducer" — the paper's title problem).  All three steps
+    * are joins + keyed aggregates with map-side partials; nothing is
+    * ever collected.
+    *
+    * Input: (src, dst) long columns (direction ignored; self-loops
+    * dropped).  Output: (id, n_neighbors, n_triangles) — one row per
+    * node with ≥1 edge.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      // read by the degree aggregate, both orientation joins and the
+      // closing join — without the cache the upstream pair pipeline
+      // (e.g. the full shingle self-join) would execute per reference
+      .persist()
+    try {
+      val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      // orient by (degree, id) — a TOTAL order, so orientation is
+      // deterministic and acyclic; ties in degree break by id
+      val withDeg = e
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      val o = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      // wedges from out-edges only; v1 < v2 dedupes the unordered
+      // out-neighbor pair, and the closing edge is probed in the
+      // CANONICAL id-ordered set (orientation order ≠ id order)
+      val wedges = o.as("x").join(o.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.u").as("w0"),
+          least(col("x.v"), col("y.v")).as("a"),
+          greatest(col("x.v"), col("y.v")).as("b"))
+      val tris = wedges.join(e, Seq("a", "b"))
+      val perNode = tris
+        .select(explode(array(col("w0"), col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+      deg.join(perNode, Seq("id"), "left")
+        .select(col("id"), col("deg").as("n_neighbors"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        // one action materializes everything that reads the cached
+        // edge list, so unpersist in the caller's finally is safe
+        .localCheckpoint(eager = true)
+    } finally { e.unpersist(blocking = false); () }
+  }
+
+  /** Driver entry: triangle structure of the exact near-dup pair graph
+    * ([[Dedup]]'s ngram-Jaccard pairs — deterministic and
+    * SQL-replayable, so unlike the kNN-graph entries this one is
+    * oracle-EXACT: DuckDB re-derives the pairs and counts triangles
+    * relationally).  One row per document that has a near-dup
+    * neighbor: its neighbor count and the triangles through it.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+        graft.sources.Tables.documents(s, dir), Dedup.ShingleDfCap)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    triangleCounts(pairs)
+      .select(col("id").as("doc_id"), col("n_neighbors"), col("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_pagerank" -> (knnPagerank _),
-    "knn_communities" -> (knnCommunities _))
+    "knn_communities" -> (knnCommunities _),
+    "graph_triangles" -> (graphTriangles _))
 
-  def oracleSql: Map[String, String] = Map()
+  /** graph_triangles replays the exact pair graph (the
+    * dedup_ngram_jaccard CTE) and counts triangles with a canonical
+    * 3-way join: for x < y < z all of (x,y), (y,z), (x,z) are in the
+    * id-ordered pair set, found once via a.d2 = b.d1 chaining.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |p AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |      WHERE c / (s1.n + s2.n - c) >= 0.8),
+        |tri AS (SELECT a.d1 AS x, a.d2 AS y, b.d2 AS z
+        |        FROM p a JOIN p b ON a.d2 = b.d1 JOIN p c ON a.d1 = c.d1 AND b.d2 = c.d2),
+        |deg AS (SELECT id, COUNT(*) AS n_neighbors FROM
+        |          (SELECT d1 AS id FROM p UNION ALL SELECT d2 FROM p) GROUP BY id),
+        |tn AS (SELECT id, COUNT(*) AS n_tri FROM
+        |         (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |       GROUP BY id)
+        |SELECT deg.id AS doc_id, deg.n_neighbors,
+        |  COALESCE(tn.n_tri, 0) AS n_triangles
+        |FROM deg LEFT JOIN tn ON deg.id = tn.id
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -167,4 +167,62 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
     assert(ranks.forall(_ > 0.0))
   }
+
+  private def triMap(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    GraphOps.triangleCounts(edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("triangle counts on planted shapes: triangle, square, K4, star") {
+    // single triangle: every node in exactly 1
+    assert(triMap(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ===
+      Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L))))
+    // 4-cycle: wedges exist but never close
+    assert(triMap(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+      .values.forall(_ == ((2L, 0L))))
+    // K4: 4 triangles total, each node in C(3,2) = 3 of them
+    assert(triMap(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))) ===
+      Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)), 4L -> ((3L, 3L))))
+    // star: the degree-skew case the orientation exists for — hub has
+    // high degree but zero out-wedges (all edges orient leaf -> hub)
+    assert(triMap(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))) ===
+      Map(0L -> ((4L, 0L)), 1L -> ((1L, 0L)), 2L -> ((1L, 0L)),
+        3L -> ((1L, 0L)), 4L -> ((1L, 0L))))
+  }
+
+  test("triangle counts agree with a brute-force replay on a random graph; input form is irrelevant") {
+    // deterministic pseudo-random graph: ~120 edges over 40 nodes
+    val edges = (for (a <- 0L until 40L; b <- (a + 1) until 40L
+      if ((a * 2654435761L + b * 40503L) % 13) == 0L) yield (a, b)).toSeq
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val refTri = nodes.map { u =>
+      u -> adj(u).toSeq.combinations(2).count {
+        case Seq(v, w) => adj(v).contains(w); case _ => false }.toLong
+    }.toMap
+    // direction + duplicates + self-loops must not change the counts
+    val noisy = edges ++ edges.map(_.swap) ++ Seq((7L, 7L))
+    val got = triMap(noisy)
+    assert(got.keySet === nodes.toSet)
+    nodes.foreach { u =>
+      assert(got(u)._1 === adj(u).size.toLong, s"degree of $u")
+      assert(got(u)._2 === refTri(u), s"triangles through $u")
+    }
+  }
+
+  test("graph_triangles driver entry: canonical node set, triangles bounded by wedges") {
+    val rows = GraphOps.graphTriangles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted), "ordered by doc_id")
+    rows.foreach { r =>
+      val (deg, tri) = (r.getLong(1), r.getLong(2))
+      assert(deg >= 1)
+      assert(tri <= deg * (deg - 1) / 2, s"triangles through ${r.getLong(0)} exceed wedge bound")
+    }
+  }
 }
