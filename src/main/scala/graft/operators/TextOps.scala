@@ -399,7 +399,80 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25-shaped keyword retrieval: rank documents against a query
+    * term set with the Robertson/Sparck-Jones term-frequency
+    * saturation and length normalization (k1 = 1.2, b = 0.75) — the
+    * retrieval primitive behind corpus search, RAG candidate
+    * generation, and "find me training docs about X" curation pulls.
+    *
+    * LOG-FREE + INTEGER-SUMMED for oracle exactness: standard BM25's
+    * idf = ln((N−df+0.5)/(df+0.5)) is transcendental and differs
+    * across engines in the last ulp (the measured [[lmScoreDocs]]
+    * problem), so the idf here is the RATIO itself, un-logged —
+    * a strictly monotone transform of each term's weight, preserving
+    * single-term orderings while weighting rare terms more
+    * aggressively than the log form (documented semantics, not an
+    * approximation bug).  Every remaining op is IEEE +,*,/ — each
+    * correctly rounded, so with BOTH engines evaluating the same
+    * expression tree the per-term contribution is bit-identical —
+    * and each contribution is floored to an e9-scaled INTEGER before
+    * the per-doc sum, so the sum is exact in any order (the
+    * contribution-sum trick [[lmScoreDocs]] couldn't use because log
+    * itself already diverged).  Ranking is total: (score desc,
+    * doc_id), so the top-k cut is deterministic.
+    *
+    * Scale shape: the query set is ≤ nTerms rows (broadcast); tf rows
+    * exist only for (doc, matched-term) — the corpus-wide work is one
+    * df aggregate (map-side partials over per-doc distinct terms,
+    * the [[topTerms]] shape) + one matched-token aggregate.  Nothing
+    * corpus-sized crosses unaggregated.
+    */
+  def keywordTopK(docs: DataFrame, queryTerms: DataFrame, k: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val dl = t.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val stats = t.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk")).cast("long")).as("n_tokens"))
+    val tf = t.select(col("doc_id"), explode(col("tk")).as("term"))
+      .join(broadcast(queryTerms), "term")
+      .groupBy(col("doc_id"), col("term"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    // expression tree mirrored token-for-token in the oracle SQL —
+    // every node a correctly-rounded IEEE double op, so the floor'd
+    // e9 integer is engine-independent
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") /
+            (col("n_tokens").cast("double") / col("n_docs").cast("double")))))
+    tf.join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"), floor(idf * tfn * lit(1e9)).as("c_e9"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_e9")).as("score_e9"))
+      .orderBy(col("score_e9").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Driver entry: the query set derives deterministically from the
+    * corpus itself — the `nTerms` highest-document-frequency terms of
+    * length ≥ 6 (df desc, term asc: a total order both engines
+    * replay), standing in for a user query the synthetic corpus can't
+    * ship.  `df` rides the query frame so scoring needs no second
+    * corpus pass.
+    */
+  def keywordTopkEntry(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qt = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(length(col("term")) >= 6)
+      .orderBy(col("df").desc, col("term")).limit(4)
+    keywordTopK(docs, qt, 20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "keyword_topk" -> (keywordTopkEntry _),
     "text_normalize" -> (textNormalize _),
     "lm_score" -> (lmScoreDocs _),
     "pii_scrub" -> (piiScrub _),
@@ -418,6 +491,34 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    // idf ratio + tf saturation mirrored as the SAME double expression
+    // tree (explicit DOUBLE casts keep DuckDB's decimal literals and
+    // HUGEINT sums out of the arithmetic); contributions floor to e9
+    // integers before the order-insensitive integer sum
+    "keyword_topk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS n_tokens FROM t),
+        |tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+        |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |qt AS (SELECT term, df FROM dfr WHERE length(term) >= 6
+        |       ORDER BY df DESC, term LIMIT 4),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok JOIN qt USING (term)
+        |       GROUP BY doc_id, term),
+        |sc AS (SELECT tf.doc_id, CAST(floor(
+        |    ((CAST(n.n_docs - qt.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |     / (CAST(qt.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |    * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |       / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |           (CAST(dl.dl AS DOUBLE)
+        |            / (CAST(n.n_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))))
+        |    * CAST(1e9 AS DOUBLE)) AS BIGINT) AS c_e9
+        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN n)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+        |  CAST(SUM(c_e9) AS BIGINT) AS score_e9
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_e9 DESC, doc_id LIMIT 20""".stripMargin,
     // DuckDB's nfc_normalize (utf8proc) and the engine's
     // java.text.Normalizer both implement UAX #15 NFC; the regexp
     // chain replays steps 2-3 of the native one-pass form.

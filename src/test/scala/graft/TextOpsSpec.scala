@@ -500,6 +500,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("keyword_topk: JVM replay agrees bit-exactly; saturation and length-norm orderings hold") {
+    import spark.implicits._
+    // doc 1: query term twice, short; doc 2: once, same length; doc 3:
+    // once but longer (length-normalized below doc 2); doc 4: no hits;
+    // doc 5: a rarer term (higher idf) once
+    val docs = Seq(
+      (1L, "needle needle filler filler"),
+      (2L, "needle filler filler filler"),
+      (3L, "needle filler filler filler filler filler filler filler"),
+      (4L, "filler filler filler filler"),
+      (5L, "jewel filler filler filler")).toDF("doc_id", "text")
+    val qt = Seq(("needle", 3L), ("jewel", 1L)).toDF("term", "df")
+    val got = TextOps.keywordTopK(docs, qt, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent replay of the documented expression tree
+    val n = 5.0; val nTok = 24.0; val avgdl = nTok / n
+    def contrib(df: Double, tf: Double, dl: Double): Long =
+      math.floor((n - df + 0.5) / (df + 0.5) *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) * 1e9).toLong
+    val exp = Seq(
+      5L -> contrib(1, 1, 4), 1L -> contrib(3, 2, 4),
+      2L -> contrib(3, 1, 4), 3L -> contrib(3, 1, 8))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.map(r => (r._1, r._3)) === exp)
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 5L), "no-hit docs never rank")
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(2L), "higher tf at equal length wins")
+    assert(byId(2L) > byId(3L), "longer doc with equal tf loses")
+    assert(byId(5L) > byId(2L), "rarer term (higher idf ratio) outweighs a common one")
+  }
+
   test("token_histogram_bpe covers the corpus and cum_share reaches 1") {
     val rows = TextOps.tokenHistogramBpe(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
