@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScore, Bpe, BpeEncodeIds, BpeSegment, BpeTokenCount, CharPairs, CountInSet, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, NormalizeText, RepetitionStats, RollingHash64, SimHash64, WindowHashes, WordShingles}
+import graft.functions.{AdcScore, Bpe, BpeEncodeIds, BpeSegment, BpeTokenCount, CharPairs, CountInSet, DeflateLen, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, NormalizeText, RepetitionStats, RollingHash64, SimHash64, WindowHashes, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(string) - Rabin-Karp 64-bit rolling hash"),
       (args: Seq[Expression]) => RollingHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("deflate_len"),
+      info("deflate_len", "deflate_len(string) - DEFLATE-compressed byte length of the UTF-8 bytes (level 6, raw stream)"),
+      (args: Seq[Expression]) => DeflateLen(args.head)))
     e.injectFunction((FunctionIdentifier("hyperplane_buckets"),
       info("hyperplane_buckets", "hyperplane_buckets(array<double>, tables, bits, seed) - LSH bucket keys per table"),
       (args: Seq[Expression]) => HyperplaneBuckets(args.head,

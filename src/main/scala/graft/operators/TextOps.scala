@@ -471,7 +471,41 @@ object TextOps {
     keywordTopK(docs, qt, 20)
   }
 
+  /** Compression-ratio quality profile: deflate_len(text)/byte_len per
+    * doc ([[graft.functions.DeflateLen]] — the MassiveText/RefinedWeb
+    * curation signal: templated spam compresses far below prose,
+    * random noise barely compresses), histogrammed per source in
+    * tenth-wide buckets.  Both TAILS of the histogram are what a
+    * curation pass inspects, and a per-source shift is an ingest
+    * regression flag (a crawler suddenly emitting boilerplate moves a
+    * whole source's mass down-bucket).
+    *
+    * Pure scan-project into a bounded-key aggregate (|sources|×12
+    * keys, map-side partials): input-bandwidth at any corpus size.
+    * Per-bucket min/max ratios ride along (exact int/int IEEE
+    * quotients; order-free aggregates, so no sum-order caveat).
+    * Deflate isn't SQL-expressible → rows-only; the spec pins the
+    * expression against an independent JVM replay.
+    */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), octet_length(col("text")).cast("long").as("raw"),
+        graft.functions.DeflateLen.deflateLen(col("text")).as("defl"))
+      .filter(col("raw") > 0)
+      .select(col("source"),
+        (col("defl").cast("double") / col("raw").cast("double")).as("ratio"))
+      // deflate overhead can push tiny/incompressible docs past 1.0;
+      // keep them visible in two over-unity buckets instead of
+      // clamping into the 0.9s
+      .select(col("source"), least(floor(col("ratio") * 10), lit(11L)).as("bucket"),
+        col("ratio"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ratio")).as("min_ratio"), max(col("ratio")).as("max_ratio"))
+      .orderBy(col("source"), col("bucket"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compression_ratio" -> (compressionRatio _),
     "keyword_topk" -> (keywordTopkEntry _),
     "text_normalize" -> (textNormalize _),
     "lm_score" -> (lmScoreDocs _),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, octet_length}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Multimodal, TextOps}
@@ -529,6 +530,59 @@ class TextOpsSpec extends AnyFunSuite {
     assert(byId(1L) > byId(2L), "higher tf at equal length wins")
     assert(byId(2L) > byId(3L), "longer doc with equal tf loses")
     assert(byId(5L) > byId(2L), "rarer term (higher idf ratio) outweighs a common one")
+  }
+
+  test("deflate_len matches an independent JVM replay; ratio discriminates noise from boilerplate") {
+    import spark.implicits._
+    def ref(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192); var t = 0L
+        while (!d.finished()) t += d.deflate(buf)
+        t
+      } finally d.end()
+    }
+    val rep = "spam spam spam spam " * 50
+    val noise = {
+      var x = 42L
+      (1 to 1000).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (((x >>> 33) % 93) + 33).toChar
+      }.mkString
+    }
+    val prose = "the quick brown fox jumps over the lazy dog and keeps going " * 10
+    val planted = Seq(rep, noise, prose, "", "x")
+    val corpus = Tables.documents(spark, sf).select("text").limit(50)
+      .collect().map(_.getString(0)).toSeq
+    val got = (planted ++ corpus).toDF("text")
+      .select(graft.functions.DeflateLen.deflateLen(col("text")).as("d"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === (planted ++ corpus).map(ref), "bit-exact vs the JVM replay")
+    def ratio(s: String): Double = ref(s).toDouble / s.getBytes("UTF-8").length
+    assert(ratio(rep) < 0.1, "boilerplate collapses")
+    assert(ratio(noise) > 0.7, "noise barely compresses")
+    assert(ratio(prose) > ratio(rep) && ratio(prose) < ratio(noise), "prose sits between")
+    // SQL registration
+    val viaSql = spark.sql("SELECT deflate_len('aaaaaaaaaa')").collect()(0).getLong(0)
+    assert(viaSql === ref("aaaaaaaaaa"))
+  }
+
+  test("compression_ratio: bounded buckets partition all non-empty docs; layout-independent") {
+    val rows = TextOps.compressionRatio(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nonEmpty = Tables.documents(spark, sf)
+      .filter(octet_length(col("text")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nonEmpty)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("bucket"), r.getAs[Double]("min_ratio"), r.getAs[Double]("max_ratio"))
+      assert(b >= 0 && b <= 11)
+      assert(lo <= hi)
+      assert(math.floor(lo * 10).toLong.min(11) === b, s"min_ratio outside bucket $b")
+      assert(math.floor(hi * 10).toLong.min(11) === b, s"max_ratio outside bucket $b")
+    }
+    val re = TextOps.compressionRatio(spark, sf).collect()
+    assert(re.map(_.toString).toSeq === rows.map(_.toString).toSeq, "deterministic")
   }
 
   test("token_histogram_bpe covers the corpus and cum_share reaches 1") {
