@@ -1297,7 +1297,210 @@ object Similarity {
   def diversitySampleEmbeddings(s: SparkSession, dir: String): DataFrame =
     diversitySample(Tables.embeddings(s, dir), 8, 4, 32)
 
+  /** PCA basis over the embedding corpus, trained on the deterministic
+    * ≤[[TrainMaxSample]] hash sample (the IVF/PQ training idiom —
+    * bounded driver state at ANY corpus size; the basis is a dim×dim
+    * model, so like a quantizer codebook it trains on a sample and
+    * applies everywhere).  RAW vectors, not unit-normalized: PCA is a
+    * variance decomposition of the embedding space itself.
+    *
+    * Driver-local and bit-deterministic: sample sorted by vec_id →
+    * mean → covariance (1/n convention) → cyclic Jacobi rotations
+    * (fixed sweep cap, tolerance-converged — the textbook symmetric
+    * eigensolver, sequential arithmetic) → eigenpairs ordered by
+    * (eigenvalue desc, index) with each vector's sign canonicalized
+    * (largest-|component| entry positive), so the trained basis is
+    * identical on any partitioning/cluster layout.
+    *
+    * Returns (mean, top-p basis rows, their eigenvalues).
+    */
+  private[graft] def pcaTrain(corpus: DataFrame, p: Int): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val v = prep(corpus)
+    val n = v.count()
+    val rate = math.min(1.0, TrainMaxSample.toDouble / math.max(n, 1L))
+    val keepBelow = math.max(1L, (rate * 1000000L).toLong)
+    val sample = v.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(keepBelow))
+      .select(col("vec_id"), col("e")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pcaTrain: empty corpus")
+    val dim = sample(0).length
+    require(p >= 1 && p <= dim, s"pcaTrain: p=$p outside [1, $dim]")
+    val m = new Array[Double](dim)
+    sample.foreach(x => { var i = 0; while (i < dim) { m(i) += x(i); i += 1 } })
+    locally { var i = 0; while (i < dim) { m(i) /= sample.length; i += 1 } }
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { x =>
+      var i = 0
+      while (i < dim) {
+        val xi = x(i) - m(i)
+        var j = i
+        while (j < dim) { cov(i)(j) += xi * (x(j) - m(j)); j += 1 }
+        i += 1
+      }
+    }
+    locally { var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { cov(i)(j) /= sample.length; cov(j)(i) = cov(i)(j); j += 1 }
+        i += 1
+      } }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(p)
+    val basis = order.map { k =>
+      val vec = Array.tabulate(dim)(i => evecs(i)(k))
+      // canonical sign: the largest-|entry| component is positive
+      var bi = 0
+      locally { var i = 1; while (i < dim) { if (math.abs(vec(i)) > math.abs(vec(bi))) bi = i; i += 1 } }
+      if (vec(bi) < 0) vec.map(-_) else vec
+    }.toArray
+    (m, basis, order.map(evals(_)).toArray)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: sweep all
+    * (p, q) pairs, rotating each off-diagonal toward zero, until the
+    * off-diagonal Frobenius mass falls under tolerance (quadratic
+    * convergence; the sweep cap is a runaway guard).  Returns
+    * (eigenvalues, eigenvector MATRIX with eigenvectors as columns).
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]], maxSweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    val scale = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = 0; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      math.max(s, java.lang.Double.MIN_NORMAL)
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && off() > 1e-24 * scale) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+              else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Distributed projection onto a trained PCA basis: per row,
+    * y_j = (e − mean) · basis_j — p·dim map-side flops through the
+    * sequential-fold [[graft.functions.DotProduct]], zero shuffle.
+    * The 100 TB dimensionality-reduction pass before ANN indexing /
+    * clustering: at p ≪ dim the downstream index shrinks dim/p-fold
+    * while the top-p basis keeps the variance that separates regions.
+    */
+  def pcaProject(corpus: DataFrame, mean: Array[Double], basis: Array[Array[Double]]): DataFrame = {
+    val centered = zip_with(col("e"), typedLit(mean.toSeq), (x, mm) => x - mm)
+    prep(corpus)
+      .select(col("vec_id"), centered.as("ce"))
+      .select(col("vec_id"),
+        array(basis.map(b => dot(col("ce"), typedLit(b.toSeq))).toIndexedSeq: _*).as("proj"))
+  }
+
+  /** Driver entry: top-8 components — (vec_id, proj).  Eigensolve
+    * upstream ⇒ rows-only oracle; the spec pins orthonormality,
+    * the eigen equation, variance ordering and layout determinism.
+    */
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (mean, basis, _) = pcaTrain(emb, 8)
+    pcaProject(emb, mean, basis).orderBy(col("vec_id"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — k-means cells bound the candidate space, exact
+    * pairwise cosine WITHIN each cell finds semantic duplicates
+    * (paraphrases/re-renders that exact and n-gram dedup both miss),
+    * and one representative per near-dup neighborhood survives.
+    *
+    * Deterministic representative policy: a vector is DROPPED iff a
+    * SMALLER-id same-cell vector sits within cosine ≥ `tau` — so a
+    * near-dup group's minimum id always survives (the [[Dedup
+    * .dedupExact]] keep_id convention), a hub similar only to larger
+    * ids also survives, and the verdict is a pure function of the
+    * (deterministic, decimal-exact) trained cells — reproducible on
+    * any layout.  The paper keeps a random/centroid-farthest member;
+    * min-id is the reproducible choice and changes nothing about
+    * which NEIGHBORHOODS collapse.
+    *
+    * Scale shape: training is [[kmeansTrain]] (bounded k·dim driver
+    * state); assignment is map-side; the only corpus-sized shuffle
+    * keys on cid, and pair volume is Σ_cell n_c² — sized by k (pick
+    * k ∝ n/target_cell so cells stay ~constant as the corpus grows;
+    * AQE skew-splits a hot cell's sort-merge join).  The all-pairs
+    * step never crosses cells by construction.
+    */
+  def semDedup(corpus: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val (_, assigned) = kmeansTrain(corpus, k, iters)
+    val banded = assigned.select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+      .repartition(col("cid"))
+    // merge hints keep both sides reading the ONE cid exchange (the
+    // [[Dedup.ngramJaccardPairs]] self-join discipline)
+    val dropped = banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dropped.withColumn("drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), coalesce(!col("drop"), lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Driver entry: 8 cells, 4 Lloyd passes, tau = 0.4 (the
+    * [[Dedup.dedupEmbedding]] near-dup threshold on this corpus) —
+    * per-vector verdicts.  k-means upstream ⇒ rows-only oracle; the
+    * spec replays the drop rule exactly against within-cell exact
+    * cosines.
+    */
+  def semDedupEmbeddings(s: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.embeddings(s, dir), 8, 4, 0.4)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca" -> (embedPca _),
+    "semdedup" -> (semDedupEmbeddings _),
     "diversity_sample" -> (diversitySampleEmbeddings _),
     "knn_join" -> (knnJoinEmbeddings _),
     "ann_range" -> (annRange _),

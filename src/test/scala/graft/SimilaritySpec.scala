@@ -666,4 +666,100 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("budget"))
   }
+
+  test("semdedup: verdicts replay the smaller-id within-cell rule exactly") {
+    val got = Similarity.semDedupEmbeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // independent replay off the SAME deterministic training
+    val (_, assigned) = Similarity.kmeansTrain(
+      graft.sources.Tables.embeddings(spark, sf), 8, 4)
+    val rows = assigned.select("vec_id", "cid", "e", "nrm").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+      .sortBy(_._1)
+    def cos(a: (Long, Int, Array[Double], Double), b: (Long, Int, Array[Double], Double)): Double = {
+      var s = 0.0; var i = 0
+      while (i < a._3.length) { s += a._3(i) * b._3(i); i += 1 }
+      s / (a._4 * b._4)
+    }
+    val exp = rows.map { x =>
+      val dropped = rows.exists(y =>
+        y._2 == x._2 && y._1 < x._1 && cos(y, x) >= 0.4)
+      (x._1, x._2, !dropped)
+    }
+    assert(got.toSeq === exp.toSeq)
+    assert(got.exists(!_._3), "corpus has at least one semantic dup to drop")
+    assert(got.count(_._3) > got.length / 2, "most of the corpus survives")
+  }
+
+  test("semdedup: planted exact duplicates collapse to the minimum id") {
+    import spark.implicits._
+    val base = Seq.tabulate(40) { i =>
+      val ang = i * 0.157
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat, 0.3f, (0.1 * (i % 5)).toFloat))
+    }
+    val dups = Seq((100L, base(7)._2.clone()), (101L, base(7)._2.clone()))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, 4, 3, 0.999999).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(7L), "minimum id of the duplicate group survives")
+    assert(!out(100L) && !out(101L), "exact copies with larger ids drop")
+    assert(out.count(!_._2) === 2, "nothing else reaches an identical-vector threshold")
+  }
+
+  test("pca: exactly-decorrelated planted axes recover the unit basis and exact variances") {
+    import spark.implicits._
+    // mirrored (a, b) / (a, -b) pairs: Σab = 0 EXACTLY in IEEE (the
+    // products cancel pairwise), so cov is diagonal and Jacobi must
+    // return the axis basis without a single rotation
+    val pts = (1 to 50).flatMap { t =>
+      val a = (t.toFloat / 10) + 1f
+      val b = ((t * 7) % 5).toFloat / 10 + 0.1f
+      Seq(Array(a, b, 0f, 0f), Array(a, -b, 0f, 0f))
+    }
+    val df = pts.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toDF("vec_id", "embedding")
+    val (mean, basis, evals) = Similarity.pcaTrain(df, 2)
+    assert(math.abs(mean(1)) < 1e-12 && mean(2) === 0.0 && mean(3) === 0.0)
+    assert(basis(0).toSeq === Seq(1.0, 0.0, 0.0, 0.0), "pc1 is the high-variance axis, sign-canonical")
+    assert(basis(1).toSeq === Seq(0.0, 1.0, 0.0, 0.0))
+    // exact variance replay (same double arithmetic the trainer runs)
+    val xs = pts.map(_(0).toDouble); val ys = pts.map(_(1).toDouble)
+    val ma = xs.sum / xs.length
+    val va = xs.map(x => (x - ma) * (x - ma)).sum / xs.length
+    assert(evals(0) > evals(1) && evals(1) > 0)
+    assert(math.abs(evals(0) - va) < 1e-12 * va)
+    // projection = exact centered coordinates
+    val proj = Similarity.pcaProject(df, mean, basis).orderBy("vec_id").collect()
+    proj.take(4).zip(pts.take(4)).foreach { case (r, p) =>
+      val pr = r.getSeq[Double](1)
+      assert(math.abs(pr(0) - (p(0) - mean(0))) < 1e-12)
+      assert(math.abs(pr(1) - (p(1) - mean(1))) < 1e-12)
+    }
+  }
+
+  test("pca on the corpus: orthonormal basis, descending eigenvalues, per-component variance order") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (_, basis, evals) = Similarity.pcaTrain(emb, 8)
+    for (i <- basis.indices; j <- i until basis.length) {
+      val d = basis(i).zip(basis(j)).map { case (x, y) => x * y }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"orthonormality ($i, $j)")
+    }
+    assert(evals.zip(evals.tail).forall { case (a, b) => a >= b }, "eigenvalues descending")
+    assert(evals.last > -1e-12, "covariance eigenvalues are non-negative")
+    val proj = Similarity.embedPca(spark, sf).collect().map(_.getSeq[Double](1))
+    assert(proj.forall(_.length === 8))
+    val n = proj.length
+    val vars = (0 until 8).map { j =>
+      val c = proj.map(_(j))
+      val m = c.sum / n
+      c.map(x => (x - m) * (x - m)).sum / n
+    }
+    // trained on the full corpus (≤64k sample covers it at test SF),
+    // so the projected variance order is the eigenvalue order
+    assert(vars.zip(vars.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"projected variance not descending: $vars")
+    val again = Similarity.embedPca(spark, sf).collect().map(_.getSeq[Double](1))
+    assert(again.map(_.toSeq).toSeq === proj.map(_.toSeq).toSeq, "deterministic")
+  }
 }
