@@ -504,7 +504,76 @@ object TextOps {
         min(col("ratio")).as("min_ratio"), max(col("ratio")).as("max_ratio"))
       .orderBy(col("source"), col("bucket"))
 
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016's
+    * learn-BPE loop): [[bpePairs]] computes the statistic behind the
+    * FIRST merge; this runs the whole greedy loop — per round, count
+    * adjacent symbol pairs over the corpus segmentation and merge the
+    * most frequent pair — producing the merges table the
+    * [[graft.functions.Bpe]] apply-side machinery (`bpe_segment` /
+    * `bpe_token_count` / chunkers) consumes.  Trains on the corpus
+    * it will tokenize — the on-corpus tokenizer-fitting step of a
+    * training-data pipeline.
+    *
+    * Scale shape: the corpus collapses ONCE to its word HISTOGRAM
+    * (types × counts — the classic learn-BPE working set; vocab-sized,
+    * not corpus-sized, and checkpointed so rounds never rescan text).
+    * Each round is one map-side pass over the histogram — the native
+    * [[graft.functions.BpeSegment]] replays merges-so-far per word
+    * type, adjacent pairs explode count-weighted — into a bounded
+    * (pair)-keyed aggregate with map-side partials, and ONE (count,
+    * pair) argmax row reaches the driver (TakeOrderedAndProject).
+    * Driver state = the merges list itself.  Re-segmenting from
+    * scratch per round trades O(rounds) recompute for zero
+    * distributed state — the standard trade at modest merge counts;
+    * a production 50k-merge train would checkpoint segmentations
+    * every few hundred rounds instead.
+    *
+    * DETERMINISM: counts are exact long sums; argmax order (count
+    * desc, left, right) is total — the learned table is identical on
+    * any partitioning.  Training stops early when no pair repeats
+    * (count < 2: merging a singleton pair cannot compress anything).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1 && nMerges <= 4096,
+      s"bpeTrain: nMerges=$nMerges outside [1, 4096] (each merge is a corpus pass)")
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done && merges.length < nMerges) {
+      val table = new graft.functions.BpeTable(
+        merges.map(m => (m._1, m._2)).toArray)
+      val top = words
+        .select(col("cnt"), graft.functions.Bpe.bpeSegment(col("w"), table).as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      else merges += ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+    }
+    merges.toSeq
+  }
+
+  /** Driver entry: 24 merges learned from the corpus — (rank, left,
+    * right, pair_count).  Iterative rewrite system ⇒ rows-only oracle;
+    * the spec pins an independent sequential replica trainer and a
+    * hand-computable planted corpus.
+    */
+  def bpeTrainEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(Tables.documents(s, dir), 24).zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train" -> (bpeTrainEntry _),
     "compression_ratio" -> (compressionRatio _),
     "keyword_topk" -> (keywordTopkEntry _),
     "text_normalize" -> (textNormalize _),

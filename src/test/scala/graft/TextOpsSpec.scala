@@ -585,6 +585,54 @@ class TextOpsSpec extends AnyFunSuite {
     assert(re.map(_.toString).toSeq === rows.map(_.toString).toSeq, "deterministic")
   }
 
+  test("bpe_train: planted corpus yields the hand-computed merge sequence") {
+    import spark.implicits._
+    // histogram: ab x3, abc x2 -> round 1: (a,b) count 5 beats (b,c)
+    // count 2; round 2: segmentations are [ab] and [ab, c] -> (ab, c)
+    // count 2; round 3: nothing left to pair
+    val docs = Seq((1L, "ab ab ab abc"), (2L, "abc x")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, 10)
+    assert(got === Seq(("a", "b", 5L), ("ab", "c", 2L)))
+  }
+
+  test("bpe_train agrees with an independent sequential replica on the corpus") {
+    val n = 12
+    val got = TextOps.bpeTrain(Tables.documents(spark, sf), n)
+    // replica: JVM-side histogram + greedy loop over word types,
+    // reusing ONLY the single-word segmenter from the apply side
+    val hist = Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").trim.split("\\s+"))
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done && merges.length < n) {
+      val t = new graft.functions.BpeTable(merges.map(m => (m._1, m._2)).toArray)
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      hist.foreach { case (w, c) =>
+        val s = graft.functions.Bpe.segment(w, t)
+        var i = 0
+        while (i < s.length - 1) {
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+          i += 1
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 => merges += ((a, b, c))
+        case _ => done = true
+      }
+    }
+    assert(got === merges.toSeq)
+    assert(got.length === n, "the corpus supports at least 12 merges")
+    // learned table drives the apply machinery: token counts shrink
+    val t0 = new graft.functions.BpeTable(Array.empty)
+    val tN = new graft.functions.BpeTable(got.map(m => (m._1, m._2)).toArray)
+    val w = hist.keys.maxBy(hist(_))
+    assert(graft.functions.Bpe.segment(w, tN).length <=
+      graft.functions.Bpe.segment(w, t0).length)
+  }
+
   test("token_histogram_bpe covers the corpus and cum_share reaches 1") {
     val rows = TextOps.tokenHistogramBpe(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
