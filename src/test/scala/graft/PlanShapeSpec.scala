@@ -322,4 +322,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the single src repartition, found $shuffles:\n" +
         p.linesIterator.take(25).mkString("\n"))
   }
+
+  test("compression_ratio is one pruned scan into a bounded aggregate (no join, no window)") {
+    val p = plan(TextOps.compressionRatio(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"), p.linesIterator.take(12).mkString("\n"))
+    assert(countIn(p, "Scan parquet") === 1)
+    // column pruning reaches the scan: text + source only
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      "scan must read only text and source")
+  }
+
+  test("keyword_topk broadcasts the query terms and the 1-row corpus stats") {
+    val p = plan(TextOps.keywordTopkEntry(spark, sf))
+    assert(countIn(p, "BroadcastExchange") >= 2,
+      "terms and stats must both broadcast:\n" + p.linesIterator.take(15).mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("embed_pca projection is map-side: no shuffle before the presentation sort") {
+    val p = plan(Similarity.embedPca(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("hashpartitioning"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(countIn(p, "Scan parquet") === 1)
+  }
 }
