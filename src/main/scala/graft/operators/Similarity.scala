@@ -1297,6 +1297,55 @@ object Similarity {
   def diversitySampleEmbeddings(s: SparkSession, dir: String): DataFrame =
     diversitySample(Tables.embeddings(s, dir), 8, 4, 32)
 
+  /** FILTERED vector search: exact top-k restricted to corpus rows
+    * satisfying a metadata predicate — here label equality with the
+    * query's own label, the canonical "same-class nearest neighbors"
+    * pull (same-language/same-source retrieval, class-conditional
+    * hard-negative mining).  Filtered search is where post-filtering
+    * an unfiltered top-k silently breaks (a query whose class is rare
+    * keeps < k survivors); pushing the predicate INTO the scoring
+    * join keeps k exact per query at zero extra passes.  Same
+    * broadcast-query corpus-scan shape as [[annBruteforce]] — the
+    * predicate rides the broadcast join condition map-side, so
+    * selectivity only REDUCES scored pairs; oracle-EXACT (the
+    * predicate is SQL).
+    */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+      .filter(col("nrm") > 0)
+    val q = v.filter(col("vec_id") % 100 === 0)
+      .orderBy(col("vec_id")).limit(QueryCap)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("e").as("qe"), col("nrm").as("qnrm"))
+    val scored = v.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(scored, 10)
+  }
+
+  /** ANN in PCA-reduced space: the composition [[pcaTrain]] exists
+    * for — project corpus + queries to the top-p subspace, score
+    * there (p ≪ dim: each comparison costs p/dim of full-dim work;
+    * at scale the projected corpus also feeds LSH/IVF indexes that
+    * shrink dim/p-fold).  Cosine in the PROJECTED space: the
+    * variance-optimal p-dim approximation of the full-dim angle —
+    * recall vs full-dim exact search is the quality metric, pinned
+    * by the spec (this corpus holds ~half its variance in 8 of 64
+    * dims).  Rows-only (eigensolve upstream).
+    */
+  def annPca(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (mean, basis, _) = pcaTrain(emb, 8)
+    val pv = pcaProject(emb, mean, basis)
+      .select(col("vec_id"), col("proj").as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+      .filter(col("nrm") > 0)
+    bruteforce(pv, queryVecs(pv), 10)
+  }
+
   /** PCA basis over the embedding corpus, trained on the deterministic
     * ≤[[TrainMaxSample]] hash sample (the IVF/PQ training idiom —
     * bounded driver state at ANY corpus size; the basis is a dim×dim
@@ -1499,6 +1548,8 @@ object Similarity {
     semDedup(Tables.embeddings(s, dir), 8, 4, 0.4)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered" -> (annFiltered _),
+    "ann_pca" -> (annPca _),
     "embed_pca" -> (embedPca _),
     "semdedup" -> (semDedupEmbeddings _),
     "diversity_sample" -> (diversitySampleEmbeddings _),
@@ -1514,6 +1565,20 @@ object Similarity {
     "knn_label_vote" -> (knnLabelVote _))
 
   def oracleSql: Map[String, String] = Map(
+    "ann_filtered" ->
+      """WITH v0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (SELECT * FROM (SELECT vec_id, label, e,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm
+        |  FROM v0) WHERE nrm > 0),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe, nrm AS qnrm FROM v
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+        |scored AS (SELECT q_id, vec_id,
+        |  list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+        |  / (qnrm * nrm) AS cos
+        |  FROM v, q WHERE vec_id <> q_id AND label = q_label),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, round(cos, 6) AS cos6 FROM rk WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
     "ann_range" ->
       """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |v AS (SELECT * FROM (SELECT vec_id, e,
