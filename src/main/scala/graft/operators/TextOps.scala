@@ -97,6 +97,39 @@ object TextOps {
         graft.functions.RollingHash64.rollingHash64(normText(col("text"))).as("rh"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03): hash every [[WinnowK]]-token gram ([[graft.functions
+    * .WindowHashes]], the dedup_substr hash), then keep each
+    * [[WinnowW]]-window's minimum (rightmost on ties) via the native
+    * O(n) [[graft.functions.WinnowSelect]] expression.  The selected
+    * (pos, fp) set is the standard partial-copy detector: any shared
+    * run of WinnowW + WinnowK − 1 tokens between two documents is
+    * GUARANTEED a shared fingerprint, at an expected 2/(WinnowW+1)
+    * density (~4.4× fewer rows than every gram here) — the
+    * cheap-to-index middle ground between shingle-set Jaccard
+    * (order-blind) and full ExactSubstr (every window).
+    *
+    * Scale shape: the whole pipeline is ONE pruned scan → codegen
+    * projection (token hashes, window hashes, deque selection all
+    * map-side) → explode → presentation sort; nothing shuffles but
+    * the emitted fingerprints themselves.  Oracle-EXACT: DuckDB
+    * replays both polynomials in HUGEINT mod-2⁶⁴ arithmetic and the
+    * rightmost-tie window minimum as min(struct(fp, −pos)).
+    */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowSelect.winnowSelect(
+          graft.functions.WindowHashes.windowHashes(tokens(col("text")), WinnowK),
+          WinnowW)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Gram size (tokens per hashed window) for [[winnowFingerprint]]. */
+  private[graft] val WinnowK = 4
+  /** Selection-window size (grams per minimum) for [[winnowFingerprint]]. */
+  private[graft] val WinnowW = 8
+
   /** Global top-20 terms by document frequency — the corpus-vocabulary
     * probe (stopword discovery, boilerplate detection).  Explode
     * distinct tokens per doc → keyed count with map-side partial
@@ -541,23 +574,30 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var done = false
-    while (!done && merges.length < nMerges) {
-      val table = new graft.functions.BpeTable(
-        merges.map(m => (m._1, m._2)).toArray)
-      val top = words
-        .select(col("cnt"), graft.functions.Bpe.bpeSegment(col("w"), table).as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i+1] AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < 2) done = true
-      else merges += ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+    try {
+      var done = false
+      while (!done && merges.length < nMerges) {
+        val table = new graft.functions.BpeTable(
+          merges.map(m => (m._1, m._2)).toArray)
+        val top = words
+          .select(col("cnt"), graft.functions.Bpe.bpeSegment(col("w"), table).as("s"))
+          .filter(size(col("s")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i+1] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getLong(2) < 2) done = true
+        else merges += ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+      }
+      merges.toSeq
+    } finally {
+      // release the checkpointed histogram blocks (the triangleCounts
+      // discipline) — without this every train call leaks its blocks
+      // for the session's lifetime
+      words.unpersist()
     }
-    merges.toSeq
   }
 
   /** Driver entry: 24 merges learned from the corpus — (rank, left,
@@ -588,6 +628,7 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _),
     "text_shingles" -> (textShingles _),
     "text_rollhash" -> (textRollhash _),
+    "winnow_fingerprint" -> (winnowFingerprint _),
     "lang_id" -> (langId _),
     "top_terms" -> (topTerms _),
     "text_commonness" -> (textCommonness _),
@@ -725,6 +766,37 @@ object TextOps {
         |SELECT doc_id, CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
         |  THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS rh
         |FROM h ORDER BY doc_id""".stripMargin,
+    // both polynomials replayed in HUGEINT mod-2⁶⁴: per-token byte
+    // hashes (P = 1e9+7), then the 4-gram combine under Q split as
+    // Qh·2³² + Ql (2654435769·2³² + 2135587861) because acc·Q would
+    // overflow HUGEINT; the rightmost-tie window minimum is
+    // min(struct(h, −pos)) over 8 ROWS — struct compare is
+    // field-lexicographic in both engines, and DISTINCT equals the
+    // selection-change emit because the selected position is
+    // monotone in the window end
+    "winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |th AS (SELECT doc_id, list_transform(tk, s -> list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT), [CAST(ascii(substr(s, CAST(i AS INT), 1)) AS HUGEINT)
+        |      for i in generate_series(1, length(s))]),
+        |    (acc, x) -> (acc * 1000000007 + x) % CAST('18446744073709551616' AS HUGEINT))) AS hs
+        |  FROM t WHERE len(tk) >= 4),
+        |g AS (SELECT doc_id, unnest(generate_series(0, len(hs) - 4)) AS pos,
+        |        unnest([list_reduce(list_prepend(CAST(0 AS HUGEINT), hs[i:i+3]),
+        |          (acc, x) -> ((acc * 2135587861
+        |            + ((acc * 2654435769) % 4294967296) * 4294967296) + x)
+        |            % CAST('18446744073709551616' AS HUGEINT))
+        |          for i in generate_series(1, len(hs) - 3)]) AS hu
+        |      FROM th),
+        |sgn AS (SELECT doc_id, pos, CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+        |          THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS h
+        |        FROM g),
+        |sel AS (SELECT doc_id, min(struct_pack(h := h, np := -pos))
+        |          OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m, pos
+        |        FROM sgn)
+        |SELECT DISTINCT doc_id, -m['np'] AS pos, m['h'] AS fp
+        |FROM sel WHERE pos >= 7
+        |ORDER BY doc_id, pos""".stripMargin,
     // argmax over (score, lang) structs: both engines compare structs
     // field-lexicographically and the scores are exact int/int IEEE
     // quotients, so the prediction is engine-identical

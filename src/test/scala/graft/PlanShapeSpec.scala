@@ -339,6 +339,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("winnow_fingerprint is one pruned scan; selection is map-side (no join, no window fn)") {
+    val p = plan(TextOps.winnowFingerprint(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("hashpartitioning") && !p.contains("Window"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(countIn(p, "Scan parquet") === 1)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text):\n" +
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("embed_pca projection is map-side: no shuffle before the presentation sort") {
     val p = plan(Similarity.embedPca(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("hashpartitioning"),

@@ -109,6 +109,61 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length === a.length)
   }
 
+  test("winnow_fingerprint: independent local replay, density, and the shared-run guarantee") {
+    // independent replay: per-window argmin with rightmost tie, scanned
+    // directly per window (O(n·w)) — no deque, no shared selection code
+    def replay(text: String): Seq[(Int, Long)] = {
+      val toks = text.trim.split("\\s+")
+      if (toks.length < TextOps.WinnowK) return Seq.empty
+      val th = toks.map(t => graft.functions.RollingHash64.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      val q = graft.functions.WindowHashes.Q
+      val hs = (0 to toks.length - TextOps.WinnowK).map { i =>
+        var h = 0L
+        (0 until TextOps.WinnowK).foreach(j => h = h * q + th(i + j))
+        h
+      }
+      val w = TextOps.WinnowW
+      if (hs.length < w) return Seq.empty
+      (w - 1 until hs.length).map { end =>
+        var best = end - w + 1
+        ((end - w + 2) to end).foreach(p => if (hs(p) <= hs(best)) best = p)
+        (best, hs(best))
+      }.distinct
+    }
+    val got = TextOps.winnowFingerprint(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("fp")))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val want = docs.flatMap { case (id, t) => replay(t).map { case (p, h) => (id, p, h) } }
+    assert(got.toSeq.sorted === want.toSeq.sorted)
+    // density: far fewer fingerprints than grams (expected 2/(w+1)),
+    // but at least one per doc long enough for a complete window
+    val nGrams = docs.map { case (_, t) =>
+      math.max(0, t.trim.split("\\s+").length - TextOps.WinnowK + 1) }.sum
+    assert(got.length * 2 < nGrams, s"${got.length} fps vs $nGrams grams")
+    val longDocs = docs.count { case (_, t) =>
+      t.trim.split("\\s+").length >= TextOps.WinnowK + TextOps.WinnowW - 1 }
+    assert(got.map(_._1).distinct.length === longDocs)
+    // guarantee: two docs sharing a run of w + k − 1 tokens share a
+    // fingerprint HASH even with disjoint surroundings
+    import spark.implicits._
+    val run = (1 to (TextOps.WinnowW + TextOps.WinnowK - 1)).map(i => s"shared$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $run iota kappa"),
+      (2L, s"one two three $run four five six seven eight nine ten")).toDF("doc_id", "text")
+    val fps = planted.select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(graft.functions.WinnowSelect.winnowSelect(
+          graft.functions.WindowHashes.windowHashes(
+            graft.functions.TextFunctions.tokens(col("text")), TextOps.WinnowK),
+          TextOps.WinnowW)).as("f"))
+      .select(col("doc_id"), col("f.fp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert(h1.intersect(h2).nonEmpty, "shared run must be witnessed by a shared fingerprint")
+  }
+
   test("text_repetition matches a local ground truth, including planted loops") {
     val rows = TextOps.textRepetition(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
