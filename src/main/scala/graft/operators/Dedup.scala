@@ -41,6 +41,28 @@ object Dedup {
       .select(col("strategy"), col("k"), col("n_dups"), col("keep_id"))
       .orderBy(col("strategy"), col("k"))
 
+  /** Per-source duplication report: for every `source` value, how many
+    * documents it contributes, how many DISTINCT normalized texts
+    * those collapse to, and the resulting duplicate fraction — the
+    * first dashboard a corpus curator reads (which feeds are
+    * boilerplate mills, what exact-dedup will delete per source,
+    * how to debias the post-dedup mixture).
+    *
+    * Scale shape: one pruned (source, text) scan → map-side md5 →
+    * one (source)-keyed aggregate with map-side partial
+    * count_distinct collapse; output is |sources| rows.  Exact
+    * count_distinct keys on the 128-bit fingerprint, never the text.
+    */
+  def dedupReport(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        ((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("source"))
+
   /** Document-frequency cap for the shingle inverted index: a shingle
     * present in more than this many documents ("in the the of…"
     * boilerplate) is dropped from every document's shingle set before
@@ -952,6 +974,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental" -> (dedupIncrementalEntry _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_report" -> (dedupReport _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_substr" -> (dedupSubstr _),
@@ -1004,6 +1027,17 @@ object Dedup {
         |p AS (SELECT 'prefix50' AS strategy, md5(substr(nt, 1, 50)) AS k, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |      FROM n GROUP BY k HAVING COUNT(*) > 1)
         |SELECT * FROM f UNION ALL SELECT * FROM p ORDER BY strategy, k""".stripMargin,
+    // exact BIGINT counts; the fraction divides two DOUBLE casts of
+    // exact integers, so it is IEEE-identical across engines
+    "dedup_report" ->
+      """WITH n AS (SELECT source,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |a AS (SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct
+        |      FROM n GROUP BY source)
+        |SELECT source, n_docs, n_distinct,
+        |  CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac
+        |FROM a ORDER BY source""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3

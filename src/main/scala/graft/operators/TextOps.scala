@@ -130,6 +130,38 @@ object TextOps {
   /** Selection-window size (grams per minimum) for [[winnowFingerprint]]. */
   private[graft] val WinnowW = 8
 
+  /** Vocabulary coverage curve: the fraction of all token OCCURRENCES
+    * covered by the top-V most frequent terms, for V ∈ {10, 100,
+    * 1000} — the out-of-vocabulary rate a V-entry vocabulary would
+    * pay on this corpus (the first question when sizing a tokenizer
+    * or a stopword list).  Ranking order is the TOTAL (count desc,
+    * term), so the boundary at each V is engine-deterministic.
+    *
+    * Scale shape: token counts collapse map-side into one
+    * (term)-keyed aggregate, checkpointed once; each V is then a
+    * TakeOrderedAndProject (top-V rows only, map-side partial — no
+    * global sort, no corpus-wide window/row_number, which would
+    * funnel the whole vocabulary through one task) feeding a 1-row
+    * sum.  Driver state = 3 scalar rows.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val perV = Seq(10, 100, 1000).map { v =>
+      counts.orderBy(col("cnt").desc, col("term")).limit(v)
+        .agg(sum(col("cnt")).as("covered_tokens"))
+        .select(lit(v).as("v"), col("covered_tokens"))
+    }.reduce(_ unionAll _)
+    perV.crossJoin(total)
+      .select(col("v"), col("covered_tokens"), col("total_tokens"),
+        (col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy(col("v"))
+  }
+
   /** Global top-20 terms by document frequency — the corpus-vocabulary
     * probe (stopword discovery, boilerplate detection).  Explode
     * distinct tokens per doc → keyed count with map-side partial
@@ -629,6 +661,7 @@ object TextOps {
     "text_shingles" -> (textShingles _),
     "text_rollhash" -> (textRollhash _),
     "winnow_fingerprint" -> (winnowFingerprint _),
+    "vocab_coverage" -> (vocabCoverage _),
     "lang_id" -> (langId _),
     "top_terms" -> (topTerms _),
     "text_commonness" -> (textCommonness _),
@@ -797,6 +830,21 @@ object TextOps {
         |SELECT DISTINCT doc_id, -m['np'] AS pos, m['h'] AS fp
         |FROM sel WHERE pos >= 7
         |ORDER BY doc_id, pos""".stripMargin,
+    // the top-V boundary replayed as a row_number over the SAME total
+    // (cnt desc, term) order; both sides divide exact BIGINTs cast to
+    // DOUBLE, so coverage is IEEE-identical
+    "vocab_coverage" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |tok AS (SELECT unnest(tk) AS term FROM t),
+        |c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM c),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM c),
+        |vs(v) AS (VALUES (10), (100), (1000)),
+        |cov AS (SELECT v, CAST(SUM(CASE WHEN rk <= v THEN cnt ELSE 0 END) AS BIGINT)
+        |          AS covered_tokens FROM r, vs GROUP BY v)
+        |SELECT v, covered_tokens, total_tokens,
+        |  CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
+        |FROM cov, tot ORDER BY v""".stripMargin,
     // argmax over (score, lang) structs: both engines compare structs
     // field-lexicographically and the scores are exact int/int IEEE
     // quotients, so the prediction is engine-identical

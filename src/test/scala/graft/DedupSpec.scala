@@ -23,6 +23,22 @@ class DedupSpec extends AnyFunSuite {
     } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
   }
 
+  test("dedup_report matches a local per-source replay of docs/distinct/dup_frac") {
+    val rows = Dedup.dedupReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def norm(t: String): String =
+      t.toLowerCase.replaceAll("[^a-z0-9 ]+", " ").replaceAll(" +", " ").trim
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getString(0) -> norm(r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (src, xs) =>
+      val n = xs.length.toLong
+      val d = xs.map(_._2).distinct.length.toLong
+      src -> ((n, d, (n - d).toDouble / n.toDouble))
+    }
+    assert(rows === want)
+    assert(rows.values.map(_._1).sum === 500L, "partition of the corpus")
+  }
+
   test("minhash estimate tracks exact jaccard within 0.15") {
     val cand = Dedup.dedupMinhash(spark, sf).collect()
     assert(cand.nonEmpty)

@@ -709,6 +709,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.20, s"mean recall@10 $mean")
   }
 
+  test("ann_sq8: int8 midpoint reconstruction keeps near-exact recall, deterministic") {
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val sq = topSets(Similarity.annSq8(spark, sf).collect())
+    assert(sq.keySet === bf.keySet)
+    sq.values.foreach(s => assert(s.size === 10))
+    val recalls = bf.map { case (q, want) =>
+      sq.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    // 255 cells per dim → per-dim error ≤ range/512: quantization
+    // noise is far below neighbor separation on this corpus
+    assert(mean >= 0.8, s"mean recall@10 $mean")
+    val again = topSets(Similarity.annSq8(spark, sf).collect())
+    assert(again === sq, "deterministic")
+  }
+
   test("semdedup: verdicts replay the smaller-id within-cell rule exactly") {
     val got = Similarity.semDedupEmbeddings(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))

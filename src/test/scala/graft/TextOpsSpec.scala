@@ -164,6 +164,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(h1.intersect(h2).nonEmpty, "shared run must be witnessed by a shared fingerprint")
   }
 
+  test("vocab_coverage matches a local replay and is monotone in V") {
+    val rows = TextOps.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(10, 100, 1000))
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => r.getString(0).trim.split("\\s+"))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    rows.foreach { case (v, covered, total, cov) =>
+      assert(total === toks.length.toLong)
+      assert(covered === ranked.take(v).map(_._2).sum)
+      assert(cov === covered.toDouble / total.toDouble)
+    }
+    assert(rows(0)._2 <= rows(1)._2 && rows(1)._2 <= rows(2)._2)
+  }
+
   test("text_repetition matches a local ground truth, including planted loops") {
     val rows = TextOps.textRepetition(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
