@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.dot
 import graft.sources.Tables
 
 /** End-to-end corpus cleaning: the composition a training-data
@@ -591,7 +592,104 @@ object Pipeline {
         col("c.n_bpe").as("n_seq_bpe_tokens"),
         col("c.text").as("seq_text"))
 
+  /** Feature frame for the linear quality classifier: per doc a
+    * 6-dim bounded vector of cheap map-side signals (bias, stopword
+    * ratio, punctuation ratio, capped length, distinct-token ratio,
+    * capped avg token length) and the WEAK label — whether the
+    * [[TextOps.textQuality]] composite score clears 0.6.  All
+    * features are exact int/int IEEE ratios of counts ⇒ the frame
+    * is bit-deterministic on any layout.
+    */
+  private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{punctRatio, stopwordRatio, tokens}
+    val stopR = stopwordRatio(col("text"))
+    val punctR = punctRatio(col("text"))
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val score = stopR * lit(0.4) + (lit(1.0) - punctR) * lit(0.3) +
+      when(length(col("text")) >= 100, lit(0.3)).otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      when(score >= 0.6, lit(1.0)).otherwise(lit(0.0)).as("y"),
+      array(
+        lit(1.0),
+        stopR,
+        punctR,
+        least(length(col("text")).cast("double"), lit(1000.0)) / lit(1000.0),
+        size(array_distinct(toks)).cast("double") / nTok,
+        least(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok,
+          lit(16.0)) / lit(16.0)).as("x"))
+  }
+
+  /** Distributed logistic-regression TRAINING for a quality
+    * classifier — the fastText-style distillation workflow every
+    * large corpus pipeline runs: an expensive teacher labels docs
+    * (here the textQuality composite gate), a linear student learns
+    * to reproduce the verdict from cheap map-side features, and the
+    * student then scores the full corpus at scan speed.
+    *
+    * Full-batch gradient descent, the [[Similarity.kmeansTrain]]
+    * determinism discipline: each iteration is ONE distributed pass —
+    * per row the margin w·x (sequential-fold dot), σ(margin), then
+    * the per-dimension gradient terms (σ(p)−y)·x_j AND the log-loss
+    * term explode into a (j)-keyed aggregate of DECIMAL(38,18) sums
+    * (exact ⇒ order-insensitive ⇒ the trained weights are
+    * bit-identical on any partitioning — double sums would make the
+    * model depend on shuffle arrival order).  Driver state = the
+    * (dim+1) sums per iteration; the feature frame is checkpointed
+    * once and released in a finally.
+    *
+    * Returns (weights, per-iteration mean log-loss trace).
+    */
+  private[graft] def qualityLrTrain(docs: DataFrame, iters: Int = 30,
+      lr: Double = 4.0): (Array[Double], Array[Double]) = {
+    require(iters >= 1 && iters <= 1024, s"qualityLrTrain: iters=$iters outside [1, 1024]")
+    val feats = qualityFeatures(docs).localCheckpoint(eager = true)
+    try {
+      val n = feats.count()
+      require(n > 0, "qualityLrTrain: empty corpus")
+      val dim = 6
+      val w = new Array[Double](dim)
+      val losses = new Array[Double](iters)
+      for (it <- 0 until iters) {
+        val margin = dot(col("x"), typedLit(w.toSeq))
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        // ε-clamped log-loss rides the same exploded aggregate as the
+        // gradient (sentinel index j = dim): one pass per iteration
+        val lossTerm = -(col("y") * log(greatest(p, lit(1e-12))) +
+          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12))))
+        val sums = feats
+          .select(posexplode(concat(
+            transform(col("x"), xj => ((p - col("y")) * xj).cast("decimal(38,18)")),
+            array(lossTerm.cast("decimal(38,18)")))).as(Seq("j", "t")))
+          .groupBy(col("j")).agg(sum(col("t")).as("s"))
+          .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+        losses(it) = sums(dim) / n
+        var j = 0
+        while (j < dim) { w(j) -= lr * sums(j) / n; j += 1 }
+      }
+      (w, losses)
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Driver entry: train on the corpus, then score it — (doc_id,
+    * label, p_keep, pred).  The model is trained state upstream ⇒
+    * rows-only oracle; the spec pins layout-independence of the
+    * trained weights, a decreasing loss trace, and that the student
+    * actually reproduces its teacher (accuracy bound).
+    */
+  def qualityLr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (w, _) = qualityLrTrain(docs)
+    val p = lit(1.0) / (lit(1.0) + exp(-dot(col("x"), typedLit(w.toSeq))))
+    qualityFeatures(docs)
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        round(p, 6).as("p_keep"), (p >= 0.5).cast("int").as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_lr" -> (qualityLr _),
     "chunk_docs" -> (chunkDocs _),
     "chunk_docs_bpe" -> (chunkDocsBpe _),
     "pack_stats_bpe" -> (packStatsBpe _),
