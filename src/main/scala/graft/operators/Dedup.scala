@@ -63,6 +63,39 @@ object Dedup {
           .as("dup_frac"))
       .orderBy(col("source"))
 
+  /** Cross-source contamination matrix: for every unordered pair of
+    * `source` values, how many DISTINCT 5-gram shingles they share,
+    * and the shingle-set Jaccard — the corpus-level view of
+    * [[decontaminate]]'s per-document question (which feeds copy
+    * from each other / from the benchmark feed; what a
+    * train-on-A-test-on-B split actually leaks).
+    *
+    * Scale shape: one (source, shingle) DISTINCT exchange is the
+    * inverted index; the self-join keys on the shingle, and per
+    * shingle the pair fan-out is bounded by |sources|² — never
+    * corpus-sized (sources are a catalog, not a table).  Both join
+    * sides read the ONE distinct exchange (merge-hinted, the
+    * dedup_ngram_jaccard discipline).  Output ≤ |sources|² rows.
+    */
+  def contaminationMatrix(s: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), explode(shingles(col("text"), w)).as("sh"))
+      .distinct()
+    val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").hint("merge")
+      .join(sh.as("b").hint("merge"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sz.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sz.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Document-frequency cap for the shingle inverted index: a shingle
     * present in more than this many documents ("in the the of…"
     * boilerplate) is dropped from every document's shingle set before
@@ -975,6 +1008,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncrementalEntry _),
     "dedup_exact" -> (dedupExact _),
     "dedup_report" -> (dedupReport _),
+    "contamination_matrix" -> ((s: SparkSession, dir: String) => contaminationMatrix(s, dir)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_substr" -> (dedupSubstr _),
@@ -1038,6 +1072,21 @@ object Dedup {
         |SELECT source, n_docs, n_distinct,
         |  CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac
         |FROM a ORDER BY source""".stripMargin,
+    // distinct (source, shingle) inverted index; jaccard divides
+    // exact BIGINTs cast to DOUBLE — IEEE-identical across engines
+    "contamination_matrix" ->
+      """WITH t AS (SELECT source, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT source, unnest(CASE WHEN len(tk) >= 5
+        |    THEN [array_to_string(tk[i:i+4], ' ') for i in generate_series(1, len(tk)-4)]
+        |    ELSE [] END) AS s FROM t),
+        |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        |p AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |      GROUP BY sa, sb)
+        |SELECT sa AS src_a, sb AS src_b, c AS n_shared,
+        |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+        |FROM p JOIN sz na ON sa = na.source JOIN sz nb ON sb = nb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3

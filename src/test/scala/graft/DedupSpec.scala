@@ -39,6 +39,26 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.values.map(_._1).sum === 500L, "partition of the corpus")
   }
 
+  test("contamination_matrix matches a local replay of cross-source shingle sharing") {
+    val rows = Dedup.contaminationMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.flatMap { case (_, t) =>
+      val toks = t.trim.split("\\s+")
+      toks.sliding(5).filter(_.length == 5).map(_.mkString(" "))
+    }.toSet).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = bySrc(a).intersect(bySrc(b)).size if inter > 0
+    } yield (a, b) -> ((inter.toLong,
+      inter.toDouble / (bySrc(a).size + bySrc(b).size - inter).toDouble))).toMap
+    assert(rows === want)
+    assert(rows.nonEmpty, "synthetic sources share boilerplate by construction")
+    rows.values.foreach { case (n, j) => assert(n > 0 && j > 0.0 && j <= 1.0) }
+  }
+
   test("minhash estimate tracks exact jaccard within 0.15") {
     val cand = Dedup.dedupMinhash(spark, sf).collect()
     assert(cand.nonEmpty)
