@@ -323,6 +323,41 @@ object Pipeline {
       when(h < trainCut, "train").when(h < valCut, "val").otherwise("test"))
   }
 
+  /** Leakage-guarded split: [[splitAssign]]'s hash threshold applied
+    * to the near-dup COMPONENT representative instead of the doc id,
+    * so a whole near-duplicate cluster always lands on ONE side of
+    * the train/val/test cut.  This is the split a careful pipeline
+    * actually needs: under per-doc splitting, a doc and its near-copy
+    * routinely straddle train and test, silently leaking the test
+    * set into training ("contamination by duplication" — the failure
+    * decontaminate audits after the fact, prevented here by
+    * construction).  Docs with no near-dup neighbor group as
+    * themselves.  Per-doc cost beyond [[Dedup.dedupComponents]] is
+    * one doc_id-keyed left join (the components side holds only
+    * docs WITH neighbors — small relative to the corpus, AQE
+    * broadcast at typical dup rates) and a map-side hash.
+    */
+  private[graft] def splitAssignGroupedRows(s: SparkSession, dir: String,
+      trainFrac: Double = 0.90, valFrac: Double = 0.05): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val reps = Dedup.dedupComponents(s, dir).select(col("doc_id"), col("rep"))
+    val keyed = docs.join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("grp"))
+    val h = concat(lit("0"), substring(md5(col("grp").cast("string")), 1, 4))
+    val trainCut = format_string("%05x", lit(math.floor(trainFrac * 65536).toLong))
+    val valCut = format_string("%05x", lit(math.floor((trainFrac + valFrac) * 65536).toLong))
+    keyed.withColumn("split",
+      when(h < trainCut, "train").when(h < valCut, "val").otherwise("test"))
+  }
+
+  /** Driver entry: per-split doc and group counts under the
+    * group-keyed 90/5/5 cut. */
+  def splitAssignGrouped(s: SparkSession, dir: String): DataFrame =
+    splitAssignGroupedRows(s, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+      .orderBy(col("split"))
+
   /** Driver entry: 90/5/5 split composition by source. */
   def splitAssignDocs(s: SparkSession, dir: String): DataFrame =
     splitAssign(Tables.documents(s, dir).select(
@@ -701,6 +736,7 @@ object Pipeline {
     "mixture_apply" -> (mixtureApplyDocs _),
     "shuffle_shards" -> (shuffleShardsDocs _),
     "split_assign" -> (splitAssignDocs _),
+    "split_assign_grouped" -> (splitAssignGrouped _),
     "pack_render" -> (packRenderDocs _),
     "ingest_text128" -> (ingestText128 _),
     "pack_stats" -> (packStats _))
@@ -734,6 +770,33 @@ object Pipeline {
         |       ELSE 'test' END AS split, tok FROM d)
         |SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
         |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
+    // the dedup_components CTE verbatim, then the split_assign hash
+    // threshold applied to the group key instead of the doc id
+    "split_assign_grouped" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |p AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |      WHERE c / (s1.n + s2.n - c) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |      UNION
+        |      SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |comp AS (SELECT id AS doc_id, LEAST(id, MIN(reach)) AS rep FROM r GROUP BY id),
+        |g AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS grp
+        |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |a AS (SELECT grp,
+        |  CASE WHEN '0' || substring(md5(CAST(grp AS VARCHAR)), 1, 4) < printf('%05x', 58982) THEN 'train'
+        |       WHEN '0' || substring(md5(CAST(grp AS VARCHAR)), 1, 4) < printf('%05x', 62259) THEN 'val'
+        |       ELSE 'test' END AS split FROM g)
+        |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
     // stride = 64 − 16 = 48; tk[a:b] is an inclusive slice, so
     // (i·48+1)..(i·48+64) is exactly the engine's 64-token window
     "chunk_docs" ->

@@ -795,6 +795,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("split_assign_grouped: near-dup components never straddle the split") {
+    val rows = graft.operators.Pipeline.splitAssignGroupedRows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 500)
+    // every group lands on exactly one side
+    rows.groupBy(_._2).foreach { case (grp, members) =>
+      assert(members.map(_._3).distinct.length === 1, s"group $grp straddles the split")
+    }
+    // groups ARE the near-dup components: members of a component share
+    // a group key, so a doc and its near-copy can never leak across
+    val comp = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val grpOf = rows.map(r => r._1 -> r._2).toMap
+    comp.foreach { case (doc, rep) => assert(grpOf(doc) === rep) }
+    // the aggregate driver entry matches the per-doc rows
+    val agg = graft.operators.Pipeline.splitAssignGrouped(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = rows.groupBy(_._3).map { case (s, xs) =>
+      s -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong)) }
+    assert(agg === want)
+  }
+
   test("dedup_substr_remove keeps the first occurrence and cuts merged overlapping spans") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
