@@ -96,6 +96,34 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** The LSH banding operating curve for [[dedupMinhash]]'s
+    * 32 bands × 4 rows configuration: candidate probability
+    * p(s) = 1 − (1 − s⁴)³² at Jaccard similarity s ∈ {0.05 … 0.95}
+    * — the S-curve that justifies the (b, r) choice (p crosses ½ at
+    * s ≈ 0.383; the classic threshold (1/b)^(1/r) ≈ 0.42 marks the
+    * steep midpoint where p ≈ 1−1/e: pairs near the 0.8 dedup bar
+    * are caught with p ≈ 1, while 0.2-similar noise pairs almost
+    * never collide).  Published as a driver query so
+    * the operating point is part of the verified surface, not a
+    * comment.  All powers are EXPLICIT repeated multiplication
+    * (s² ·s², then q→q²→q⁴→q⁸→q¹⁶→q³²) — the same IEEE double
+    * steps in any engine, so unlike pow() this is oracle-EXACT.
+    */
+  def lshTuning(s: SparkSession, dir: String): DataFrame = {
+    val df = s.range(1, 20).select((col("id") * 5).as("s_pct"))
+    val sim = col("s_pct").cast("double") / lit(100.0)
+    val s2 = sim * sim
+    val s4 = s2 * s2
+    val q = lit(1.0) - s4
+    val q2 = q * q
+    val q4 = q2 * q2
+    val q8 = q4 * q4
+    val q16 = q8 * q8
+    val q32 = q16 * q16
+    df.select(col("s_pct"), sim.as("jaccard"), (lit(1.0) - q32).as("p_candidate"))
+      .orderBy(col("s_pct"))
+  }
+
   /** Document-frequency cap for the shingle inverted index: a shingle
     * present in more than this many documents ("in the the of…"
     * boilerplate) is dropped from every document's shingle set before
@@ -1009,6 +1037,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_report" -> (dedupReport _),
     "contamination_matrix" -> ((s: SparkSession, dir: String) => contaminationMatrix(s, dir)),
+    "lsh_tuning" -> (lshTuning _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_substr" -> (dedupSubstr _),
@@ -1087,6 +1116,19 @@ object Dedup {
         |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
         |FROM p JOIN sz na ON sa = na.source JOIN sz nb ON sb = nb.source
         |ORDER BY src_a, src_b""".stripMargin,
+    // stepwise squarings are the same IEEE multiplications as the
+    // engine's explicit product tree; literals cast to DOUBLE
+    "lsh_tuning" ->
+      """WITH v AS (SELECT unnest(generate_series(1, 19)) * 5 AS s_pct),
+        |a AS (SELECT s_pct, CAST(s_pct AS DOUBLE) / CAST(100 AS DOUBLE) AS sim FROM v),
+        |b AS (SELECT s_pct, sim, CAST(1 AS DOUBLE) - ((sim * sim) * (sim * sim)) AS q FROM a),
+        |c AS (SELECT s_pct, sim, q * q AS q2 FROM b),
+        |d AS (SELECT s_pct, sim, q2 * q2 AS q4 FROM c),
+        |e AS (SELECT s_pct, sim, q4 * q4 AS q8 FROM d),
+        |f AS (SELECT s_pct, sim, q8 * q8 AS q16 FROM e),
+        |g AS (SELECT s_pct, sim, q16 * q16 AS q32 FROM f)
+        |SELECT s_pct, sim AS jaccard, CAST(1 AS DOUBLE) - q32 AS p_candidate
+        |FROM g ORDER BY s_pct""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3

@@ -130,6 +130,29 @@ object TextOps {
   /** Selection-window size (grams per minimum) for [[winnowFingerprint]]. */
   private[graft] val WinnowW = 8
 
+  /** Per-document unigram concentration: the Simpson/Herfindahl index
+    * Σp² over the doc's token distribution and its inverse, the
+    * "effective vocabulary size" — the diversity twin of
+    * [[textRepetition]]'s duplicate-mass signals (spam that loops a
+    * few phrases concentrates to Σp² → 1; healthy prose spreads to
+    * → 1/n_distinct).  The native [[graft.functions.TokenDiversity]]
+    * expression keeps Σcnt² as an EXACT long in one scan-local hash
+    * pass (no corpus-wide (doc, term) shuffle), so the two derived
+    * doubles are single divisions of exact integers —
+    * IEEE-identical cross-engine ⇒ oracle-EXACT.
+    */
+  def tokenDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TokenDiversity.tokenDiversity(tokens(col("text"))).as("d"))
+      .select(col("doc_id"), col("d.n_tokens").as("n_tokens"),
+        col("d.n_distinct").as("n_distinct"), col("d.sum_sq").as("sum_sq"))
+      .withColumn("simpson",
+        col("sum_sq").cast("double") / (col("n_tokens") * col("n_tokens")).cast("double"))
+      .withColumn("eff_vocab",
+        (col("n_tokens") * col("n_tokens")).cast("double") / col("sum_sq").cast("double"))
+      .orderBy(col("doc_id"))
+
   /** Vocabulary coverage curve: the fraction of all token OCCURRENCES
     * covered by the top-V most frequent terms, for V ∈ {10, 100,
     * 1000} — the out-of-vocabulary rate a V-entry vocabulary would
@@ -662,6 +685,7 @@ object TextOps {
     "text_rollhash" -> (textRollhash _),
     "winnow_fingerprint" -> (winnowFingerprint _),
     "vocab_coverage" -> (vocabCoverage _),
+    "token_diversity" -> (tokenDiversity _),
     "lang_id" -> (langId _),
     "top_terms" -> (topTerms _),
     "text_commonness" -> (textCommonness _),
@@ -845,6 +869,18 @@ object TextOps {
         |SELECT v, covered_tokens, total_tokens,
         |  CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
         |FROM cov, tot ORDER BY v""".stripMargin,
+    // Σcnt² kept exact in BIGINT on both sides; the two doubles are
+    // single divisions of exact integers — IEEE-identical
+    "token_diversity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |c AS (SELECT doc_id, term, COUNT(*) AS cnt
+        |      FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY doc_id, term),
+        |a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS nd,
+        |        CAST(SUM(cnt * cnt) AS BIGINT) AS ss FROM c GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens, nd AS n_distinct, ss AS sum_sq,
+        |  CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson,
+        |  CAST(n * n AS DOUBLE) / CAST(ss AS DOUBLE) AS eff_vocab
+        |FROM a ORDER BY doc_id""".stripMargin,
     // argmax over (score, lang) structs: both engines compare structs
     // field-lexicographically and the scores are exact int/int IEEE
     // quotients, so the prediction is engine-identical

@@ -39,6 +39,27 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.values.map(_._1).sum === 500L, "partition of the corpus")
   }
 
+  test("lsh_tuning: repeated-multiplication curve equals pow, monotone, threshold near 0.42") {
+    val rows = Dedup.lshTuning(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === (1 to 19).map(_ * 5L))
+    rows.foreach { case (pct, s, p) =>
+      assert(s === pct / 100.0)
+      assert(math.abs(p - (1.0 - math.pow(1.0 - math.pow(s, 4), 32))) < 1e-12)
+    }
+    val ps = rows.map(_._3)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "S-curve is monotone")
+    // p crosses 1/2 at s = (1 - 2^(-1/32))^(1/4) ~ 0.383, and the
+    // classic threshold (1/b)^(1/r) ~ 0.42 marks the steep midpoint
+    // where p ~ 1 - 1/e
+    assert(rows.find(_._1 == 35L).get._3 < 0.5 && rows.find(_._1 == 40L).get._3 > 0.5)
+    val p42 = 1.0 - math.pow(1.0 - math.pow(0.42, 4), 32)
+    assert(math.abs(p42 - (1.0 - 1.0 / math.E)) < 0.03)
+    // the operating claims: ~1 at the 0.8 dedup bar, ~0 at 0.2 noise
+    assert(rows.find(_._1 == 80L).get._3 > 0.999)
+    assert(rows.find(_._1 == 20L).get._3 < 0.06)
+  }
+
   test("contamination_matrix matches a local replay of cross-source shingle sharing") {
     val rows = Dedup.contaminationMatrix(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap

@@ -164,6 +164,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(h1.intersect(h2).nonEmpty, "shared run must be witnessed by a shared fingerprint")
   }
 
+  test("token_diversity matches a local replay; loops concentrate, prose spreads") {
+    val rows = TextOps.tokenDiversity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length === 500)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, n, nd, ss, simpson, eff) =>
+      val toks = docs(id).trim.split("\\s+")
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      assert(n === toks.length.toLong)
+      assert(nd === counts.size.toLong)
+      assert(ss === counts.values.map(c => c * c).sum)
+      assert(simpson === ss.toDouble / (n * n).toDouble)
+      assert(eff === (n * n).toDouble / ss.toDouble)
+      assert(simpson >= 1.0 / nd - 1e-12 && simpson <= 1.0)
+    }
+    // a looping doc concentrates near 1/2 (two alternating types);
+    // diverse prose spreads toward 1/n_distinct
+    import spark.implicits._
+    val planted = Seq((1L, ("spam ham " * 50).trim),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val p = planted.select(col("doc_id"),
+        graft.functions.TokenDiversity.tokenDiversity(
+          graft.functions.TextFunctions.tokens(col("text"))).as("d"))
+      .select(col("doc_id"), col("d.sum_sq"), col("d.n_tokens")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1).toDouble / (r.getLong(2) * r.getLong(2)))).toMap
+    assert(math.abs(p(1L) - 0.5) < 1e-12, "two uniform types concentrate to 1/2")
+    assert(math.abs(p(2L) - 0.01) < 1e-12, "100 unique types spread to 1/100")
+  }
+
   test("vocab_coverage matches a local replay and is monotone in V") {
     val rows = TextOps.vocabCoverage(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
