@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFunctions._
+import graft.sources.Tables
+
+/** Event-TIME analytics beyond the window/session images in
+  * [[EventOps]]: range-frame rolling aggregates, gap-filled resampling,
+  * changelog compaction and in-stream attribution — the four
+  * time-series shapes a pipeline operator reaches for right after
+  * tumbling/sliding windows.
+  *
+  * FLOAT DISCIPLINE (shared by all four): `value` enters every
+  * aggregate as `cents = CAST(floor(value * 100) AS BIGINT)` — one IEEE
+  * multiply + floor, both correctly rounded, so the long is
+  * bit-identical on any engine replaying the same tree, and every
+  * downstream SUM is an order-insensitive integer aggregate.  (A
+  * `round()` here would hang the oracle on each engine's half-way tie
+  * policy; floor has no ties.)
+  */
+object Temporal {
+
+  /** `cents` lane: exact on any engine (see object scaladoc). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * lit(100)).cast("long")
+
+  /** Rolling 10-minute per-user totals via a RANGE window frame —
+    * the "how much did this user do in the trailing window ending at
+    * each event" shape that a ROWS frame cannot express (events are
+    * irregularly spaced, so the peer set is defined by TIME distance,
+    * not row count).
+    *
+    * Determinism: a RANGE frame includes ALL peers of the current
+    * order value, so two events in the same second see identical
+    * frames regardless of their shuffle order — no tie-break needed
+    * inside the frame; the output sort adds event_id for presentation
+    * determinism only.
+    *
+    * Scale shape: ONE hash exchange on user_id + per-partition sort —
+    * the same single shuffle as any per-user window; the frame is
+    * evaluated by a sliding two-pointer pass over each user's sorted
+    * run (Spark's bounded-preceding range frame), never by
+    * re-scanning.  At 100 TB: users are the natural hash key; AQE
+    * splits skewed users only if a single user's month of events
+    * outgrows a task, which the 600 s bound makes implausible.
+    */
+  def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      epochSec(col("ts")).as("ts_sec"), cents(col("value")).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-600L, 0L)
+    ev.select(col("user_id"), col("event_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("roll_n"),
+        sum(col("cents")).over(w).as("roll_cents"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  /** Gap-filled per-user daily resample: every user gets one row per
+    * calendar day from their first to their last active day, with
+    * zero-filled counts — the "regularize an irregular series before
+    * feature extraction" step (lag features, moving averages and
+    * forecasting all assume a dense time axis).
+    *
+    * Scale shape: the (user, day) aggregate collapses map-side; the
+    * dense axis comes from `sequence(min_day, max_day)` exploded off
+    * the per-user 2-long bounds row — the explode fan-out is bounded
+    * by the CORPUS TIME SPAN in days (a constant — 30 here), never by
+    * row count, so the generated frame is |users| × span no matter
+    * how many raw events compress into it.  The final left join is
+    * (user, day)-keyed with the dense side as the probe; both sides
+    * are already aggregates, orders of magnitude below the fact
+    * table.
+    */
+  def tsResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), epochSec(col("ts")).as("ts_sec"),
+        cents(col("value")).as("cents"))
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"), col("cents"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val axis = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    axis.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("c"), lit(0L)).as("cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Changelog compaction (CDC upsert): the events stream read as a
+    * keyed changelog — per user the LATEST record wins, and a latest
+    * record of type `error` is a tombstone that deletes the key — the
+    * exact shape of compacting a Debezium/Kafka topic into a
+    * snapshot, and of the incremental-ingest "keep newest version of
+    * each document" pass in a training pipeline.
+    *
+    * Scale shape: ONE `max_by` aggregate keyed on user_id with
+    * map-side partials — each task keeps one candidate row per key it
+    * sees, merges pairwise, and only |keys| rows ever shuffle.  This
+    * is the 100 TB way to compact: no window, no row_number, no
+    * per-key row buffering (the oracle's ROW_NUMBER()=1 formulation
+    * is the SEMANTIC spec, not the plan).  (ts, event_id) is a total
+    * order (event_id unique), so the argmax is deterministic.
+    */
+  def cdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), epochSec(col("ts")).as("ts_sec"),
+      col("event_type"), cents(col("value")).as("cents"))
+    ev.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts_sec"), col("event_id"), col("event_type"), col("cents")),
+        struct(col("ts_sec"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.ts_sec").as("ts_sec"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.cents").as("cents"))
+      .filter(col("last_type") =!= lit("error"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Last-touch attribution: each `purchase` is credited to the
+    * user's most recent PRECEDING touch event (`click` or `view`),
+    * then credit is aggregated per touch type — the marketing-
+    * attribution image, and the general "carry the latest non-null
+    * upstream label forward" stream shape (`last(_, ignoreNulls)`
+    * over an ordered per-key frame).
+    *
+    * Purchases with no preceding touch (the user's first events)
+    * credit the `(none)` bucket, so Σn_purchases over the output is
+    * exactly the corpus purchase count — spec-pinned.
+    *
+    * Scale shape: one user_id exchange + sorted-run scan, same
+    * single-shuffle profile as [[windowRange]]; the final aggregate
+    * has ≤ 3 groups.  Tie order inside a second is fixed by
+    * (ts_sec, event_id) so the carried label is deterministic.
+    */
+  def eventAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), epochSec(col("ts")).as("ts_sec"),
+      col("event_type"), cents(col("value")).as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    ev.withColumn("attrib", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === lit("purchase"))
+      .groupBy(coalesce(col("attrib"), lit("(none)")).as("attrib_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .orderBy(col("attrib_type"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_range" -> (windowRange _),
+    "ts_resample" -> (tsResample _),
+    "cdc_upsert" -> (cdcUpsert _),
+    "event_attribution" -> (eventAttribution _))
+
+  def oracleSql: Map[String, String] = Map(
+    // RANGE frame ≡ Spark's rangeBetween(-600, 0): peers included.
+    "window_range" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(ts) // 1000000 AS ts_sec,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, ts_sec,
+        |  COUNT(*) OVER w AS roll_n,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS roll_cents
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_sec, event_id""".stripMargin,
+    "ts_resample" ->
+      """WITH e AS (SELECT user_id, (epoch_us(ts) // 1000000) // 86400 AS day,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, day, COUNT(*) AS n, SUM(cents) AS c
+        |      FROM e GROUP BY 1, 2),
+        |a AS (SELECT user_id, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |      FROM d GROUP BY user_id)
+        |SELECT a.user_id, a.day,
+        |  COALESCE(n, 0) AS n_events, CAST(COALESCE(c, 0) AS BIGINT) AS cents
+        |FROM a LEFT JOIN d ON a.user_id = d.user_id AND a.day = d.day
+        |ORDER BY a.user_id, a.day""".stripMargin,
+    // ROW_NUMBER()=1 is the semantic spec of the max_by compaction.
+    "cdc_upsert" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(ts) // 1000000 AS ts_sec, event_type,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_sec, event_id, event_type AS last_type, cents
+        |FROM e WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "event_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) // 1000000 AS ts_sec,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT *, last_value(
+        |    CASE WHEN event_type IN ('click', 'view') THEN event_type END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attrib
+        |  FROM e)
+        |SELECT COALESCE(attrib, '(none)') AS attrib_type,
+        |  COUNT(*) AS n_purchases, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

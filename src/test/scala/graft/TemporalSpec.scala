@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+import graft.sources.Tables
+
+/** Oracles for the [[graft.operators.Temporal]] family: each test
+  * replays the operator's semantics sequentially over the collected
+  * sf0.001 events (1k rows — brute force is exact and cheap) and
+  * compares bit-for-bit, so the distributed plans are pinned against a
+  * straight-line reference, independent of the DuckDB gate.
+  */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** (user_id, event_id, ts_sec, event_type, cents) replay base —
+    * the same floor-cents lane the operators use.
+    */
+  private lazy val raw: Array[(Long, Long, Long, String, Long)] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("ts_sec"),
+        col("event_type"), floor(col("value") * lit(100)).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+
+  test("window_range matches an O(n^2) trailing-600s replay") {
+    val got = Temporal.windowRange(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("roll_n"), r.getAs[Long]("roll_cents"))).toMap
+    assert(got.size == raw.length)
+    raw.foreach { case (u, id, t, _, _) =>
+      val frame = raw.filter { case (u2, _, t2, _, _) =>
+        u2 == u && t2 >= t - 600 && t2 <= t
+      }
+      val want = (frame.length.toLong, frame.map(_._5).sum)
+      assert(got((u, id)) == want, s"user $u event $id")
+    }
+  }
+
+  test("ts_resample axis is dense and totals are conserved") {
+    val rows = Temporal.tsResample(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val rawByUser = raw.groupBy(_._1)
+    assert(byUser.keySet == rawByUser.keySet)
+    byUser.foreach { case (u, rs) =>
+      val days: Seq[Long] = rs.map(_.getAs[Long]("day")).sorted.toSeq
+      // dense: every day between the user's min and max appears once
+      assert(days.head == rawByUser(u).map(_._3 / 86400).min)
+      assert(days.last == rawByUser(u).map(_._3 / 86400).max)
+      assert(days == (days.head to days.last).toSeq,
+        s"user $u axis has gaps or dups")
+      // conservation: gap rows add zero, active rows add everything
+      assert(rs.map(_.getAs[Long]("n_events")).sum == rawByUser(u).length)
+      assert(rs.map(_.getAs[Long]("cents")).sum == rawByUser(u).map(_._5).sum)
+    }
+  }
+
+  test("cdc_upsert keeps exactly the newest non-tombstone row per key") {
+    val got = Temporal.cdcUpsert(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("event_id"), r.getAs[String]("last_type"))).toMap
+    raw.groupBy(_._1).foreach { case (u, evs) =>
+      val last = evs.maxBy(e => (e._3, e._2))
+      if (last._4 == "error") assert(!got.contains(u), s"user $u tombstoned")
+      else assert(got(u) == ((last._2, last._4)), s"user $u")
+    }
+    // the filter deletes at least the planted shape when present: every
+    // surviving last_type is a non-error type
+    assert(got.values.forall(_._2 != "error"))
+  }
+
+  test("event_attribution conserves purchases and replays last-touch") {
+    val rows = Temporal.eventAttribution(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("attrib_type"))
+    assert(types.toSet.subsetOf(Set("click", "view", "(none)")))
+    val totalPurch = raw.count(_._4 == "purchase")
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == totalPurch)
+    // sequential replay: carry the latest click/view per user
+    val credit = collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    raw.groupBy(_._1).values.foreach { evs =>
+      var carried: String = null
+      evs.sortBy(e => (e._3, e._2)).foreach { case (_, _, _, typ, c) =>
+        if (typ == "purchase") {
+          val k = if (carried == null) "(none)" else carried
+          val (n, s) = credit(k); credit(k) = (n + 1, s + c)
+        }
+        if (typ == "click" || typ == "view") carried = typ
+      }
+    }
+    rows.foreach { r =>
+      val k = r.getAs[String]("attrib_type")
+      assert(credit(k) ==
+        ((r.getAs[Long]("n_purchases"), r.getAs[Long]("cents"))), s"bucket $k")
+    }
+    assert(rows.length == credit.size)
+  }
+
+  test("windowed family shuffles once: window_range plan has one user exchange") {
+    val plan = Temporal.windowRange(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+}
