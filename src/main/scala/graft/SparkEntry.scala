@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Pipeline.queries ++ GraphOps.queries ++ Temporal.queries
+      Pipeline.queries ++ GraphOps.queries ++ Temporal.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.  Omitted keys → rows-only check (ops whose
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
-      Pipeline.oracleSql ++ GraphOps.oracleSql ++ Temporal.oracleSql
+      Pipeline.oracleSql ++ GraphOps.oracleSql ++ Temporal.oracleSql ++
+      Analytics.oracleSql
 }

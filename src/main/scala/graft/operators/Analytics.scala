@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Advanced-analytics operators the OLAP suite in [[Relational]] does
+  * not cover: skyline (pareto-front) extraction, exact distributed
+  * equi-depth histograms, blocked fuzzy entity matching, and robust
+  * (median/MAD) statistics — each built so the corpus-sized work stays
+  * in keyed map-side aggregates and only bounded-cardinality frames
+  * ever meet a global window.
+  *
+  * FLOAT DISCIPLINE: prices enter as `CAST(floor(x * 100) AS BIGINT)`
+  * cents (one correctly-rounded IEEE multiply + floor, bit-identical on
+  * any engine — see [[Temporal]]); medians/MADs are computed by COUNTING
+  * over integer value histograms, so every output is an integer ratio
+  * with a power-of-two denominator — exact as a double.
+  */
+object Analytics {
+
+  private def cents(c: Column) = floor(c * lit(100)).cast("long")
+
+  /** Pareto front (skyline) of `part`: minimize price, maximize size —
+    * "the cheapest part at every quality level", the multi-objective
+    * shape (price/quality, latency/accuracy, size/recall) that SQL
+    * expresses only as a quadratic NOT EXISTS.
+    *
+    * Scale design — the quadratic dominance test never runs: a point
+    * (c, s) is on the front iff s is the max size AT its price level
+    * and no CHEAPER level reaches size ≥ s.  So: (1) collapse the
+    * corpus map-side to the per-price staircase `smax(c) = max size`
+    * (bounded by the PRICE DOMAIN, not row count); (2) one running-max
+    * window over the sorted staircase keeps the levels whose smax
+    * strictly exceeds every cheaper level's; (3) broadcast the
+    * surviving levels back and keep the rows that sit exactly on them.
+    * The only non-keyed step is the window over the staircase —
+    * |distinct prices| rows (at 100 TB: bounded by the domain, or
+    * replace with a two-phase per-partition-max + broadcast-prefix if
+    * the domain itself is huge).  Ties: equal (cents, size) points are
+    * mutually non-dominating; all are kept — the oracle's NOT EXISTS
+    * with two strictness arms agrees.
+    */
+  def paretoFront(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(s, dir).select(
+      col("p_partkey"), col("p_name"),
+      cents(col("p_retailprice")).as("cents"), col("p_size"))
+    val stair = pts.groupBy(col("cents")).agg(max(col("p_size")).as("smax"))
+    val w = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    val frontLevels = stair
+      .withColumn("prev", max(col("smax")).over(w))
+      .filter(col("prev").isNull || col("prev") < col("smax"))
+      .select(col("cents"), col("smax"))
+    pts.join(broadcast(frontLevels), Seq("cents"))
+      .filter(col("p_size") === col("smax"))
+      .select(col("p_partkey"), col("p_name"), col("cents"), col("p_size"))
+      .orderBy(col("cents"), col("p_partkey"))
+  }
+
+  /** Exact equi-depth histogram of lineitem price: NTILE(16) over the
+    * total order (cents, orderkey, linenumber) WITHOUT a corpus-wide
+    * row_number — the optimizer-statistics / quantile-sketch-free
+    * histogram build.
+    *
+    * Distributed-ntile design: the global rank of a row decomposes as
+    * `rank = cum(cents) + rank-within-value`, where `cum` is the
+    * running row count over the SORTED DISTINCT VALUES (a frame of
+    * |distinct prices| rows — the only global window) and the
+    * within-value rank is an ordinary per-price partition window (the
+    * shuffle key is the price value, map-side combinable).  NTILE's
+    * first-(n mod k)-tiles-get-one-extra assignment is then a pure
+    * integer expression of that rank.  This is the TeraSort shape:
+    * range statistics small, per-row work keyed — a direct
+    * `row_number() OVER (ORDER BY …)` would funnel the corpus through
+    * ONE task.
+    */
+  def equidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val li = Tables.lineitem(s, dir).select(
+      cents(col("l_extendedprice")).as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val vc = li.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = vc.select(col("cents"),
+      coalesce(sum(col("cnt")).over(wCum), lit(0L)).as("lo"))
+    val tot = li.agg(count(lit(1)).as("n"))
+    val wIn = Window.partitionBy(col("cents"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    li.join(cum, Seq("cents"))
+      .withColumn("pos", col("lo") + row_number().over(wIn) - lit(1))
+      .crossJoin(broadcast(tot))
+      .select(col("cents"), col("pos"),
+        expr("n div " + k).as("base"), (col("n") % k).as("big"))
+      .withColumn("tile",
+        when(col("pos") < col("big") * (col("base") + 1),
+          expr("pos div (base + 1)"))
+          .otherwise(col("big") + expr("(pos - big * (base + 1)) div base"))
+          .cast("int") + lit(1))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("tile"))
+  }
+
+  /** Blocked fuzzy entity matching over part names — the entity-
+    * resolution CANDIDATE-GENERATION audit: block on the head noun,
+    * compare names pairwise within each block with edit distance, and
+    * report per block how blocking performed (candidate pairs, exact
+    * matches, near matches) — the numbers that size an ER pipeline
+    * before anyone runs one.
+    *
+    * Scale shape: the pair join is keyed on the BLOCK, never all-pairs
+    * corpus-wide — the entire point of blocking; the output is one row
+    * per block.  Within-block volume is quadratic in block size, which
+    * is the knob the caller owns (pick blocking keys so blocks fit a
+    * task; the same discipline as [[Dedup]]'s ShingleDfCap).
+    * `levenshtein` is a codegen'd built-in on both engines with the
+    * textbook unit-cost definition, so counts are oracle-exact.
+    */
+  def entityMatch(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(
+      col("p_partkey").as("k"), col("p_name").as("n"),
+      split(col("p_name"), " ").getItem(1).as("blk"))
+    val a = p.select(col("blk"), col("k").as("ka"), col("n").as("na"))
+    val b = p.select(col("blk"), col("k").as("kb"), col("n").as("nb"))
+    val pairs = a.join(b, Seq("blk")).filter(col("ka") < col("kb"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")))
+    val nParts = p.groupBy(col("blk")).agg(count(lit(1)).as("n_parts"))
+    pairs.groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("dist") > 0 && col("dist") <= 2, 1L).otherwise(0L))
+          .as("n_fuzzy"))
+      .join(nParts, Seq("blk"))
+      .select(col("blk"), col("n_parts"), col("n_pairs"), col("n_exact"),
+        col("n_fuzzy"))
+      .orderBy(col("blk"))
+  }
+
+  /** Robust per-source length statistics: median and MAD (median
+    * absolute deviation) of `n_chars`, plus the count of docs outside
+    * median ± 3·MAD — the outlier gate that, unlike mean/σ (see
+    * `event_spike`), a handful of giant documents cannot drag.
+    *
+    * Exactness without sorting rows: both medians come from COUNTING
+    * over the per-(source, value) histogram — cumulative counts over
+    * the sorted DISTINCT values (bounded by the length domain) pick
+    * the lower/upper middle elements, and all comparisons stay in
+    * integers scaled ×2/×4 (`med2 = lower+upper`, `mad4`, outlier iff
+    * `4·|2x−med2| > 3·mad4`), so the emitted doubles are integer
+    * ratios with power-of-two denominators — bit-exact on any engine.
+    * Spark's `percentile()` would buffer every row of a group in one
+    * task; the histogram form is the 100 TB way (the value domain,
+    * not the row count, bounds the window).
+    */
+  def qualityMad(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+
+    /** median×2 per group of an integer column, by counting. */
+    def med2Of(df: DataFrame, valCol: String): DataFrame = {
+      val vc = df.groupBy(col("source"), col(valCol))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = vc.withColumn("hi", sum(col("cnt")).over(w))
+      val tot = df.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      cum.join(tot, Seq("source"))
+        .groupBy(col("source"), col("n"))
+        .agg(
+          // lower/upper middle (1-based positions ⌊(n+1)/2⌋ and ⌊n/2⌋+1):
+          // the min value whose cumulative count reaches the position
+          min(when(col("hi") >= expr("(n + 1) div 2"), col(valCol))).as("lo_med"),
+          min(when(col("hi") >= expr("(n + 2) div 2"), col(valCol))).as("up_med"))
+        .select(col("source"), col("n"),
+          (col("lo_med") + col("up_med")).as("med2"))
+    }
+
+    val m = med2Of(d, "n_chars")
+    val dev = d.join(broadcast(m), Seq("source"))
+      .select(col("source"), abs(lit(2) * col("n_chars") - col("med2")).as("dd"))
+    val mm = med2Of(dev, "dd").select(col("source"), col("med2").as("mad4"))
+    d.join(broadcast(m.select(col("source"), col("med2"))), Seq("source"))
+      .join(broadcast(mm), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("med2")) / lit(2.0)).as("med_chars"),
+        (max(col("mad4")) / lit(4.0)).as("mad_chars"),
+        sum(when(lit(4) * abs(lit(2) * col("n_chars") - col("med2")) >
+          lit(3) * col("mad4"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("source"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pareto_front" -> (paretoFront _),
+    "equidepth_hist" -> (equidepthHist _),
+    "entity_match" -> (entityMatch _),
+    "quality_mad" -> (qualityMad _))
+
+  def oracleSql: Map[String, String] = Map(
+    // the quadratic dominance spec the staircase plan must equal
+    "pareto_front" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |  CAST(floor(p_retailprice * 100) AS BIGINT) AS cents, p_size
+        |  FROM part)
+        |SELECT p_partkey, p_name, cents, p_size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+        |    AND (b.cents < a.cents OR b.p_size > a.p_size))
+        |ORDER BY cents, p_partkey""".stripMargin,
+    "equidepth_hist" ->
+      """WITH l AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  l_orderkey, l_linenumber FROM lineitem),
+        |t AS (SELECT cents,
+        |  NTILE(16) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS tile
+        |  FROM l)
+        |SELECT CAST(tile AS INT) AS tile, COUNT(*) AS n_rows,
+        |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "entity_match" ->
+      """WITH p AS (SELECT p_partkey AS k, p_name AS n,
+        |  split_part(p_name, ' ', 2) AS blk FROM part),
+        |pr AS (SELECT a.blk, levenshtein(a.n, b.n) AS dist
+        |       FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k),
+        |np AS (SELECT blk, COUNT(*) AS n_parts FROM p GROUP BY 1)
+        |SELECT blk, n_parts, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN dist > 0 AND dist <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fuzzy
+        |FROM pr JOIN np USING (blk)
+        |GROUP BY blk, n_parts ORDER BY blk""".stripMargin,
+    // quantile_cont(0.5) ≡ the counting median: exact on integer input
+    "quality_mad" ->
+      """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT d.source,
+        |  ABS(2 * d.n_chars - CAST(2 * m.med AS BIGINT)) AS dd, m.med
+        |  FROM documents d JOIN m USING (source)),
+        |mm AS (SELECT source, quantile_cont(dd, 0.5) AS mad2
+        |       FROM d GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  MAX(med) AS med_chars, MAX(mad2) / 2.0 AS mad_chars,
+        |  CAST(SUM(CASE WHEN 4 * dd > CAST(6 * mad2 AS BIGINT)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mm USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin)
+}

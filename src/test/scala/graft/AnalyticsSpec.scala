@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Sequential-replay oracles for [[graft.operators.Analytics]]: the
+  * quadratic/sort-based reference semantics each scale-shaped plan must
+  * equal, run over the collected sf0.001 tables.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def centsOf(x: Double): Long = math.floor(x * 100).toLong
+
+  private lazy val parts: Array[(Long, String, Long, Int)] =
+    Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), centsOf(r.getDouble(2)), r.getInt(3)))
+
+  test("pareto_front equals the quadratic dominance scan") {
+    val want = parts.filter { case (_, _, c, sz) =>
+      !parts.exists { case (_, _, c2, sz2) =>
+        c2 <= c && sz2 >= sz && (c2 < c || sz2 > sz)
+      }
+    }.map(p => (p._1, p._3, p._4)).toSet
+    val got = Analytics.paretoFront(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("cents"),
+        r.getAs[Int]("p_size"))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("pareto_front staircase join is broadcast") {
+    val plan = Analytics.paretoFront(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("equidepth_hist equals sorted NTILE replay and balances tiles") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (centsOf(r.getDouble(0)), r.getLong(1), r.getInt(2)))
+      .sortBy(identity)
+    val k = 16
+    val n = li.length
+    val base = n / k
+    val big = n % k
+    // NTILE: first (n mod k) tiles take (base+1) rows, in order
+    val expect = li.zipWithIndex.map { case ((c, _, _), pos) =>
+      val tile = if (pos < big * (base + 1)) pos / (base + 1)
+      else big + (pos - big * (base + 1)) / base
+      (tile + 1, c)
+    }.groupBy(_._1).map { case (t, rows) =>
+      t -> (rows.length.toLong, rows.map(_._2).min, rows.map(_._2).max,
+        rows.map(_._2).sum)
+    }
+    val got = Analytics.equidepthHist(spark, sf).collect()
+      .map(r => r.getAs[Int]("tile") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("lo_cents"),
+          r.getAs[Long]("hi_cents"), r.getAs[Long]("sum_cents"))).toMap
+    assert(got == expect)
+    // equi-depth: tile sizes differ by at most one
+    val sizes = got.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("entity_match counts pairs exactly per block") {
+    val byBlk = parts.groupBy(_._2.split(" ")(1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = Analytics.entityMatch(spark, sf).collect()
+      .map(r => r.getAs[String]("blk") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_exact"), r.getAs[Long]("n_fuzzy"))).toMap
+    assert(got.keySet == byBlk.keySet)
+    byBlk.foreach { case (blk, ps) =>
+      val pairs = for {
+        (ka, na, _, _) <- ps; (kb, nb, _, _) <- ps if ka < kb
+      } yield lev(na, nb)
+      val want = (ps.length.toLong, pairs.length.toLong,
+        pairs.count(_ == 0).toLong, pairs.count(d => d > 0 && d <= 2).toLong)
+      assert(got(blk) == want, s"block $blk")
+    }
+  }
+
+  test("quality_mad equals the sort-based median/MAD per source") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def median2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      s((n - 1) / 2) + s(n / 2) // lower + upper middle (0-based)
+    }
+    val got = Analytics.qualityMad(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("med_chars"),
+          r.getAs[Double]("mad_chars"), r.getAs[Long]("n_outliers"))).toMap
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val xs = ds.map(_._2).toSeq
+      val med2 = median2(xs)
+      val dd = xs.map(x => math.abs(2 * x - med2))
+      val mad4 = median2(dd)
+      val out = dd.count(d => 4 * d > 3 * mad4).toLong
+      assert(got(src) == ((xs.length.toLong, med2 / 2.0, mad4 / 4.0, out)),
+        s"source $src")
+    }
+    assert(got.size == docs.map(_._1).distinct.length)
+  }
+}
