@@ -287,6 +287,63 @@ object Stateful {
       }
   }
 
+  case class UpsertState(ts_sec: Long, event_id: Long, event_type: String,
+      cents: Long)
+  case class UpsertRow(user_id: Long, ts_sec: Long, event_id: Long,
+      last_type: String, cents: Long, deleted: Boolean)
+
+  /** Streaming CDC compaction — the continuous twin of
+    * [[graft.operators.Temporal.cdcUpsert]]: per key the newest record
+    * by (ts_sec, event_id) wins, a newest record of type `error` is a
+    * tombstone, and every micro-batch emits the keys whose winner
+    * CHANGED (Update mode), with `deleted = true` on tombstone wins —
+    * exactly what a downstream sink needs to maintain the snapshot
+    * incrementally.
+    *
+    * Late/stale data: an arriving record OLDER than the held winner
+    * (by the same total order the batch argmax uses) changes nothing
+    * and emits nothing — replaying a batch is idempotent.  The LAST
+    * emission per key therefore always equals the batch `max_by`
+    * image over everything ingested so far (parity spec-pinned).
+    *
+    * State: ONE small struct per live key — the snapshot itself is the
+    * state, so memory is O(|keys|), the same bound any compacted topic
+    * carries.  No timeout: a key's winner stays authoritative until a
+    * newer record or tombstone replaces it (tombstoned keys keep the
+    * tombstone so late pre-tombstone records cannot resurrect them;
+    * retire them with an event-time TTL if |keys| itself churns).
+    *
+    * Input needs (user_id, event_id, ts, event_type, value).
+    */
+  def upsert(spark: SparkSession, events: DataFrame): Dataset[UpsertRow] = {
+    import spark.implicits._
+    def wins(a: UpsertState, b: UpsertState): UpsertState =
+      if (a.ts_sec > b.ts_sec ||
+        (a.ts_sec == b.ts_sec && a.event_id >= b.event_id)) a else b
+    val typed = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"),
+        floor(col("value") * lit(100)).cast("long").as("cents"))
+      .as[(Long, Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UpsertState, UpsertRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Long, Long, String, Long)],
+            state: GroupState[UpsertState]) =>
+          val cand = batch.map { case (_, id, us, typ, cents) =>
+            UpsertState(us / 1000000, id, typ, cents)
+          }.reduceOption(wins)
+          val held = state.getOption
+          val next = (held ++ cand).reduceOption(wins)
+          next match {
+            case Some(w) if !held.contains(w) =>
+              state.update(w)
+              Iterator.single(UpsertRow(user, w.ts_sec, w.event_id,
+                w.event_type, w.cents, w.event_type == "error"))
+            case _ => Iterator.empty
+          }
+      }
+  }
+
   case class StateOpMetrics(query_name: String, query_id: String,
       batch_id: Long, operator: String, n_rows_total: Long,
       n_rows_updated: Long, n_rows_removed: Long, memory_used_bytes: Long,

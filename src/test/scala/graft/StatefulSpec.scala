@@ -288,4 +288,65 @@ class StatefulSpec extends AnyFunSuite {
     assert(Stateful.stateMetrics(spark, Seq(q2)).isEmpty)
     q.stop(); q2.stop()
   }
+
+  test("streaming upsert: last emission per key is the batch argmax; stale and repeated data emit nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L
+    val B = 1600000000L * M
+    val b1 = Seq(
+      UpEv(1, 1, B + 1 * M, "click", 1.0),
+      UpEv(1, 2, B + 5 * M, "view", 2.5),
+      UpEv(2, 3, B + 2 * M, "purchase", 3.0),
+      UpEv(3, 4, B + 3 * M, "view", 4.0))
+    val b2 = Seq(
+      UpEv(2, 5, B + 10 * M, "error", 0.0),  // tombstone wins for user 2
+      UpEv(1, 6, B + 2 * M, "click", 9.99),  // STALE: older than id 2 — no emission
+      UpEv(3, 7, B + 30 * M, "purchase", 1.25))
+    val mem = MemoryStream[UpEv]
+    val src = mem.toDF()
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"), col("value"))
+    val q = Stateful.upsert(spark, src).writeStream
+      .outputMode("update").format("memory").queryName("upsert_stream").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    val afterB1 = spark.table("upsert_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("last_type"), r.getAs[Long]("cents"),
+        r.getAs[Boolean]("deleted")))
+    // batch 1: every key emits its winner
+    assert(afterB1.sortBy(_._1).toSeq == Seq(
+      (1L, 2L, "view", 250L, false),
+      (2L, 3L, "purchase", 300L, false),
+      (3L, 4L, "view", 400L, false)))
+    mem.addData(b2: _*); q.processAllAvailable()
+    // replaying batch 2 verbatim must be a no-op (idempotent compaction)
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val all = spark.table("upsert_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("last_type"), r.getAs[Long]("cents"),
+        r.getAs[Boolean]("deleted")))
+    val b2Rows = all.diff(afterB1)
+    // user 1's stale record emits nothing; user 2 tombstones; user 3 updates
+    assert(b2Rows.sortBy(_._1).toSeq == Seq(
+      (2L, 5L, "error", 0L, true),
+      (3L, 7L, "purchase", 125L, false)))
+    assert(!all.exists(_._2 == 6L), "stale event must never surface")
+    // parity: last emission per key ≡ the batch max_by image of all data
+    val lastPerKey = all.groupBy(_._1).map { case (u, rows) =>
+      val r = if (rows.length > 1) b2Rows.find(_._1 == u).getOrElse(rows.head)
+      else rows.head
+      u -> ((r._3, r._5))
+    }
+    val batchImage = (b1 ++ b2).groupBy(_.user_id).map { case (u, evs) =>
+      val w = evs.maxBy(e => (e.us, e.event_id))
+      u -> ((w.event_type, w.event_type == "error"))
+    }
+    assert(lastPerKey == batchImage)
+  }
 }
+
+/** MemoryStream row shape for the streaming-upsert parity spec. */
+case class UpEv(user_id: Long, event_id: Long, us: Long,
+  event_type: String, value: Double)
