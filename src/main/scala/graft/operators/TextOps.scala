@@ -667,7 +667,27 @@ object TextOps {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Heavy-hitter terms via the Space-Saving sketch
+    * ([[graft.functions.SpaceSavingAgg]]) — the bounded-memory twin of
+    * the exact `top_terms` path: 256 counters per partial, merged
+    * map-side, so the term UNIVERSE never shuffles (at 100 TB the
+    * exact path's (term)-keyed exchange carries the whole vocabulary;
+    * this carries `capacity` structs per task).  Rows-only by design
+    * (a sketch has no SQL image); the ScalaTest oracle pins the
+    * `est − err ≤ true ≤ est` envelope and the N/capacity tracking
+    * guarantee against exact counts.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("term"), 256, 32).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.term").as("term"), col("h.est").as("est"),
+        col("h.err").as("err"))
+      .orderBy(desc("est"), col("err"), col("term"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> (heavyHitters _),
     "bpe_train" -> (bpeTrainEntry _),
     "compression_ratio" -> (compressionRatio _),
     "keyword_topk" -> (keywordTopkEntry _),

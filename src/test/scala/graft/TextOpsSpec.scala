@@ -745,4 +745,50 @@ class TextOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("tokens")).sum
     assert(bpeTokens > wsTokens)
   }
+
+  test("heavy_hitters envelope: est-err <= true <= est; top exact terms all reported") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextOps.heavyHitters(spark, sf).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("est"), r.getAs[Long]("err")))
+    assert(got.nonEmpty)
+    got.foreach { case (t, est, err) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(est >= tru && est - err <= tru, s"$t est=$est err=$err true=$tru")
+    }
+    val top8 = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(8).map(_._1).toSet
+    assert(top8.subsetOf(got.map(_._1).toSet))
+  }
+
+  test("space_saving under forced eviction + multi-partition merge keeps its guarantees") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // vocab (5003) >> capacity (64): every partial evicts constantly
+    val heavy = Seq.fill(1000)("alpha") ++ Seq.fill(800)("beta") ++ Seq.fill(600)("gamma")
+    val tail = (1 to 5000).map(i => s"tail_$i")
+    val data = new scala.util.Random(42).shuffle(heavy ++ tail)
+    val df = data.toDF("term").repartition(7)
+    val cap = 64
+    val row = df.agg(
+      graft.functions.SpaceSavingAgg.spaceSaving(col("term"), cap, cap).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.term"), col("h.est"), col("h.err")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = data.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val n = data.length
+    row.foreach { case (t, est, err) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(est >= tru, s"$t est=$est true=$tru")
+      assert(est - err <= tru, s"$t est=$est err=$err true=$tru")
+    }
+    // any term with true > N/cap must be tracked (alpha/beta/gamma all are:
+    // N/64 = 115)
+    val reported = row.map(_._1).toSet
+    exact.filter(_._2 > n / cap).keys.foreach { t =>
+      assert(reported.contains(t), s"heavy term $t missing (true=${exact(t)})")
+    }
+  }
 }
