@@ -192,13 +192,71 @@ object Analytics {
       .orderBy(col("source"))
   }
 
+  /** Distribution-position windows: percent_rank and cume_dist of
+    * order value within each priority class — the "where does this row
+    * sit in its cohort's distribution" normalization (feature scaling,
+    * per-segment percentile filters) that rank alone doesn't give.
+    *
+    * Oracle-exact BECAUSE both functions are integer-derived ratios —
+    * `(rank−1)/(n−1)` and `peers_cum/n` — one correctly-rounded IEEE
+    * divide of two longs, bit-identical on any engine (no running
+    * double accumulation anywhere).  Ties share rank/cume values, so
+    * no tie-break is needed inside the window; the presentation sort
+    * carries the key.  Scale: one hash exchange on the cohort key,
+    * per-cohort sorted-run scan — the standard single-shuffle window.
+    */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_orderpriority").as("prio"),
+      cents(col("o_totalprice")).as("cents"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("cents"))
+    o.select(col("o_orderkey"), col("prio"), col("cents"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("prio"), col("cents"), col("o_orderkey"))
+  }
+
+  /** Sketched quantiles: per-source n_chars percentiles via Spark's
+    * native KLL-style `percentile_approx` at accuracy 1000 — the
+    * 100 TB path next to [[qualityMad]]'s exact counting form: the
+    * sketch is O(accuracy·log n) per partial, merges map-side, and
+    * never materializes a value histogram.  Rows-only by design (the
+    * sketch's picked element depends on its compaction schedule, not
+    * on a SQL-expressible formula); the ScalaTest oracle pins the
+    * guarantee that matters: every reported q sits within rank
+    * p·n ± n/accuracy of the exact sorted order.
+    */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(percentile_approx(col("n_chars"),
+        array(ps.map(lit): _*), lit(1000)).as("qs"))
+      .select(col("source"), posexplode(col("qs")).as(Seq("i", "q_chars")))
+      .select(col("source"),
+        element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+        col("q_chars"))
+      .orderBy(col("source"), col("p"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_distribution" -> (windowDistribution _),
+    "quantile_sketch" -> (quantileSketch _),
     "pareto_front" -> (paretoFront _),
     "equidepth_hist" -> (equidepthHist _),
     "entity_match" -> (entityMatch _),
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    "window_distribution" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, prio, cents,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM o
+        |WINDOW w AS (PARTITION BY prio ORDER BY cents)
+        |ORDER BY prio, cents, o_orderkey""".stripMargin,
     // the quadratic dominance spec the staircase plan must equal
     "pareto_front" ->
       """WITH p AS (SELECT p_partkey, p_name,

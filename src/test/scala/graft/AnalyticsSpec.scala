@@ -120,4 +120,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(got.size == docs.map(_._1).distinct.length)
   }
+
+  test("window_distribution equals the integer-ratio replay") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), centsOf(r.getDouble(2))))
+    val got = Analytics.windowDistribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Double]("pct_rank"), r.getAs[Double]("cume"))).toMap
+    orders.groupBy(_._2).foreach { case (_, grp) =>
+      val n = grp.length
+      grp.foreach { case (key, _, c) =>
+        val below = grp.count(_._3 < c)
+        val le = grp.count(_._3 <= c)
+        val want = (if (n == 1) 0.0 else below.toDouble / (n - 1),
+          le.toDouble / n)
+        assert(got(key) == want, s"order $key")
+      }
+    }
+  }
+
+  test("quantile_sketch ranks land within the accuracy envelope") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val rows = Analytics.quantileSketch(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("p"),
+        r.getAs[Long]("q_chars")))
+    assert(rows.length == bySrc.size * 4)
+    rows.foreach { case (src, p, q) =>
+      val xs = bySrc(src)
+      val n = xs.length
+      // exact rank interval occupied by value q in sorted order
+      val lo = xs.count(_ < q)
+      val hi = xs.count(_ <= q)
+      val target = p * n
+      val slack = n.toDouble / 1000 + 1 // accuracy envelope + discreteness
+      assert(lo - slack <= target && target <= hi + slack,
+        s"$src p=$p q=$q rank=[$lo,$hi] target=$target n=$n")
+    }
+  }
 }
