@@ -156,16 +156,24 @@ object Analytics {
     * not the row count, bounds the window).
     */
   def qualityMad(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    // ONE corpus scan: collapse to the per-(source, value) histogram;
+    // medians, deviations and the outlier count are all HISTOGRAM
+    // algebra from here (weighted counting — the deviation "pass" is a
+    // recount of the same histogram, never a second scan).  The lazy
+    // localCheckpoint truncates lineage so all three consumers read the
+    // materialized (domain-bounded) histogram instead of re-scanning —
+    // the lm_score discipline (plan-spec-pinned).
+    val vc = Tables.documents(s, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
 
-    /** median×2 per group of an integer column, by counting. */
-    def med2Of(df: DataFrame, valCol: String): DataFrame = {
-      val vc = df.groupBy(col("source"), col(valCol))
-        .agg(count(lit(1)).as("cnt"))
+    /** weighted median×2 per source of histogram (source, valCol, cnt). */
+    def med2Of(h: DataFrame, valCol: String): DataFrame = {
       val w = Window.partitionBy(col("source")).orderBy(col(valCol))
         .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = vc.withColumn("hi", sum(col("cnt")).over(w))
-      val tot = df.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val cum = h.withColumn("hi", sum(col("cnt")).over(w))
+      val tot = h.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
       cum.join(tot, Seq("source"))
         .groupBy(col("source"), col("n"))
         .agg(
@@ -177,18 +185,19 @@ object Analytics {
           (col("lo_med") + col("up_med")).as("med2"))
     }
 
-    val m = med2Of(d, "n_chars")
-    val dev = d.join(broadcast(m), Seq("source"))
-      .select(col("source"), abs(lit(2) * col("n_chars") - col("med2")).as("dd"))
-    val mm = med2Of(dev, "dd").select(col("source"), col("med2").as("mad4"))
-    d.join(broadcast(m.select(col("source"), col("med2"))), Seq("source"))
+    val m = med2Of(vc, "n_chars")
+    val devH = vc.join(broadcast(m.select(col("source"), col("med2"))), Seq("source"))
+      .groupBy(col("source"), abs(lit(2) * col("n_chars") - col("med2")).as("dd"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mm = med2Of(devH, "dd").select(col("source"), col("med2").as("mad4"))
+    vc.join(broadcast(m.select(col("source"), col("med2"))), Seq("source"))
       .join(broadcast(mm), Seq("source"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum(col("cnt")).as("n_docs"),
         (max(col("med2")) / lit(2.0)).as("med_chars"),
         (max(col("mad4")) / lit(4.0)).as("mad_chars"),
         sum(when(lit(4) * abs(lit(2) * col("n_chars") - col("med2")) >
-          lit(3) * col("mad4"), 1L).otherwise(0L)).as("n_outliers"))
+          lit(3) * col("mad4"), col("cnt")).otherwise(0L)).as("n_outliers"))
       .orderBy(col("source"))
   }
 

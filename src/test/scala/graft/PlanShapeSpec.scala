@@ -387,4 +387,40 @@ class PlanShapeSpec extends AnyFunSuite {
       p.linesIterator.take(12).mkString("\n"))
     assert(countIn(p, "Scan parquet") === 1)
   }
+
+  /** AQE's executedPlan.toString prints final AND initial plans after
+    * execution — scan counts must read the final section only.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("quality_mad scans the corpus once: every consumer reads the checkpointed histogram") {
+    val p = finalPlan(Analytics.qualityMad(spark, sf))
+    // the one parquet scan happens inside the checkpoint materialization
+    // job; the final plan reads ONLY the shared histogram RDD
+    assert(countIn(p, "Scan parquet") === 0, p.linesIterator.take(20).mkString("\n"))
+    assert(countIn(p, "Scan ExistingRDD") >= 2, "histogram checkpoint must be shared")
+  }
+
+  test("heavy_hitters never shuffles the term universe: only sketch summaries move") {
+    val p = finalPlan(TextOps.heavyHitters(spark, TestSpark.sf))
+    // the single-group aggregate exchanges ONE summary row per partition;
+    // no hashpartitioning on the term column anywhere
+    assert(!p.contains("hashpartitioning(term"),
+      p.linesIterator.take(20).mkString("\n"))
+    assert(countIn(p, "Scan parquet") === 1)
+  }
+
+  test("equidepth_hist carries no corpus-wide unpartitioned row_number") {
+    val df = Analytics.equidepthHist(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only unpartitioned window runs over the DISTINCT-value frame
+    // (post-aggregate); the per-row window is partitioned by cents
+    assert(p.contains("row_number()") &&
+      p.contains("windowspecdefinition(cents"),
+      p.linesIterator.take(20).mkString("\n"))
+  }
 }
