@@ -248,15 +248,106 @@ object Analytics {
       .orderBy(col("source"), col("p"))
   }
 
+  /** Pairwise Pearson correlations over the lineitem numerics — the
+    * feature-correlation screen — ORACLE-EXACT, which `corr()` never
+    * is (its running double accumulation is order-dependent): every
+    * moment (Σx, Σx², Σxy) is an order-insensitive DECIMAL(38,0) sum
+    * of ×100-scaled integers, and each correlation is then ONE fixed
+    * double expression tree over those exact sums (each cast, multiply,
+    * subtract, sqrt and divide correctly rounded ⇒ bit-identical on
+    * any engine replaying the same tree — the event_spike discipline
+    * applied to second moments).
+    *
+    * Scale shape: a single map-side-combinable aggregate row (15
+    * moments), then a 6-row literal unpivot — nothing but partials
+    * ever moves.  DECIMAL(38,0) holds Σxy up to ~10³⁸: at 100 TB
+    * (~10¹² rows × 10¹⁴ max product) it is still exact.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val vars = Seq("qty", "price", "disc", "tax")
+    val li = Tables.lineitem(s, dir).select(
+      cents(col("l_quantity")).as("qty"),
+      cents(col("l_extendedprice")).as("price"),
+      cents(col("l_discount")).as("disc"),
+      cents(col("l_tax")).as("tax"))
+    val dec = "decimal(38,0)"
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+        vars.map(v => sum(col(v).cast(dec)).as(s"s_$v")) ++
+        vars.map(v => sum((col(v).cast(dec) * col(v).cast(dec)).cast(dec)).as(s"ss_$v")) ++
+        vars.combinations(2).map { case Seq(a, b) =>
+          sum((col(a).cast(dec) * col(b).cast(dec)).cast(dec)).as(s"sp_${a}_$b")
+        }.toSeq
+    val agg = li.agg(moments.head, moments.tail: _*)
+    def corrCol(a: String, b: String): Column = {
+      val n = col("n").cast("double")
+      val sx = col(s"s_$a").cast("double")
+      val sy = col(s"s_$b").cast("double")
+      val num = n * col(s"sp_${a}_$b").cast("double") - sx * sy
+      val dxx = n * col(s"ss_$a").cast("double") - sx * sx
+      val dyy = n * col(s"ss_$b").cast("double") - sy * sy
+      num / sqrt(dxx * dyy)
+    }
+    val pairs = vars.combinations(2).toSeq
+    agg.select(explode(array(pairs.map { case Seq(a, b) =>
+        struct(lit(a).as("var_a"), lit(b).as("var_b"),
+          corrCol(a, b).as("corr"))
+      }: _*)).as("r"))
+      .select(col("r.var_a").as("var_a"), col("r.var_b").as("var_b"),
+        col("r.corr").as("corr"))
+      .orderBy(col("var_a"), col("var_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_distribution" -> (windowDistribution _),
     "quantile_sketch" -> (quantileSketch _),
+    "corr_matrix" -> (corrMatrix _),
     "pareto_front" -> (paretoFront _),
     "equidepth_hist" -> (equidepthHist _),
     "entity_match" -> (entityMatch _),
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    // moments in HUGEINT (exact ≡ Spark's DECIMAL(38,0) sums), then the
+    // SAME double expression tree per pair — see corrMatrix scaladoc
+    "corr_matrix" ->
+      """WITH l AS (SELECT
+        |  CAST(floor(l_quantity * 100) AS BIGINT) AS qty,
+        |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS price,
+        |  CAST(floor(l_discount * 100) AS BIGINT) AS disc,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax FROM lineitem),
+        |m AS (SELECT COUNT(*) AS n,
+        |  SUM(CAST(qty AS HUGEINT)) AS s_qty,
+        |  SUM(CAST(price AS HUGEINT)) AS s_price,
+        |  SUM(CAST(disc AS HUGEINT)) AS s_disc,
+        |  SUM(CAST(tax AS HUGEINT)) AS s_tax,
+        |  SUM(CAST(qty AS HUGEINT) * qty) AS ss_qty,
+        |  SUM(CAST(price AS HUGEINT) * price) AS ss_price,
+        |  SUM(CAST(disc AS HUGEINT) * disc) AS ss_disc,
+        |  SUM(CAST(tax AS HUGEINT) * tax) AS ss_tax,
+        |  SUM(CAST(qty AS HUGEINT) * price) AS sp_qty_price,
+        |  SUM(CAST(qty AS HUGEINT) * disc) AS sp_qty_disc,
+        |  SUM(CAST(qty AS HUGEINT) * tax) AS sp_qty_tax,
+        |  SUM(CAST(price AS HUGEINT) * disc) AS sp_price_disc,
+        |  SUM(CAST(price AS HUGEINT) * tax) AS sp_price_tax,
+        |  SUM(CAST(disc AS HUGEINT) * tax) AS sp_disc_tax
+        |  FROM l),
+        |p AS (
+        |  SELECT 'qty' AS var_a, 'price' AS var_b, sp_qty_price AS sp,
+        |         s_qty AS sa, s_price AS sb, ss_qty AS ssa, ss_price AS ssb, n FROM m
+        |  UNION ALL SELECT 'qty', 'disc', sp_qty_disc, s_qty, s_disc, ss_qty, ss_disc, n FROM m
+        |  UNION ALL SELECT 'qty', 'tax', sp_qty_tax, s_qty, s_tax, ss_qty, ss_tax, n FROM m
+        |  UNION ALL SELECT 'price', 'disc', sp_price_disc, s_price, s_disc, ss_price, ss_disc, n FROM m
+        |  UNION ALL SELECT 'price', 'tax', sp_price_tax, s_price, s_tax, ss_price, ss_tax, n FROM m
+        |  UNION ALL SELECT 'disc', 'tax', sp_disc_tax, s_disc, s_tax, ss_disc, ss_tax, n FROM m)
+        |SELECT var_a, var_b,
+        |  (CAST(n AS DOUBLE) * CAST(sp AS DOUBLE)
+        |     - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(ssa AS DOUBLE)
+        |            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(ssb AS DOUBLE)
+        |            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS corr
+        |FROM p ORDER BY var_a, var_b""".stripMargin,
     "window_distribution" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

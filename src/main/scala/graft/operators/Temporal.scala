@@ -155,13 +155,52 @@ object Temporal {
       .orderBy(col("attrib_type"))
   }
 
+  /** User-journey mining: the top-20 most common within-user
+    * event-type trigrams — "what do users actually do in sequence",
+    * the path-analysis query behind funnel design (event_funnel
+    * checks ONE hypothesized order; this discovers the orders).
+    *
+    * Scale shape: one user exchange for the lag windows, then a
+    * bounded |types|³-key aggregate with map-side partials and a
+    * TakeOrderedAndProject (top-20 per partition partials — no global
+    * sort).  The (n desc, t1, t2, t3) order is total, so the cut is
+    * engine-deterministic.
+    */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), epochSec(col("ts")).as("ts_sec"),
+      col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    ev.select(lag(col("event_type"), 2).over(w).as("t1"),
+        lag(col("event_type"), 1).over(w).as("t2"),
+        col("event_type").as("t3"))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_paths" -> (eventPaths _),
     "window_range" -> (windowRange _),
     "ts_resample" -> (tsResample _),
     "cdc_upsert" -> (cdcUpsert _),
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    "event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) // 1000000 AS ts_sec FROM events),
+        |g AS (SELECT
+        |  LAG(event_type, 2) OVER w AS t1,
+        |  LAG(event_type, 1) OVER w AS t2,
+        |  event_type AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        |SELECT t1, t2, t3, COUNT(*) AS n FROM g WHERE t1 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     // RANGE frame ≡ Spark's rangeBetween(-600, 0): peers included.
     "window_range" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -121,6 +121,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == docs.map(_._1).distinct.length)
   }
 
+  test("corr_matrix equals the exact-moment replay bit for bit") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax")).collect()
+      .map(r => Array(centsOf(r.getDouble(0)), centsOf(r.getDouble(1)),
+        centsOf(r.getDouble(2)), centsOf(r.getDouble(3))))
+    val names = Seq("qty", "price", "disc", "tax")
+    val n = li.length
+    def s(i: Int) = li.map(r => BigInt(r(i))).sum
+    def sp(i: Int, j: Int) = li.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+    val got = Analytics.corrMatrix(spark, sf).collect()
+      .map(r => (r.getAs[String]("var_a"), r.getAs[String]("var_b")) ->
+        r.getAs[Double]("corr")).toMap
+    assert(got.size == 6)
+    for (Seq(i, j) <- (0 to 3).combinations(2)) {
+      val num = n.toDouble * sp(i, j).toDouble - s(i).toDouble * s(j).toDouble
+      val dxx = n.toDouble * sp(i, i).toDouble - s(i).toDouble * s(i).toDouble
+      val dyy = n.toDouble * sp(j, j).toDouble - s(j).toDouble * s(j).toDouble
+      val want = num / math.sqrt(dxx * dyy)
+      val g = got((names(i), names(j)))
+      assert(g == want, s"${names(i)}~${names(j)}: $g vs $want")
+      assert(math.abs(g) <= 1.0 + 1e-12)
+    }
+  }
+
   test("window_distribution equals the integer-ratio replay") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))

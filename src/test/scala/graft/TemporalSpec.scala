@@ -100,6 +100,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(rows.length == credit.size)
   }
 
+  test("event_paths equals the sequential trigram replay") {
+    val got = Temporal.eventPaths(spark, sf).collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"),
+        r.getAs[String]("t3"), r.getAs[Long]("n")))
+    val counts = raw.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._3, e._2)).map(_._4).sliding(3).filter(_.length == 3)
+        .map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val want = counts.toSeq
+      .sortBy { case ((a, b, c), m) => (-m, a, b, c) }.take(20)
+      .map { case ((a, b, c), m) => (a, b, c, m) }
+    assert(got.toSeq == want)
+  }
+
   test("windowed family shuffles once: window_range plan has one user exchange") {
     val plan = Temporal.windowRange(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
