@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScore, Bpe, BpeEncodeIds, BpeSegment, BpeTokenCount, CharPairs, CountInSet, DeflateLen, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, NormalizeText, RepetitionStats, RollingHash64, SimHash64, WindowHashes, WordShingles}
+import graft.functions.{AdcScore, Bpe, BpeEncodeIds, BpeSegment, BpeTokenCount, CharPairs, CountInSet, DeflateLen, DotProduct, HyperplaneBuckets, MinHashBandKeys, MinHashSig, NormalizeText, RepetitionStats, RollingHash64, SimHash64, SpaceSavingAgg, WindowHashes, WordShingles}
 
 /** Registers the graft native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works next to the Column API.
@@ -81,5 +81,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("bpe_encode_ids"),
       info("bpe_encode_ids", "bpe_encode_ids(array<string>) - concatenated vocab ids under the bundled merges (-1 = OOV)"),
       (args: Seq[Expression]) => BpeEncodeIds(args.head, Bpe.default)))
+    // the analyzer wraps a returned AggregateFunction in its
+    // AggregateExpression, so sketch aggregates register like scalars
+    e.injectFunction((FunctionIdentifier("space_saving"),
+      info("space_saving", "space_saving(term, capacity, k) - Space-Saving heavy-hitter summary: array<struct<term,est,err>> with est-err <= true <= est"),
+      (args: Seq[Expression]) => SpaceSavingAgg(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -44,4 +44,18 @@ class ExtensionsSpec extends AnyFunSuite {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
     assert(agg.length === 3)
   }
+
+  test("space_saving aggregate is callable from SQL and over-estimates truly") {
+    import spark.implicits._
+    (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ (1 to 40).map(i => s"t$i"))
+      .toDF("term").createOrReplaceTempView("ss_terms")
+    val rows = spark.sql(
+      """SELECT h.term, h.est, h.err
+        |FROM (SELECT explode(space_saving(term, 16, 16)) AS h FROM ss_terms)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val top = rows.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(top === Set("a", "b"))
+    val a = rows.find(_._1 == "a").get
+    assert(a._2 >= 50 && a._2 - a._3 <= 50)
+  }
 }
