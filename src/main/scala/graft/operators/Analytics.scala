@@ -298,7 +298,37 @@ object Analytics {
       .orderBy(col("var_a"), col("var_b"))
   }
 
+  /** Join-key skew diagnostic: the distribution of per-key row counts
+    * for the lineitem fact-fact join key — the report you read BEFORE
+    * choosing [[Skew.saltedJoin]]'s salt count or trusting AQE's skew
+    * split (max key size vs median, top-key row share).  One row out.
+    *
+    * Everything is counting: per-key counts collapse map-side, then
+    * the KEY-SIZE histogram (count → how many keys have it) is
+    * domain-bounded, and p50/p99 come from cumulative counts over it
+    * (the [[qualityMad]] discipline) — no sort of the key list, no
+    * percentile buffering.  `top_share_ppm` is an integer div.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val keyCnt = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+    val hist = keyCnt.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+    val w = Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("hi", sum(col("nk")).over(w))
+    val tot = hist.agg(sum(col("nk")).as("n_keys"),
+      sum(col("c") * col("nk")).as("n_rows"), max(col("c")).as("max_cnt"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_keys"), col("n_rows"), col("max_cnt"))
+      .agg(
+        min(when(col("hi") * 2 >= col("n_keys"), col("c"))).as("p50_cnt"),
+        min(when(col("hi") * 100 >= col("n_keys") * 99, col("c"))).as("p99_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"),
+        expr("(max_cnt * 1000000) div n_rows").as("top_share_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_report" -> (skewReport _),
     "window_distribution" -> (windowDistribution _),
     "quantile_sketch" -> (quantileSketch _),
     "corr_matrix" -> (corrMatrix _),
@@ -308,6 +338,19 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    "skew_report" ->
+      """WITH kc AS (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |h AS (SELECT c, COUNT(*) AS nk FROM kc GROUP BY 1),
+        |cum AS (SELECT c, SUM(nk) OVER (ORDER BY c
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM h),
+        |t AS (SELECT CAST(SUM(nk) AS BIGINT) AS n_keys,
+        |  CAST(SUM(c * nk) AS BIGINT) AS n_rows, MAX(c) AS max_cnt FROM h)
+        |SELECT n_rows, n_keys, max_cnt,
+        |  MIN(CASE WHEN hi * 2 >= n_keys THEN c END) AS p50_cnt,
+        |  MIN(CASE WHEN hi * 100 >= n_keys * 99 THEN c END) AS p99_cnt,
+        |  (max_cnt * 1000000) // n_rows AS top_share_ppm
+        |FROM cum, t
+        |GROUP BY n_rows, n_keys, max_cnt""".stripMargin,
     // moments in HUGEINT (exact ≡ Spark's DECIMAL(38,0) sums), then the
     // SAME double expression tree per pair — see corrMatrix scaladoc
     "corr_matrix" ->

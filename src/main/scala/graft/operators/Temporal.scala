@@ -182,14 +182,72 @@ object Temporal {
       .limit(20)
   }
 
+  /** CUSUM changepoint per event type: the day where the cumulative
+    * deviation of daily volume from the type's mean peaks — "WHEN did
+    * the level shift", where `event_spike` only asks "which days are
+    * outliers".  A level change shows up as a monotone CUSUM ramp
+    * peaking AT the changepoint, robust to single-day noise.
+    *
+    * Integer-exact: with n days and total T, the mean-deviation CUSUM
+    * scaled by n is `S_d = n·cum_d − rank_d·T` — integers only, so
+    * the argmax (|S| desc, then earliest day) is engine-exact with no
+    * float accumulation anywhere.  Scale shape: (type, day) aggregate
+    * collapses map-side; every window runs per type over ≤|days| rows
+    * (the corpus time span, a constant), and the 1-row-per-type
+    * argmax is a window-rank filter over that bounded frame.
+    */
+  def cusumShift(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), epochSec(col("ts")).as("ts_sec"))
+      .select(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val withS = daily
+      .withColumn("cum", sum(col("c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("t", sum(col("c")).over(wAll))
+      .withColumn("s", col("n") * col("cum") - col("rk") * col("t"))
+    withS
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("s")).desc, col("day"))))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("day").as("shift_day"),
+        col("s").as("s_scaled"), col("n").as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_paths" -> (eventPaths _),
+    "cusum_shift" -> (cusumShift _),
     "window_range" -> (windowRange _),
     "ts_resample" -> (tsResample _),
     "cdc_upsert" -> (cdcUpsert _),
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    "cusum_shift" ->
+      """WITH d AS (SELECT event_type,
+        |  (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day,
+        |  CAST(COUNT(*) OVER tp AS BIGINT) * CAST(SUM(c) OVER w AS BIGINT)
+        |    - CAST(ROW_NUMBER() OVER w AS BIGINT) * CAST(SUM(c) OVER tp AS BIGINT)
+        |    AS s,
+        |  CAST(COUNT(*) OVER tp AS BIGINT) AS n_days
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         tp AS (PARTITION BY event_type))
+        |SELECT event_type, day AS shift_day, s AS s_scaled, n_days
+        |FROM s
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY ABS(s) DESC, day) = 1
+        |ORDER BY event_type""".stripMargin,
     "event_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(ts) // 1000000 AS ts_sec FROM events),

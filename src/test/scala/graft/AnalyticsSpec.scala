@@ -121,6 +121,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == docs.map(_._1).distinct.length)
   }
 
+  test("skew_report equals the counted key-size distribution") {
+    val counts = Tables.lineitem(spark, sf).select(col("l_orderkey")).collect()
+      .map(_.getLong(0)).groupBy(identity).map(_._2.length.toLong).toSeq.sorted
+    val r = Analytics.skewReport(spark, sf).collect().head
+    assert(r.getAs[Long]("n_keys") == counts.length)
+    assert(r.getAs[Long]("n_rows") == counts.sum)
+    assert(r.getAs[Long]("max_cnt") == counts.max)
+    // counting percentiles: min c whose cumulative keys reach the position
+    def pct(q: Int, of: Int) = counts((counts.length * q + of - 1) / of - 1)
+    assert(r.getAs[Long]("p50_cnt") == pct(1, 2))
+    assert(r.getAs[Long]("p99_cnt") == pct(99, 100))
+    assert(r.getAs[Long]("top_share_ppm") == counts.max * 1000000 / counts.sum)
+  }
+
+  test("cusum_shift finds the planted level change exactly") {
+    import spark.implicits._
+    // 10 days at 100/day then 10 days at 200/day: CUSUM peaks at day 9
+    val ev = (0 until 20).flatMap { d =>
+      val n = if (d < 10) 100 else 200
+      (0 until n).map(i => ("planted", d.toLong * 86400L + i))
+    }.toDF("event_type", "ts_sec")
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("ts_sec")).as("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cusum")
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.operators.Temporal.cusumShift(spark, tmp.toString).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("shift_day") == 9L)
+    // S_9 = 20*1000 - 10*3000 = -10000
+    assert(r.head.getAs[Long]("s_scaled") == -10000L)
+    assert(r.head.getAs[Long]("n_days") == 20L)
+  }
+
   test("corr_matrix equals the exact-moment replay bit for bit") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
