@@ -327,8 +327,40 @@ object Analytics {
         expr("(max_cnt * 1000000) div n_rows").as("top_share_ppm"))
   }
 
+  /** Market-basket co-occurrence: the top-20 part pairs bought in the
+    * same order, with exact lift — the association-mining /
+    * recommendation primer ("which items travel together").
+    *
+    * Scale shape: the pair space is generated by an ORDER-keyed
+    * self-join, so its volume is Σ basket² — bounded by basket size,
+    * never |parts|² (the all-pairs trap); per-item support counts are
+    * an independent partkey aggregate joined back, the 1-row order
+    * total broadcasts, and the cut is a TakeOrderedAndProject under
+    * the total (n_ab desc, pa, pb) order.  Lift is ONE division of
+    * two exact integer products ⇒ engine-exact doubles.
+    */
+  def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val tot = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_supp"))
+    val a = items.select(col("ok"), col("pk").as("pa"))
+    val b = items.select(col("ok"), col("pk").as("pb"))
+    a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .join(supp.select(col("pk").as("pa"), col("n_supp").as("n_a")), Seq("pa"))
+      .join(supp.select(col("pk").as("pb"), col("n_supp").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(desc("n_ab"), col("pa"), col("pb"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_report" -> (skewReport _),
+    "basket_pairs" -> (basketPairs _),
     "window_distribution" -> (windowDistribution _),
     "quantile_sketch" -> (quantileSketch _),
     "corr_matrix" -> (corrMatrix _),
@@ -338,6 +370,21 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    "basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |t AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM it),
+        |sup AS (SELECT pk, COUNT(*) AS n_supp FROM it GROUP BY 1),
+        |pr AS (SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+        |       FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2)
+        |SELECT pa, pb, n_ab,
+        |  CAST(n_ab * n_orders AS DOUBLE)
+        |    / CAST(sa.n_supp * sb.n_supp AS DOUBLE) AS lift
+        |FROM pr JOIN sup sa ON pr.pa = sa.pk
+        |        JOIN sup sb ON pr.pb = sb.pk
+        |        CROSS JOIN t
+        |ORDER BY n_ab DESC, pa, pb LIMIT 20""".stripMargin,
     "skew_report" ->
       """WITH kc AS (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
         |h AS (SELECT c, COUNT(*) AS nk FROM kc GROUP BY 1),

@@ -121,6 +121,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == docs.map(_._1).distinct.length)
   }
 
+  test("basket_pairs equals the sequential co-occurrence replay") {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val supp = items.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairCnt = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length if ps(i) != ps(j))
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val want = pairCnt.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+      .map { case ((a, b), n) =>
+        (a, b, n, (n * nOrders).toDouble / (supp(a) * supp(b)).toDouble)
+      }
+    val got = Analytics.basketPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb"),
+        r.getAs[Long]("n_ab"), r.getAs[Double]("lift"))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("skew_report equals the counted key-size distribution") {
     val counts = Tables.lineitem(spark, sf).select(col("l_orderkey")).collect()
       .map(_.getLong(0)).groupBy(identity).map(_._2.length.toLong).toSeq.sorted
