@@ -91,9 +91,47 @@ embt = pa.concat_tables(chunks)
 pq.write_table(embt, f"{DST}/embeddings.parquet")
 print(f"embeddings: {embt.num_rows} rows")
 
+# ---- events (round-11 wave 2: scale evidence for the Temporal family) ----
+# copy c remaps event_id/user_id by the same stride; ts is UNCHANGED, so
+# the corpus TIME SPAN is constant while volume grows 10x — exactly the
+# regime ts_resample's "explode bounded by span" claim is about, and the
+# per-user series stay isomorphic (10x more users, same per-user shape).
+t = pq.read_table(f"{SRC}/events.parquet")
+chunks = []
+for c in range(COPIES):
+    chunks.append(pa.table({
+        "event_id": pa.array(t.column("event_id").to_numpy() + c * STRIDE, type=pa.int64()),
+        "ts": t.column("ts"),
+        "user_id": pa.array(t.column("user_id").to_numpy() + c * STRIDE, type=pa.int64()),
+        "event_type": t.column("event_type"),
+        "value": t.column("value"),
+        "props": t.column("props"),
+    }))
+ev = pa.concat_tables(chunks)
+pq.write_table(ev, f"{DST}/events.parquet")
+print(f"events: {ev.num_rows} rows")
+
+# ---- lineitem (equidepth/skew/corr/basket scale evidence) ----
+# copy c remaps l_orderkey only: the price/qty VALUE DOMAINS are constant
+# (distinct cents stay put — the regime equidepth_hist's domain-bounded
+# staircase claim is about), per-key counts and baskets replicate
+# shard-isomorphically (skew_report percentiles and basket_pairs lift
+# are exactly preserved; supports, pair counts and N all scale 10x).
+t = pq.read_table(f"{SRC}/lineitem.parquet")
+chunks = []
+for c in range(COPIES):
+    cols = {name: t.column(name) for name in t.column_names}
+    cols["l_orderkey"] = pa.array(t.column("l_orderkey").to_numpy() + c * STRIDE, type=pa.int64())
+    chunks.append(pa.table(cols))
+li = pa.concat_tables(chunks)
+pq.write_table(li, f"{DST}/lineitem.parquet")
+print(f"lineitem: {li.num_rows} rows")
+
 # remaining tables: symlink sf0.1 (warmup only)
 for f in os.listdir(SRC):
-    if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+    if f.endswith(".parquet") and f not in (
+            "documents.parquet", "embeddings.parquet", "events.parquet",
+            "lineitem.parquet"):
         dst = f"{DST}/{f}"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{f}", dst)
