@@ -471,6 +471,44 @@ object ImageCodec {
     }
     sig
   }
+
+  /** Deterministic pixel-domain thumbnail: nearest-neighbor sample at
+    * the integer grid `src = dst * srcDim / dstDim` (pure integer
+    * arithmetic — no filtering kernel, no float geometry — so the
+    * output PNG bytes are bit-identical across JVMs/runs, which is
+    * what a content-addressed media store needs from its derivatives),
+    * re-encoded as PNG.  None ⇔ undecodable input or non-positive
+    * target dims.  Runs inside the same `mapPartitions` codec seam as
+    * [[decode]]; at 100 TB thumbnailing is scan-bandwidth map work
+    * with zero shuffle.
+    */
+  def thumbnail(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    if (tw <= 0 || th <= 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var ty = 0
+      while (ty < th) {
+        val sy = math.min(ty * h / th, h - 1)
+        var tx = 0
+        while (tx < tw) {
+          val sx = math.min(tx * w / tw, w - 1)
+          out.setRGB(tx, ty, img.getRGB(sx, sy) & 0xffffff)
+          tx += 1
+        }
+        ty += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
 }
 
 /** JDK-native AUDIO decoding behind the codec seam:

@@ -746,6 +746,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bpeTokens > wsTokens)
   }
 
+  test("thumbnail: integer-grid nearest-neighbor, bit-deterministic, corrupt-safe") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    // four 4x4 quadrants -> 2x2 thumbnail picks each quadrant's origin
+    val colors = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val src = png(8, 8) { (x, y) => colors((y / 4) * 2 + (x / 4)) }
+    val t = graft.operators.ImageCodec.thumbnail(src, 2, 2).get
+    val timg = ImageIO.read(new java.io.ByteArrayInputStream(t))
+    assert((timg.getWidth, timg.getHeight) === ((2, 2)))
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert((timg.getRGB(x, y) & 0xffffff) === colors(y * 2 + x), s"($x,$y)")
+    // bit determinism: repeated derivation is byte-identical (what a
+    // content-addressed derivative store requires)
+    assert(graft.operators.ImageCodec.thumbnail(src, 2, 2).get.toSeq === t.toSeq)
+    // upscale duplicates pixels on the same integer grid
+    val up = ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.operators.ImageCodec.thumbnail(t, 4, 4).get))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((up.getRGB(x, y) & 0xffffff) === colors((y / 2) * 2 + (x / 2)))
+    // corrupt bytes and degenerate dims are None, never a throw
+    assert(graft.operators.ImageCodec.thumbnail(Array[Byte](1, 2, 3), 2, 2).isEmpty)
+    assert(graft.operators.ImageCodec.thumbnail(src, 0, 2).isEmpty)
+  }
+
   test("heavy_hitters envelope: est-err <= true <= est; top exact terms all reported") {
     import org.apache.spark.sql.functions._
     val exact = Tables.documents(spark, sf)
