@@ -358,9 +358,33 @@ object Analytics {
       .limit(20)
   }
 
+  /** Incremental-aggregation algebra, driven through the gate: corpus
+    * stats computed as PARTIALS per (source, snapshot-vs-delta slice)
+    * and then MERGED — the materialized-view-maintenance shape ("keep
+    * a stored aggregate, fold each new batch in, never rescan") whose
+    * correctness IS the oracle check here, since the oracle recomputes
+    * flat from scratch: count/sum/min/max are the mergeable kernels;
+    * the one-scan two-level plan proves merge ≡ recompute exactly.
+    * (avg is intentionally derived from merged sum/count, never
+    * averaged across partials — the classic non-mergeable trap.)
+    */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.documents(s, dir)
+      .groupBy(col("source"), (pmod(col("doc_id"), lit(10)) === 0).as("is_delta"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+        min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    partials.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("sc")).as("sum_chars"),
+        min(col("mn")).as("min_chars"), max(col("mx")).as("max_chars"))
+      .withColumn("avg_chars",
+        col("sum_chars").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_report" -> (skewReport _),
     "basket_pairs" -> (basketPairs _),
+    "agg_incremental" -> (aggIncremental _),
     "window_distribution" -> (windowDistribution _),
     "quantile_sketch" -> (quantileSketch _),
     "corr_matrix" -> (corrMatrix _),
@@ -370,6 +394,13 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    // flat recompute — merge ≡ recompute is the property under test
+    "agg_incremental" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "basket_pairs" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

@@ -221,15 +221,76 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Nearest-in-time join: each purchase paired with the same user's
+    * CLOSEST click in either direction (the sensor-alignment shape —
+    * `asof_join` only looks backward; aligning two streams wants the
+    * nearest reading).  Two ignoreNulls window carries — last click
+    * before, first click after — then one integer comparison picks
+    * the nearer side, ties to the earlier click.  Purchases with no
+    * click either side drop (inner semantics, like asof).
+    *
+    * Scale shape: identical to every per-user window here — one hash
+    * exchange, sorted-run scan, no join at all (the "join" is a
+    * window carry, which is how an in-stream as-of avoids building a
+    * second keyed relation).
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), epochUs(col("ts")).as("us"),
+      col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val clickUs = when(col("event_type") === "click", col("us"))
+    val out = ev
+      .withColumn("prev_us", last(clickUs, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_us", first(clickUs, ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+      .filter(col("prev_us").isNotNull || col("next_us").isNotNull)
+      .withColumn("nearest_us",
+        when(col("prev_us").isNull, col("next_us"))
+          .when(col("next_us").isNull, col("prev_us"))
+          .when(col("us") - col("prev_us") <= col("next_us") - col("us"),
+            col("prev_us"))
+          .otherwise(col("next_us")))
+    out.select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"), col("nearest_us"),
+        abs(col("us") - col("nearest_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("p_us"), col("purchase_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_paths" -> (eventPaths _),
     "cusum_shift" -> (cusumShift _),
+    "asof_nearest" -> (asofNearest _),
     "window_range" -> (windowRange _),
     "ts_resample" -> (tsResample _),
     "cdc_upsert" -> (cdcUpsert _),
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    "asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |           FROM events),
+        |c AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+        |  first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+        |  FROM e),
+        |p AS (SELECT *,
+        |  CASE WHEN prev_us IS NULL THEN next_us
+        |       WHEN next_us IS NULL THEN prev_us
+        |       WHEN us - prev_us <= next_us - us THEN prev_us
+        |       ELSE next_us END AS nearest_us
+        |  FROM c
+        |  WHERE event_type = 'purchase'
+        |    AND (prev_us IS NOT NULL OR next_us IS NOT NULL))
+        |SELECT user_id, event_id AS purchase_id, us AS p_us, nearest_us,
+        |  ABS(us - nearest_us) AS gap_us
+        |FROM p ORDER BY user_id, p_us, purchase_id""".stripMargin,
     "cusum_shift" ->
       """WITH d AS (SELECT event_type,
         |  (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS c

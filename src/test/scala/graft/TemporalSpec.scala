@@ -114,6 +114,48 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("asof_nearest picks the truly closest click, ties to the earlier side") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        graft.functions.TimeFunctions.epochUs(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val got = Temporal.asofNearest(spark, sf).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (r.getAs[Long]("nearest_us"), r.getAs[Long]("gap_us"))).toMap
+    val byUser = ev.groupBy(_._1)
+    var checked = 0
+    byUser.values.foreach { evs =>
+      val clicks = evs.filter(_._4 == "click").map(_._3).sorted
+      evs.filter(_._4 == "purchase").foreach { case (_, pid, pus, _) =>
+        if (clicks.isEmpty) assert(!got.contains(pid))
+        else {
+          // nearest by |delta|, tie to the EARLIER click
+          val best = clicks.minBy(c => (math.abs(pus - c), c))
+          assert(got(pid) == ((best, math.abs(pus - best))), s"purchase $pid")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0 && got.size == checked)
+  }
+
+  test("agg_incremental merged partials equal the flat recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = graft.operators.Analytics.aggIncremental(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
+          r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars"),
+          r.getAs[Double]("avg_chars"))).toMap
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val xs = ds.map(_._2)
+      assert(got(src) == ((xs.length.toLong, xs.sum, xs.min, xs.max,
+        xs.sum.toDouble / xs.length.toDouble)), s"source $src")
+    }
+  }
+
   test("windowed family shuffles once: window_range plan has one user exchange") {
     val plan = Temporal.windowRange(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
