@@ -259,7 +259,43 @@ object Temporal {
       .orderBy(col("user_id"), col("p_us"), col("purchase_id"))
   }
 
+  /** Per-type daily-volume linear trend (least squares over (day,
+    * count)) — the DRIFT detector next to [[cusumShift]]'s level-shift
+    * detector and `event_spike`'s outlier gate.  ORACLE-EXACT the way
+    * `regr_slope` never is: all four moments are integer sums over
+    * the (type, day) aggregate, and slope/intercept are a FIXED tree
+    * of correctly-rounded double ops over those exact integers
+    * (slope = (n·Σdc − Σd·Σc) / (n·Σd² − (Σd)²), both sides computed
+    * in exact longs FIRST, one cast each, one divide).
+    *
+    * Scale shape: daily counts collapse map-side; the regression is a
+    * |types|-row aggregate of 4 integer moments.  Nothing but (type,
+    * day) partials ever shuffles.
+    */
+  def volumeTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), epochSec(col("ts")).as("ts_sec"))
+      .select(col("event_type"), expr("ts_sec div 86400").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("c"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("c")).as("sc"), sum(col("d") * col("d")).as("sdd"),
+        sum(col("d") * col("c")).as("sdc"))
+    val num = (col("n") * col("sdc") - col("sd") * col("sc")).cast("double")
+    val den = (col("n") * col("sdd") - col("sd") * col("sd")).cast("double")
+    m.filter(col("n") > 1)
+      .withColumn("slope", num / den)
+      .withColumn("intercept",
+        (col("sc").cast("double") - col("slope") * col("sd").cast("double")) /
+          col("n").cast("double"))
+      .select(col("event_type"), col("n").as("n_days"), col("slope"),
+        col("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "volume_trend" -> (volumeTrend _),
     "event_paths" -> (eventPaths _),
     "cusum_shift" -> (cusumShift _),
     "asof_nearest" -> (asofNearest _),
@@ -269,6 +305,22 @@ object Temporal {
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    "volume_trend" ->
+      """WITH d AS (SELECT event_type,
+        |  (epoch_us(ts) // 1000000) // 86400 AS d, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(c) AS BIGINT) AS sc,
+        |  CAST(SUM(d * d) AS BIGINT) AS sdd, CAST(SUM(d * c) AS BIGINT) AS sdc
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  CAST(n * sdc - sd * sc AS DOUBLE)
+        |    / CAST(n * sdd - sd * sd AS DOUBLE) AS slope,
+        |  (CAST(sc AS DOUBLE)
+        |     - (CAST(n * sdc - sd * sc AS DOUBLE)
+        |          / CAST(n * sdd - sd * sd AS DOUBLE)) * CAST(sd AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept
+        |FROM m WHERE n > 1 ORDER BY event_type""".stripMargin,
     "asof_nearest" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
         |           FROM events),

@@ -156,6 +156,38 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("volume_trend equals the integer-moment replay; planted line recovers exactly") {
+    val got = Temporal.volumeTrend(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("slope"),
+          r.getAs[Double]("intercept"))).toMap
+    raw.groupBy(_._4).foreach { case (typ, evs) =>
+      val daily = evs.groupBy(e => e._3 / 86400).map { case (d, xs) =>
+        (d, xs.length.toLong)
+      }.toSeq
+      val n = daily.length.toLong
+      if (n > 1) {
+        val sd = daily.map(_._1).sum
+        val sc = daily.map(_._2).sum
+        val sdd = daily.map(t => t._1 * t._1).sum
+        val sdc = daily.map(t => t._1 * t._2).sum
+        val slope = (n * sdc - sd * sc).toDouble / (n * sdd - sd * sd).toDouble
+        val icpt = (sc.toDouble - slope * sd.toDouble) / n.toDouble
+        assert(got(typ) == ((n, slope, icpt)), s"type $typ")
+      }
+    }
+    // planted exact line c = 3d + 7 over days 0..9 recovers slope 3
+    import spark.implicits._
+    val ev = (0 until 10).flatMap(d => (0 until 3 * d + 7)
+      .map(i => ("lin", d.toLong * 86400 + i))).toDF("event_type", "ts_sec")
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("ts_sec")).as("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-trend")
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Temporal.volumeTrend(spark, tmp.toString).collect().head
+    assert(r.getAs[Double]("slope") == 3.0 && r.getAs[Double]("intercept") == 7.0)
+  }
+
   test("windowed family shuffles once: window_range plan has one user exchange") {
     val plan = Temporal.windowRange(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
