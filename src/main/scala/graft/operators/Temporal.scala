@@ -294,7 +294,45 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Time-to-convert distribution: per user the lag from FIRST view to
+    * the first purchase at-or-after it, summarized as exact median and
+    * p90 by COUNTING over the lag histogram (the
+    * [[Analytics.qualityMad]] discipline — no lag-list sort, no
+    * percentile buffering; the window runs over DISTINCT lag values).
+    * One output row: the product-analytics "how long does conversion
+    * take" number, exact on both engines (median is a half-integer ⇒
+    * /2.0 is an exact power-of-two division).
+    *
+    * Scale shape: two type-filtered user-keyed min-aggregates (map-
+    * side), one user join, then histogram algebra on the lag domain.
+    */
+  def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), epochSec(col("ts")).as("ts_sec"), col("event_type"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("v"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts_sec") >= col("v"))
+      .groupBy(col("user_id"), col("v")).agg(min(col("ts_sec")).as("p"))
+    val hist = firstP.select((col("p") - col("v")).as("lag"))
+      .groupBy(col("lag")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("lag")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("hi", sum(col("cnt")).over(w))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n"))
+      .agg(
+        min(when(col("hi") >= expr("(n + 1) div 2"), col("lag"))).as("lo_med"),
+        min(when(col("hi") >= expr("(n + 2) div 2"), col("lag"))).as("up_med"),
+        min(when(col("hi") * 10 >= col("n") * 9, col("lag"))).as("p90_lag_sec"))
+      .select(col("n").as("n_users"),
+        ((col("lo_med") + col("up_med")) / lit(2.0)).as("med_lag_sec"),
+        col("p90_lag_sec"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conversion_lag" -> (conversionLag _),
     "volume_trend" -> (volumeTrend _),
     "event_paths" -> (eventPaths _),
     "cusum_shift" -> (cusumShift _),
@@ -305,6 +343,25 @@ object Temporal {
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    "conversion_lag" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec,
+        |  event_type FROM events),
+        |fv AS (SELECT user_id, MIN(ts_sec) AS v FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT e.user_id, v, MIN(ts_sec) AS p
+        |       FROM e JOIN fv USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_sec >= v
+        |       GROUP BY 1, 2),
+        |h AS (SELECT p - v AS lag, COUNT(*) AS cnt FROM fp GROUP BY 1),
+        |c AS (SELECT lag, SUM(cnt) OVER (ORDER BY lag
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM h),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h)
+        |SELECT n AS n_users,
+        |  (MIN(CASE WHEN hi >= (n + 1) // 2 THEN lag END)
+        |   + MIN(CASE WHEN hi >= (n + 2) // 2 THEN lag END)) / 2.0
+        |    AS med_lag_sec,
+        |  MIN(CASE WHEN hi * 10 >= n * 9 THEN lag END) AS p90_lag_sec
+        |FROM c, t GROUP BY n""".stripMargin,
     "volume_trend" ->
       """WITH d AS (SELECT event_type,
         |  (epoch_us(ts) // 1000000) // 86400 AS d, COUNT(*) AS c

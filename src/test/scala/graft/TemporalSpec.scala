@@ -188,6 +188,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("slope") == 3.0 && r.getAs[Double]("intercept") == 7.0)
   }
 
+  test("conversion_lag equals the sorted replay") {
+    val lags = raw.groupBy(_._1).values.flatMap { evs =>
+      val views = evs.filter(_._4 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val v = views.min
+        val ps = evs.filter(e => e._4 == "purchase" && e._3 >= v).map(_._3)
+        if (ps.isEmpty) None else Some(ps.min - v)
+      }
+    }.toSeq.sorted
+    val n = lags.length
+    val r = Temporal.conversionLag(spark, sf).collect().head
+    assert(r.getAs[Long]("n_users") == n)
+    assert(r.getAs[Double]("med_lag_sec") ==
+      (lags((n - 1) / 2) + lags(n / 2)) / 2.0)
+    assert(r.getAs[Long]("p90_lag_sec") == lags((9 * n + 9) / 10 - 1))
+  }
+
   test("windowed family shuffles once: window_range plan has one user exchange") {
     val plan = Temporal.windowRange(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
