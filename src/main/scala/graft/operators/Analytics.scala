@@ -381,10 +381,53 @@ object Analytics {
       .orderBy(col("source"))
   }
 
+  /** RFM customer segmentation: recency / frequency / monetary
+    * quintile scores per customer, reported as bounded (r, f, m)
+    * segment counts (≤125 rows) — the classic CRM cube.
+    *
+    * Quintiles via `percent_rank` over each metric: ties share the
+    * rank, so the score depends only on the VALUE (no per-row
+    * tie-break needed) and both engines floor the same exact double.
+    * The three unpartitioned windows run over the per-customer
+    * aggregate (one row per customer); at a scale where even that
+    * frame can't sort in one task, swap in the distinct-value
+    * counting decomposition `equidepth_hist` demonstrates — the
+    * semantics here are the spec, pinned by the oracle either way.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), epochSecOf(col("o_orderdate")).as("ts_sec"),
+        cents(col("o_totalprice")).as("cents"))
+      .select(col("o_custkey"), expr("ts_sec div 86400").as("day"), col("cents"))
+    val cust = o.groupBy(col("o_custkey")).agg(
+      max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+      sum(col("cents")).as("mon"))
+    val maxDay = cust.agg(max(col("last_day")).as("max_day"))
+    val scored = cust.crossJoin(broadcast(maxDay))
+      .withColumn("recency", col("max_day") - col("last_day"))
+    def quint(c: Column, asc: Boolean) = {
+      val w = Window.orderBy(if (asc) c.asc else c.desc)
+      (least(floor(percent_rank().over(w) * 5), lit(4)) + 1).cast("int")
+    }
+    scored
+      .withColumn("r_score", quint(col("recency"), asc = false))
+      .withColumn("f_score", quint(col("freq"), asc = true))
+      .withColumn("m_score", quint(col("mon"), asc = true))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** epoch seconds that tolerates TIMESTAMP_NTZ (the [[Temporal]]
+    * lane, shared here for o_orderdate).
+    */
+  private def epochSecOf(c: Column) = c.cast("timestamp").cast("long")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_report" -> (skewReport _),
     "basket_pairs" -> (basketPairs _),
     "agg_incremental" -> (aggIncremental _),
+    "rfm_segments" -> (rfmSegments _),
     "window_distribution" -> (windowDistribution _),
     "quantile_sketch" -> (quantileSketch _),
     "corr_matrix" -> (corrMatrix _),
@@ -394,6 +437,24 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    "rfm_segments" ->
+      """WITH o AS (SELECT o_custkey,
+        |  (epoch_us(o_orderdate) // 1000000) // 86400 AS day,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT o_custkey, MAX(day) AS last_day, COUNT(*) AS freq,
+        |  CAST(SUM(cents) AS BIGINT) AS mon FROM o GROUP BY 1),
+        |sc AS (SELECT *, (SELECT MAX(last_day) FROM c) - last_day AS recency
+        |       FROM c),
+        |q AS (SELECT
+        |  CAST(LEAST(floor(percent_rank() OVER (ORDER BY recency DESC) * 5), 4)
+        |    AS INT) + 1 AS r_score,
+        |  CAST(LEAST(floor(percent_rank() OVER (ORDER BY freq ASC) * 5), 4)
+        |    AS INT) + 1 AS f_score,
+        |  CAST(LEAST(floor(percent_rank() OVER (ORDER BY mon ASC) * 5), 4)
+        |    AS INT) + 1 AS m_score
+        |  FROM sc)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // flat recompute — merge ≡ recompute is the property under test
     "agg_incremental" ->
       """SELECT source, COUNT(*) AS n_docs,

@@ -143,6 +143,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("rfm_segments replays the quintile assignment and conserves customers") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("ts_sec"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400, centsOf(r.getDouble(2))))
+    val cust = orders.groupBy(_._1).map { case (k, os) =>
+      (k, os.map(_._2).max, os.length.toLong, os.map(_._3).sum)
+    }.toSeq
+    val maxDay = cust.map(_._2).max
+    def quint(xs: Seq[(Long, Long)], asc: Boolean): Map[Long, Int] = {
+      // percent_rank: ties share (count of strictly-before) / (n-1)
+      val n = xs.length
+      xs.map { case (k, v) =>
+        val before =
+          if (asc) xs.count(o => o._2 < v) else xs.count(o => o._2 > v)
+        val pr = if (n == 1) 0.0 else before.toDouble / (n - 1)
+        k -> (math.min(math.floor(pr * 5), 4).toInt + 1)
+      }.toMap
+    }
+    val r = quint(cust.map(c => c._1 -> (maxDay - c._2)), asc = false)
+    val f = quint(cust.map(c => c._1 -> c._3), asc = true)
+    val m = quint(cust.map(c => c._1 -> c._4), asc = true)
+    val want = cust.map(c => (r(c._1), f(c._1), m(c._1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = Analytics.rfmSegments(spark, sf).collect()
+      .map(row => (row.getAs[Int]("r_score"), row.getAs[Int]("f_score"),
+        row.getAs[Int]("m_score")) -> row.getAs[Long]("n_customers")).toMap
+    assert(got == want)
+    assert(got.values.sum == cust.length)
+    assert(got.keys.forall { case (a, b, c) =>
+      (1 to 5).contains(a) && (1 to 5).contains(b) && (1 to 5).contains(c)
+    })
+  }
+
   test("skew_report equals the counted key-size distribution") {
     val counts = Tables.lineitem(spark, sf).select(col("l_orderkey")).collect()
       .map(_.getLong(0)).groupBy(identity).map(_._2.length.toLong).toSeq.sorted
