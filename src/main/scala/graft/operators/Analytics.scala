@@ -313,6 +313,7 @@ object Analytics {
     val keyCnt = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
     val hist = keyCnt.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+      .localCheckpoint(eager = false) // shared by cum + totals: one scan
     val w = Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, 0)
     val cum = hist.withColumn("hi", sum(col("nk")).over(w))
     val tot = hist.agg(sum(col("nk")).as("n_keys"),
@@ -340,8 +341,12 @@ object Analytics {
     * two exact integer products ⇒ engine-exact doubles.
     */
   def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    // the distinct item set feeds FOUR consumers (total, supports, both
+    // join sides): lazily checkpoint it so the scan+distinct runs once
+    // (plan-spec-pinned), instead of once per consumer
     val items = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint(eager = false)
     val tot = items.agg(countDistinct(col("ok")).as("n_orders"))
     val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_supp"))
     val a = items.select(col("ok"), col("pk").as("pa"))
@@ -402,6 +407,7 @@ object Analytics {
     val cust = o.groupBy(col("o_custkey")).agg(
       max(col("day")).as("last_day"), count(lit(1)).as("freq"),
       sum(col("cents")).as("mon"))
+      .localCheckpoint(eager = false) // shared by maxDay + scoring: one scan
     val maxDay = cust.agg(max(col("last_day")).as("max_day"))
     val scored = cust.crossJoin(broadcast(maxDay))
       .withColumn("recency", col("max_day") - col("last_day"))

@@ -413,6 +413,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countIn(p, "Scan parquet") === 1)
   }
 
+  test("shared-frame queries scan the corpus once via the checkpoint") {
+    for ((name, df) <- Seq(
+      "basket_pairs" -> Analytics.basketPairs(spark, TestSpark.sf),
+      "rfm_segments" -> Analytics.rfmSegments(spark, TestSpark.sf),
+      "skew_report" -> Analytics.skewReport(spark, TestSpark.sf))) {
+      val p = finalPlan(df)
+      assert(countIn(p, "Scan parquet") === 0, s"$name re-scans:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+      assert(p.contains("Scan ExistingRDD"), s"$name missing checkpoint")
+    }
+  }
+
   test("equidepth_hist carries no corpus-wide unpartitioned row_number") {
     val df = Analytics.equidepthHist(spark, TestSpark.sf)
     df.collect()
