@@ -429,11 +429,44 @@ object Analytics {
     */
   private def epochSecOf(c: Column) = c.cast("timestamp").cast("long")
 
+  /** Independence screen: the (returnflag × linestatus) contingency
+    * table with expected counts and per-cell χ² contributions — the
+    * categorical-association diagnostic next to [[corrMatrix]]'s
+    * numeric one.  Emitting PER-CELL contributions (each ONE fixed
+    * tree: `d = o·N − r·c` exact in integers, χ² = d²/(N·r·c) in
+    * correctly-rounded doubles) keeps every value engine-exact — a
+    * χ² TOTAL would be an order-dependent double sum, the exact trap
+    * the per-cell form avoids; the caller sums the bounded cell list
+    * if they want the statistic.
+    *
+    * Scale shape: one (a, b) keyed aggregate; margins derive from the
+    * CELLS (bounded |a|·|b|), never from a second corpus pass.
+    */
+  def contingencyChi2(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false) // margins + output share the cells
+    val ra = cells.groupBy(col("flag")).agg(sum(col("o")).as("rtot"))
+    val cb = cells.groupBy(col("status")).agg(sum(col("o")).as("ctot"))
+    val n = cells.agg(sum(col("o")).as("nn"))
+    val d = (col("o") * col("nn") - col("rtot") * col("ctot")).cast("double")
+    cells.join(broadcast(ra), Seq("flag")).join(broadcast(cb), Seq("status"))
+      .crossJoin(broadcast(n))
+      .select(col("flag"), col("status"), col("o").as("observed"),
+        ((col("rtot") * col("ctot")).cast("double") / col("nn").cast("double"))
+          .as("expected"),
+        (d * d / ((col("rtot") * col("ctot")).cast("double") *
+          col("nn").cast("double"))).as("chi2_cell"))
+      .orderBy(col("flag"), col("status"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_report" -> (skewReport _),
     "basket_pairs" -> (basketPairs _),
     "agg_incremental" -> (aggIncremental _),
     "rfm_segments" -> (rfmSegments _),
+    "contingency_chi2" -> (contingencyChi2 _),
     "window_distribution" -> (windowDistribution _),
     "quantile_sketch" -> (quantileSketch _),
     "corr_matrix" -> (corrMatrix _),
@@ -443,6 +476,19 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    "contingency_chi2" ->
+      """WITH cells AS (SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  COUNT(*) AS o FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT flag, CAST(SUM(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+        |cb AS (SELECT status, CAST(SUM(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells)
+        |SELECT flag, status, o AS observed,
+        |  CAST(rtot * ctot AS DOUBLE) / CAST(nn AS DOUBLE) AS expected,
+        |  (CAST(o * nn - rtot * ctot AS DOUBLE)
+        |     * CAST(o * nn - rtot * ctot AS DOUBLE))
+        |    / (CAST(rtot * ctot AS DOUBLE) * CAST(nn AS DOUBLE)) AS chi2_cell
+        |FROM cells JOIN ra USING (flag) JOIN cb USING (status) CROSS JOIN t
+        |ORDER BY flag, status""".stripMargin,
     "rfm_segments" ->
       """WITH o AS (SELECT o_custkey,
         |  (epoch_us(o_orderdate) // 1000000) // 86400 AS day,

@@ -143,6 +143,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("contingency_chi2 cells replay exactly and margins conserve") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = rows.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val n = rows.length.toLong
+    val rtot = rows.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val ctot = rows.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val got = Analytics.contingencyChi2(spark, sf).collect()
+      .map(r => (r.getAs[String]("flag"), r.getAs[String]("status")) ->
+        (r.getAs[Long]("observed"), r.getAs[Double]("expected"),
+          r.getAs[Double]("chi2_cell"))).toMap
+    assert(got.keySet == cells.keySet)
+    cells.foreach { case ((f, st), o) =>
+      val d = (o * n - rtot(f) * ctot(st)).toDouble
+      val want = (o, (rtot(f) * ctot(st)).toDouble / n.toDouble,
+        d * d / ((rtot(f) * ctot(st)).toDouble * n.toDouble))
+      assert(got((f, st)) == want, s"cell ($f,$st)")
+    }
+    assert(got.values.map(_._1).sum == n)
+  }
+
   test("rfm_segments replays the quintile assignment and conserves customers") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_custkey"),
