@@ -32,6 +32,51 @@ import org.apache.spark.unsafe.types.UTF8String
   * Eviction and trim order by (count, err, term) — a total order, so a
   * fixed partitioning yields a fixed summary.
   */
+/** The Space-Saving kernel, shared by the [[SpaceSavingAgg]] Catalyst
+  * aggregate and the streaming
+  * [[graft.streaming.Stateful]].trendingTerms monitor — one
+  * implementation of update/merge/top so both deployments carry the
+  * same guarantees.
+  */
+object SpaceSaving {
+  type Summary = mutable.HashMap[String, (Long, Long)]
+
+  def minEntry(b: Summary): (String, (Long, Long)) =
+    b.minBy { case (t, (c, e)) => (c, e, t) }
+
+  def update(b: Summary, t: String, capacity: Int): Unit =
+    b.get(t) match {
+      case Some((c, e)) => b(t) = (c + 1, e)
+      case None if b.size < capacity => b(t) = (1L, 0L)
+      case None =>
+        val (evict, (minC, _)) = minEntry(b)
+        b.remove(evict)
+        b(t) = (minC + 1, minC)
+    }
+
+  /** Mergeable-summaries merge into `b` (see [[SpaceSavingAgg]]). */
+  def merge(b: Summary, o: Summary, capacity: Int): Summary = {
+    if (o.isEmpty) return b
+    if (b.isEmpty) { b ++= o; return b }
+    val minB = if (b.size >= capacity) minEntry(b)._2._1 else 0L
+    val minO = if (o.size >= capacity) minEntry(o)._2._1 else 0L
+    val keys = b.keySet ++ o.keySet
+    val merged = keys.map { t =>
+      val (cb, eb) = b.getOrElse(t, (minB, minB))
+      val (co, eo) = o.getOrElse(t, (minO, minO))
+      t -> (cb + co, eb + eo)
+    }.toSeq
+    val kept =
+      if (merged.size <= capacity) merged
+      else merged.sortBy { case (t, (c, e)) => (-c, e, t) }.take(capacity)
+    b.clear(); b ++= kept; b
+  }
+
+  def top(b: Summary, k: Int): Seq[(String, Long, Long)] =
+    b.toSeq.sortBy { case (t, (c, e)) => (-c, e, t) }.take(k)
+      .map { case (t, (c, e)) => (t, c, e) }
+}
+
 case class SpaceSavingAgg(
     term: Expression,
     capacity: Int,
@@ -51,51 +96,22 @@ case class SpaceSavingAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, (Long, Long)] =
     mutable.HashMap.empty
 
-  private def minEntry(b: mutable.HashMap[String, (Long, Long)]): (String, (Long, Long)) =
-    b.minBy { case (t, (c, e)) => (c, e, t) }
-
   override def update(b: mutable.HashMap[String, (Long, Long)],
       row: InternalRow): mutable.HashMap[String, (Long, Long)] = {
     val v = term.eval(row)
     if (v == null) return b
-    val t = v.asInstanceOf[UTF8String].toString
-    b.get(t) match {
-      case Some((c, e)) => b(t) = (c + 1, e)
-      case None if b.size < capacity => b(t) = (1L, 0L)
-      case None =>
-        val (evict, (minC, _)) = minEntry(b)
-        b.remove(evict)
-        b(t) = (minC + 1, minC)
-    }
+    SpaceSaving.update(b, v.asInstanceOf[UTF8String].toString, capacity)
     b
   }
 
   override def merge(b: mutable.HashMap[String, (Long, Long)],
-      o: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
-    if (o.isEmpty) return b
-    if (b.isEmpty) { b ++= o; return b }
-    // a full summary's min counter upper-bounds every term it is NOT
-    // tracking; a non-full summary tracked everything it saw → 0
-    val minB = if (b.size >= capacity) minEntry(b)._2._1 else 0L
-    val minO = if (o.size >= capacity) minEntry(o)._2._1 else 0L
-    val keys = b.keySet ++ o.keySet
-    val merged = keys.map { t =>
-      val (cb, eb) = b.getOrElse(t, (minB, minB))
-      val (co, eo) = o.getOrElse(t, (minO, minO))
-      t -> (cb + co, eb + eo)
-    }.toSeq
-    val kept =
-      if (merged.size <= capacity) merged
-      else merged.sortBy { case (t, (c, e)) => (-c, e, t) }.take(capacity)
-    b.clear(); b ++= kept; b
-  }
+      o: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] =
+    SpaceSaving.merge(b, o, capacity)
 
-  override def eval(b: mutable.HashMap[String, (Long, Long)]): Any = {
-    val top = b.toSeq.sortBy { case (t, (c, e)) => (-c, e, t) }.take(k)
-    new GenericArrayData(top.map { case (t, (c, e)) =>
+  override def eval(b: mutable.HashMap[String, (Long, Long)]): Any =
+    new GenericArrayData(SpaceSaving.top(b, k).map { case (t, c, e) =>
       InternalRow(UTF8String.fromString(t), c, e)
     }.toArray[Any])
-  }
 
   override def serialize(b: mutable.HashMap[String, (Long, Long)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -344,6 +344,53 @@ object Stateful {
       }
   }
 
+  case class SSPacked(terms: Array[String], est: Array[Long], err: Array[Long])
+  case class TrendRow(source: String, term: String, est: Long, err: Long)
+
+  /** Streaming heavy-hitter monitor: per-source trending terms via a
+    * Space-Saving summary held as keyed state — the
+    * [[graft.functions.SpaceSaving]] kernel (same update/merge/top as
+    * the batch `space_saving` aggregate, so the `est − err ≤ true ≤
+    * est` envelope holds over EVERYTHING ingested since the query
+    * started) deployed behind `flatMapGroupsWithState`.  Each batch a
+    * source saw data, its current top-`k` is re-emitted (Update
+    * mode); sources never mix.  State: ≤ `capacity` counters per
+    * source — the bounded-memory property is exactly why a sketch,
+    * not an exact count, is what a long-running monitor can hold.
+    *
+    * Input needs (source, term) — pre-exploded tokens.
+    */
+  def trendingTerms(spark: SparkSession, stream: DataFrame,
+      capacity: Int = 256, k: Int = 10): Dataset[TrendRow] = {
+    import spark.implicits._
+    import graft.functions.SpaceSaving
+    stream.select(col("source"), col("term")).as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SSPacked, TrendRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[(String, String)],
+            state: GroupState[SSPacked]) =>
+          val m = state.getOption.map { p =>
+            val h = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+            var i = 0
+            while (i < p.terms.length) { h(p.terms(i)) = (p.est(i), p.err(i)); i += 1 }
+            h
+          }.getOrElse(scala.collection.mutable.HashMap.empty[String, (Long, Long)])
+          var any = false
+          batch.foreach { case (_, t) =>
+            if (t != null) { SpaceSaving.update(m, t, capacity); any = true }
+          }
+          if (!any) Iterator.empty
+          else {
+            val packed = m.toArray.sortBy(_._1)
+            state.update(SSPacked(packed.map(_._1),
+              packed.map(_._2._1), packed.map(_._2._2)))
+            SpaceSaving.top(m, k).iterator
+              .map { case (t, c, e) => TrendRow(source, t, c, e) }
+          }
+      }
+  }
+
   case class StateOpMetrics(query_name: String, query_id: String,
       batch_id: Long, operator: String, n_rows_total: Long,
       n_rows_updated: Long, n_rows_removed: Long, memory_used_bytes: Long,

@@ -289,6 +289,47 @@ class StatefulSpec extends AnyFunSuite {
     q.stop(); q2.stop()
   }
 
+  test("trendingTerms: cross-batch envelope holds per source; sources never mix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    // source a: vocab >> capacity forces eviction; hot terms span batches
+    val aB1 = Seq.fill(300)("hot1") ++ Seq.fill(150)("hot2") ++
+      (1 to 800).map(i => s"n$i")
+    val aB2 = Seq.fill(250)("hot1") ++ Seq.fill(300)("hot3") ++
+      (801 to 1600).map(i => s"n$i")
+    val bB1 = Seq.fill(50)("bonly")
+    val mem = MemoryStream[(String, String)]
+    val src = mem.toDF().toDF("source", "term")
+    val q = Stateful.trendingTerms(spark, src, capacity = 64, k = 8)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("trend_stream").start()
+    mem.addData(rnd.shuffle(aB1).map(("a", _)) ++ bB1.map(("b", _)): _*)
+    q.processAllAvailable()
+    val afterB1 = spark.table("trend_stream").collect().length
+    mem.addData(rnd.shuffle(aB2).map(("a", _)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("trend_stream").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("term"),
+        r.getAs[Long]("est"), r.getAs[Long]("err")))
+    // batch-2 emissions: only source a (b saw no data), <= k rows
+    val b2 = all.drop(afterB1)
+    assert(b2.nonEmpty && b2.length <= 8 && b2.forall(_._1 == "a"))
+    // envelope vs exact CUMULATIVE counts over both batches
+    val exact = (aB1 ++ aB2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    b2.foreach { case (_, t, est, err) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(est >= tru && est - err <= tru, s"$t est=$est err=$err true=$tru")
+    }
+    // the cross-batch heavy terms must be present (true counts >> N/cap)
+    val b2Terms = b2.map(_._2).toSet
+    assert(Set("hot1", "hot2", "hot3").subsetOf(b2Terms))
+    // source isolation: b's only term never shows under a
+    assert(!all.exists(r => r._1 == "a" && r._2 == "bonly"))
+    assert(all.exists(r => r._1 == "b" && r._2 == "bonly"))
+  }
+
   test("streaming upsert: last emission per key is the batch argmax; stale and repeated data emit nothing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
