@@ -104,6 +104,69 @@ object Analytics {
       .orderBy(col("tile"))
   }
 
+  /** Revenue-concentration report over per-customer order revenue: the
+    * exact Gini coefficient plus top-1% / top-10% revenue shares — the
+    * "how skewed is this corpus/customer base" number read before
+    * choosing mixture weights or salting strategy.
+    *
+    * Exactness: with customers ranked 1..n ascending by revenue, Gini
+    * = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx).  The rank-weighted sum
+    * decomposes over the DISTINCT-value staircase: a value v with
+    * count c and `lo` smaller-valued customers contributes
+    * v·(c·lo + c(c+1)/2) — tie-order-invariant, so no per-customer
+    * tie-break and no corpus-wide row_number exist at all.  All sums
+    * are decimal(38,0) (≡ HUGEINT) integers; the final Gini is ONE
+    * double division of two exactly-computed integers, and the top-k
+    * shares are pure integer arithmetic (ppm integer division).
+    *
+    * Scale shape: per-customer revenue is a keyed map-side aggregate;
+    * the staircase window runs over |distinct revenue cents| rows
+    * (the [[equidepthHist]] TeraSort argument: range stats small,
+    * per-row work keyed — swap in two-phase range partitioning if the
+    * value domain itself outgrows a task).  Output: one row.
+    */
+  def giniTopshare(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rev = Tables.orders(s, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("v"))
+      .groupBy(col("o_custkey")).agg(sum(col("v")).as("rev"))
+    val vc = rev.groupBy(col("rev")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("rev")).rowsBetween(Window.unboundedPreceding, -1)
+    val stair = vc
+      .withColumn("lo", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("tri", expr("(cnt * (cnt + 1)) div 2"))
+    val agg = stair.agg(
+      sum(col("cnt")).as("n"),
+      sum((col("rev").cast(dec) * col("cnt").cast(dec)).cast(dec)).as("t"),
+      sum((col("rev").cast(dec) *
+        (col("cnt").cast(dec) * col("lo").cast(dec) + col("tri").cast(dec))
+          .cast(dec)).cast(dec)).as("w"))
+    // top-k take per value group: customers ranked above n-k; a group
+    // spanning the cut contributes hi-(n-k) of its c members
+    def topSum(kExpr: Column): Column = {
+      val cut = col("n") - kExpr
+      sum((col("rev").cast(dec) *
+        greatest(lit(0L), least(col("cnt"), col("lo") + col("cnt") - cut))
+          .cast(dec)).cast(dec))
+    }
+    val tops = stair.crossJoin(broadcast(agg.select(col("n"))))
+      .agg(topSum(expr("n div 100")).as("s1"),
+        topSum(expr("n div 10")).as("s10"))
+    agg.crossJoin(broadcast(tops))
+      .select(col("n").as("n_customers"),
+        col("t").cast("long").as("total_cents"),
+        ((lit(2).cast(dec) * col("w") -
+          (col("n") + 1).cast(dec) * col("t")).cast("double") /
+          (col("n").cast(dec) * col("t")).cast("double")).as("gini"),
+        // ppm in the long lane (the skew_report top_share_ppm idiom):
+        // floor division, exact while Σcents·1e6 < 2⁶³ — beyond that,
+        // swap for two-step decimal floor-div
+        expr("CAST(s1 AS BIGINT) * 1000000 div CAST(t AS BIGINT)")
+          .as("top1_share_ppm"),
+        expr("CAST(s10 AS BIGINT) * 1000000 div CAST(t AS BIGINT)")
+          .as("top10_share_ppm"))
+  }
+
   /** Blocked fuzzy entity matching over part names — the entity-
     * resolution CANDIDATE-GENERATION audit: block on the head noun,
     * compare names pairwise within each block with edit distance, and
@@ -473,9 +536,40 @@ object Analytics {
     "pareto_front" -> (paretoFront _),
     "equidepth_hist" -> (equidepthHist _),
     "entity_match" -> (entityMatch _),
+    "gini_topshare" -> (giniTopshare _),
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    // the staircase decomposition replayed verbatim: W, T in HUGEINT
+    // (≡ Spark decimal(38,0)), ONE double division for gini, long-lane
+    // floor division for the ppm shares
+    "gini_topshare" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev FROM orders GROUP BY 1),
+        |vc AS (SELECT rev AS v, COUNT(*) AS cnt FROM rev GROUP BY 1),
+        |st AS (SELECT v, cnt,
+        |  COALESCE(SUM(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+        |  (cnt * (cnt + 1)) // 2 AS tri FROM vc),
+        |agg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |  SUM(CAST(v AS HUGEINT) * cnt) AS t,
+        |  SUM(CAST(v AS HUGEINT) * (CAST(cnt AS HUGEINT) * lo + tri)) AS w
+        |  FROM st),
+        |tops AS (SELECT
+        |  SUM(CAST(v AS HUGEINT) * GREATEST(0, LEAST(cnt,
+        |    lo + cnt - (n - n // 100)))) AS s1,
+        |  SUM(CAST(v AS HUGEINT) * GREATEST(0, LEAST(cnt,
+        |    lo + cnt - (n - n // 10)))) AS s10
+        |  FROM st, agg)
+        |SELECT n AS n_customers, CAST(t AS BIGINT) AS total_cents,
+        |  CAST(2 * w - (n + 1) * t AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * t AS DOUBLE) AS gini,
+        |  CAST(CAST(s1 AS BIGINT) * 1000000 // CAST(t AS BIGINT) AS BIGINT)
+        |    AS top1_share_ppm,
+        |  CAST(CAST(s10 AS BIGINT) * 1000000 // CAST(t AS BIGINT) AS BIGINT)
+        |    AS top10_share_ppm
+        |FROM agg, tops""".stripMargin,
     "contingency_chi2" ->
       """WITH cells AS (SELECT l_returnflag AS flag, l_linestatus AS status,
         |  COUNT(*) AS o FROM lineitem GROUP BY 1, 2),

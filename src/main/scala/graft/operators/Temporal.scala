@@ -331,7 +331,99 @@ object Temporal {
         col("p90_lag_sec"))
   }
 
+  /** Inter-order intervals: per customer, the day gaps between
+    * consecutive orders (LAG over the customer's order-day sequence) —
+    * the purchase-cadence statistic behind churn/repeat-rate models,
+    * and the suite's canonical LAG/LEAD image (the rank/running/range/
+    * distribution windows are covered; the offset frame was not).
+    *
+    * Determinism: order day is the exact integer epoch-day; the window
+    * orders by (day, o_orderkey) so same-day orders (gap 0) sequence
+    * identically on any engine.  avg_gap_days is one exact-integer
+    * ratio evaluated in IEEE double — bit-equal on both engines.
+    *
+    * Scale shape: ONE hash exchange on o_custkey + per-partition sort;
+    * the frame is offset-1, so each row touches exactly its
+    * predecessor in the sorted run (no frame re-scan), and the
+    * follow-up aggregate reuses the same clustering (no second
+    * exchange).  Customers are the natural skew-free key at 100 TB.
+    */
+  def orderGaps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), epochSec(col("o_orderdate")).as("ts_sec"),
+        col("o_orderkey"))
+      .select(col("o_custkey"), expr("ts_sec div 86400").as("day"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    o.withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("gap")).as("min_gap_days"),
+        max(col("gap")).as("max_gap_days"),
+        sum(col("gap")).as("sum_gap"))
+      .filter(col("n_orders") >= 2)
+      .select(col("o_custkey"), col("n_orders"),
+        col("min_gap_days"), col("max_gap_days"),
+        (col("sum_gap").cast("double") /
+          (col("n_orders") - 1).cast("double")).as("avg_gap_days"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Lag-1 autocorrelation of the per-type daily event volume — "is
+    * today's traffic predicted by yesterday's" — the serial twin of
+    * [[Analytics.corrMatrix]]'s cross-metric correlation, computed
+    * under the same exact-moment discipline: pair consecutive PRESENT
+    * days (d-1, d) by a self-join on the daily-count frame, reduce the
+    * pairs to six decimal(38,0) moments (counts are integers, so every
+    * sum is exact at any scale — the HUGEINT lane), and evaluate ONE
+    * double expression tree per type.  sqrt is IEEE correctly-rounded,
+    * so the result is bit-equal on both engines.
+    *
+    * Day pairing is by CALENDAR adjacency (d+1 must exist), not row
+    * adjacency — a silent day breaks the chain rather than gluing
+    * Friday to Monday; with gap-filled zeros instead, [[tsResample]]
+    * composes upstream.
+    *
+    * Scale shape: the corpus collapses map-side to |types|·|days| daily
+    * counts; the self-join and moment reduce run on that bounded frame
+    * (≤ types × days rows regardless of event volume) — at 100 TB the
+    * only corpus-sized work is the first keyed count.
+    */
+  def autocorrLag(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), epochSec(col("ts")).as("ts_sec"))
+      .select(col("event_type"), expr("ts_sec div 86400").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.d") === col("a.d") + 1)
+      .select(col("a.event_type").as("event_type"),
+        col("a.c").as("x"), col("b.c").as("y"))
+    val m = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).as("sxy"),
+      sum((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).as("sxx"),
+      sum((col("y").cast(dec) * col("y").cast(dec)).cast(dec)).as("syy"))
+    val n = col("n_pairs").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val num = n * col("sxy").cast("double") - sx * sy
+    val dxx = n * col("sxx").cast("double") - sx * sx
+    val dyy = n * col("syy").cast("double") - sy * sy
+    m.filter(col("n_pairs") > 1)
+      .select(col("event_type"), col("n_pairs"),
+        (num / sqrt(dxx * dyy)).as("autocorr"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "order_gaps" -> (orderGaps _),
+    "autocorr_lag" -> (autocorrLag _),
     "conversion_lag" -> (conversionLag _),
     "volume_trend" -> (volumeTrend _),
     "event_paths" -> (eventPaths _),
@@ -343,6 +435,44 @@ object Temporal {
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    "order_gaps" ->
+      """WITH o AS (SELECT o_custkey,
+        |  (epoch_us(o_orderdate) // 1000000) // 86400 AS day, o_orderkey
+        |  FROM orders),
+        |g AS (SELECT o_custkey,
+        |  day - LAG(day) OVER (PARTITION BY o_custkey
+        |                       ORDER BY day, o_orderkey) AS gap
+        |  FROM o)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |  MIN(gap) AS min_gap_days, MAX(gap) AS max_gap_days,
+        |  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) - 1 AS DOUBLE)
+        |    AS avg_gap_days
+        |FROM g GROUP BY o_custkey HAVING COUNT(*) >= 2
+        |ORDER BY o_custkey""".stripMargin,
+    // decimal moments in HUGEINT (≡ Spark DECIMAL(38,0) exact sums),
+    // then the identical double tree — the corr_matrix lane
+    "autocorr_lag" ->
+      """WITH daily AS (SELECT event_type,
+        |  (epoch_us(ts) // 1000000) // 86400 AS d, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, a.c AS x, b.c AS y
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND b.d = a.d + 1),
+        |m AS (SELECT event_type, COUNT(*) AS n_pairs,
+        |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |  SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n_pairs,
+        |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS autocorr
+        |FROM m WHERE n_pairs > 1 ORDER BY event_type""".stripMargin,
     "conversion_lag" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec,
         |  event_type FROM events),

@@ -686,7 +686,38 @@ object TextOps {
         col("h.err").as("err"))
       .orderBy(desc("est"), col("err"), col("term"))
 
+  /** Sentence segmentation stats — the sequence-length profile a
+    * packing/chunking pass reads before sizing context windows:
+    * sentences split on terminal-punctuation runs `[.!?]+`, words per
+    * sentence by the corpus whitespace convention.  avg is one exact
+    * int/int IEEE division.
+    *
+    * Semantics parity: Spark `split` and DuckDB `string_split_regex`
+    * both keep trailing empty segments, so the trim→non-empty filter
+    * yields identical sentence lists; docs with NO sentence (empty/
+    * punctuation-only text) are excluded on both sides.
+    *
+    * Scale shape: pure scan-project — segmentation, per-sentence word
+    * counts, and the per-doc fold all run inside one codegen stage
+    * via higher-order array functions; zero shuffles, zero explodes
+    * (the wc array never leaves the row).
+    */
+  def sentenceStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("sents", expr(
+        "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x != '')"))
+      .filter(size(col("sents")) > 0)
+      .withColumn("wc", expr("transform(sents, x -> size(split(x, '\\\\s+')))"))
+      .select(col("doc_id"),
+        size(col("sents")).cast("long").as("n_sentences"),
+        expr("aggregate(wc, 0L, (a, x) -> a + x)").as("n_words"),
+        expr("array_max(wc)").cast("long").as("max_sentence_words"),
+        (expr("aggregate(wc, 0L, (a, x) -> a + x)").cast("double") /
+          size(col("sents")).cast("double")).as("avg_sentence_words"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sentence_stats" -> (sentenceStats _),
     "heavy_hitters" -> (heavyHitters _),
     "bpe_train" -> (bpeTrainEntry _),
     "compression_ratio" -> (compressionRatio _),
@@ -712,6 +743,19 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    "sentence_stats" ->
+      """WITH s0 AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |    x -> trim(x)), x -> x <> '') AS sents FROM documents),
+        |w AS (SELECT doc_id, len(sents) AS ns,
+        |  list_transform(sents, x -> len(string_split_regex(x, '\s+'))) AS wc
+        |  FROM s0 WHERE len(sents) > 0)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
+        |  CAST(list_sum(wc) AS BIGINT) AS n_words,
+        |  CAST(list_max(wc) AS BIGINT) AS max_sentence_words,
+        |  CAST(list_sum(wc) AS DOUBLE) / CAST(ns AS DOUBLE)
+        |    AS avg_sentence_words
+        |FROM w ORDER BY doc_id""".stripMargin,
     // idf ratio + tf saturation mirrored as the SAME double expression
     // tree (explicit DOUBLE casts keep DuckDB's decimal literals and
     // HUGEINT sums out of the arithmetic); contributions floor to e9

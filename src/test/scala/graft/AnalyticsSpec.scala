@@ -299,4 +299,28 @@ class AnalyticsSpec extends AnyFunSuite {
         s"$src p=$p q=$q rank=[$lo,$hi] target=$target n=$n")
     }
   }
+
+  test("gini_topshare equals the sorted-rank definition; staircase ≡ explicit ranks") {
+    val rev = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), centsOf(r.getDouble(1))))
+      .groupBy(_._1).map { case (c, os) => c -> os.map(_._2).sum }
+      .values.toSeq.sorted
+    val n = rev.length
+    val t = rev.map(BigInt(_)).sum
+    // explicit per-customer ranks 1..n — the definition the staircase
+    // decomposition must reproduce regardless of tie ordering
+    val w = rev.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (BigInt(2) * w - BigInt(n + 1) * t).toDouble /
+      (BigInt(n) * t).toDouble
+    def topShare(k: Int): Long =
+      ((rev.takeRight(k).map(BigInt(_)).sum * 1000000) / t).toLong
+    val r = Analytics.giniTopshare(spark, sf).collect().head
+    assert(r.getAs[Long]("n_customers") == n)
+    assert(r.getAs[Long]("total_cents") == t.toLong)
+    assert(r.getAs[Double]("gini") == gini)
+    assert(r.getAs[Long]("top1_share_ppm") == topShare(n / 100))
+    assert(r.getAs[Long]("top10_share_ppm") == topShare(n / 10))
+    assert(gini >= 0.0 && gini < 1.0)
+  }
 }

@@ -206,6 +206,54 @@ class TemporalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("p90_lag_sec") == lags((9 * n + 9) / 10 - 1))
   }
 
+  test("order_gaps matches a per-customer sequential LAG replay") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        expr("(CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG)) div 86400").as("day"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = orders.groupBy(_._1).collect { case (cust, os) if os.length >= 2 =>
+      val days = os.sortBy(o => (o._2, o._3)).map(_._2)
+      val gaps = days.zip(days.tail).map { case (a, b) => b - a }
+      cust -> (os.length.toLong, gaps.min, gaps.max,
+        gaps.sum.toDouble / gaps.length)
+    }
+    val got = Temporal.orderGaps(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_orders"),
+        r.getAs[Long]("min_gap_days"), r.getAs[Long]("max_gap_days"),
+        r.getAs[Double]("avg_gap_days"))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (c, w) => assert(got(c) == w, s"cust $c") }
+  }
+
+  test("autocorr_lag matches a sequential moment replay; ±1 bounded; shifted-series sanity") {
+    val daily = raw.groupBy(e => (e._4, e._3 / 86400))
+      .map { case ((t, d), es) => (t, d, es.size.toLong) }.toSeq
+    val want = daily.groupBy(_._1).flatMap { case (t, ds) =>
+      val byDay = ds.map(x => x._2 -> x._3).toMap
+      val pairs = byDay.toSeq.collect {
+        case (d, x) if byDay.contains(d + 1) => (x, byDay(d + 1))
+      }
+      val n = pairs.length
+      if (n <= 1) None else {
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+        val den = math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+        Some(t -> (n.toLong, num / den))
+      }
+    }
+    val got = Temporal.autocorrLag(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("autocorr"))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (t, w) => assert(got(t) == w, s"type $t") }
+    got.values.foreach { case (_, r) => assert(r >= -1.0 && r <= 1.0) }
+  }
+
   test("windowed family shuffles once: window_range plan has one user exchange") {
     val plan = Temporal.windowRange(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length

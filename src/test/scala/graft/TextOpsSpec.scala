@@ -821,4 +821,23 @@ class TextOpsSpec extends AnyFunSuite {
       assert(reported.contains(t), s"heavy term $t missing (true=${exact(t)})")
     }
   }
+
+  test("sentence_stats matches a Java-regex sequential replay per doc") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val sents = text.split("[.!?]+", -1).map(_.trim).filter(_.nonEmpty)
+      if (sents.isEmpty) None else {
+        val wc = sents.map(_.split("\\s+", -1).length)
+        Some(id -> (sents.length.toLong, wc.map(_.toLong).sum,
+          wc.max.toLong, wc.sum.toDouble / sents.length))
+      }
+    }.toMap
+    val got = TextOps.sentenceStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("max_sentence_words"),
+        r.getAs[Double]("avg_sentence_words"))).toMap
+    assert(got.size == want.size && got.size > 0)
+    want.foreach { case (id, w) => assert(got(id) == w, s"doc $id") }
+  }
 }
