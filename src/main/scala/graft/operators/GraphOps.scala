@@ -319,9 +319,161 @@ object GraphOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Common-neighbor link prediction over an undirected edge list:
+    * for every NON-adjacent pair sharing ≥1 neighbor, the shared-
+    * neighbor count and the Jaccard of the two neighborhoods — the
+    * "who SHOULD be connected" query (recommendation candidates on a
+    * co-purchase graph, missed near-dup candidates on a similarity
+    * graph whose components aren't already transitively closed).
+    *
+    * Scale design: candidate pairs come from wedges (v—c—w), keyed on
+    * the center — volume Σ_c deg(c)², the quadratic-in-block-size
+    * shape of [[Analytics.entityMatch]], bounded the same way: hub
+    * centers with deg > `centerCap` generate no wedges (a shared
+    * celebrity neighbor is weak link evidence — the Adamic-Adar
+    * rationale — while the blow-up it causes is real).  Degrees in the
+    * jaccard denominator stay UNcapped corpus truth.  Everything is
+    * keyed joins/aggregates; the existing-edge exclusion is a
+    * left-anti join on the canonical pair.
+    *
+    * Deterministic and SQL-replayable ⇒ oracle-exact (counts are
+    * integers; jaccard is one exact int/int IEEE division).
+    */
+  def linkPredict(edges: DataFrame, centerCap: Int = 64): DataFrame = {
+    val e = edges
+      .select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    try {
+      val nb = e.select(col("a").as("id"), col("b").as("nb"))
+        .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
+      val deg = nb.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val centered = nb.join(deg.filter(col("deg") <= centerCap)
+        .select(col("id")), Seq("id"), "left_semi")
+      val cand = centered.as("x").join(centered.as("y"),
+          col("x.id") === col("y.id") && col("x.nb") < col("y.nb"))
+        .select(col("x.nb").as("d1"), col("y.nb").as("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+      cand
+        .join(e, cand("d1") === e("a") && cand("d2") === e("b"), "left_anti")
+        .join(deg.select(col("id").as("d1"), col("deg").as("deg1")), Seq("d1"))
+        .join(deg.select(col("id").as("d2"), col("deg").as("deg2")), Seq("d2"))
+        .select(col("d1"), col("d2"), col("n_common"), col("deg1"), col("deg2"),
+          (col("n_common").cast("double") /
+            (col("deg1") + col("deg2") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+        .localCheckpoint(eager = true)
+    } finally { e.unpersist(blocking = false); () }
+  }
+
+  /** Driver entry: link prediction on the part CO-PURCHASE graph
+    * (parts sharing ≥2 distinct orders — the [[Analytics.basketPairs]]
+    * support relation with a min-support floor): predicted pairs are
+    * parts NEVER bought together whose co-purchase neighborhoods
+    * overlap — the classic "customers who bought X also bought"
+    * candidate set.  (The near-dup pair graph is the wrong substrate
+    * here: its components are near-cliques, so its transitive-missing
+    * set is empty by construction.)  Oracle-EXACT: support counts and
+    * the wedge/degree arithmetic are all integers.
+    */
+  def linkPredictParts(s: SparkSession, dir: String): DataFrame = {
+    val it = graft.sources.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = it.as("a").join(it.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .select(col("src"), col("dst"))
+    linkPredict(edges)
+  }
+
+  /** k-core of an undirected edge list: the maximal subgraph where
+    * every node keeps ≥ k neighbors — the standard "dense cohesive
+    * region" extractor (for dedup graphs: the clusters that are
+    * genuinely clique-like rather than chains; for kNN graphs: the
+    * high-confidence manifold regions).  Computed by synchronous
+    * peeling: drop all nodes with degree < k, recompute, repeat to
+    * fixpoint.  Output: (id, core_deg) per surviving node — degree
+    * WITHIN the core.
+    *
+    * Scale shape: each round is one keyed degree aggregate + two
+    * left-semi joins (edges whose BOTH endpoints survive), then an
+    * eager localCheckpoint so round r+1 reads materialized blocks, not
+    * r's lineage (the [[pageRank]] iteration discipline); superseded
+    * checkpoints unpersist as soon as their successor is materialized.
+    * Peeling strictly shrinks the edge set, so rounds ≤ peel depth —
+    * single digits on real graphs; the loop runs to TRUE fixpoint
+    * (driver-side count compare), no semantic iteration cap.
+    * Iterative fixpoint ⇒ no SQL image ⇒ rows-only; the spec pins a
+    * sequential peel replay and planted clique/chain graphs.
+    */
+  def kCore(edges: DataFrame, k: Int = 3): DataFrame = {
+    var cur = edges
+      .select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var n = cur.count()
+      var stable = n == 0
+      while (!stable) {
+        val deg = cur.select(col("a").as("id")).unionAll(cur.select(col("b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= k).select(col("id"))
+        val nxt = cur
+          .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(eager = true)
+        val m = nxt.count()
+        retired += cur
+        cur = nxt
+        stable = m == n
+        n = m
+      }
+      cur.select(col("a").as("id")).unionAll(cur.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+        .orderBy(col("id"))
+        .localCheckpoint(eager = true)
+    } finally {
+      retired.foreach(_.unpersist(blocking = false))
+      cur.unpersist(blocking = false); ()
+    }
+  }
+
+  /** Driver entry: 64-core of the part co-purchase graph (distinct
+    * co-order pairs, no support floor — the dense substrate; the kNN
+    * graph's core structure is a step function 5-core=all/6-core=∅,
+    * and the near-dup graph is tiny cliques, so neither actually
+    * peels).  k = 64 sits in the measured transition band at every
+    * test SF (sf0.001: 189/200 parts survive in 3 rounds; sf0.01:
+    * 1993/2000 in 2; sf0.1: 19872/20000 in 3), so the fixpoint loop,
+    * the cascade, and the core-degree recount all exercise for real.
+    * Iterative fixpoint ⇒ rows-only; the spec pins a sequential peel
+    * replay plus planted clique/chain graphs.
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val it = graft.sources.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = it.as("a").join(it.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    kCore(edges, k = 64).select(col("id").as("p_partkey"), col("core_deg"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_pagerank" -> (knnPagerank _),
     "knn_communities" -> (knnCommunities _),
+    "link_predict" -> (linkPredictParts _),
+    "graph_kcore" -> (graphKcore _),
     "graph_triangles" -> (graphTriangles _))
 
   /** graph_triangles replays the exact pair graph (the
@@ -330,6 +482,29 @@ object GraphOps {
     * id-ordered pair set, found once via a.d2 = b.d1 chaining.
     */
   def oracleSql: Map[String, String] = Map(
+    // co-purchase support relation (the basket_pairs CTE with a ≥2
+    // floor); wedges through ≤64-degree centers, minus existing edges,
+    // joined back to UNcapped degrees
+    "link_predict" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p0 AS (SELECT a.pk AS d1, b.pk AS d2, COUNT(*) AS n_ab
+        |       FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2),
+        |p AS (SELECT d1, d2 FROM p0 WHERE n_ab >= 2),
+        |nb AS (SELECT d1 AS id, d2 AS nb FROM p UNION ALL SELECT d2, d1 FROM p),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM nb GROUP BY 1),
+        |ctr AS (SELECT nb.id, nb.nb FROM nb JOIN deg USING (id) WHERE deg <= 64),
+        |cand AS (SELECT x.nb AS d1, y.nb AS d2, COUNT(*) AS n_common
+        |         FROM ctr x JOIN ctr y ON x.id = y.id AND x.nb < y.nb
+        |         GROUP BY 1, 2),
+        |pred AS (SELECT * FROM cand WHERE NOT EXISTS
+        |           (SELECT 1 FROM p WHERE p.d1 = cand.d1 AND p.d2 = cand.d2))
+        |SELECT pred.d1, pred.d2, n_common, ga.deg AS deg1, gb.deg AS deg2,
+        |  CAST(n_common AS DOUBLE)
+        |    / CAST(ga.deg + gb.deg - n_common AS DOUBLE) AS jaccard
+        |FROM pred JOIN deg ga ON pred.d1 = ga.id
+        |          JOIN deg gb ON pred.d2 = gb.id
+        |ORDER BY pred.d1, pred.d2""".stripMargin,
     "graph_triangles" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3

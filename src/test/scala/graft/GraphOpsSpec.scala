@@ -214,6 +214,69 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: planted clique+chain peels exactly; core degrees are within-core") {
+    import spark.implicits._
+    // 4-clique {0,1,2,3} with a pendant chain 3-4-5: the 3-core is the
+    // clique alone, and peeling must CASCADE (5 drops, then 4)
+    val clique = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val edges = (clique ++ Seq((3L, 4L), (4L, 5L))).toDF("src", "dst")
+    val got3 = GraphOps.kCore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // k=2: chain end 5 drops (deg 1), then 4 (deg 1 after cascade)
+    val got2 = GraphOps.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // k above the clique degree: empty core
+    assert(GraphOps.kCore(edges, k = 4).collect().isEmpty)
+  }
+
+  test("graph_kcore driver entry matches a sequential peel replay of the co-purchase graph") {
+    val it = graft.sources.Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+        org.apache.spark.sql.functions.col("l_partkey").as("pk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    it.groupBy(_._1).values.foreach { parts =>
+      val ps = parts.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      adj.filter(_._2.size < 64).keys.toSeq.foreach { x =>
+        adj(x).foreach(m => adj(m) -= x)
+        adj -= x; changed = true
+      }
+    }
+    val want = adj.map { case (id, s) => id -> s.size.toLong }.toMap
+    val got = GraphOps.graphKcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 200, "the 64-core actually peeled something")
+  }
+
+  test("linkPredict: planted path predicts exactly the distance-2 pairs; hub cap suppresses wedges") {
+    import spark.implicits._
+    // path 0-1-2-3: predictions are (0,2) via 1 and (1,3) via 2
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.linkPredict(path).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === Set((0L, 2L), (1L, 3L)))
+    // (0,2): common={1}, deg(0)=1, deg(2)=2 → jaccard 1/2
+    assert(got((0L, 2L)) === ((1L, 1L, 2L, 0.5)))
+    // a star hub above the cap generates NO wedges: no predictions
+    val star = (1L to 70L).map(i => (0L, i)).toDF("src", "dst")
+    assert(GraphOps.linkPredict(star, centerCap = 64).collect().isEmpty)
+    // same star under a generous cap: all leaf pairs predicted
+    val small = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(GraphOps.linkPredict(small).collect().length === 10)
+  }
+
   test("graph_triangles driver entry: canonical node set, triangles bounded by wedges") {
     val rows = GraphOps.graphTriangles(spark, sf).collect()
     assert(rows.nonEmpty)
