@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Graph algorithms over relations the other operators emit — the
   * near-dup pair graph ([[Dedup.dedupComponents]] already resolves
@@ -338,24 +339,39 @@ object GraphOps {
     *
     * Deterministic and SQL-replayable ⇒ oracle-exact (counts are
     * integers; jaccard is one exact int/int IEEE division).
+    *
+    * `inputCanonical = true` skips the defensive canonicalize+distinct
+    * exchange when the caller's edges are already (src < dst, unique) —
+    * true for anything produced by a pair-groupBy.
     */
-  def linkPredict(edges: DataFrame, centerCap: Int = 64): DataFrame = {
-    val e = edges
-      .select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+  def linkPredict(edges: DataFrame, centerCap: Int = 64,
+      inputCanonical: Boolean = false): DataFrame = {
+    val e = (if (inputCanonical)
+        edges.select(col("src").cast("long").as("a"),
+          col("dst").cast("long").as("b"))
+      else edges
+        .select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
       .persist()
     try {
+      // degree via a partition-only window on the ONE id-exchange the
+      // wedge self-join then reuses (merge hints keep both sides on
+      // that exchange — the semDedup discipline); a separate groupBy
+      // degree relation + semi join would add three stages for the
+      // same answer
       val nb = e.select(col("a").as("id"), col("b").as("nb"))
         .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
-      val deg = nb.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      val centered = nb.join(deg.filter(col("deg") <= centerCap)
-        .select(col("id")), Seq("id"), "left_semi")
-      val cand = centered.as("x").join(centered.as("y"),
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("id"))))
+        .localCheckpoint(eager = false)
+      val centered = nb.filter(col("deg") <= centerCap)
+      val cand = centered.as("x").hint("merge")
+        .join(centered.as("y").hint("merge"),
           col("x.id") === col("y.id") && col("x.nb") < col("y.nb"))
         .select(col("x.nb").as("d1"), col("y.nb").as("d2"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+      val deg = nb.select(col("id"), col("deg")).distinct()
       cand
         .join(e, cand("d1") === e("a") && cand("d2") === e("b"), "left_anti")
         .join(deg.select(col("id").as("d1"), col("deg").as("deg1")), Seq("d1"))
@@ -379,17 +395,25 @@ object GraphOps {
     * set is empty by construction.)  Oracle-EXACT: support counts and
     * the wedge/degree arithmetic are all integers.
     */
-  def linkPredictParts(s: SparkSession, dir: String): DataFrame = {
+  def linkPredictParts(s: SparkSession, dir: String): DataFrame =
+    linkPredict(coPurchasePairs(s, dir)
+      .filter(col("n_ab") >= 2).select(col("src"), col("dst")),
+      inputCanonical = true)
+
+  /** Distinct co-order part pairs with their support count — the
+    * substrate both graph drivers peel/predict over.  Lazy-checkpointed
+    * item set so the scan+distinct feeds both self-join sides from ONE
+    * exchange (the [[Analytics.basketPairs]] discipline).
+    */
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val it = graft.sources.Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = it.as("a").join(it.as("b"),
+      .localCheckpoint(eager = false)
+    it.as("a").join(it.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
       .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 2)
-      .select(col("src"), col("dst"))
-    linkPredict(edges)
   }
 
   /** k-core of an undirected edge list: the maximal subgraph where
@@ -412,12 +436,16 @@ object GraphOps {
     * Iterative fixpoint ⇒ no SQL image ⇒ rows-only; the spec pins a
     * sequential peel replay and planted clique/chain graphs.
     */
-  def kCore(edges: DataFrame, k: Int = 3): DataFrame = {
-    var cur = edges
-      .select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+  def kCore(edges: DataFrame, k: Int = 3,
+      inputCanonical: Boolean = false): DataFrame = {
+    var cur = (if (inputCanonical)
+        edges.select(col("src").cast("long").as("a"),
+          col("dst").cast("long").as("b"))
+      else edges
+        .select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
       .localCheckpoint(eager = true)
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
@@ -458,16 +486,10 @@ object GraphOps {
     * Iterative fixpoint ⇒ rows-only; the spec pins a sequential peel
     * replay plus planted clique/chain graphs.
     */
-  def graphKcore(s: SparkSession, dir: String): DataFrame = {
-    val it = graft.sources.Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = it.as("a").join(it.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
-    kCore(edges, k = 64).select(col("id").as("p_partkey"), col("core_deg"))
-  }
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    kCore(coPurchasePairs(s, dir).select(col("src"), col("dst")), k = 64,
+        inputCanonical = true)
+      .select(col("id").as("p_partkey"), col("core_deg"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_pagerank" -> (knnPagerank _),
