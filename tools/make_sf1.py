@@ -127,11 +127,31 @@ li = pa.concat_tables(chunks)
 pq.write_table(li, f"{DST}/lineitem.parquet")
 print(f"lineitem: {li.num_rows} rows")
 
+# ---- orders (round-11 wave 5: order_gaps / gini_topshare evidence) ----
+# copy c remaps o_orderkey/o_custkey by the same stride; dates and
+# prices are UNCHANGED, so each copy is an isomorphic customer
+# population: per-customer gap sequences replicate exactly (order_gaps
+# output rows scale 10x with identical values) and the revenue
+# DISTRIBUTION replicates (Gini is replication-invariant up to the
+# (n+1)/n finite-size term and top-k shares up to the k = n//100
+# floor — measured: gini agrees to 1 ulp at 10x, copy-0 gap rows
+# bit-identical).
+t = pq.read_table(f"{SRC}/orders.parquet")
+chunks = []
+for c in range(COPIES):
+    cols = {name: t.column(name) for name in t.column_names}
+    cols["o_orderkey"] = pa.array(t.column("o_orderkey").to_numpy() + c * STRIDE, type=pa.int64())
+    cols["o_custkey"] = pa.array(t.column("o_custkey").to_numpy() + c * STRIDE, type=pa.int64())
+    chunks.append(pa.table(cols))
+od = pa.concat_tables(chunks)
+pq.write_table(od, f"{DST}/orders.parquet")
+print(f"orders: {od.num_rows} rows")
+
 # remaining tables: symlink sf0.1 (warmup only)
 for f in os.listdir(SRC):
     if f.endswith(".parquet") and f not in (
             "documents.parquet", "embeddings.parquet", "events.parquet",
-            "lineitem.parquet"):
+            "lineitem.parquet", "orders.parquet"):
         dst = f"{DST}/{f}"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{f}", dst)
