@@ -287,6 +287,61 @@ object Stateful {
       }
   }
 
+  case class LastSeen(us: Long, event_id: Long)
+  case class GapRow(user_id: Long, event_id: Long, gap_us: Long)
+
+  /** Streaming inter-arrival gaps — the continuous twin of
+    * [[graft.operators.Temporal.orderGaps]]'s LAG: per user, each
+    * event after the chain's first emits its event-time gap to the
+    * predecessor (Append mode; the cadence stream a churn/anomaly
+    * consumer windows downstream).  In-batch events sort by
+    * (event-time, event_id) — the same total order as the batch
+    * window — and the chain continues across micro-batches through
+    * ONE tiny struct per live user.
+    *
+    * Same TTL discipline as [[transitions]]: event-time timeout
+    * retires idle users' state (unbounded key churn on a 100 TB
+    * stream is otherwise a slow, certain leak); expiry emits nothing,
+    * a post-expiry event starts a fresh chain, so the one gap
+    * spanning an idle period longer than ttl is deliberately not
+    * produced — for users whose idle gaps stay under ttl the output
+    * equals the batch LAG image (parity spec-pinned).
+    *
+    * Input needs (user_id, ts, event_id) with a watermark on ts.
+    */
+  def interArrival(spark: SparkSession, events: DataFrame,
+      ttlUs: Long = 7L * 86400 * 1000000): Dataset[GapRow] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LastSeen, GapRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+            state: GroupState[LastSeen]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e._3, e._4))
+            var prev = state.getOption
+            val out = Seq.newBuilder[GapRow]
+            sorted.foreach { e =>
+              prev.foreach(p => out += GapRow(user, e._4, e._3 - p.us))
+              prev = Some(LastSeen(e._3, e._4))
+            }
+            prev.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(
+                math.max(p.us / 1000 + ttlUs / 1000, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   case class UpsertState(ts_sec: Long, event_id: Long, event_type: String,
       cents: Long)
   case class UpsertRow(user_id: Long, ts_sec: Long, event_id: Long,

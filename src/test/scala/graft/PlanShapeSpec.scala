@@ -435,4 +435,28 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("windowspecdefinition(cents"),
       p.linesIterator.take(20).mkString("\n"))
   }
+
+  test("sentence_stats is a zero-shuffle scan-project (one presentation sort only)") {
+    val p = plan(TextOps.sentenceStats(spark, sf))
+    // higher-order array ops stay in the row: the only exchange is the
+    // final orderBy's range partitioning
+    assert(countIn(p, "Exchange") <= 1, p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("Generate"), "no explode should appear")
+  }
+
+  test("order_gaps shuffles once on the customer key and reuses the window clustering") {
+    val p = plan(Temporal.orderGaps(spark, sf))
+    // one hash exchange (custkey) feeds both the LAG window and the
+    // follow-up aggregate; +1 range exchange for presentation order
+    assert(countIn(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("gini_topshare has no per-customer global window — only the value staircase") {
+    val df = Analytics.giniTopshare(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("row_number()"),
+      "the staircase decomposition must not rank individual customers")
+  }
 }

@@ -193,6 +193,38 @@ class StatefulSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("interArrival across batches matches the batch LAG image; fresh chain after TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      Stateful.TypedEvent(1, "view", 100, 1), Stateful.TypedEvent(1, "click", 250, 2),
+      Stateful.TypedEvent(2, "view", 150, 3), Stateful.TypedEvent(1, "purchase", 600, 4),
+      Stateful.TypedEvent(2, "error", 450, 5), Stateful.TypedEvent(2, "view", 460, 6),
+      Stateful.TypedEvent(1, "view", 900, 7))
+    val (b1, b2) = all.splitAt(4)
+    val mem = MemoryStream[Stateful.TypedEvent]
+    val src = mem.toDF()
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_id"))
+      .withWatermark("ts", "1 second")
+    val q = Stateful.interArrival(spark, src).writeStream
+      .outputMode("append").format("memory").queryName("gap_stream").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gap_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val batch = all.toDF()
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Long]("gap_us")).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("transitions state expires after the event-time TTL: idle user restarts a fresh chain") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
