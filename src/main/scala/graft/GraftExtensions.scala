@@ -88,5 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SpaceSavingAgg(args.head,
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())))
+    // optimizer rung of the extension ladder: collapse nested
+    // normalize_text — see the rule's scaladoc for the idempotence
+    // argument and the cross-stage compositions it catches
+    e.injectOptimizerRule(_ => graft.plans.CollapseIdempotentNormalize)
   }
 }

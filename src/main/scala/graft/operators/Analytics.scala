@@ -167,6 +167,32 @@ object Analytics {
           .as("top10_share_ppm"))
   }
 
+  /** Leading-digit (Benford) audit of order totals — the fraud /
+    * synthetic-data screen: the distribution of first significant
+    * digits, as counts and ppm shares.  The op emits the OBSERVED
+    * distribution only, all-integer (digit via string head — exact on
+    * both engines; ppm by long floor division): comparing against the
+    * log₁₀(1+1/d) reference is the CONSUMER's judgment call, and log
+    * is not cross-engine hash-stable anyway (the event_spike rule:
+    * keep the oracle lane integer, push judgment to the spec, which
+    * pins the exact replay AND the chi²-vs-Benford statistic).
+    *
+    * Scale shape: scan-project to one digit char, 9-row keyed
+    * aggregate with map-side partials, 1-row broadcast total.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .select(cents(col("o_totalprice")).as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = d.agg(sum(col("n_obs")).as("n"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 1000000 div n").as("share_ppm"))
+      .orderBy(col("digit"))
+  }
+
   /** Blocked fuzzy entity matching over part names — the entity-
     * resolution CANDIDATE-GENERATION audit: block on the head noun,
     * compare names pairwise within each block with edit distance, and
@@ -537,9 +563,18 @@ object Analytics {
     "equidepth_hist" -> (equidepthHist _),
     "entity_match" -> (entityMatch _),
     "gini_topshare" -> (giniTopshare _),
+    "benford_digits" -> (benfordDigits _),
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    "benford_digits" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE floor(o_totalprice * 100) > 0),
+        |c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+        |SELECT digit, n_obs, n_obs * 1000000 // n AS share_ppm
+        |FROM c, t ORDER BY digit""".stripMargin,
     // the staircase decomposition replayed verbatim: W, T in HUGEINT
     // (≡ Spark decimal(38,0)), ONE double division for gini, long-lane
     // floor division for the ppm shares

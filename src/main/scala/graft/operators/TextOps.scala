@@ -716,7 +716,47 @@ object TextOps {
           size(col("sents")).cast("double")).as("avg_sentence_words"))
       .orderBy(col("doc_id"))
 
+  /** Collocation mining: the top word bigrams by LIFT (observed
+    * bigram count over its independence expectation) at a minimum
+    * support — the phrase/multi-word-expression detector ("new york",
+    * "machine learning") a tokenizer-vocabulary or stop-phrase pass
+    * reads.  Lift is PMI without the log: c_ab·N / (c_a·c_b) over the
+    * bigram table's own left/right marginals — exact-integer IEEE
+    * quotients (the log-free top_tfidf discipline), so ranking and
+    * values are oracle-EXACT; the support floor is what keeps hapax
+    * pairs (lift → N) out, the standard collocation guard.
+    *
+    * Scale shape: bigram TYPE counts collapse map-side (hot pairs are
+    * one row each); marginals are keyed aggregates over the skinny
+    * type table; N broadcasts; the cut is TakeOrderedAndProject under
+    * the total (lift desc, a, b) order.  [[Analytics.basketPairs]] is
+    * the same contingency algebra on co-purchase baskets.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .select(tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("a"), col("b.w2").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(eager = false) // three consumers: marginals ×2 + probe
+    val la = bi.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val rb = bi.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = bi.agg(sum(col("n_ab")).as("n"))
+    bi.filter(col("n_ab") >= 5)
+      .join(la, Seq("a")).join(rb, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"),
+        ((col("n_ab") * col("n")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), col("a"), col("b"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "collocations" -> (collocations _),
     "sentence_stats" -> (sentenceStats _),
     "heavy_hitters" -> (heavyHitters _),
     "bpe_train" -> (bpeTrainEntry _),
@@ -743,6 +783,23 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    "collocations" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |bg0 AS (SELECT unnest(CASE WHEN len(tk) >= 2
+        |    THEN [tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk)-1)]
+        |    ELSE [] END) AS pair FROM t),
+        |bg AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b FROM bg0),
+        |bi AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |la AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bi GROUP BY 1),
+        |rb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM bi GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM bi)
+        |SELECT a, b, n_ab,
+        |  CAST(n_ab * n AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift
+        |FROM bi JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+        |WHERE n_ab >= 5
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
     "sentence_stats" ->
       """WITH s0 AS (SELECT doc_id,
         |  list_filter(list_transform(string_split_regex(text, '[.!?]+'),

@@ -323,4 +323,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("top10_share_ppm") == topShare(n / 10))
     assert(gini >= 0.0 && gini < 1.0)
   }
+
+  test("benford_digits replays exactly; chi2 vs the Benford reference is computable") {
+    val cents = Tables.orders(spark, sf).select(col("o_totalprice"))
+      .collect().map(r => centsOf(r.getDouble(0))).filter(_ > 0)
+    val want = cents.groupBy(_.toString.head.asDigit)
+      .map { case (d, v) => d -> v.length.toLong }
+    val got = Analytics.benfordDigits(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap === want)
+    val n = cents.length.toLong
+    got.foreach { case (_, obs, ppm) => assert(ppm === obs * 1000000L / n) }
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    // the judgment the op deliberately leaves to the consumer: chi²
+    // against log10(1+1/d) — computable from the emitted integers
+    val chi2 = got.map { case (d, obs, _) =>
+      val e = n * math.log10(1.0 + 1.0 / d)
+      (obs - e) * (obs - e) / e
+    }.sum
+    assert(chi2 >= 0 && !chi2.isNaN)
+  }
 }

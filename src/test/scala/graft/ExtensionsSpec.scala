@@ -58,4 +58,36 @@ class ExtensionsSpec extends AnyFunSuite {
     val a = rows.find(_._1 == "a").get
     assert(a._2 >= 50 && a._2 - a._3 <= 50)
   }
+
+  test("optimizer rule collapses nested normalize_text, including across view/column stages") {
+    import org.apache.spark.sql.functions.col
+    def normCount(df: org.apache.spark.sql.DataFrame): Int =
+      "normalize_text".r
+        .findAllIn(df.queryExecution.optimizedPlan.toString).size
+    // parquet-backed, NOT a local Seq: ConvertToLocalRelation would
+    // constant-fold a literal relation's whole projection away before
+    // the count is taken (folding through our expressions is itself
+    // working as intended there)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("text").as("t"))
+    // direct nesting
+    val direct = docs.selectExpr("normalize_text(normalize_text(t)) AS n")
+    assert(normCount(direct) === 1, direct.queryExecution.optimizedPlan)
+    // cross-stage: an ingest-normalized column re-normalized by a
+    // downstream consumer — the realistic composition shape
+    val staged = docs
+      .withColumn("clean", graft.functions.NormalizeText.normalizeText(col("t")))
+      .select(graft.functions.NormalizeText.normalizeText(col("clean")).as("n"))
+    assert(normCount(staged) === 1, staged.queryExecution.optimizedPlan)
+    // and through a SQL view boundary
+    docs.createOrReplaceTempView("raw_norm_docs")
+    spark.sql("SELECT normalize_text(t) AS clean FROM raw_norm_docs")
+      .createOrReplaceTempView("clean_norm_docs")
+    val viewed = spark.sql("SELECT normalize_text(clean) AS n FROM clean_norm_docs")
+    assert(normCount(viewed) === 1, viewed.queryExecution.optimizedPlan)
+    // soundness: collapsed plan produces the identical (idempotent) result
+    val once = docs.selectExpr("normalize_text(t) AS n").collect().map(_.getString(0))
+    assert(direct.collect().map(_.getString(0)).toSeq === once.toSeq)
+    assert(viewed.collect().map(_.getString(0)).toSeq === once.toSeq)
+  }
 }

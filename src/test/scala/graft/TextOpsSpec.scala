@@ -822,6 +822,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("collocations matches a sequential lift replay; support floor holds") {
+    val docs = Tables.documents(spark, sf).select(col("text"))
+      .collect().map(_.getString(0))
+    val bigrams = docs.flatMap { t =>
+      val tk = t.trim.split("\\s+")
+      if (tk.length < 2) Array.empty[(String, String)]
+      else tk.zip(tk.tail)
+    }
+    val cAb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cA = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cB = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = bigrams.length.toLong
+    val want = cAb.toSeq.filter(_._2 >= 5)
+      .map { case ((a, b), ab) =>
+        (a, b, ab, (ab * n).toDouble / (cA(a) * cB(b)).toDouble) }
+      .sortBy { case (a, b, _, lift) => (-lift, a, b) }
+      .take(20)
+    val got = TextOps.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === want)
+    assert(got.forall(_._3 >= 5))
+    assert(got.nonEmpty)
+  }
+
   test("sentence_stats matches a Java-regex sequential replay per doc") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
