@@ -1611,7 +1611,42 @@ object Similarity {
   def semDedupEmbeddings(s: SparkSession, dir: String): DataFrame =
     semDedup(Tables.embeddings(s, dir), 8, 4, 0.4)
 
+  /** Recall audit of the compressed/sketched ANN paths against exact
+    * search — the number an index owner actually watches: for each
+    * path, hits@10 against the brute-force top-10 over the SAME query
+    * fixture, as an integer ppm (hits·10⁶ div 10·|Q| — exact, no
+    * float mean).  Emitting the audit AS a query makes the
+    * recall/cost trade a monitored artifact instead of scaladoc
+    * folklore: a testdata regeneration or parameter drift that moves
+    * recall shows up in the driver's rows, and the spec pins each
+    * path's floor (the same floors the per-path specs pin).
+    *
+    * Pure plan builder: per path ONE left-semi join of its (q_id,
+    * vec_id) pairs against the brute-force pairs + 1-row aggregates,
+    * unioned; the brute-force frame is lazily checkpointed so three
+    * consumers share one scoring pass.  Upstream paths are trained/
+    * hashed (no SQL image) ⇒ rows-only.
+    */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+      .localCheckpoint(eager = false)
+    val paths: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> annLsh(s, dir),
+      "pca16" -> annPca(s, dir),
+      "sq8" -> annSq8(s, dir))
+    paths.map { case (nm, df) =>
+      val p = df.select(col("q_id"), col("vec_id"))
+      val stats = p.agg(countDistinct(col("q_id")).as("n_queries"))
+      p.join(bf, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(stats))
+        .select(lit(nm).as("path"), col("n_queries"), col("hits"),
+          expr("hits * 1000000 div (10 * n_queries)").as("recall_ppm"))
+    }.reduce(_.unionAll(_)).orderBy(col("path"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_report" -> (annRecallReport _),
     "ann_filtered" -> (annFiltered _),
     "ann_pca" -> (annPca _),
     "embed_pca" -> (embedPca _),

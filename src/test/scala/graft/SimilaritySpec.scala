@@ -825,4 +825,25 @@ class SimilaritySpec extends AnyFunSuite {
     val again = collectProj()
     assert(again.map(_.toSeq).toSeq === proj.map(_.toSeq).toSeq, "deterministic")
   }
+
+  test("ann_recall_report equals an independent intersection replay; path floors hold") {
+    val bf = topSets(Similarity.annBruteforce(spark, sf).collect())
+    val reference = Map(
+      "lsh" -> topSets(Similarity.annLsh(spark, sf).collect()),
+      "pca16" -> topSets(Similarity.annPca(spark, sf).collect()),
+      "sq8" -> topSets(Similarity.annSq8(spark, sf).collect()))
+    val got = Similarity.annRecallReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_queries"),
+        r.getAs[Long]("hits"), r.getAs[Long]("recall_ppm"))).toMap
+    assert(got.keySet === reference.keySet)
+    reference.foreach { case (path, sets) =>
+      val hits = sets.map { case (q, s) => s.intersect(bf(q)).size.toLong }.sum
+      val nq = sets.size.toLong
+      assert(got(path) === ((nq, hits, hits * 1000000L / (10L * nq))), path)
+    }
+    // the same floors the per-path specs pin, read off the report
+    assert(got("sq8")._3 >= 800000L)
+    assert(got("pca16")._3 >= 200000L)
+    assert(got("lsh")._3 >= 150000L)
+  }
 }
