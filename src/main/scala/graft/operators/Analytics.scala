@@ -550,7 +550,54 @@ object Analytics {
       .orderBy(col("flag"), col("status"))
   }
 
+  /** Corpus-version drift monitor: per source, a slice×length-bucket
+    * contingency between the snapshot and delta corpus slices (the
+    * [[aggIncremental]] doc_id%10 slicing convention), emitted as
+    * PER-CELL chi² contributions — the check a pipeline runs when a
+    * new crawl lands: a crawler change that shifts the document-
+    * length distribution of one source lights up that source's cells
+    * before any content-level check fires.
+    *
+    * FLOAT DISCIPLINE (the [[contingencyChi2]] rule): every cell is
+    * a fixed expression tree over exact integer counts — the total
+    * chi² is a Σ of doubles and therefore ORDER-DEPENDENT, so the
+    * judgment sum belongs to the consumer/spec, never the oracle
+    * lane.  Zero-margin cells can't occur (cells exist only where
+    * observed > 0, margins ≥ cell).
+    *
+    * Scale shape: one keyed aggregate collapses the corpus to
+    * ≤ |sources|·2·10 cells map-side; margins re-aggregate those
+    * cells (broadcast-joined back); everything after the first
+    * aggregate is bounded-cardinality.
+    */
+  def driftReport(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("source"),
+        when(pmod(col("doc_id"), lit(10)) === 0, lit("delta"))
+          .otherwise(lit("snap")).as("slice"),
+        least(expr("n_chars div 100"), lit(9)).as("bucket"))
+      .groupBy(col("source"), col("slice"), col("bucket"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false) // margins + output share the cells
+    val rs = cells.groupBy(col("source"), col("slice")).agg(sum(col("o")).as("rtot"))
+    val cb = cells.groupBy(col("source"), col("bucket")).agg(sum(col("o")).as("ctot"))
+    val n = cells.groupBy(col("source")).agg(sum(col("o")).as("nn"))
+    val d = (col("o") * col("nn") - col("rtot") * col("ctot")).cast("double")
+    cells
+      .join(broadcast(rs), Seq("source", "slice"))
+      .join(broadcast(cb), Seq("source", "bucket"))
+      .join(broadcast(n), Seq("source"))
+      .select(col("source"), col("slice"), col("bucket"),
+        col("o").as("observed"),
+        ((col("rtot") * col("ctot")).cast("double") / col("nn").cast("double"))
+          .as("expected"),
+        (d * d / ((col("rtot") * col("ctot")).cast("double") *
+          col("nn").cast("double"))).as("chi2_cell"))
+      .orderBy(col("source"), col("slice"), col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "drift_report" -> (driftReport _),
     "skew_report" -> (skewReport _),
     "basket_pairs" -> (basketPairs _),
     "agg_incremental" -> (aggIncremental _),
@@ -567,6 +614,29 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    // per-source 2xB contingency replayed with the same integer counts
+    // and the identical per-cell double tree (see contingency_chi2)
+    "drift_report" ->
+      """WITH b AS (SELECT source,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'delta' ELSE 'snap' END AS slice,
+        |  LEAST(n_chars // 100, 9) AS bucket FROM documents),
+        |cells AS (SELECT source, slice, bucket, COUNT(*) AS o
+        |          FROM b GROUP BY 1, 2, 3),
+        |rs AS (SELECT source, slice, CAST(SUM(o) AS BIGINT) AS rtot
+        |       FROM cells GROUP BY 1, 2),
+        |cb AS (SELECT source, bucket, CAST(SUM(o) AS BIGINT) AS ctot
+        |       FROM cells GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(o) AS BIGINT) AS nn
+        |      FROM cells GROUP BY 1)
+        |SELECT source, slice, bucket, o AS observed,
+        |  CAST(rtot * ctot AS DOUBLE) / CAST(nn AS DOUBLE) AS expected,
+        |  (CAST(o * nn - rtot * ctot AS DOUBLE)
+        |     * CAST(o * nn - rtot * ctot AS DOUBLE))
+        |    / (CAST(rtot * ctot AS DOUBLE) * CAST(nn AS DOUBLE)) AS chi2_cell
+        |FROM cells JOIN rs USING (source, slice)
+        |           JOIN cb USING (source, bucket)
+        |           JOIN t USING (source)
+        |ORDER BY source, slice, bucket""".stripMargin,
     "benford_digits" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100)
         |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit

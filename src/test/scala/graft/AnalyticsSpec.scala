@@ -343,4 +343,30 @@ class AnalyticsSpec extends AnyFunSuite {
     }.sum
     assert(chi2 >= 0 && !chi2.isNaN)
   }
+
+  test("drift_report replays the per-source contingency exactly; cells conserve the corpus") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cells = docs.groupBy { case (src, id, nc) =>
+      (src, if (id % 10 == 0) "delta" else "snap", math.min(nc / 100, 9L))
+    }.map { case (k, v) => k -> v.length.toLong }
+    val rows = Analytics.driftReport(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum === docs.length.toLong, "cells conserve corpus")
+    val bySrc = cells.groupBy(_._1._1)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getLong(2))
+      val o = cells(key)
+      assert(r.getLong(3) === o, key)
+      val src = bySrc(key._1)
+      val rtot = src.filter(_._1._2 == key._2).values.sum
+      val ctot = src.filter(_._1._3 == key._3).values.sum
+      val nn = src.values.sum
+      assert(r.getDouble(4) === (rtot * ctot).toDouble / nn.toDouble, key)
+      val d = (o * nn - rtot * ctot).toDouble
+      assert(r.getDouble(5) === d * d / ((rtot * ctot).toDouble * nn.toDouble), key)
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      === cells.keySet)
+  }
 }
