@@ -1645,7 +1645,46 @@ object Similarity {
     }.reduce(_.unionAll(_)).orderBy(col("path"))
   }
 
+  /** Embedding-table audit — [[Pipeline.colProfileDocs]]'s sibling for
+    * the vector table, the checks run BEFORE building any index:
+    * dimension uniformity (a ragged dim breaks every path), zero-
+    * vector count (dropped by the cosine ops — how many?), and the
+    * norm² distribution (exact counting median/p99 over the 1e-4
+    * integer grid) — a collapsed or exploding norm profile is the
+    * classic sign of a broken embedding export.
+    *
+    * Exactness: norm² is the deterministic sequential fold
+    * ([[graft.functions.DotProduct]] ≡ DuckDB's list_sum fold — the
+    * ann-oracle parity contract), gridded by ONE floor into the
+    * integer lane; percentiles then COUNT over the histogram (the
+    * skew_report convention).  One output row; the only non-keyed
+    * step is the cumulative window over the |distinct grid values|
+    * histogram.
+    */
+  def embedAudit(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(toDouble(col("embedding")).as("e"))
+      .select(size(col("e")).as("dim"), dot(col("e"), col("e")).as("n2"))
+      .select(col("dim"), col("n2"),
+        floor(col("n2") * lit(10000)).cast("long").as("n2e4"))
+      .localCheckpoint(eager = false) // histogram + corpus stats share
+    val hist = v.groupBy(col("n2e4")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("n2e4")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("hi", sum(col("cnt")).over(w))
+    val stats = v.agg(count(lit(1)).as("n_vecs"),
+      min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+      sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+    cum.crossJoin(broadcast(stats))
+      .groupBy(col("n_vecs"), col("dim_min"), col("dim_max"), col("n_zero"))
+      .agg(
+        min(when(col("hi") * 2 >= col("n_vecs"), col("n2e4"))).as("med_n2e4"),
+        min(when(col("hi") * 100 >= col("n_vecs") * 99, col("n2e4"))).as("p99_n2e4"))
+      .select(col("n_vecs"), col("dim_min"), col("dim_max"), col("n_zero"),
+        col("med_n2e4"), col("p99_n2e4"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_audit" -> (embedAudit _),
     "ann_recall_report" -> (annRecallReport _),
     "ann_filtered" -> (annFiltered _),
     "ann_pca" -> (annPca _),
@@ -1665,6 +1704,25 @@ object Similarity {
     "knn_label_vote" -> (knnLabelVote _))
 
   def oracleSql: Map[String, String] = Map(
+    // norm² replayed as the SAME left-to-right fold; counting
+    // percentiles over the 1e-4 integer grid (skew_report convention)
+    "embed_audit" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT CAST(len(e) AS INT) AS dim,
+        |  list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i])) AS n2
+        |  FROM v),
+        |h0 AS (SELECT dim, n2, CAST(floor(n2 * 10000) AS BIGINT) AS n2e4 FROM n),
+        |hist AS (SELECT n2e4, COUNT(*) AS cnt FROM h0 GROUP BY 1),
+        |cum AS (SELECT n2e4, SUM(cnt) OVER (ORDER BY n2e4
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM hist),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+        |  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM h0)
+        |SELECT n_vecs, dim_min, dim_max, n_zero,
+        |  MIN(CASE WHEN hi * 2 >= n_vecs THEN n2e4 END) AS med_n2e4,
+        |  MIN(CASE WHEN hi * 100 >= n_vecs * 99 THEN n2e4 END) AS p99_n2e4
+        |FROM cum, st GROUP BY n_vecs, dim_min, dim_max, n_zero""".stripMargin,
     "ann_filtered" ->
       """WITH v0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |v AS (SELECT * FROM (SELECT vec_id, label, e,

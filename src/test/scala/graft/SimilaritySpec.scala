@@ -846,4 +846,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got("pca16")._3 >= 200000L)
     assert(got("lsh")._3 >= 150000L)
   }
+
+  test("embed_audit matches a sequential fold replay; corpus is uniform-dim and zero-free") {
+    val raw = graft.sources.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val n2s = raw.map { e =>
+      var s = 0.0; var i = 0
+      while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
+      s
+    }
+    val grid = n2s.map(x => math.floor(x * 10000).toLong).sorted
+    def pct(q: Int): Long = { // counting percentile, skew_report convention
+      val n = grid.length.toLong
+      grid.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1).toLong * 100 >= n * q => v
+      }.get
+    }
+    val r = Similarity.embedAudit(spark, sf).collect().head
+    assert(r.getAs[Long]("n_vecs") === raw.length.toLong)
+    assert(r.getAs[Int]("dim_min") === raw.map(_.length).min)
+    assert(r.getAs[Int]("dim_max") === raw.map(_.length).max)
+    assert(r.getAs[Long]("n_zero") === n2s.count(_ == 0.0).toLong)
+    assert(r.getAs[Long]("med_n2e4") === pct(50))
+    assert(r.getAs[Long]("p99_n2e4") === pct(99))
+    assert(r.getAs[Int]("dim_min") === r.getAs[Int]("dim_max"), "uniform dim")
+  }
 }
