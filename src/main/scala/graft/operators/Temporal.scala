@@ -421,7 +421,71 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Merged-interval coverage (gaps-and-islands): each event claims
+    * [ts, ts+60s); overlapping/touching claims merge into islands,
+    * and the output is each user's island count, covered seconds and
+    * largest island — "how much wall-clock was this user actually
+    * active" vs naive n_events·60 double-counting overlaps.  The
+    * canonical SQL islands shape, integer end-to-end: a new island
+    * starts where ts exceeds the running max of prior interval ends
+    * (strictly — touching intervals merge); island id is the running
+    * sum of start flags; island span is max(end)−min(start).
+    *
+    * Scale shape: TWO windows and the final aggregate all share the
+    * user_id clustering — one hash exchange total, each window a
+    * single sorted pass (running max, running sum).  Determinism:
+    * the running max over (ts_sec, event_id) order is
+    * insensitive to same-second tie order (max is commutative), so
+    * island boundaries are layout-stable.
+    */
+  def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val span = 60L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), epochSec(col("ts")).as("b"), col("event_id"))
+      .withColumn("e", col("b") + span)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("b"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("b") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("island"))
+      .agg(min(col("b")).as("ib"), max(col("e")).as("ie"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("ib")).as("covered_sec"),
+        max(col("ie") - col("ib")).as("max_island_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Daily active-user growth: new users per day (first-seen
+    * attribution) and the cumulative registered total — running
+    * COUNT DISTINCT without a distinct-over-window: each user
+    * collapses to one (first_day) row map-side, days aggregate
+    * those, and ONE cumulative window over the |days| staircase
+    * produces the growth curve (the conversion_lag counting
+    * discipline; a literal `COUNT(DISTINCT) OVER` would carry the
+    * full user set per row).  Oracle-exact integers throughout.
+    */
+  def userGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(s, dir)
+      .select(col("user_id"), epochSec(col("ts")).as("ts_sec"))
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val daily = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("total_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_merge" -> (intervalMerge _),
+    "user_growth" -> (userGrowth _),
     "order_gaps" -> (orderGaps _),
     "autocorr_lag" -> (autocorrLag _),
     "conversion_lag" -> (conversionLag _),
@@ -435,6 +499,39 @@ object Temporal {
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    "interval_merge" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS b,
+        |  (epoch_us(ts) // 1000000) + 60 AS e, event_id FROM events),
+        |f AS (SELECT user_id, b, e, event_id,
+        |  CASE WHEN MAX(e) OVER (PARTITION BY user_id
+        |      ORDER BY b, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR b > MAX(e) OVER (PARTITION BY user_id
+        |      ORDER BY b, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  THEN 1 ELSE 0 END AS new_island
+        |  FROM ev),
+        |g AS (SELECT user_id, b, e,
+        |  SUM(new_island) OVER (PARTITION BY user_id ORDER BY b, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |isl AS (SELECT user_id, island, MIN(b) AS ib, MAX(e) AS ie
+        |        FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(ie - ib) AS BIGINT) AS covered_sec,
+        |  MAX(ie - ib) AS max_island_sec
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "user_growth" ->
+      """WITH fd AS (SELECT user_id,
+        |  MIN((epoch_us(ts) // 1000000) // 86400) AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT first_day AS day, COUNT(*) AS new_users
+        |      FROM fd GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS total_users
+        |FROM d ORDER BY day""".stripMargin,
     "order_gaps" ->
       """WITH o AS (SELECT o_custkey,
         |  (epoch_us(o_orderdate) // 1000000) // 86400 AS day, o_orderkey

@@ -254,6 +254,39 @@ class TemporalSpec extends AnyFunSuite {
     got.values.foreach { case (_, r) => assert(r >= -1.0 && r <= 1.0) }
   }
 
+  test("interval_merge matches a sequential interval-union replay") {
+    val want = raw.groupBy(_._1).map { case (u, es) =>
+      val iv = es.map(e => (e._3, e._3 + 60L)).sortBy(identity)
+      val merged = iv.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, i) => List(i)
+        case (acc @ ((b0, e0) :: rest), (b, e)) =>
+          if (b > e0) (b, e) :: acc else (b0, math.max(e0, e)) :: rest
+      }.reverse
+      u -> (merged.length.toLong,
+        merged.map { case (b, e) => e - b }.sum,
+        merged.map { case (b, e) => e - b }.max)
+    }
+    val got = Temporal.intervalMerge(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_islands"),
+        r.getAs[Long]("covered_sec"), r.getAs[Long]("max_island_sec"))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (u, w) => assert(got(u) == w, s"user $u") }
+    // coverage never exceeds naive n*60 and never undershoots one span
+    got.foreach { case (_, (_, cov, mx)) => assert(cov >= 60 && mx >= 60) }
+  }
+
+  test("user_growth: first-seen attribution conserves users; cumulative is monotone") {
+    val firstDays = raw.groupBy(_._1).map { case (_, es) => es.map(_._3 / 86400).min }
+    val want = firstDays.groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    val rows = Temporal.userGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("new_users"), r.getAs[Long]("total_users")))
+    assert(rows.map(r => r._1 -> r._2).toMap === want)
+    assert(rows.map(_._2).sum === raw.map(_._1).distinct.length.toLong)
+    rows.foldLeft(0L) { case (acc, (_, nu, tot)) =>
+      assert(tot === acc + nu); tot
+    }
+  }
+
   test("windowed family shuffles once: window_range plan has one user exchange") {
     val plan = Temporal.windowRange(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
