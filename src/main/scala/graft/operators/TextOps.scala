@@ -755,7 +755,40 @@ object TextOps {
       .limit(20)
   }
 
+  /** Mergeable distinct-vocabulary sketches — the materialized-view
+    * story for COUNT DISTINCT at 100 TB: per source a DataSketches
+    * HLL sketch of the token vocabulary (Spark's native
+    * `hll_sketch_agg`, lgK = 12 ⇒ ~1.6 % RSE at 4 KB of state), plus
+    * an `(all)` row whose estimate comes from UNIONING the per-source
+    * sketches — never rescanning.  Register-wise max makes HLL union
+    * EXACTLY the sketch of the union multiset, so merge ≡ recompute
+    * holds for the sketch itself (spec-pinned as bit-equal
+    * estimates), the same algebra [[Analytics.aggIncremental]] pins
+    * for scalar aggregates.  Per-source sketches are what a pipeline
+    * PERSISTS: tomorrow's delta sketch unions in for free.
+    *
+    * Scale shape: the only corpus-sized work is the token explode
+    * into source-keyed sketch partials (map-side merged, 4 KB each);
+    * everything downstream is |sources| rows.  Sketch ⇒ rows-only;
+    * the spec pins the 5 % envelope against exact distincts and the
+    * union-equals-direct property.
+    */
+  def distinctSketch(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(term, 12)").as("sk"))
+      .localCheckpoint(eager = false) // per-source rows + the union row
+    per.select(col("source"),
+        expr("hll_sketch_estimate(sk)").as("est_distinct"))
+      .unionAll(per.agg(expr("hll_union_agg(sk)").as("u"))
+        .select(lit("(all)").as("source"),
+          expr("hll_sketch_estimate(u)").as("est_distinct")))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "distinct_sketch" -> (distinctSketch _),
     "collocations" -> (collocations _),
     "sentence_stats" -> (sentenceStats _),
     "heavy_hitters" -> (heavyHitters _),

@@ -822,6 +822,37 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("distinct_sketch: 5% envelope vs exact; union row equals a direct whole-corpus sketch") {
+    val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val exact = docs.groupBy(_._1)
+      .map { case (s, v) => s -> v.flatMap(_._2.trim.split("\\s+")).distinct.size }
+    val exactAll = docs.flatMap(_._2.trim.split("\\s+")).distinct.size
+    val got = TextOps.distinctSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === exact.keySet + "(all)")
+    (exact + ("(all)" -> exactAll)).foreach { case (src, t) =>
+      val e = got(src).toDouble
+      assert(math.abs(e / t - 1.0) <= 0.05, s"$src est=$e true=$t")
+    }
+    // merge == recompute for the sketch itself: the union-row estimate
+    // is bit-equal to a sketch built over the whole corpus directly
+    val direct = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .agg(org.apache.spark.sql.functions.expr("hll_sketch_estimate(hll_sketch_agg(term, 12))"))
+      .head().getLong(0)
+    assert(got("(all)") === direct)
+    // the corpus vocab (31 words) sits in HLL's exact-sparse regime;
+    // exercise the ESTIMATION regime on a planted 100k-distinct column
+    import spark.implicits._
+    val big = (1 to 100000).map(i => s"term_$i").toDF("term")
+    val est = big.agg(org.apache.spark.sql.functions.expr(
+      "hll_sketch_estimate(hll_sketch_agg(term, 12))")).head().getLong(0)
+    assert(math.abs(est.toDouble / 100000.0 - 1.0) <= 0.05, s"est=$est")
+    assert(est !== 100000L, "lgK=12 on 100k distinct should be estimating, not exact")
+  }
+
   test("collocations matches a sequential lift replay; support floor holds") {
     val docs = Tables.documents(spark, sf).select(col("text"))
       .collect().map(_.getString(0))
