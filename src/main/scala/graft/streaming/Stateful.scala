@@ -287,6 +287,67 @@ object Stateful {
       }
   }
 
+  case class LastTouch(touch_type: String, us: Long)
+  case class CreditRow(user_id: Long, purchase_id: Long, attrib_type: String)
+
+  /** Streaming last-touch attribution — the continuous twin of
+    * [[graft.operators.Temporal.eventAttribution]]: each `purchase`
+    * emits a credit row naming the user's most recent PRECEDING
+    * `click`/`view` (or `(none)` for a first-event purchase), as the
+    * purchase flows through — no end-of-day batch join, the marketing
+    * ledger is live.  State per user is ONE small struct (the last
+    * touch seen); in-batch events sort by (event-time, event_id), the
+    * batch window's total order.
+    *
+    * TTL discipline as [[transitions]]: idle users' state expires
+    * (emitting nothing); a purchase arriving after expiry credits
+    * `(none)` — the deliberate semantics for "touch older than ttl
+    * doesn't deserve the credit", which is also what keeps state
+    * bounded on an unbounded user stream.  Under-ttl users match the
+    * batch ignoreNulls-carry image exactly (parity spec-pinned).
+    *
+    * Input needs (user_id, event_type, ts, event_id) with a watermark.
+    */
+  def attribution(spark: SparkSession, events: DataFrame,
+      ttlUs: Long = 7L * 86400 * 1000000): Dataset[CreditRow] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LastTouch, CreditRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, String, java.sql.Timestamp, Long, Long)],
+            state: GroupState[LastTouch]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e._4, e._5))
+            var prev = state.getOption
+            val out = Seq.newBuilder[CreditRow]
+            sorted.foreach { e =>
+              if (e._2 == "purchase")
+                out += CreditRow(user, e._5,
+                  prev.map(_.touch_type).getOrElse("(none)"))
+              if (e._2 == "click" || e._2 == "view")
+                prev = Some(LastTouch(e._2, e._4))
+            }
+            val lastUs = sorted.last._4
+            prev match {
+              case Some(p) =>
+                state.update(p)
+                state.setTimeoutTimestamp(math.max(
+                  math.max(p.us, lastUs) / 1000 + ttlUs / 1000,
+                  state.getCurrentWatermarkMs() + 1))
+              case None => // purchases only so far: nothing to carry
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   case class LastSeen(us: Long, event_id: Long)
   case class GapRow(user_id: Long, event_id: Long, gap_us: Long)
 

@@ -193,6 +193,48 @@ class StatefulSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming attribution matches the batch ignoreNulls-carry image across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      Stateful.TypedEvent(1, "view", 100, 1), Stateful.TypedEvent(1, "purchase", 200, 2),
+      Stateful.TypedEvent(2, "purchase", 150, 3), Stateful.TypedEvent(1, "click", 300, 4),
+      Stateful.TypedEvent(2, "view", 250, 5), Stateful.TypedEvent(1, "purchase", 400, 6),
+      Stateful.TypedEvent(2, "purchase", 350, 7), Stateful.TypedEvent(1, "error", 450, 8),
+      Stateful.TypedEvent(1, "purchase", 500, 9))
+    val (b1, b2) = all.splitAt(5)
+    val mem = MemoryStream[Stateful.TypedEvent]
+    val src = mem.toDF()
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("event_id"))
+      .withWatermark("ts", "1 second")
+    val q = Stateful.attribution(spark, src).writeStream
+      .outputMode("append").format("memory").queryName("attr_stream").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // batch image: last non-null touch strictly before each purchase
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    val batch = all.toDF()
+      .withColumn("attrib", coalesce(last(touch, ignoreNulls = true).over(w), lit("(none)")))
+      .filter(col("event_type") === "purchase")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[String]("attrib")).toMap
+    assert(streamed === batch)
+    // the cross-batch carries actually exercised: user 2's second
+    // purchase credits the view from batch 1's state, and an error
+    // event neither credits nor clears
+    assert(streamed((2L, 7L)) === "view")
+    assert(streamed((1L, 9L)) === "click")
+    assert(streamed((2L, 3L)) === "(none)")
+  }
+
   test("interArrival across batches matches the batch LAG image; fresh chain after TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
