@@ -452,6 +452,15 @@ class PlanShapeSpec extends AnyFunSuite {
       p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("interval_merge: both island windows and the aggregate share one user exchange") {
+    val p = plan(Temporal.intervalMerge(spark, sf))
+    // one hash exchange (user_id) + the presentation range sort; the
+    // running-max window, island-id window, island aggregate and user
+    // aggregate all reuse the user clustering
+    assert(countIn(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
   test("gini_topshare has no per-customer global window — only the value staircase") {
     val df = Analytics.giniTopshare(spark, sf)
     df.collect()
