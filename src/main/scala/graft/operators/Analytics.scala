@@ -132,15 +132,21 @@ object Analytics {
       .groupBy(col("o_custkey")).agg(sum(col("v")).as("rev"))
     val vc = rev.groupBy(col("rev")).agg(count(lit(1)).as("cnt"))
     val wCum = Window.orderBy(col("rev")).rowsBetween(Window.unboundedPreceding, -1)
+    // LAZY checkpoint: the staircase feeds the moment aggregate AND
+    // the top-share aggregate (and `agg` feeds two consumers below) —
+    // without it the orders scan + revenue aggregate + cumulative
+    // window execute up to 3× for a one-row result
     val stair = vc
       .withColumn("lo", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
       .withColumn("tri", expr("(cnt * (cnt + 1)) div 2"))
+      .localCheckpoint(eager = false)
     val agg = stair.agg(
       sum(col("cnt")).as("n"),
       sum((col("rev").cast(dec) * col("cnt").cast(dec)).cast(dec)).as("t"),
       sum((col("rev").cast(dec) *
         (col("cnt").cast(dec) * col("lo").cast(dec) + col("tri").cast(dec))
           .cast(dec)).cast(dec)).as("w"))
+      .localCheckpoint(eager = false) // read by tops' n AND the output row
     // top-k take per value group: customers ranked above n-k; a group
     // spanning the cut contributes hi-(n-k) of its c members
     def topSum(kExpr: Column): Column = {
@@ -186,6 +192,7 @@ object Analytics {
       .filter(col("c") > 0)
       .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint(eager = false) // total + output share one scan
     val tot = d.agg(sum(col("n_obs")).as("n"))
     d.crossJoin(broadcast(tot))
       .select(col("digit"), col("n_obs"),

@@ -388,9 +388,10 @@ object GraphOps {
   /** Driver entry: link prediction on the part CO-PURCHASE graph
     * (parts sharing ≥2 distinct orders — the [[Analytics.basketPairs]]
     * support relation with a min-support floor): predicted pairs are
-    * parts NEVER bought together whose co-purchase neighborhoods
-    * overlap — the classic "customers who bought X also bought"
-    * candidate set.  (The near-dup pair graph is the wrong substrate
+    * parts NOT co-purchased at support ≥ 2 (a single shared order is
+    * below the evidence floor and the pair can still be predicted)
+    * whose co-purchase neighborhoods overlap — the classic "customers
+    * who bought X also bought" candidate set.  (The near-dup pair graph is the wrong substrate
     * here: its components are near-cliques, so its transitive-missing
     * set is empty by construction.)  Oracle-EXACT: support counts and
     * the wedge/degree arithmetic are all integers.
@@ -447,7 +448,6 @@ object GraphOps {
         .filter(col("a") =!= col("b"))
         .distinct())
       .localCheckpoint(eager = true)
-    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var n = cur.count()
       var stable = n == 0
@@ -460,7 +460,10 @@ object GraphOps {
           .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
           .localCheckpoint(eager = true)
         val m = nxt.count()
-        retired += cur
+        // nxt is materialized (eager) — the superseded round's blocks
+        // release NOW, so peak block-manager footprint is two rounds'
+        // edges, not the whole peel history
+        cur.unpersist(blocking = false)
         cur = nxt
         stable = m == n
         n = m
@@ -470,7 +473,6 @@ object GraphOps {
         .orderBy(col("id"))
         .localCheckpoint(eager = true)
     } finally {
-      retired.foreach(_.unpersist(blocking = false))
       cur.unpersist(blocking = false); ()
     }
   }

@@ -1630,16 +1630,21 @@ object Similarity {
   def annRecallReport(s: SparkSession, dir: String): DataFrame = {
     val bf = annBruteforce(s, dir).select(col("q_id"), col("vec_id"))
       .localCheckpoint(eager = false)
+    // denominator = the FIXTURE's query count, from the brute-force
+    // frame — a path that returns nothing for a query scores 0 hits
+    // over the same denominator, not a silently shrunken one (a
+    // path-side countDistinct would inflate recall exactly when a
+    // path drops queries, the failure the audit exists to expose)
+    val nq = bf.agg(countDistinct(col("q_id")).as("n_queries"))
     val paths: Seq[(String, DataFrame)] = Seq(
       "lsh" -> annLsh(s, dir),
       "pca16" -> annPca(s, dir),
       "sq8" -> annSq8(s, dir))
     paths.map { case (nm, df) =>
-      val p = df.select(col("q_id"), col("vec_id"))
-      val stats = p.agg(countDistinct(col("q_id")).as("n_queries"))
-      p.join(bf, Seq("q_id", "vec_id"), "left_semi")
+      df.select(col("q_id"), col("vec_id"))
+        .join(bf, Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(nq))
         .select(lit(nm).as("path"), col("n_queries"), col("hits"),
           expr("hits * 1000000 div (10 * n_queries)").as("recall_ppm"))
     }.reduce(_.unionAll(_)).orderBy(col("path"))

@@ -415,7 +415,13 @@ object Temporal {
     val num = n * col("sxy").cast("double") - sx * sy
     val dxx = n * col("sxx").cast("double") - sx * sx
     val dyy = n * col("syy").cast("double") - sy * sy
+    // zero-variance guard: a constant series has dxx = dyy = 0 and
+    // autocorrelation is UNDEFINED (0/0) — excluded identically on
+    // both engines via the exact-integer variance terms, the
+    // event_spike zero-variance rule
     m.filter(col("n_pairs") > 1)
+      .filter((col("n_pairs") * col("sxx") - col("sx") * col("sx")) > 0 &&
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")) > 0)
       .select(col("event_type"), col("n_pairs"),
         (num / sqrt(dxx * dyy)).as("autocorr"))
       .orderBy(col("event_type"))
@@ -569,7 +575,10 @@ object Temporal {
         |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    AS autocorr
-        |FROM m WHERE n_pairs > 1 ORDER BY event_type""".stripMargin,
+        |FROM m WHERE n_pairs > 1
+        |  AND n_pairs * sxx - sx * sx > 0
+        |  AND n_pairs * syy - sy * sy > 0
+        |ORDER BY event_type""".stripMargin,
     "conversion_lag" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec,
         |  event_type FROM events),

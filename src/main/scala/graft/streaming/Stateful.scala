@@ -296,8 +296,13 @@ object Stateful {
     * `click`/`view` (or `(none)` for a first-event purchase), as the
     * purchase flows through — no end-of-day batch join, the marketing
     * ledger is live.  State per user is ONE small struct (the last
-    * touch seen); in-batch events sort by (event-time, event_id), the
-    * batch window's total order.
+    * touch seen); in-batch events sort by (event-time MICROSECONDS,
+    * event_id) — strictly FINER than the batch twin's (ts_sec,
+    * event_id) frame, so on same-second events whose ids invert their
+    * sub-second order the two can credit differently; the microsecond
+    * order is the faithful one (the batch op's second granularity is
+    * an artifact of its epoch-seconds lane), and the pinned parity is
+    * against the microsecond-ordered batch image.
     *
     * TTL discipline as [[transitions]]: idle users' state expires
     * (emitting nothing); a purchase arriving after expiry credits
@@ -334,7 +339,10 @@ object Stateful {
               if (e._2 == "click" || e._2 == "view")
                 prev = Some(LastTouch(e._2, e._4))
             }
-            val lastUs = sorted.last._4
+            // lastOption: defensive against an empty non-timeout
+            // invocation (the runtime shouldn't produce one, but a
+            // .last here would kill the whole query if it ever did)
+            val lastUs = sorted.lastOption.map(_._4).getOrElse(0L)
             prev match {
               case Some(p) =>
                 state.update(p)

@@ -836,9 +836,14 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getAs[Long]("n_queries"),
         r.getAs[Long]("hits"), r.getAs[Long]("recall_ppm"))).toMap
     assert(got.keySet === reference.keySet)
+    // denominator is the FIXTURE count (bf), never the path's own
+    // query count — a query a path drops must score 0/10, not vanish
+    val nq = bf.size.toLong
     reference.foreach { case (path, sets) =>
-      val hits = sets.map { case (q, s) => s.intersect(bf(q)).size.toLong }.sum
-      val nq = sets.size.toLong
+      // keys.toSeq: mapping over the key SET would dedupe equal
+      // per-query hit counts before the sum
+      val hits = bf.keys.toSeq.map(q =>
+        sets.getOrElse(q, Set.empty).intersect(bf(q)).size.toLong).sum
       assert(got(path) === ((nq, hits, hits * 1000000L / (10L * nq))), path)
     }
     // the same floors the per-path specs pin, read off the report

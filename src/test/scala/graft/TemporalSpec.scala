@@ -240,10 +240,14 @@ class TemporalSpec extends AnyFunSuite {
         val sxy = pairs.map(p => p._1 * p._2).sum
         val sxx = pairs.map(p => p._1 * p._1).sum
         val syy = pairs.map(p => p._2 * p._2).sum
-        val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
-        val den = math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
-          (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
-        Some(t -> (n.toLong, num / den))
+        // the operator's zero-variance exclusion, replayed exactly
+        if (n * sxx - sx * sx <= 0 || n * syy - sy * sy <= 0) None
+        else {
+          val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+          val den = math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+            (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+          Some(t -> (n.toLong, num / den))
+        }
       }
     }
     val got = Temporal.autocorrLag(spark, sf).collect()

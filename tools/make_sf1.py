@@ -147,11 +147,26 @@ od = pa.concat_tables(chunks)
 pq.write_table(od, f"{DST}/orders.parquet")
 print(f"orders: {od.num_rows} rows")
 
+# ---- customer (referential integrity for the sharded orders) ----
+# orders copies remap o_custkey, so customer must shard identically or
+# 90% of sf1 orders would silently lose their customer join (skewing
+# any customer-join query measured at sf1).  Same stride remap; all
+# other columns replicate.
+t = pq.read_table(f"{SRC}/customer.parquet")
+chunks = []
+for c in range(COPIES):
+    cols = {name: t.column(name) for name in t.column_names}
+    cols["c_custkey"] = pa.array(t.column("c_custkey").to_numpy() + c * STRIDE, type=pa.int64())
+    chunks.append(pa.table(cols))
+cu = pa.concat_tables(chunks)
+pq.write_table(cu, f"{DST}/customer.parquet")
+print(f"customer: {cu.num_rows} rows")
+
 # remaining tables: symlink sf0.1 (warmup only)
 for f in os.listdir(SRC):
     if f.endswith(".parquet") and f not in (
             "documents.parquet", "embeddings.parquet", "events.parquet",
-            "lineitem.parquet", "orders.parquet"):
+            "lineitem.parquet", "orders.parquet", "customer.parquet"):
         dst = f"{DST}/{f}"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{f}", dst)
