@@ -173,4 +173,35 @@ class EventOpsSpec extends AnyFunSuite {
       m.foreach { case (_, n) => assert(n <= m(0L)) }
     }
   }
+
+  test("json payload decode is the identity; garbled payloads land in _undecodable") {
+    import org.apache.spark.sql.functions._
+    val out = EventOps.msgDecodeJson(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    // the dead-letter group is exactly the corruption predicate's rows,
+    // with every decoded-field aggregate null (nothing was parsed)
+    val nCorrupt = ev.filter(col("event_id") % 97 === 0).count()
+    assert(nCorrupt > 0L, "fixture must exercise the corrupt branch")
+    val und = out.filter(_.getAs[String]("event_type") == "_undecodable")
+    assert(und.length == 1 && und.head.getAs[Long]("n_msgs") == nCorrupt)
+    assert(und.head.isNullAt(und.head.fieldIndex("sum_value")))
+    assert(und.head.isNullAt(und.head.fieldIndex("min_id")))
+    assert(und.head.isNullAt(und.head.fieldIndex("sum_props_chars")))
+    // clean groups equal a direct recompute from the unserialized table:
+    // a mismatch means to_json/from_json corrupted a value in flight
+    val direct = ev.filter(col("event_id") % 97 =!= 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(length(col("props")).cast("long")).as("sum_props_chars"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq.tail).toMap
+    val clean = out.filter(_.getAs[String]("event_type") != "_undecodable")
+    assert(clean.map(_.getAs[String]("event_type")).toSet == direct.keySet)
+    clean.foreach { r =>
+      assert(direct(r.getAs[String]("event_type")) == r.toSeq.tail,
+        s"decode drift for ${r.getAs[String]("event_type")}")
+    }
+  }
 }
