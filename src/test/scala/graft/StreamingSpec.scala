@@ -90,6 +90,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.get("dlq") === ev.filter(col("value") < 1.0).count())
   }
 
+  test("json payloads decode IN-FLIGHT; undecodable payloads route to dlq") {
+    // the JSON twin of the Avro consume story (and the streaming image
+    // of EventOps.msgDecodeJson): producer packs each payload as JSON
+    // text with ~1% garbled in flight, the route transform decodes via
+    // from_json against an explicit schema, and validity/destination
+    // key off DECODED fields — undecodable rows coalesce to invalid
+    // and land in the dlq without a second pass
+    val ckpt = Files.createTempDirectory("graft-ckpt-json").toString
+    val sink = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val jsch = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def toJsonMsg(df: DataFrame): DataFrame =
+      df.select(col("event_id").cast("string").as("msg_id"),
+          TestSpark.eventsTs.as("ts"),
+          when(col("event_id") % 97 === 0,
+            concat(lit("corrupt :"), to_json(struct(col("event_type"), col("value")))))
+            .otherwise(to_json(struct(col("event_type"), col("value"))))
+            .as("json_payload"))
+    val source = FileMsgSource(eventsDir, eventsRaw, toJsonMsg)
+    val route = Frizzle.Route(
+      df => df.withColumn("m", from_json(col("json_payload"), jsch))
+        .select(col("msg_id"), col("ts"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"))
+        .withColumn("dest", concat(lit("events."), col("event_type"))),
+      isValid = col("value") >= 1.0)
+    val q = Frizzle.runRouted(spark, source, route, dest = col("dest"),
+      (df, dest, _) => { sink.merge(dest, df.count(), (a, b) => a + b); () },
+      ckpt)
+    q.awaitTermination(120000)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clean = ev.filter(col("event_id") % 97 =!= 0)
+    val expected = clean.filter(col("value") >= 1.0)
+      .groupBy(concat(lit("events."), col("event_type")).as("d"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.foreach { case (d, n) => assert(sink.get(d) === n, s"dest $d") }
+    // dlq = every garbled payload (decode gave null value) + every
+    // decodable row failing the business gate
+    val nCorrupt = ev.filter(col("event_id") % 97 === 0).count()
+    assert(nCorrupt > 0L, "fixture must exercise the corrupt branch")
+    assert(sink.get("dlq") === nCorrupt + clean.filter(col("value") < 1.0).count())
+  }
+
   test("routed fan-out sends each destination exactly its rows, dlq the failures, across two epochs") {
     val ckpt = Files.createTempDirectory("graft-ckpt-fanout").toString
     // two copies of the file + maxFilesPerTrigger=1 → two ack epochs
