@@ -52,4 +52,36 @@ class LayoutSkewSpec extends AnyFunSuite {
       Layout.dropTable(spark, "b_orders"); Layout.dropTable(spark, "b_lineitem")
     }
   }
+
+  test("partitioned layout prunes non-matching directories at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Layout.writePartitioned(
+      Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"), col("source")),
+      dir, "source")
+    val all = spark.read.parquet(dir)
+    val sources = all.select(col("source")).distinct().collect().map(_.getString(0))
+    assert(sources.length > 1, "fixture needs >1 partition to prove pruning")
+    val one = all.filter(col("source") === sources.head)
+    // planning-time pruning: the filter reaches the scan as a
+    // PartitionFilter, and the excluded directories are never inputs
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("source"),
+      plan.linesIterator.take(12).mkString("\n"))
+    // (inputFiles is relation-level and ignores the filter — the
+    // pruning lives in the scan's selected partitions)
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanLike => f
+    }.getOrElse(fail("no file scan in plan"))
+    val parts = scan.selectedPartitions
+    assert(parts.partitionCount === 1,
+      s"selected ${parts.partitionCount} of ${sources.length} partitions")
+    assert(parts.toPartitionArray.forall(
+      _.filePath.toString.contains(s"source=${sources.head}")))
+    // values survive the round trip (partition column restored from
+    // the directory name)
+    val expect = Tables.documents(spark, sf)
+      .filter(col("source") === sources.head)
+      .agg(count(lit(1)), sum(col("n_chars"))).head
+    assert(one.agg(count(lit(1)), sum(col("n_chars"))).head === expect)
+  }
 }
