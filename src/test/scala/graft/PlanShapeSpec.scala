@@ -468,4 +468,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("row_number()"),
       "the staircase decomposition must not rank individual customers")
   }
+
+  test("msg_decode_json: codec passes pipeline with the scan, one hash exchange") {
+    val p = plan(EventOps.msgDecodeJson(spark, sf))
+    // encode (to_json), corrupt branch and decode (from_json) are all
+    // narrow projects over the single events scan; the only hash
+    // exchange carries per-type partial aggregates (+ presentation sort)
+    assert(countIn(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.take(15).mkString("\n"))
+    assert(countIn(p, "Scan parquet") === 1)
+  }
 }
