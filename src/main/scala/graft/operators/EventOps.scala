@@ -65,14 +65,24 @@ object EventOps {
       col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
     val wire = graft.sources.AvroCodec.toAvro(ev, EventAvroSchema)
     val dec = graft.sources.AvroCodec.fromAvro(wire, EventAvroSchema)
-    dec.groupBy(col("event_type"))
+    decodedTypeProfile(dec, col("event_type"))
+  }
+
+  /** The shared per-type profile of a decoded message stream — one
+    * aggregate list serving BOTH wire formats ([[msgDecodeAvro]],
+    * [[msgDecodeJson]]) so the two decode contracts cannot silently
+    * fork: the columns are the oracle shape, and any change lands on
+    * both queries at once.
+    */
+  private def decodedTypeProfile(dec: DataFrame,
+      groupKey: org.apache.spark.sql.Column): DataFrame =
+    dec.groupBy(groupKey.as("event_type"))
       .agg(count(lit(1)).as("n_msgs"),
         sum(col("value").cast(D182)).cast("double").as("sum_value"),
         min(col("event_id")).as("min_id"),
         max(col("event_id")).as("max_id"),
         sum(length(col("props")).cast("long")).as("sum_props_chars"))
       .orderBy(col("event_type"))
-  }
 
   /** Reader schema for the JSON payload round trip — the same record
     * shape as [[EventAvroSchema]], declared explicitly (a consumer never
@@ -112,14 +122,16 @@ object EventOps {
       .withColumn("wire",
         when(col("wire_id") % 97 === 0, concat(lit("corrupt :"), col("wire")))
           .otherwise(col("wire")))
-    val dec = wire.select(from_json(col("wire"), EventJsonSchema).as("m"))
-    dec.groupBy(coalesce(col("m.event_type"), lit("_undecodable")).as("event_type"))
-      .agg(count(lit(1)).as("n_msgs"),
-        sum(col("m.value").cast(D182)).cast("double").as("sum_value"),
-        min(col("m.event_id")).as("min_id"),
-        max(col("m.event_id")).as("max_id"),
-        sum(length(col("m.props")).cast("long")).as("sum_props_chars"))
-      .orderBy(col("event_type"))
+    val dec = wire
+      .select(from_json(col("wire"), EventJsonSchema).as("m"))
+      .select(col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
+        col("m.value").as("value"), col("m.props").as("props"))
+    // decode failure is keyed on event_id — the source PK that every
+    // wire record carries non-null — NOT on event_type: a decodABLE
+    // payload whose type happens to be null must stay out of the DLQ
+    // group (and groups under null, exactly as the oracle's CASE does)
+    decodedTypeProfile(dec,
+      when(col("event_id").isNull, lit("_undecodable")).otherwise(col("event_type")))
   }
 
   /** Destination routing (`Sink.Send(msg, dest)`): stable topic mapping

@@ -54,7 +54,9 @@ class LayoutSkewSpec extends AnyFunSuite {
   }
 
   test("partitioned layout prunes non-matching directories at the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-part")
+    val dir = dirPath.toString
+    try {
     Layout.writePartitioned(
       Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"), col("source")),
       dir, "source")
@@ -75,13 +77,21 @@ class LayoutSkewSpec extends AnyFunSuite {
     val parts = scan.selectedPartitions
     assert(parts.partitionCount === 1,
       s"selected ${parts.partitionCount} of ${sources.length} partitions")
+    // trailing separator: "source=src1" must not pass via "source=src19"
     assert(parts.toPartitionArray.forall(
-      _.filePath.toString.contains(s"source=${sources.head}")))
+      _.filePath.toString.contains(s"source=${sources.head}/")))
     // values survive the round trip (partition column restored from
     // the directory name)
     val expect = Tables.documents(spark, sf)
       .filter(col("source") === sources.head)
       .agg(count(lit(1)), sum(col("n_chars"))).head
     assert(one.agg(count(lit(1)), sum(col("n_chars"))).head === expect)
+    } finally {
+      // the partitioned copy of documents is the largest fixture this
+      // suite writes — tear it down like the bucketed tables above
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
