@@ -84,12 +84,12 @@ object EventOps {
         sum(length(col("props")).cast("long")).as("sum_props_chars"))
       .orderBy(col("event_type"))
 
-  /** Reader schema for the JSON payload round trip — the same record
+  /** Reader schema for the JSON/CSV payload round trips — the same record
     * shape as [[EventAvroSchema]], declared explicitly (a consumer never
     * infers the schema of a production topic; inference samples the
     * corpus and can silently widen types between runs).
     */
-  private[graft] val EventJsonSchema: org.apache.spark.sql.types.StructType = {
+  private[graft] val EventRecordSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
@@ -102,7 +102,7 @@ object EventOps {
     * wire shape next to Avro, see [[msgDecodeAvro]]) with ~1 % of
     * payloads deterministically garbled in flight (a non-JSON prefix —
     * the torn-write image), then decoded via `from_json` against the
-    * explicit [[EventJsonSchema]] in PERMISSIVE mode and aggregated per
+    * explicit [[EventRecordSchema]] in PERMISSIVE mode and aggregated per
     * decoded type.  Undecodable payloads yield a null record and land in
     * the `_undecodable` group — the batch image of "consume `Data()`,
     * decode, route failures to the DLQ" without a second pass over the
@@ -123,13 +123,42 @@ object EventOps {
         when(col("wire_id") % 97 === 0, concat(lit("corrupt :"), col("wire")))
           .otherwise(col("wire")))
     val dec = wire
-      .select(from_json(col("wire"), EventJsonSchema).as("m"))
+      .select(from_json(col("wire"), EventRecordSchema).as("m"))
       .select(col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
         col("m.value").as("value"), col("m.props").as("props"))
     // decode failure is keyed on event_id — the source PK that every
     // wire record carries non-null — NOT on event_type: a decodABLE
     // payload whose type happens to be null must stay out of the DLQ
     // group (and groups under null, exactly as the oracle's CASE does)
+    decodedTypeProfile(dec,
+      when(col("event_id").isNull, lit("_undecodable")).otherwise(col("event_type")))
+  }
+
+  /** Structured CSV payload decode — the third Kafka wire format next
+    * to Avro/JSON ([[msgDecodeAvro]], [[msgDecodeJson]]), sharing their
+    * schema, corruption predicate and [[decodedTypeProfile]] output
+    * contract.  The semantic CONTRAST with JSON is deliberate and
+    * spec-pinned: CSV corruption is FIELD-LOCAL — the garbled prefix
+    * breaks only the first field's long parse, and PERMISSIVE mode
+    * keeps the fields that still tokenize — so the `_undecodable`
+    * group (keyed on the failed PK) retains non-null value/props
+    * aggregates, where one bad byte in JSON voids the whole record.
+    * The oracle replays exactly that: corrupt rows null only `id`.
+    * Same plan shape as the twins: narrow codec passes over one scan,
+    * one bounded-key exchange.
+    */
+  def msgDecodeCsv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+    val wire = ev.select(col("event_id").as("wire_id"),
+        to_csv(struct(ev.columns.map(col): _*)).as("wire"))
+      .withColumn("wire",
+        when(col("wire_id") % 97 === 0, concat(lit("corrupt :"), col("wire")))
+          .otherwise(col("wire")))
+    val dec = wire
+      .select(from_csv(col("wire"), EventRecordSchema, Map.empty[String, String]).as("m"))
+      .select(col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
+        col("m.value").as("value"), col("m.props").as("props"))
     decodedTypeProfile(dec,
       when(col("event_id").isNull, lit("_undecodable")).otherwise(col("event_type")))
   }
@@ -445,6 +474,7 @@ object EventOps {
     "msg_ingest" -> (msgIngest _),
     "msg_decode_avro" -> (msgDecodeAvro _),
     "msg_decode_json" -> (msgDecodeJson _),
+    "msg_decode_csv" -> (msgDecodeCsv _),
     "msg_route" -> (msgRoute _),
     "dead_letter_split" -> (deadLetterSplit _),
     "stream_dedup" -> (streamDedup _),
@@ -526,6 +556,20 @@ object EventOps {
         |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS id,
         |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS v,
         |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE props END AS p
+        |  FROM events)
+        |SELECT et AS event_type, COUNT(*) AS n_msgs,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(id) AS min_id, MAX(id) AS max_id,
+        |  CAST(SUM(length(p)) AS BIGINT) AS sum_props_chars
+        |FROM d GROUP BY et ORDER BY et""".stripMargin,
+    // CSV corruption is field-local (PERMISSIVE keeps fields that
+    // still tokenize): corrupt rows lose only the PK, so the
+    // _undecodable group keeps non-null value/props aggregates
+    "msg_decode_csv" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN event_id % 97 = 0 THEN '_undecodable' ELSE event_type END AS et,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS id,
+        |    value AS v, props AS p
         |  FROM events)
         |SELECT et AS event_type, COUNT(*) AS n_msgs,
         |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

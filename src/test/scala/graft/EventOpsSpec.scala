@@ -204,4 +204,29 @@ class EventOpsSpec extends AnyFunSuite {
         s"decode drift for ${r.getAs[String]("event_type")}")
     }
   }
+
+  test("csv decode: corruption is field-local — DLQ rows keep their parseable fields") {
+    import org.apache.spark.sql.functions._
+    val out = EventOps.msgDecodeCsv(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val corrupt = ev.filter(col("event_id") % 97 === 0)
+    val und = out.filter(_.getAs[String]("event_type") == "_undecodable")
+    assert(und.length == 1 && und.head.getAs[Long]("n_msgs") == corrupt.count())
+    // the contrast with JSON: only the garbled FIRST field (the PK) is
+    // lost; value/props still tokenize, so their aggregates are the
+    // real sums over the corrupt rows — not null
+    assert(und.head.isNullAt(und.head.fieldIndex("min_id")))
+    val expSum = corrupt.agg(
+      sum(col("value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
+    assert(und.head.getAs[Double]("sum_value") == expSum)
+    // clean groups: identical to the JSON twin's output (same shared
+    // profile, same corpus, different wire format — identity both ways)
+    val json = EventOps.msgDecodeJson(spark, sf).collect()
+      .filter(_.getAs[String]("event_type") != "_undecodable")
+      .map(r => r.getAs[String]("event_type") -> r.toSeq.tail).toMap
+    out.filter(_.getAs[String]("event_type") != "_undecodable").foreach { r =>
+      assert(json(r.getAs[String]("event_type")) == r.toSeq.tail,
+        s"wire-format fork for ${r.getAs[String]("event_type")}")
+    }
+  }
 }
