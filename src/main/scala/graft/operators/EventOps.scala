@@ -123,7 +123,11 @@ object EventOps {
         when(col("wire_id") % 97 === 0, concat(lit("corrupt :"), col("wire")))
           .otherwise(col("wire")))
     val dec = wire
-      .select(from_json(col("wire"), EventRecordSchema).as("m"))
+      // mode pinned explicitly: the whole-record-null-on-corrupt
+      // contract (and its oracle) depends on PERMISSIVE, which must
+      // not be inherited from a mutable engine default
+      .select(from_json(col("wire"), EventRecordSchema,
+        Map("mode" -> "PERMISSIVE")).as("m"))
       .select(col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
         col("m.value").as("value"), col("m.props").as("props"))
     // decode failure is keyed on event_id — the source PK that every
@@ -156,7 +160,12 @@ object EventOps {
         when(col("wire_id") % 97 === 0, concat(lit("corrupt :"), col("wire")))
           .otherwise(col("wire")))
     val dec = wire
-      .select(from_csv(col("wire"), EventRecordSchema, Map.empty[String, String]).as("m"))
+      // mode pinned explicitly: field-local partial results (corrupt
+      // rows null only the field that failed to parse) are PERMISSIVE
+      // semantics — the decode contract must live in code, not in an
+      // inheritable engine default
+      .select(from_csv(col("wire"), EventRecordSchema,
+        Map("mode" -> "PERMISSIVE")).as("m"))
       .select(col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
         col("m.value").as("value"), col("m.props").as("props"))
     decodedTypeProfile(dec,

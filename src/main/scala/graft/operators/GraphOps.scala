@@ -501,14 +501,16 @@ object GraphOps {
     "graph_triangles" -> (graphTriangles _))
 
   /** graph_kcore oracle: the synchronous peel UNROLLED to a fixed
-    * horizon of 8 rounds — peeling is idempotent at fixpoint (a
+    * horizon of 16 rounds — peeling is idempotent at fixpoint (a
     * no-change round reproduces its input), so the unrolled SQL
     * equals the true-fixpoint Spark result whenever the actual peel
-    * depth ≤ 8 (measured: 3/2/3 rounds at sf0.001/0.01/0.1 for
-    * k = 64; a corpus that peeled deeper would show up as an honest
-    * gate row mismatch, not a silent wrong answer).  This upgrades an
-    * iterative operator from rows-only to oracle-CHECKED without
-    * pretending SQL can express a fixpoint.
+    * depth ≤ 16 (measured: 3/2/3 rounds at sf0.001/0.01/0.1 for
+    * k = 64 — the horizon is 5× the deepest measured peel, so a gate
+    * mismatch from a too-shallow oracle would need a corpus shaped
+    * unlike anything observed; if it ever happens it shows up as an
+    * honest gate row mismatch, not a silent wrong answer).  This
+    * upgrades an iterative operator from rows-only to oracle-CHECKED
+    * without pretending SQL can express a fixpoint.
     */
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val head =
@@ -538,7 +540,7 @@ object GraphOps {
     * id-ordered pair set, found once via a.d2 = b.d1 chaining.
     */
   def oracleSql: Map[String, String] = Map(
-    "graph_kcore" -> kcoreOracle(64, 8),
+    "graph_kcore" -> kcoreOracle(64, 16),
     // co-purchase support relation (the basket_pairs CTE with a ≥2
     // floor); wedges through ≤64-degree centers, minus existing edges,
     // joined back to UNcapped degrees

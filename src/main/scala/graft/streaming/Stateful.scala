@@ -304,12 +304,14 @@ object Stateful {
     * an artifact of its epoch-seconds lane), and the pinned parity is
     * against the microsecond-ordered batch image.
     *
-    * TTL discipline as [[transitions]]: idle users' state expires
-    * (emitting nothing); a purchase arriving after expiry credits
-    * `(none)` — the deliberate semantics for "touch older than ttl
-    * doesn't deserve the credit", which is also what keeps state
-    * bounded on an unbounded user stream.  Under-ttl users match the
-    * batch ignoreNulls-carry image exactly (parity spec-pinned).
+    * TTL measures TOUCH AGE, enforced at credit time: a purchase
+    * arriving more than ttl after the stored touch credits `(none)`
+    * even when the user has been active in between (purchases do not
+    * refresh a touch's lease).  The state timeout is armed from the
+    * touch time alone, so expiry is exactly the moment the touch
+    * stops being creditable — which is also what keeps state bounded
+    * on an unbounded user stream.  Under-ttl users match the batch
+    * ignoreNulls-carry image exactly (parity spec-pinned).
     *
     * Input needs (user_id, event_type, ts, event_id) with a watermark.
     */
@@ -334,20 +336,23 @@ object Stateful {
             val out = Seq.newBuilder[CreditRow]
             sorted.foreach { e =>
               if (e._2 == "purchase")
+                // touch age enforced here, not just via state expiry:
+                // a user purchasing at sub-ttl intervals keeps their
+                // state alive across triggers, but a touch past its
+                // ttl still must not be credited
                 out += CreditRow(user, e._5,
-                  prev.map(_.touch_type).getOrElse("(none)"))
+                  prev.filter(p => e._4 - p.us <= ttlUs)
+                    .map(_.touch_type).getOrElse("(none)"))
               if (e._2 == "click" || e._2 == "view")
                 prev = Some(LastTouch(e._2, e._4))
             }
-            // lastOption: defensive against an empty non-timeout
-            // invocation (the runtime shouldn't produce one, but a
-            // .last here would kill the whole query if it ever did)
-            val lastUs = sorted.lastOption.map(_._4).getOrElse(0L)
             prev match {
               case Some(p) =>
                 state.update(p)
+                // armed from the TOUCH time only — purchases must not
+                // extend a touch's creditable lease
                 state.setTimeoutTimestamp(math.max(
-                  math.max(p.us, lastUs) / 1000 + ttlUs / 1000,
+                  p.us / 1000 + ttlUs / 1000,
                   state.getCurrentWatermarkMs() + 1))
               case None => // purchases only so far: nothing to carry
             }

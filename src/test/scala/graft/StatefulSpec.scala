@@ -235,6 +235,34 @@ class StatefulSpec extends AnyFunSuite {
     assert(streamed((2L, 3L)) === "(none)")
   }
 
+  test("attribution TTL measures touch age: purchases do not refresh a touch's lease") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ttl = 100 us. User 1: touch at 100; purchase at 150 (age 50,
+    // credits); purchase at 300 (age 200 > ttl → "(none)" DESPITE the
+    // intervening purchase at 150 — the exact case where a
+    // lastUs-refreshed timeout would have kept the touch creditable).
+    // Batch 2's purchase at 350 pins the same across micro-batches.
+    val b1 = Seq(
+      Stateful.TypedEvent(1, "view", 100, 1),
+      Stateful.TypedEvent(1, "purchase", 150, 2),
+      Stateful.TypedEvent(1, "purchase", 300, 3))
+    val b2 = Seq(Stateful.TypedEvent(1, "purchase", 350, 4))
+    val mem = MemoryStream[Stateful.TypedEvent]
+    val src = mem.toDF()
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("event_id"))
+      .withWatermark("ts", "1 second")
+    val q = Stateful.attribution(spark, src, ttlUs = 100L).writeStream
+      .outputMode("append").format("memory").queryName("attr_ttl_stream").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_ttl_stream").collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(got === Map(2L -> "view", 3L -> "(none)", 4L -> "(none)"))
+  }
+
   test("interArrival across batches matches the batch LAG image; fresh chain after TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
