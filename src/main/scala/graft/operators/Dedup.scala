@@ -146,8 +146,37 @@ object Dedup {
     * contribution.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(s, dir), ShingleDfCap)
+    nearDupPairs(s, dir)
       .orderBy(col("d1"), col("d2"))
+
+  /** THE suite-level shared intermediate: the exact near-dup pair graph
+    * (d1, d2, jaccard), materialized once per corpus snapshot via
+    * [[graft.sources.Materialize]] and read by every consumer —
+    * dedup_ngram_jaccard, [[nearDupComponentLabels]] (and through it
+    * dedup_components, split_assign_grouped, corpus_clean) and
+    * graph_triangles.  At 100 TB the shingle self-join is the single
+    * most expensive stage in the dedup suite; recomputing it per
+    * downstream query (the pre-round-12 shape) multiplies that cost by
+    * the consumer count, while this seam pays it once and hands every
+    * consumer a FileScan.  The artifact is keyed on the documents
+    * table's stats + the pipeline knobs, so an input refresh rebuilds
+    * and the oracle contract is untouched: parquet round-trips longs
+    * and doubles exactly, so read-back is bit-identical to the inline
+    * [[ngramJaccardPairs]] (spec-pinned).
+    *
+    * (contamination_matrix and link_predict are deliberately NOT
+    * consumers: the former aggregates a (source, shingle) index — a
+    * different, coarser intermediate — and the latter predicts over the
+    * co-purchase graph because near-dup components are near-cliques
+    * with an empty transitive-missing set.)
+    */
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "neardup_pairs",
+      inputs = Seq(s"$dir/documents.parquet"),
+      params = Seq("w" -> "3", "dfCap" -> ShingleDfCap.toString,
+        "thresh" -> "0.8", "ver" -> "1")) {
+      ngramJaccardPairs(Tables.documents(s, dir), ShingleDfCap)
+    }
 
   /** Pair generation over any (doc_id, text) frame — parameterized so
     * the spec can plant a corpus-wide shingle and assert the cap bounds
@@ -219,27 +248,35 @@ object Dedup {
     * single-partition stage and no diameter-bound round cap anywhere.
     */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    // cache the PAIR list: the contraction references it through both
-    // canonicalization branches, and without the cache the whole
-    // shingle self-join pipeline would execute per reference
-    val pairs = ngramJaccardPairs(Tables.documents(s, dir), ShingleDfCap)
-      .select(col("d1"), col("d2"))
-      .persist()
-    try {
-      // materialize eagerly: racing first-job tasks would each compute
-      // the full shingle pipeline before any cache block lands — and
-      // the count picks the solver + sizes the fixpoint's partitioning
-      val nPairs = pairs.count()
-      val labels =
-        if (nPairs <= LocalCcMaxEdges) localComponents(s, pairs)
-        else connectedComponents(pairs, ccPartitions(nPairs))
-      val sizes = labels.groupBy(col("comp").as("srep")).agg(count(lit(1)).as("n_members"))
-      labels.select(col("id").as("doc_id"), col("comp").as("rep"))
-        .join(sizes, col("rep") === col("srep"))
-        .select(col("doc_id"), col("rep"), col("n_members"))
-        .orderBy(col("doc_id"))
-    } finally { pairs.unpersist(blocking = false); () }
+    val labels = nearDupComponentLabels(s, dir)
+    val sizes = labels.groupBy(col("comp").as("srep")).agg(count(lit(1)).as("n_members"))
+    labels.select(col("id").as("doc_id"), col("comp").as("rep"))
+      .join(sizes, col("rep") === col("srep"))
+      .select(col("doc_id"), col("rep"), col("n_members"))
+      .orderBy(col("doc_id"))
   }
+
+  /** Component labels (id, comp) over [[nearDupPairs]], materialized as
+    * the suite's SECOND shared intermediate: dedup_components,
+    * split_assign_grouped and corpus_clean all need the doc → cluster-rep
+    * map, and at 100 TB the O(log n)-round contraction is itself worth
+    * paying once per corpus snapshot, not once per consumer.  Keyed on
+    * the same inputs as the pair artifact (plus the solver version), so
+    * both artifacts refresh together.  Both solver paths read the
+    * materialized pair parquet — the count that picks the solver and
+    * sizes the fixpoint partitioning is a cheap metadata-backed scan,
+    * not a pipeline replay.
+    */
+  private[graft] def nearDupComponentLabels(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "neardup_comps",
+      inputs = Seq(s"$dir/documents.parquet"),
+      params = Seq("w" -> "3", "dfCap" -> ShingleDfCap.toString,
+        "thresh" -> "0.8", "cc" -> "ls-ss-v1", "ver" -> "1")) {
+      val pairs = nearDupPairs(s, dir).select(col("d1"), col("d2"))
+      val nPairs = pairs.count()
+      if (nPairs <= LocalCcMaxEdges) localComponents(s, pairs)
+      else connectedComponents(pairs, ccPartitions(nPairs))
+    }
 
   /** Pair graphs at or below this edge count solve on the driver
     * (≈8 MB collected — the same bounded-driver-state budget as IVF's

@@ -312,8 +312,9 @@ object GraphOps {
     * neighbor: its neighbor count and the triangles through it.
     */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(
-        graft.sources.Tables.documents(s, dir), Dedup.ShingleDfCap)
+    // reads the materialized pair artifact ([[Dedup.nearDupPairs]]):
+    // the triangle pass starts from a FileScan, not a shingle self-join
+    val pairs = Dedup.nearDupPairs(s, dir)
       .select(col("d1").as("src"), col("d2").as("dst"))
     triangleCounts(pairs)
       .select(col("id").as("doc_id"), col("n_neighbors"), col("n_triangles"))
@@ -402,20 +403,27 @@ object GraphOps {
       inputCanonical = true)
 
   /** Distinct co-order part pairs with their support count — the
-    * substrate both graph drivers peel/predict over.  Lazy-checkpointed
-    * item set so the scan+distinct feeds both self-join sides from ONE
-    * exchange (the [[Analytics.basketPairs]] discipline).
+    * substrate both graph drivers peel/predict over, materialized once
+    * per corpus snapshot ([[graft.sources.Materialize]]): link_predict
+    * and graph_kcore otherwise each pay the order-keyed lineitem
+    * self-join, the expensive first stage of both queries.  The build
+    * lazy-checkpoints the item set so the scan+distinct feeds both
+    * self-join sides from ONE exchange (the [[Analytics.basketPairs]]
+    * discipline); consumers read the (src, dst, n_ab) parquet.
     */
-  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val it = graft.sources.Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint(eager = false)
-    it.as("a").join(it.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("n_ab"))
-  }
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "copurchase_pairs",
+      inputs = Seq(s"$dir/lineitem.parquet"),
+      params = Seq("ver" -> "1")) {
+      val it = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      it.as("a").join(it.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("n_ab"))
+    }
 
   /** k-core of an undirected edge list: the maximal subgraph where
     * every node keeps ≥ k neighbors — the standard "dense cohesive

@@ -19,10 +19,13 @@ import graft.sources.Tables
 object Pipeline {
 
   def corpusClean(s: SparkSession, dir: String): DataFrame = {
-    // docs that lost their dup cluster (everyone but the rep)
-    val nonReps = Dedup.dedupComponents(s, dir)
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id"))
+    // docs that lost their dup cluster (everyone but the rep) — read
+    // from the materialized component-label artifact (the sizes join
+    // and presentation sort of the dedup_components query aren't needed
+    // here)
+    val nonReps = Dedup.nearDupComponentLabels(s, dir)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
     val goodQuality = TextOps.textQuality(s, dir)
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"), col("quality"))
@@ -340,7 +343,8 @@ object Pipeline {
   private[graft] def splitAssignGroupedRows(s: SparkSession, dir: String,
       trainFrac: Double = 0.90, valFrac: Double = 0.05): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val reps = Dedup.dedupComponents(s, dir).select(col("doc_id"), col("rep"))
+    val reps = Dedup.nearDupComponentLabels(s, dir)
+      .select(col("id").as("doc_id"), col("comp").as("rep"))
     val keyed = docs.join(reps, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("grp"))
     val h = concat(lit("0"), substring(md5(col("grp").cast("string")), 1, 4))

@@ -38,11 +38,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countIn(p, "TakeOrderedAndProject") === 1)
   }
 
-  test("ngram jaccard self-join reads one shared shingle exchange") {
-    // exchange reuse is an AQE runtime decision (the merge hint keeps
-    // the self-join in SMJ form so it can happen at any data size):
-    // execute, then assert on the final adaptive plan
-    val df = Dedup.dedupNgramJaccard(spark, sf)
+  test("ngram jaccard BUILD self-join reads one shared shingle exchange") {
+    // the claim moved to the artifact builder in round 12: the driver
+    // query reads the materialized pair graph (pinned in
+    // MaterializeSpec), and the build pipeline underneath it keeps the
+    // one-shingle-exchange discipline.  Exchange reuse is an AQE
+    // runtime decision (the merge hint keeps the self-join in SMJ form
+    // so it can happen at any data size): execute, then assert on the
+    // final adaptive plan
+    val df = Dedup.ngramJaccardPairs(
+      graft.sources.Tables.documents(spark, sf), 128)
     df.collect()
     val p = plan(df)
     assert(p.contains("isFinalPlan=true"))
