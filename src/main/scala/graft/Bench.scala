@@ -9,6 +9,27 @@ object Bench {
     */
   private val Runs = 3
 
+  /** Per-stage GC and task-time accumulator: with per-run snapshots
+    * (bus drained around each), every query carries its own measured
+    * executor-side cost — the in-driver telemetry that lets a bench
+    * riser be adjudicated as co-tenancy/GC pressure vs a real plan
+    * regression WITHOUT a separate isolated-probe session (three
+    * rounds of the pair-graph cluster needed exactly this).
+    */
+  private final class Telemetry extends org.apache.spark.scheduler.SparkListener {
+    val gcMs = new java.util.concurrent.atomic.AtomicLong()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        gcMs.addAndGet(m.jvmGCTime)
+        taskMs.addAndGet(m.executorRunTime)
+        ()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,22 +53,39 @@ object Bench {
         ()
       } catch { case _: Throwable => }
     }
+    val telem = new Telemetry
+    spark.sparkContext.addSparkListener(telem)
+    def drained[A](body: => A): A = {
+      org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+      body
+    }
+    // per run: (wall sec, gc sec, task sec) with the listener bus
+    // drained around the snapshots so stage events land in the right
+    // query's window
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a full GC between queries keeps one query's garbage from
       // surfacing as another's pause: with 70+ queries × 3 runs in one
       // JVM, byte-identical queries have moved 2–8× run-to-run on
       // accumulated heap pressure alone
       System.gc()
-      val times = (1 to Runs).map { _ =>
+      val runs = (1 to Runs).map { _ =>
+        val (g0, k0) = drained((telem.gcMs.get, telem.taskMs.get))
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch {
+        try {
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          val (g1, k1) = drained((telem.gcMs.get, telem.taskMs.get))
+          (t, (g1 - g0) / 1e3, (k1 - k0) / 1e3)
+        } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            (-1.0, 0.0, 0.0)
         }
       }
-      // a failed query must read as a failure (-1), not a fast success
-      name -> (if (times.exists(_ < 0)) Seq(-1.0) else times.sorted)
+      // a failed query must read as a failure (-1), not a fast success;
+      // gc/task ride along with their own run, so the median row is a
+      // CONSISTENT (wall, gc, task) observation, not a mix of runs
+      name -> (if (runs.exists(_._1 < 0)) Seq((-1.0, 0.0, 0.0)) else runs.sortBy(_._1))
     }
     // precision budget: the driver keeps only the last ~2000 chars of
     // output, and 85 full-precision doubles push the final JSON line
@@ -58,13 +96,18 @@ object Bench {
     def cs(x: Double): Double = math.rint(x * 100) / 100
     def ds(x: Double): Double = math.rint(x * 10) / 10
     def qsAt(prec: Double => Double): String =
-      results.map { case (k, t) => s"\"" + k + "\":" + prec(t(t.length / 2)) }
+      results.map { case (k, t) => s"\"" + k + "\":" + prec(t(t.length / 2)._1) }
         .mkString("{", ",", "}")
     // failures stay -1 per query but must never shrink the headline:
     // total sums successful queries only, and a nonzero failed count
     // flags the run as invalid
-    val failed = results.count(_._2.head < 0)
-    val total = ms(results.collect { case (_, t) if t.head >= 0 => t(t.length / 2) }.sum)
+    val failed = results.count(_._2.head._1 < 0)
+    val total = ms(results.collect { case (_, t) if t.head._1 >= 0 => t(t.length / 2)._1 }.sum)
+    // suite-level executor telemetry (sums of the median run's gc/task
+    // deltas): two scalar fields on the machine-read line, per-query
+    // detail in the committed telemetry file
+    val gcTotal = ms(results.collect { case (_, t) if t.head._1 >= 0 => t(t.length / 2)._2 }.sum)
+    val taskTotal = ms(results.collect { case (_, t) if t.head._1 >= 0 => t(t.length / 2)._3 }.sum)
     // sf as the directory BASENAME: the full path spent 16 chars of
     // the ~1997-char tail ceiling on information the driver already
     // records in its own sf field
@@ -74,7 +117,7 @@ object Bench {
     // readers of any other-SF run to the wrong committed evidence
     val mediansFile = s"bench_medians_$sfName.json"
     def lineWith(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gc_sec":$gcTotal,"task_sec":$taskTotal,"queries":$qs,"sf":"$sfName"}"""
     // self-healing precision, guarded on the ASSEMBLED line (the map
     // alone once under-counted the fixed fields' share of the window):
     // 10 ms per-query values, then 100 ms (the run-to-run spread
@@ -96,11 +139,11 @@ object Bench {
     def qsTop(): String = {
       val fixed = """"n_queries":""" + results.length +
         s""","_full":"$mediansFile""""
-      val byCost = results.sortBy { case (_, t) => -t(t.length / 2) }
+      val byCost = results.sortBy { case (_, t) => -t(t.length / 2)._1 }
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
       var used = lineWith("{" + fixed + "}").length
       byCost.foreach { case (k, t) =>
-        val e = "\"" + k + "\":" + ds(t(t.length / 2))
+        val e = "\"" + k + "\":" + ds(t(t.length / 2)._1)
         if (used + e.length + 1 <= 1960) { parts += e; used += e.length + 1 }
       }
       "{" + (parts :+ fixed).mkString(",") + "}"
@@ -127,8 +170,8 @@ object Bench {
     // spread line was front-truncated exactly when it was needed); the
     // full map goes to a file named on the same line, which tools/
     // gate.sh copies into the repo as committed evidence.
-    val spreadsAll = results.collect { case (k, t) if t.head >= 0 =>
-      k -> ms(t.last - t.head)
+    val spreadsAll = results.collect { case (k, t) if t.head._1 >= 0 =>
+      k -> ms(t.last._1 - t.head._1)
     }
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -142,8 +185,18 @@ object Bench {
       // commits both files as round evidence)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_medians.json"),
-        jmap(results.collect { case (k, t) if t.head >= 0 =>
-          k -> ms(t(t.length / 2)) }) + "\n")
+        jmap(results.collect { case (k, t) if t.head._1 >= 0 =>
+          k -> ms(t(t.length / 2)._1) }) + "\n")
+      // per-query executor telemetry of the median run: wall vs task
+      // time exposes parallelism (task/wall ≈ busy cores), gc/wall
+      // exposes heap pressure — the two axes a co-tenancy adjudication
+      // needs.  Committed by gate.sh next to medians/spread.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_telemetry.json"),
+        results.collect { case (k, t) if t.head._1 >= 0 =>
+          val m = t(t.length / 2)
+          s"\"" + k + s"""\":{"wall":${ms(m._1)},"gc":${ms(m._2)},"task":${ms(m._3)}}"""
+        }.mkString("{", ",", "}") + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] diagnostics write failed: $e") }
     val budget = 1920 - line.length - s"spread_top {} full=$spreadFile".length
     val top = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

@@ -79,7 +79,7 @@ EOF
   # at coarsened precision).  A successful bench whose diagnostics are
   # missing is itself a failure worth explaining, not a silent exit 1
   # from a dangling '&&'.
-  for f in target/bench_spread.json target/bench_medians.json; do
+  for f in target/bench_spread.json target/bench_medians.json target/bench_telemetry.json; do
     if [ ! -f "$f" ]; then
       echo "ERROR: bench succeeded but $f was not written (Bench's diagnostics write failed — see the [bench] stderr line in /tmp/graft_bench.log)" >&2
       exit 1
@@ -87,4 +87,5 @@ EOF
   done
   cp target/bench_spread.json "bench_spread_$bsf.json"
   cp target/bench_medians.json "bench_medians_$bsf.json"
+  cp target/bench_telemetry.json "bench_telemetry_$bsf.json"
 fi
