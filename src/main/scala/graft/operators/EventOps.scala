@@ -172,6 +172,44 @@ object EventOps {
       when(col("event_id").isNull, lit("_undecodable")).otherwise(col("event_type")))
   }
 
+  /** proto3 wire schema for the payload round trip — same record shape
+    * as [[EventAvroSchema]], expressed as field numbers + wire types
+    * (names never hit a proto wire; see [[graft.sources.ProtoCodec]]).
+    */
+  private[graft] val EventProtoSchema =
+    "1:event_id:int64,2:user_id:int64,3:event_type:string,4:value:double,5:props:string"
+
+  /** Structured protobuf payload decode — the FOURTH wire format, and
+    * the one whose corruption story is the deliberate inversion of the
+    * other three: proto3 has no record syntax to break.  A payload
+    * truncated at a field boundary (the torn-write image — here
+    * deterministically after field 3, so fields 4/5 are lost in
+    * flight) still decodes CLEANLY, with the missing fields at their
+    * proto3 defaults (value 0.0, props "") — silent partial data, no
+    * `_undecodable` group possible, nothing to key a DLQ on.  Where
+    * Avro throws, JSON voids the record, and CSV nulls the torn field,
+    * proto reports nothing: detection must be SEMANTIC (the streaming
+    * twin routes these rows to the DLQ via the business-validity gate
+    * on the decoded value, not via a decode failure).  The truncation
+    * boundary and the defaults are deterministic, so the oracle
+    * replays every aggregate straight from the events table.  Same
+    * plan shape as the other three: two narrow codec passes pipelined
+    * with the scan, one bounded-key exchange.
+    */
+  def msgDecodeProto(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("wire_id", col("event_id"))
+    val wire = graft.sources.ProtoCodec.toProto(ev, EventProtoSchema,
+      keep = Seq("wire_id"), markAfterField = 3)
+    val torn = wire.withColumn("proto_payload",
+      when(col("wire_id") % 97 === 0,
+        expr("substring(proto_payload, 1, wire_mark)"))
+        .otherwise(col("proto_payload")))
+    val dec = graft.sources.ProtoCodec.fromProto(torn, EventProtoSchema)
+    decodedTypeProfile(dec, col("event_type"))
+  }
+
   /** Destination routing (`Sink.Send(msg, dest)`): stable topic mapping
     * from the event type, aggregated per destination.
     */
@@ -484,6 +522,7 @@ object EventOps {
     "msg_decode_avro" -> (msgDecodeAvro _),
     "msg_decode_json" -> (msgDecodeJson _),
     "msg_decode_csv" -> (msgDecodeCsv _),
+    "msg_decode_proto" -> (msgDecodeProto _),
     "msg_route" -> (msgRoute _),
     "dead_letter_split" -> (deadLetterSplit _),
     "stream_dedup" -> (streamDedup _),
@@ -585,6 +624,20 @@ object EventOps {
         |  MIN(id) AS min_id, MAX(id) AS max_id,
         |  CAST(SUM(length(p)) AS BIGINT) AS sum_props_chars
         |FROM d GROUP BY et ORDER BY et""".stripMargin,
+    // proto3 truncation at a field boundary is SILENT: corrupt rows
+    // keep their type group (no _undecodable possible) and decode
+    // value/props to the proto3 defaults 0.0/'' — the oracle replays
+    // exactly that, and null props decode to '' (proto3 has no null)
+    "msg_decode_proto" ->
+      """WITH d AS (SELECT event_type, event_id AS id,
+        |    CASE WHEN event_id % 97 = 0 THEN 0.0 ELSE value END AS v,
+        |    CASE WHEN event_id % 97 = 0 THEN '' ELSE coalesce(props, '') END AS p
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_msgs,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(id) AS min_id, MAX(id) AS max_id,
+        |  CAST(SUM(length(p)) AS BIGINT) AS sum_props_chars
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "msg_route" ->
       """SELECT 'events.' || event_type AS dest, COUNT(*) AS n_msgs,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.sources.ProtoCodec
+
+/** Pins the proto3 wire format against the PUBLISHED spec examples
+  * (protobuf.dev/programming-guides/encoding), the proto3 default/
+  * absence semantics, and the silent boundary-truncation behavior the
+  * msg_decode_proto contrast is built on.
+  */
+class ProtoCodecSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+
+  private def encodeOne(schema: String, values: Any*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    ProtoCodec.encodeRecord(out, ProtoCodec.parseSchema(schema), values.toSeq, -1)
+    out.toByteArray
+  }
+
+  test("golden wire vectors match the published protobuf encoding examples") {
+    // the spec's own worked example: field 1 varint 150 -> 08 96 01
+    assert(hex(encodeOne("1:a:int64", 150L)) === "089601")
+    // field 2 string "testing" -> 12 07 74 65 73 74 69 6e 67
+    assert(hex(encodeOne("2:b:string", "testing")) === "120774657374696e67")
+    // combined record, ascending field order
+    assert(hex(encodeOne("1:a:int64,2:b:string", 150L, "testing")) ===
+      "089601120774657374696e67")
+    // double 1.5 at field 4: tag (4<<3|1)=0x21, IEEE bits little-endian
+    assert(hex(encodeOne("4:v:double", 1.5)) === "21000000000000f83f")
+    // bool true at field 3: tag 0x18, varint 1
+    assert(hex(encodeOne("3:f:bool", true)) === "1801")
+    // 10-byte varint for a negative int64 (two's complement, spec rule)
+    assert(hex(encodeOne("1:a:int64", -2L)).length === 2 * 11) // tag + 10 bytes
+  }
+
+  test("zigzag matches the spec's sint table") {
+    val table = Seq(0L -> 0L, -1L -> 1L, 1L -> 2L, -2L -> 3L,
+      2147483647L -> 4294967294L, -2147483648L -> 4294967295L)
+    table.foreach { case (n, z) =>
+      assert(ProtoCodec.zigzagEncode(n) === z, s"encode $n")
+      assert(ProtoCodec.zigzagDecode(z) === n, s"decode $z")
+    }
+    // sint64 -1 encodes in ONE payload byte where int64 -1 takes ten
+    assert(hex(encodeOne("1:a:sint64", -1L)) === "0801")
+  }
+
+  test("proto3 default elision: default and null values produce an empty payload") {
+    val schema = "1:a:int64,2:b:string,3:c:double,4:d:bool,5:e:bytes"
+    assert(encodeOne(schema, 0L, "", 0.0, false, Array.emptyByteArray).isEmpty)
+    assert(encodeOne(schema, null, null, null, null, null).isEmpty)
+    // -0.0 has nonzero bits and IS serialized (bit-level default check)
+    assert(encodeOne("3:c:double", -0.0).nonEmpty)
+  }
+
+  test("decode fills absent fields with proto3 defaults, never nulls") {
+    val schema = "1:a:int64,2:b:string,3:c:double,4:d:bool"
+    val rec = ProtoCodec.decodeRecord(Array.emptyByteArray, ProtoCodec.parseSchema(schema))
+    assert(rec.toSeq === Seq(0L, "", 0.0, false))
+  }
+
+  test("unknown field numbers are skipped by wire type (forward compatibility)") {
+    val writer = "1:a:int64,2:b:string,3:c:double,4:e:bytes"
+    val bytes = encodeOne(writer, 42L, "keepme", 2.5, Array[Byte](1, 2, 3))
+    // reader schema lacks fields 2 and 4 — both length-delimited skips
+    val rec = ProtoCodec.decodeRecord(bytes, ProtoCodec.parseSchema("1:a:int64,3:c:double"))
+    assert(rec.toSeq === Seq(42L, 2.5))
+  }
+
+  test("truncation INSIDE a field throws; truncation AT a field boundary is silent") {
+    val schema = "1:a:int64,2:b:string"
+    val bytes = encodeOne(schema, 150L, "testing")
+    // cut mid-string: the declared length overruns the payload
+    intercept[IllegalArgumentException] {
+      ProtoCodec.decodeRecord(bytes.take(bytes.length - 2), ProtoCodec.parseSchema(schema))
+    }
+    // cut exactly after field 1 (3 bytes): decodes cleanly, b at default
+    val rec = ProtoCodec.decodeRecord(bytes.take(3), ProtoCodec.parseSchema(schema))
+    assert(rec.toSeq === Seq(150L, ""))
+  }
+
+  test("DataFrame round trip is the identity on the record fields") {
+    import EventOps.{EventProtoSchema => S}
+    val ev = graft.sources.Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+    val back = ProtoCodec.fromProto(ProtoCodec.toProto(ev, S), S)
+    val a = ev.withColumn("props", coalesce(col("props"), lit(""))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    val b = back.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(a === b)
+  }
+
+  test("wire_mark truncation loses exactly the fields above the mark, silently") {
+    import EventOps.{EventProtoSchema => S}
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .filter(col("event_id") < 50)
+    val wire = ProtoCodec.toProto(ev, S, keep = Nil, markAfterField = 3)
+    val torn = wire.withColumn("proto_payload",
+      expr("substring(proto_payload, 1, wire_mark)"))
+    val dec = ProtoCodec.fromProto(torn, S).collect()
+    assert(dec.nonEmpty)
+    dec.foreach { r =>
+      assert(r.getDouble(3) === 0.0, "value must decode to the proto3 default")
+      assert(r.getString(4) === "", "props must decode to the proto3 default")
+    }
+    // fields below the mark survive exactly
+    val want = ev.select(col("event_id"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(dec.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted === want)
+  }
+
+  test("msg_decode_proto groups stay the corpus event types — no _undecodable group can exist") {
+    val got = EventOps.msgDecodeProto(spark, sf).collect()
+    val types = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).sorted
+    assert(got.map(_.getString(0)).sorted === types)
+    // the corruption branch is exercised at this SF and the torn rows'
+    // value contribution is exactly zeroed
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(ev.filter(col("event_id") % 97 === 0).count() > 0)
+    val expected = ev.groupBy(col("event_type"))
+      .agg(sum(when(col("event_id") % 97 === 0, lit(0.0)).otherwise(col("value"))
+        .cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(r.getDouble(2) === expected(r.getString(0)), r.getString(0)))
+  }
+}

@@ -132,6 +132,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.get("dlq") === nCorrupt + clean.filter(col("value") < 1.0).count())
   }
 
+  test("proto payloads decode IN-FLIGHT; boundary-torn payloads pass decode and only the SEMANTIC gate catches them") {
+    // the proto twin of the Avro/JSON consume stories (and the
+    // streaming image of EventOps.msgDecodeProto): ~1% of payloads are
+    // torn at a field boundary in flight.  Unlike JSON (decode fails →
+    // null-keyed dlq) the torn proto rows DECODE CLEANLY with value at
+    // its 0.0 default — so the dlq catch is the business-validity gate
+    // on the decoded value, the only detection proto3 leaves you
+    import graft.sources.ProtoCodec
+    val psch = "1:event_type:string,2:value:double"
+    val ckpt = Files.createTempDirectory("graft-ckpt-proto").toString
+    val sink = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def toProtoMsg(df: DataFrame): DataFrame = {
+      val base = df.select(col("event_id").cast("string").as("msg_id"),
+        TestSpark.eventsTs.as("ts"), col("event_id").as("wire_id"),
+        col("event_type"), col("value"))
+      ProtoCodec.toProto(base, psch, keep = Seq("msg_id", "ts", "wire_id"),
+          markAfterField = 1)
+        .withColumn("proto_payload",
+          when(col("wire_id") % 97 === 0,
+            expr("substring(proto_payload, 1, wire_mark)"))
+            .otherwise(col("proto_payload")))
+        .drop("wire_id", "wire_mark")
+    }
+    val source = FileMsgSource(eventsDir, eventsRaw, toProtoMsg)
+    val route = Frizzle.Route(
+      df => ProtoCodec.fromProto(df, psch, keep = Seq("msg_id", "ts"))
+        .withColumn("dest", concat(lit("events."), col("event_type"))),
+      isValid = col("value") >= 1.0)
+    val q = Frizzle.runRouted(spark, source, route, dest = col("dest"),
+      (df, dest, _) => { sink.merge(dest, df.count(), (a, b) => a + b); () },
+      ckpt)
+    q.awaitTermination(120000)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clean = ev.filter(col("event_id") % 97 =!= 0)
+    val expected = clean.filter(col("value") >= 1.0)
+      .groupBy(concat(lit("events."), col("event_type")).as("d"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.foreach { case (d, n) => assert(sink.get(d) === n, s"dest $d") }
+    // EVERY torn row lands in dlq via the gate (decoded value 0.0),
+    // plus the decodable rows that legitimately fail it
+    val nCorrupt = ev.filter(col("event_id") % 97 === 0).count()
+    assert(nCorrupt > 0L, "fixture must exercise the torn branch")
+    assert(sink.get("dlq") === nCorrupt + clean.filter(col("value") < 1.0).count())
+  }
+
   test("routed fan-out sends each destination exactly its rows, dlq the failures, across two epochs") {
     val ckpt = Files.createTempDirectory("graft-ckpt-fanout").toString
     // two copies of the file + maxFilesPerTrigger=1 → two ack epochs
