@@ -63,8 +63,15 @@ object EventOps {
   def msgDecodeAvro(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
-    val wire = graft.sources.AvroCodec.toAvro(ev, EventAvroSchema)
-    val dec = graft.sources.AvroCodec.fromAvro(wire, EventAvroSchema)
+    // full registry wire image (round 12): body framed in the Confluent
+    // envelope (magic 0x00 + big-endian schema id), decoded through the
+    // id→writer-schema registry snapshot resolved against the reader
+    // schema.  The frame is deterministic bytes, so the round trip
+    // stays the identity and the oracle is unchanged.
+    val wire = graft.sources.AvroCodec.frameConfluent(
+      graft.sources.AvroCodec.toAvro(ev, EventAvroSchema), schemaId = 7)
+    val dec = graft.sources.AvroCodec.fromFramedAvro(
+      wire, EventAvroSchema, Map(7 -> EventAvroSchema))
     decodedTypeProfile(dec, col("event_type"))
   }
 

@@ -161,6 +161,74 @@ object AvroCodec {
     }(Encoders.row(outSchema))
   }
 
+  /** Confluent-style schema-registry framing: real Kafka consumers see
+    * Avro values wrapped in the registry envelope — magic byte `0x00`,
+    * then the schema id as a BIG-ENDIAN int32, then the single-record
+    * Avro body (the public Confluent wire-format spec).  Framing is a
+    * pure byte prepend, so it stays a codegen'd `concat` over the
+    * binary column — no mapPartitions pass, no shuffle.
+    */
+  def frameConfluent(df: DataFrame, schemaId: Int,
+      binCol: String = "avro_payload"): DataFrame = {
+    val header = Array[Byte](0,
+      (schemaId >>> 24).toByte, (schemaId >>> 16).toByte,
+      (schemaId >>> 8).toByte, schemaId.toByte)
+    df.withColumn(binCol,
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit(header), col(binCol)))
+  }
+
+  /** Decode Confluent-framed Avro: check the magic byte, read the
+    * schema id, look the WRITER schema up in `schemasById` (the
+    * consumer's registry snapshot), and resolve it against the fixed
+    * `readerSchemaJson` — so a topic whose producers upgraded through
+    * several schema versions decodes into ONE output shape, the Avro
+    * evolution contract registries exist for.  Readers are built once
+    * per (partition, id); a bad magic byte or an id absent from the
+    * map THROWS (the [[fromAvro]] fault contract — an unknown schema
+    * id is a registry-sync fault, not a row to drop).
+    */
+  def fromFramedAvro(df: DataFrame, readerSchemaJson: String,
+      schemasById: Map[Int, String], binCol: String = "avro_payload",
+      keep: Seq[String] = Nil): DataFrame = {
+    val reader = parseSchema(readerSchemaJson)
+    val decoded = sparkSchema(reader)
+    schemasById.values.foreach(parseSchema(_)) // validate subset up front
+    val in = df.select(keep.map(col) :+ col(binCol): _*)
+    val outSchema = StructType(keep.map(k => in.schema(k)).toArray ++ decoded.fields)
+    val nKeep = keep.length
+    val nFields = decoded.length
+    in.mapPartitions { it =>
+      val readerSch = new Schema.Parser().parse(readerSchemaJson)
+      val readers = new java.util.HashMap[Int, GenericDatumReader[GenericRecord]]()
+      var dec: org.apache.avro.io.BinaryDecoder = null
+      var rec: GenericRecord = null
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](nKeep)
+        require(bytes.length >= 5 && bytes(0) == 0,
+          s"not a Confluent-framed payload (len=${bytes.length}, magic=${if (bytes.nonEmpty) bytes(0) else -1})")
+        val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+          ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+        var r = readers.get(id)
+        if (r == null) {
+          val writerJson = schemasById.getOrElse(id,
+            throw new IllegalArgumentException(s"schema id $id not in the registry snapshot"))
+          r = new GenericDatumReader[GenericRecord](
+            new Schema.Parser().parse(writerJson), readerSch)
+          readers.put(id, r)
+        }
+        dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, dec)
+        rec = r.read(null, dec)
+        val out = new Array[Any](nKeep + nFields)
+        var k = 0
+        while (k < nKeep) { out(k) = row.get(k); k += 1 }
+        var i = 0
+        while (i < nFields) { out(nKeep + i) = fromAvroValue(rec.get(i)); i += 1 }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Avro CONTAINER FILES (the `.avro` object-container format — what
     * export jobs and Kafka Connect sinks actually emit, magic bytes
     * `Obj\x01`, embedded writer schema, deflate/null codecs) decoded

@@ -188,6 +188,59 @@ class AvroCodecSpec extends AnyFunSuite {
     assert(narrow.toSeq === Seq((1.5, 1L), (2.5, 2L), (3.5, 3L)))
   }
 
+  test("confluent framing: header is exactly magic 0x00 + big-endian schema id") {
+    val sch = """{"type":"record","name":"F","fields":[
+      |{"name":"k","type":"long"}]}""".stripMargin
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(150L)),
+      StructType(Seq(StructField("k", LongType))))
+    val framed = AvroCodec.frameConfluent(AvroCodec.toAvro(df, sch), 0x01020304)
+      .collect()(0).getAs[Array[Byte]]("avro_payload")
+    assert(framed.take(5).toSeq === Seq[Byte](0, 1, 2, 3, 4))
+    // body after the header is the unframed wire image (Avro long =
+    // zigzag varint: 150 → 300 → 0xAC 0x02)
+    assert(framed.drop(5).toSeq === Seq[Byte](-84, 2))
+  }
+
+  test("confluent framing round trip; registry lookup resolves writer→reader per id") {
+    // two producer generations live on one topic: v1 writes (k, v); v2
+    // added a field and reordered — the reader schema stays v1-shaped
+    // and Avro schema resolution reconciles each id's writer layout
+    val v1 = """{"type":"record","name":"E","fields":[
+      |{"name":"k","type":"long"},{"name":"v","type":"double"}]}""".stripMargin
+    val v2 = """{"type":"record","name":"E","fields":[
+      |{"name":"note","type":"string"},{"name":"v","type":"double"},
+      |{"name":"k","type":"long"}]}""".stripMargin
+    val s1 = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    val s2 = StructType(Seq(StructField("note", StringType),
+      StructField("v", DoubleType), StructField("k", LongType)))
+    val w1 = AvroCodec.frameConfluent(AvroCodec.toAvro(
+      spark.createDataFrame(java.util.List.of(Row(1L, 1.5)), s1), v1), 1)
+    val w2 = AvroCodec.frameConfluent(AvroCodec.toAvro(
+      spark.createDataFrame(java.util.List.of(Row("x", 2.5, 2L)), s2), v2), 2)
+    val got = AvroCodec.fromFramedAvro(w1.unionAll(w2), v1, Map(1 -> v1, 2 -> v2))
+      .orderBy("k").collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("v")))
+    assert(got.toSeq === Seq((1L, 1.5), (2L, 2.5)))
+  }
+
+  test("confluent framing faults: unknown schema id and bad magic both throw") {
+    val sch = """{"type":"record","name":"F","fields":[
+      |{"name":"k","type":"long"}]}""".stripMargin
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L)), StructType(Seq(StructField("k", LongType))))
+    val framed = AvroCodec.frameConfluent(AvroCodec.toAvro(df, sch), 9)
+    val unknown = intercept[org.apache.spark.SparkException] {
+      AvroCodec.fromFramedAvro(framed, sch, Map(1 -> sch)).collect()
+    }
+    assert(unknown.getMessage.contains("schema id") ||
+      unknown.getCause.getMessage.contains("schema id"))
+    val badMagic = intercept[org.apache.spark.SparkException] {
+      AvroCodec.fromFramedAvro(AvroCodec.toAvro(df, sch), sch, Map(9 -> sch)).collect()
+    }
+    assert(badMagic.getMessage.contains("Confluent") ||
+      badMagic.getCause.getMessage.contains("Confluent"))
+  }
+
   test("bytes fields round-trip as fresh arrays (no record-reuse aliasing)") {
     val sch = """{"type":"record","name":"B","fields":[
       |{"name":"k","type":"long"},{"name":"p","type":"bytes"}]}""".stripMargin
