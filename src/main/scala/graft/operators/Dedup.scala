@@ -197,7 +197,14 @@ object Dedup {
     * shingle ARRAYS through two extra doc-keyed joins — more bytes
     * than the candidate rows it saves at every measured DF profile.
     */
-  private[graft] def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame = {
+  /** The capped shingle inverted index (doc_id, shingle) — the relation
+    * BOTH sides of the pair self-join read.  Exposed as a seam so the
+    * skew spec can pin the per-key bound on the REAL pipeline: after
+    * the cap semi-join, no shingle key carries more than `dfCap` rows,
+    * which is what bounds the self-join's per-key (and so per-task)
+    * candidate work at cap² regardless of corpus-wide boilerplate.
+    */
+  private[graft] def cappedShingles(docs: DataFrame, dfCap: Int): DataFrame = {
     // repartition on the join key: both sides of the self-join then
     // read from one ReusedExchange instead of recomputing the
     // tokenize→shingle→explode pipeline twice
@@ -216,7 +223,11 @@ object Dedup {
     val keep = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select(col("shingle"))
-    val sh = exploded.hint("merge").join(keep.hint("merge"), Seq("shingle"), "left_semi")
+    exploded.hint("merge").join(keep.hint("merge"), Seq("shingle"), "left_semi")
+  }
+
+  private[graft] def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame = {
+    val sh = cappedShingles(docs, dfCap)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // merge hint: below the broadcast threshold Spark would flip this
     // self-join to a BroadcastHashJoin, recomputing the whole shingle

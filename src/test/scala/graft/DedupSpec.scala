@@ -1005,4 +1005,41 @@ class DedupSpec extends AnyFunSuite {
     val uncapped = Dedup.ngramJaccardPairs(docs, 1000000).count()
     assert(uncapped === 60L * 59 / 2 + 1)
   }
+
+  test("hot-shingle skew proof: one shingle in 50% of docs, per-key join input stays <= cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    // 2000 docs; half share ONE hot shingle (df = 1000, ~8x the
+    // production cap of 128) with otherwise-unique content; two
+    // planted near-dups hide among the hot half to show real dups
+    // still surface WITH the boilerplate present.  This is the
+    // engineered form of the 100 TB killer: without the cap the hot
+    // key alone funnels C(1000,2) = 499500 candidates through the
+    // join's hot task.
+    val hot = (1L to 1000L).map(i => (i, s"aaa bbb ccc u${i}x u${i}y u${i}z"))
+    val cold = (2001L to 3000L).map(i => (i, s"c${i}a c${i}b c${i}c c${i}d c${i}e c${i}f"))
+    val planted = Seq(
+      (5001L, "aaa bbb ccc same same same same words here"),
+      (5002L, "aaa bbb ccc same same same same words here"))
+    val docs = (hot ++ cold ++ planted).toDF("doc_id", "text")
+    val cap = 128
+    // the per-key bound the scaladoc claims, measured on the REAL
+    // relation both join sides read: after the cap semi-join no
+    // shingle carries more than `cap` rows, so per-key join work is
+    // <= cap^2 and the hot key contributes NOTHING
+    val perKey = Dedup.cappedShingles(docs, cap)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+    val maxKey = perKey.agg(max(col("n"))).collect()(0).getLong(0)
+    assert(maxKey <= cap, s"a shingle key entered the join with $maxKey > $cap rows")
+    // candidate volume through the actual self-join path stays
+    // corpus-linear: sum C(n_s, 2) over capped keys, vs 499500 from
+    // the hot key alone uncapped
+    val candidates = perKey.agg(sum(col("n") * (col("n") - 1))).collect()(0).getLong(0) / 2
+    assert(candidates < 4L * 3002, s"candidate volume $candidates is not corpus-linear")
+    // end-to-end: the planted pair is found, the hot shingle creates
+    // no pair on its own
+    val pairs = Dedup.ngramJaccardPairs(docs, cap).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs === Set((5001L, 5002L)))
+  }
 }
