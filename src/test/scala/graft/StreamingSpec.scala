@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -175,6 +176,41 @@ class StreamingSpec extends AnyFunSuite {
     val nCorrupt = ev.filter(col("event_id") % 97 === 0).count()
     assert(nCorrupt > 0L, "fixture must exercise the torn branch")
     assert(sink.get("dlq") === nCorrupt + clean.filter(col("value") < 1.0).count())
+  }
+
+  test("ann serving: a persisted IVF-PQ index answers a query stream with exact batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-annserve-idx").toString
+    graft.operators.Similarity.buildIvfPqIndex(emb).write(dir)
+    // the deterministic query fixture, split across two micro-batches
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .orderBy(col("vec_id")).limit(64)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(queries.length >= 2)
+    val (b1, b2) = queries.splitAt(queries.length / 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val src = mem.toDF().toDF("vec_id", "embedding")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val epochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val ckpt = Files.createTempDirectory("graft-annserve-ckpt").toString
+    val q = AnnServe.serveFrom(spark, dir, emb, src, 10, ckpt,
+      (df, epoch) => { df.collect().foreach(r => results.add(r.toString)); epochs.add(epoch); () })
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    // per-query top-k has no cross-batch state, so the streamed union
+    // must equal ONE batch search over the full fixture — exactly
+    val idx = graft.operators.AnnIndex.read(spark, dir)
+    val qdf = queries.toSeq.toDF("vec_id", "embedding")
+    val want = graft.operators.Similarity.searchIvfPqIndex(idx, emb, qdf, 10)
+      .collect().map(_.toString).sorted.toSeq
+    val got = results.toArray(Array.empty[String]).sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(epochs.size >= 2, s"expected >=2 serving epochs, saw $epochs")
   }
 
   test("routed fan-out sends each destination exactly its rows, dlq the failures, across two epochs") {
