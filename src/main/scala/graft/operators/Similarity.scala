@@ -345,12 +345,21 @@ object Similarity {
         .select(col("lid"), col("vec_id")), k)
 
   /** Driver entry: the embedding corpus kNN-joined against itself
-    * (k = 5, self-pairs excluded) — the kNN-graph build.
+    * (k = 5, self-pairs excluded) — the kNN-graph build, materialized
+    * once per corpus snapshot ([[graft.sources.Materialize]]): the
+    * knn_join query, knn_pagerank and knn_communities all consume this
+    * edge relation, and at 100 TB the LSH-bucketed self-join is the
+    * expensive stage all three would otherwise replay.  Deterministic
+    * build (seeded hyperplanes, exact top-k tie order), so read-back
+    * is bit-identical to the inline join.
     */
-  def knnJoinEmbeddings(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    knnJoin(emb, emb, 5, lshBitsFor(corpusSize(s, dir)))
-  }
+  def knnJoinEmbeddings(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "knn_edges",
+      inputs = Seq(s"$dir/embeddings.parquet"),
+      params = Seq("k" -> "5", "ver" -> "1")) {
+      val emb = Tables.embeddings(s, dir)
+      knnJoin(emb, emb, 5, lshBitsFor(corpusSize(s, dir)))
+    }
 
   /** Past this cell count the centroids move from plan literals to a
     * broadcast relation: C·65 literal doubles are fine in codegen at

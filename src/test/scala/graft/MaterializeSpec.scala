@@ -81,6 +81,20 @@ class MaterializeSpec extends AnyFunSuite {
         "the shingle self-join must execute once for the whole suite")
       assert(Materialize.buildCount("neardup_comps") === 1,
         "the component contraction must execute once for the whole suite")
+      // the other two shared substrates: co-purchase pairs (link_predict
+      // + graph_kcore) and the kNN edge relation (knn_join +
+      // knn_pagerank + knn_communities)
+      Materialize.resetBuildCount("copurchase_pairs")
+      Materialize.resetBuildCount("knn_edges")
+      GraphOps.linkPredictParts(spark, sf).collect()
+      GraphOps.graphKcore(spark, sf).collect()
+      graft.operators.Similarity.knnJoinEmbeddings(spark, sf).collect()
+      GraphOps.knnPagerank(spark, sf).collect()
+      GraphOps.knnCommunities(spark, sf).collect()
+      assert(Materialize.buildCount("copurchase_pairs") === 1,
+        "the lineitem self-join must execute once for the whole suite")
+      assert(Materialize.buildCount("knn_edges") === 1,
+        "the LSH-bucketed kNN join must execute once for the whole suite")
     }
   }
 
