@@ -199,8 +199,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exIds.size <= 2, finalPlan.linesIterator.take(15).mkString("\n"))
   }
 
-  test("knn_join exchanges bucket keys only; vectors rejoin by id; top-k is map-side partial") {
-    val p = Similarity.knnJoinEmbeddings(spark, sf).queryExecution
+  test("knn_join BUILD exchanges bucket keys only; vectors rejoin by id; top-k is map-side partial") {
+    // round 12: the driver query reads the materialized kNN edge
+    // artifact (pinned in MaterializeSpec); the plan claims belong to
+    // the BUILD pipeline underneath it
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val p = Similarity.knnJoin(emb, emb, 5,
+        Similarity.lshBitsFor(Similarity.corpusSize(spark, sf)))
+      .queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     // the two bucket-join exchanges carry exactly (id, tbl, bucket) —
     // the 64-double embedding arrays must never ride the bucket
