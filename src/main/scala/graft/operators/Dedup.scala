@@ -955,10 +955,17 @@ object Dedup {
     * strict sequential fold for cross-engine bit parity.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    // the O(n²) pair work is inherent to the reference form, but its
+    // PARALLELISM must not depend on the input's file count: a
+    // single-file corpus otherwise leaves the nested-loop stream side
+    // one task wide (measured at sf1: 32 s wall ≈ 32 s task, serial) —
+    // one cheap n-row exchange fans the quadratic work across the
+    // cluster, values bit-unchanged
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", l2Norm(col("e")))
       .filter(col("nrm") > 0)
+      .repartition(col("vec_id"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
