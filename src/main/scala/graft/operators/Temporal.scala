@@ -489,7 +489,52 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Classical additive time-series decomposition of the daily event
+    * count per type: trend = centered 7-day moving average (complete
+    * windows only — RANGE frame on the integer day, so calendar gaps
+    * disqualify a window instead of silently shrinking it), seasonal =
+    * the day-of-week mean of the detrended series, resid = the
+    * remainder.  The anomaly/forecasting primer every metrics pipeline
+    * runs on its volume series (volume_trend's regression slope answers
+    * "is it growing"; this answers "what is weekly rhythm vs drift vs
+    * surprise").
+    *
+    * FLOAT DISCIPLINE: the moving average and day-of-week mean are held
+    * as INTEGER sums (sum7; d7 = 7·c − sum7, so the detrended series is
+    * exact longs) until one final division each — trend = sum7/7.0,
+    * seasonal = Σd7/(7.0·n) — making every output a single correctly-
+    * rounded IEEE op over exact integers, bit-identical on any engine
+    * and any partitioning (a double-summed seasonal mean would depend
+    * on shuffle arrival order).  Scale shape: one bounded-key daily
+    * aggregate, one RANGE window per type, one (type, dow) aggregate
+    * of ≤ 7·|types| rows joined back broadcast.
+    */
+  def tsDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), epochUs(col("ts")).as("us"))
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-3, 3)
+    val t = daily
+      .withColumn("sum7", sum(col("c")).over(w))
+      .withColumn("n7", count(col("c")).over(w))
+      .filter(col("n7") === 7)
+      .withColumn("trend", col("sum7").cast("double") / lit(7.0))
+      .withColumn("d7", lit(7L) * col("c") - col("sum7"))
+    val seas = t.groupBy(col("event_type").as("s_et"), (col("day") % 7).as("dow"))
+      .agg(sum(col("d7")).as("sd7"), count(lit(1)).as("nd"))
+    val seasonal = col("sd7").cast("double") / (lit(7.0) * col("nd"))
+    t.join(broadcast(seas),
+        col("event_type") === col("s_et") && (col("day") % 7) === col("dow"))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        col("trend"), seasonal.as("seasonal"),
+        (col("c").cast("double") - col("trend") - seasonal).as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_decompose" -> (tsDecompose _),
     "interval_merge" -> (intervalMerge _),
     "user_growth" -> (userGrowth _),
     "order_gaps" -> (orderGaps _),
@@ -505,6 +550,29 @@ object Temporal {
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    // integer sums until one final division each (trend = sum7/7.0,
+    // seasonal = sd7/(7.0*nd)); resid recomputes seasonal from the
+    // same operands — identical IEEE ops, identical bits
+    "ts_decompose" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, c,
+        |        CAST(SUM(c) OVER win AS BIGINT) AS sum7,
+        |        COUNT(c) OVER win AS n7
+        |      FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t AS (SELECT event_type, day, c, CAST(sum7 AS DOUBLE) / 7.0 AS trend,
+        |        7 * c - sum7 AS d7
+        |      FROM w WHERE n7 = 7),
+        |s AS (SELECT event_type AS s_et, day % 7 AS dow,
+        |        CAST(SUM(d7) AS BIGINT) AS sd7, COUNT(*) AS nd
+        |      FROM t GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(c AS BIGINT) AS n_events,
+        |  trend,
+        |  CAST(sd7 AS DOUBLE) / (7.0 * nd) AS seasonal,
+        |  CAST(c AS DOUBLE) - trend - CAST(sd7 AS DOUBLE) / (7.0 * nd) AS resid
+        |FROM t JOIN s ON t.event_type = s.s_et AND t.day % 7 = s.dow
+        |ORDER BY 1, 2""".stripMargin,
     "interval_merge" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS b,
         |  (epoch_us(ts) // 1000000) + 60 AS e, event_id FROM events),

@@ -45,6 +45,55 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The published Gopher/MassiveText quality-filter rule set (Rae et
+    * al. 2021, §A1.1 — the public heuristics most LLM corpus pipelines
+    * start from), per document: word-count bounds, mean word length,
+    * symbol-to-word ratio (# and … are the OCR/boilerplate tells),
+    * bullet-start and ellipsis-end line fractions, alphabetic-word
+    * fraction, and the ≥2-of-8 stop-word containment rule; `keep` is
+    * the conjunction.  Every ratio is one int/int IEEE division over
+    * exact counts ⇒ oracle-exact; the per-doc flags are what a corpus
+    * curator audits BEFORE dropping (rule-attributed loss, not a
+    * black-box filter), which is why the flags are the output rather
+    * than the filtered corpus.  Scan-only — no shuffle before the
+    * presentation sort.
+    */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame =
+    qualityGopherFlags(Tables.documents(s, dir))
+
+  /** Rule core over any (doc_id, text) frame — parameterized so the
+    * spec can plant one-rule-violating fixtures. */
+  private[graft] def qualityGopherFlags(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("lines", split(col("text"), "\n"))
+    val nw = size(col("toks")).cast("long")
+    val meanWl = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nw
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEll = size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
+    val symRatio = (nHash + nEll).cast("double") / nw
+    val nLines = size(col("lines"))
+    val bulletFrac = expr(
+      "size(filter(lines, l -> startswith(ltrim(l), '-') OR startswith(ltrim(l), '*') OR startswith(ltrim(l), '•')))")
+      .cast("double") / nLines
+    val ellLineFrac = expr("size(filter(lines, l -> endswith(rtrim(l), '...')))")
+      .cast("double") / nLines
+    val alphaFrac = expr("size(filter(toks, x -> x rlike '[A-Za-z]'))")
+      .cast("double") / nw
+    val stopHits = expr(
+      "size(filter(array('the','be','to','of','and','that','have','with'), w -> array_contains(toks, w)))")
+      .cast("long")
+    val keep = nw >= 50 && nw <= 100000 &&
+      meanWl >= 3 && meanWl <= 10 && symRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellLineFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+    d.select(col("doc_id"), nw.as("n_words"), meanWl.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellLineFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.as("n_stop_hits"), keep.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — the dedup key. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -804,6 +853,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
+    "quality_gopher" -> (qualityGopher _),
     "text_fingerprint" -> (textFingerprint _),
     "text_shingles" -> (textShingles _),
     "text_rollhash" -> (textRollhash _),
@@ -816,6 +866,29 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    // every ratio is one int/int IEEE division over exact counts; the
+    // keep conjunction replays the same comparisons
+    "quality_gopher" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(toks) AS mean_word_len,
+        |  CAST((len(text) - len(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(toks) AS symbol_ratio,
+        |  CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS DOUBLE) / len(lines) AS bullet_frac,
+        |  CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(toks, w))) AS BIGINT) AS n_stop_hits
+        | FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, n_stop_hits,
+        |  n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3
+        |    AND mean_word_len <= 10 AND symbol_ratio <= 0.1
+        |    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8 AND n_stop_hits >= 2 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "collocations" ->
       """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
         |           FROM documents),

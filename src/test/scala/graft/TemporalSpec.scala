@@ -296,4 +296,44 @@ class TemporalSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
   }
+
+  test("ts_decompose equals a sequential local replica exactly; only complete 7-day windows emit") {
+    val got = Temporal.tsDecompose(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // local replica from the raw daily counts, same integer-sum-then-
+    // one-division arithmetic — doubles must match BIT-exactly
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        graft.functions.TimeFunctions.epochUs(col("ts")).as("us"))
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byType = daily.groupBy(_._1._1)
+    val expected = scala.collection.mutable.Map.empty[(String, Long), (Long, Double, Double, Double)]
+    byType.foreach { case (et, m) =>
+      val days = m.map { case ((_, d), c) => d -> c }
+      val complete = days.keys.filter(d => (d - 3 to d + 3).forall(days.contains)).toSeq
+      val rows = complete.map { d =>
+        val sum7 = (d - 3 to d + 3).map(days).sum
+        (d, days(d), sum7, 7L * days(d) - sum7)
+      }
+      val byDow = rows.groupBy(_._1 % 7)
+      rows.foreach { case (d, c, sum7, d7) =>
+        val grp = byDow(d % 7)
+        val sd7 = grp.map(_._4).sum
+        val trend = sum7.toDouble / 7.0
+        val seasonal = sd7.toDouble / (7.0 * grp.size)
+        expected((et, d)) = (c, trend, seasonal, c.toDouble - trend - seasonal)
+      }
+    }
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(v === expected(k), s"at $k") }
+    assert(got.nonEmpty)
+    // a window straddling a calendar gap or series edge must not emit
+    val allDays = daily.keySet
+    assert(got.keys.forall { case (et, d) =>
+      (d - 3 to d + 3).forall(x => allDays.contains((et, x)))
+    })
+  }
 }

@@ -895,4 +895,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.size == want.size && got.size > 0)
     want.foreach { case (id, w) => assert(got(id) == w, s"doc $id") }
   }
+
+  test("quality_gopher: each rule trips on exactly its planted fixture") {
+    import spark.implicits._
+    // a base text that PASSES every rule: 60 plain words incl. several
+    // stop words, mean word length in [3,10]
+    val good = (1 to 6).map(_ =>
+      "the quick brown foxes have been jumping over many lazy dogs " +
+      "that rest beside with calm rivers under warm evening skies now").mkString(" ")
+    val docs = Seq(
+      1L -> good,                                              // keep
+      2L -> "too short to pass",                               // word count < 50
+      3L -> (1 to 60).map(_ => "a").mkString(" "),             // mean word len < 3
+      4L -> good.split(" ").map(_ + " ###").mkString(" "),     // symbol ratio > 0.1
+      5L -> (1 to 20).map(_ => "- " + good.take(40)).mkString("\n"), // >90% bullet lines
+      6L -> (1 to 10).map(i => good.take(40) +
+        (if (i <= 4) "..." else "")).mkString("\n"),           // 40% ellipsis-line ends
+      7L -> (1 to 60).map(_ => "12345").mkString(" "),         // alpha frac < 0.8
+      8L -> good.replaceAll("\\b(the|have|that|with|to|of|be|and)\\b", "zz") // stop hits < 2
+    ).toDF("doc_id", "text")
+    val got = TextOps.qualityGopherFlags(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(8), "base fixture must pass all rules")
+    (2L to 8L).foreach(id => assert(!got(id).getBoolean(8), s"doc $id must fail"))
+    // and each fixture fails for ITS rule
+    assert(got(2L).getLong(1) < 50)
+    assert(got(3L).getDouble(2) < 3.0)
+    assert(got(4L).getDouble(3) > 0.1)
+    assert(got(5L).getDouble(4) > 0.9)
+    assert(got(6L).getDouble(5) > 0.3)
+    assert(got(7L).getDouble(6) < 0.8)
+    assert(got(8L).getLong(7) < 2)
+  }
 }
