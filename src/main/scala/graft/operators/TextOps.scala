@@ -94,6 +94,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The C4 line-level cleaning rules (Raffel et al. 2020, §2.2 — the
+    * other canonical published filter next to [[qualityGopher]]'s
+    * doc-level set): a line survives iff it ends in terminal
+    * punctuation, has ≥ 5 words, and doesn't mention javascript; the
+    * document survives iff it has no curly brace, no "lorem ipsum",
+    * and ≥ 3 sentences among its surviving lines.  Flags per doc, not
+    * a filtered corpus — same audit-before-drop rationale as
+    * quality_gopher.  All counts are exact ints ⇒ oracle-exact;
+    * scan-only.  The synthetic test corpus is unpunctuated single-line
+    * text, so the driver rows exercise the all-lines-dropped path
+    * (honest: that IS what C4 does to such text); each rule's positive
+    * path is pinned by the planted-fixture spec.
+    */
+  def qualityC4(s: SparkSession, dir: String): DataFrame =
+    qualityC4Flags(Tables.documents(s, dir))
+
+  /** Rule core over any (doc_id, text) frame — parameterized for the
+    * planted-fixture spec. */
+  private[graft] def qualityC4Flags(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("kept", expr(
+        """filter(lines, l -> rtrim(l) rlike '[.!?"]$'
+          |  AND size(split(trim(l), '\\s+')) >= 5
+          |  AND NOT contains(lower(l), 'javascript'))""".stripMargin))
+    val nLines = size(col("lines")).cast("long")
+    val nKept = size(col("kept")).cast("long")
+    val nKeptWords = expr(
+      "aggregate(kept, 0L, (acc, l) -> acc + size(split(trim(l), '\\\\s+')))").cast("long")
+    val nSent = size(regexp_extract_all(
+      array_join(col("kept"), " "), lit("[.!?]"), lit(0))).cast("long")
+    val hasBrace = col("text").contains("{")
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
+    val keep = !hasBrace && !hasLorem && nSent >= 3
+    d.select(col("doc_id"), nLines.as("n_lines"), nKept.as("n_kept_lines"),
+      nKeptWords.as("n_kept_words"), nSent.as("n_sentences"),
+      hasBrace.as("has_brace"), hasLorem.as("has_lorem"), keep.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — the dedup key. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -854,6 +894,7 @@ object TextOps {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "quality_gopher" -> (qualityGopher _),
+    "quality_c4" -> (qualityC4 _),
     "text_fingerprint" -> (textFingerprint _),
     "text_shingles" -> (textShingles _),
     "text_rollhash" -> (textRollhash _),
@@ -866,6 +907,29 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    // exact integer counts throughout; the keep conjunction replays
+    // the same comparisons
+    "quality_c4" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(rtrim(l), '[.!?"]$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  COALESCE(CAST(list_sum(list_transform(kept, l ->
+        |    len(string_split_regex(trim(l), '\s+')))) AS BIGINT), 0) AS n_kept_words,
+        |  CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, ' '), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+        |  contains(text, '{') AS has_brace,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem
+        | FROM t)
+        |SELECT doc_id, n_lines, n_kept_lines, n_kept_words, n_sentences,
+        |  has_brace, has_lorem,
+        |  NOT has_brace AND NOT has_lorem AND n_sentences >= 3 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     // every ratio is one int/int IEEE division over exact counts; the
     // keep conjunction replays the same comparisons
     "quality_gopher" ->

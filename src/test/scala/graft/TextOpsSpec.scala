@@ -927,4 +927,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(7L).getDouble(6) < 0.8)
     assert(got(8L).getLong(7) < 2)
   }
+
+  test("quality_c4: line survival, doc-kill terms and the sentence floor each trip exactly") {
+    import spark.implicits._
+    val goodLine = "This is a perfectly ordinary sentence with enough words."
+    val docs = Seq(
+      1L -> Seq(goodLine, goodLine, goodLine).mkString("\n"),   // keep: 3 sentences
+      2L -> Seq(goodLine, "no terminal punctuation here at all",
+        "short line.", "we use javascript cookies on this site.").mkString("\n"), // only line 1 survives
+      3L -> (goodLine + " { code }"),                           // brace kills the doc
+      4L -> ("Lorem Ipsum dolor sit amet consectetur adipiscing elit."), // lorem kills
+      5L -> Seq(goodLine, goodLine).mkString("\n")              // 2 sentences < 3
+    ).toDF("doc_id", "text")
+    val got = TextOps.qualityC4Flags(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(7), "three surviving sentences must keep")
+    assert(got(1L).getLong(2) === 3L && got(1L).getLong(4) === 3L)
+    assert(got(2L).getLong(1) === 4L && got(2L).getLong(2) === 1L,
+      "unpunctuated, short and javascript lines must drop")
+    assert(got(2L).getLong(3) === goodLine.split("\\s+").length.toLong)
+    assert(got(3L).getBoolean(5) && !got(3L).getBoolean(7), "curly brace kills the doc")
+    assert(got(4L).getBoolean(6) && !got(4L).getBoolean(7), "lorem ipsum kills the doc")
+    assert(!got(5L).getBoolean(7) && got(5L).getLong(4) === 2L, "sentence floor is 3")
+  }
 }
