@@ -928,6 +928,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(8L).getLong(7) < 2)
   }
 
+  test("AudioDsp DFT matches the closed-form Dirichlet-kernel spectrum; features behave") {
+    import graft.operators.AudioCodec
+    // rectangular pulse: k samples of amplitude a, then zeros — the
+    // analytic magnitude is a·|sin(πfk/n)/sin(πf/n)| (and a·k at DC)
+    val (n, k, a) = (48, 13, 0.625)
+    val x = Array.tabulate(n)(i => if (i < k) a else 0.0)
+    val mag = AudioCodec.magnitudes(x)
+    assert(mag.length === n / 2 + 1)
+    (0 until mag.length).foreach { f =>
+      val want =
+        if (f == 0) a * k
+        else a * math.abs(math.sin(math.Pi * f * k / n) / math.sin(math.Pi * f / n))
+      assert(math.abs(mag(f) - want) <= 1e-9 * math.max(1.0, want), s"bin $f")
+    }
+    // a pure tone concentrates: centroid ~ the tone bin, flatness ~ 0;
+    // white-ish (single-sample impulse) spreads: flatness ~ 1
+    val sr = 8000
+    val tone = Array.tabulate(n)(i => math.sin(2 * math.Pi * 6 * i / n))
+    val toneMag = AudioCodec.magnitudes(tone)
+    val toneBinHz = 6.0 * sr / n
+    assert(math.abs(AudioCodec.centroidHz(toneMag, sr, n) - toneBinHz) < 0.05 * sr)
+    assert(AudioCodec.flatness(toneMag) < 0.01)
+    val impulse = Array.tabulate(n)(i => if (i == 0) 1.0 else 0.0)
+    assert(AudioCodec.flatness(AudioCodec.magnitudes(impulse)) > 0.999)
+    // rolloff is monotone in the energy fraction and bin-aligned
+    val r50 = AudioCodec.rolloffHz(mag, sr, n, 0.5)
+    val r95 = AudioCodec.rolloffHz(mag, sr, n, 0.95)
+    assert(r50 <= r95 && r95 <= sr / 2.0)
+    // the driver query runs the real WAV round trip per doc
+    val rows = Multimodal.mmAudioSpectral(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 4000.0)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("quality_c4: line survival, doc-kill terms and the sentence floor each trip exactly") {
     import spark.implicits._
     val goodLine = "This is a perfectly ordinary sentence with enough words."
