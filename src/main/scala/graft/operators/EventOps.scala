@@ -207,13 +207,21 @@ object EventOps {
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
       .withColumn("wire_id", col("event_id"))
-    val wire = graft.sources.ProtoCodec.toProto(ev, EventProtoSchema,
-      keep = Seq("wire_id"), markAfterField = 3)
+    // full registry wire image (the msg_decode_avro symmetry): body
+    // framed in the Confluent proto envelope (magic + BE schema id +
+    // message-indexes short form = 6 deterministic bytes), torn AFTER
+    // framing — the truncation boundary shifts by the header length,
+    // the torn payload still parses as a frame, and the silent-default
+    // decode contract (and its oracle) is unchanged
+    val wire = graft.sources.ProtoCodec.frameConfluent(
+      graft.sources.ProtoCodec.toProto(ev, EventProtoSchema,
+        keep = Seq("wire_id"), markAfterField = 3), schemaId = 11)
     val torn = wire.withColumn("proto_payload",
       when(col("wire_id") % 97 === 0,
-        expr("substring(proto_payload, 1, wire_mark)"))
+        expr("substring(proto_payload, 1, wire_mark + 6)"))
         .otherwise(col("proto_payload")))
-    val dec = graft.sources.ProtoCodec.fromProto(torn, EventProtoSchema)
+    val dec = graft.sources.ProtoCodec.fromFramedProto(
+      torn, EventProtoSchema, knownIds = Set(11))
     decodedTypeProfile(dec, col("event_type"))
   }
 

@@ -214,6 +214,89 @@ object ProtoCodec {
     out
   }
 
+  // ---- Confluent registry framing (the AvroCodec.frameConfluent twin) ----
+
+  /** The Confluent protobuf value envelope (public wire-format spec):
+    * magic `0x00`, schema id as big-endian int32, then the
+    * MESSAGE-INDEXES list — a varint count followed by that many
+    * varint indexes locating the message type inside the schema file
+    * (the common first-message case serializes as the single byte
+    * 0x00), then the proto body.  A pure byte prepend ⇒ codegen'd
+    * concat, no mapPartitions.
+    */
+  def frameConfluent(df: DataFrame, schemaId: Int,
+      messageIndexes: Seq[Int] = Seq(0),
+      binCol: String = "proto_payload"): DataFrame = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0)
+    out.write((schemaId >>> 24) & 0xff); out.write((schemaId >>> 16) & 0xff)
+    out.write((schemaId >>> 8) & 0xff); out.write(schemaId & 0xff)
+    // indexes ride as ZIGZAG varints (the Confluent spec's choice, NOT
+    // plain proto varints); the plain first message [0] has the
+    // spec-blessed single-0x00 short form (zigzag(0) = 0 = empty list)
+    if (messageIndexes == Seq(0)) out.write(0)
+    else {
+      writeVarint(out, zigzagEncode(messageIndexes.length.toLong))
+      messageIndexes.foreach(i => writeVarint(out, zigzagEncode(i.toLong)))
+    }
+    val header = out.toByteArray
+    df.withColumn(binCol,
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit(header), col(binCol)))
+  }
+
+  /** Decode Confluent-framed proto: validate magic, read the schema id
+    * (must be in `knownIds` — an id outside the consumer's registry
+    * snapshot is a sync fault and THROWS, the
+    * [[AvroCodec.fromFramedAvro]] contract), skip the message-indexes
+    * list, decode the body against `readerSchema`.  Unlike Avro there
+    * is no negotiated reader/writer resolution step — proto3's wire
+    * format IS the resolution mechanism (unknown field numbers skip,
+    * missing fields default), so one reader schema covers every writer
+    * generation and the id's job is validation + metrics.
+    */
+  def fromFramedProto(df: DataFrame, readerSchema: String, knownIds: Set[Int],
+      binCol: String = "proto_payload", keep: Seq[String] = Nil): DataFrame = {
+    val fields = parseSchema(readerSchema)
+    val decoded = sparkSchema(fields)
+    val in = df.select(keep.map(col) :+ col(binCol): _*)
+    val outSchema = StructType(keep.map(k => in.schema(k)).toArray ++ decoded.fields)
+    val nKeep = keep.length
+    in.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](nKeep)
+        require(bytes.length >= 6 && bytes(0) == 0,
+          s"not a Confluent-framed proto payload (len=${bytes.length})")
+        val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+          ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+        require(knownIds.contains(id), s"schema id $id not in the registry snapshot")
+        // skip message-indexes: zigzag-varint count (0 = the
+        // plain-first-message short form), then `count` zigzag indexes
+        var pos = 5
+        def varintAt(): Long = {
+          var shift = 0; var acc = 0L; var done = false
+          while (!done) {
+            require(pos < bytes.length, "truncated message-indexes varint")
+            val b = bytes(pos); pos += 1
+            acc |= (b & 0x7fL) << shift
+            if ((b & 0x80) == 0) done = true else shift += 7
+          }
+          acc
+        }
+        val count = zigzagDecode(varintAt())
+        var i = 0L
+        while (i < count) { varintAt(); i += 1 }
+        val rec = decodeRecord(
+          java.util.Arrays.copyOfRange(bytes, pos, bytes.length), fields)
+        val out = new Array[Any](nKeep + rec.length)
+        var k = 0
+        while (k < nKeep) { out(k) = row.get(k); k += 1 }
+        System.arraycopy(rec, 0, out, nKeep, rec.length)
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // ---- DataFrame adapters (the AvroCodec seam) ----
 
   /** Encode each row's schema-named columns into one binary column

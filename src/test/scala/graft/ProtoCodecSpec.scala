@@ -118,6 +118,42 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(dec.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted === want)
   }
 
+  test("confluent proto framing: header bytes, cross-generation decode, unknown-id fault") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = "1:k:int64,2:v:double"
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(150L, 1.5)),
+      StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))))
+    // first-message short form: magic 0, BE id, single 0x00, then body
+    val framed = ProtoCodec.frameConfluent(ProtoCodec.toProto(df, schema), 0x0A0B0C0D)
+      .collect()(0).getAs[Array[Byte]]("proto_payload")
+    assert(framed.take(6).toSeq === Seq[Byte](0, 0x0a, 0x0b, 0x0c, 0x0d, 0))
+    assert(hex(framed.drop(6)) === hex(encodeOne(schema, 150L, 1.5)))
+    // nested message path [1, 2]: zigzag varints (2 -> 4, 1 -> 2, 2 -> 4)
+    val nested = ProtoCodec.frameConfluent(ProtoCodec.toProto(df, schema), 7, Seq(1, 2))
+      .collect()(0).getAs[Array[Byte]]("proto_payload")
+    assert(nested.slice(5, 8).toSeq === Seq[Byte](4, 2, 4))
+    // round trip through both index forms; a v2 writer's extra field
+    // skips structurally (proto3 IS the resolution mechanism)
+    val w2 = "1:k:int64,2:v:double,3:note:string"
+    val df2 = spark.createDataFrame(
+      java.util.List.of(Row(2L, 2.5, "x")),
+      StructType(Seq(StructField("k", LongType), StructField("v", DoubleType),
+        StructField("note", StringType))))
+    val mixed = ProtoCodec.frameConfluent(ProtoCodec.toProto(df, schema), 7)
+      .unionAll(ProtoCodec.frameConfluent(ProtoCodec.toProto(df2, w2), 9, Seq(1, 2)))
+    val got = ProtoCodec.fromFramedProto(mixed, schema, Set(7, 9))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got === Seq((2L, 2.5), (150L, 1.5)))
+    val bad = intercept[org.apache.spark.SparkException] {
+      ProtoCodec.fromFramedProto(
+        ProtoCodec.frameConfluent(ProtoCodec.toProto(df, schema), 99),
+        schema, Set(7)).collect()
+    }
+    assert(bad.getMessage.contains("registry") || bad.getCause.getMessage.contains("registry"))
+  }
+
   test("msg_decode_proto groups stay the corpus event types — no _undecodable group can exist") {
     val got = EventOps.msgDecodeProto(spark, sf).collect()
     val types = graft.sources.Tables.events(spark, sf)
