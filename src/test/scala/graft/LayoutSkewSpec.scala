@@ -94,4 +94,48 @@ class LayoutSkewSpec extends AnyFunSuite {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("z-order layout: both dimensions prune by file stats; linear layout serves only its sort column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    // morton interleave is exact: z(2,1) = spread(2) | spread(1)<<1 =
+    // 0b100 | 0b010 = 6; z(x,0)=spread(x); z(0,y)=spread(y)<<1
+    val z = Layout.zValue(col("a"), col("b"))
+    val zs = Seq((0, 0, 0L), (1, 0, 1L), (0, 1, 2L), (1, 1, 3L), (2, 1, 6L),
+      (0x7fffffff, 0, 0x1555555555555555L))
+      .toDF("a", "b", "want")
+      .select(z.as("got"), col("want")).collect()
+    zs.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // a 128x128 grid written 16 ways: z-ordered vs linearly x-sorted
+    val grid = (for (x <- 0 until 128; y <- 0 until 128) yield (x, y))
+      .toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/t"
+    val linDir = java.nio.file.Files.createTempDirectory("graft-linear").toString + "/t"
+    Layout.writeZOrdered(grid, zDir, "x", "y", files = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(linDir)
+    // per-FILE min/max — the stats parquet scan pruning actually uses
+    def stats(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val zStats = stats(zDir)
+    val linStats = stats(linDir)
+    assert(zStats.length === 16 && linStats.length === 16)
+    def candidates(st: Array[(Int, Int, Int, Int)], xPred: Option[Int], yPred: Option[Int]) =
+      st.count { case (x0, x1, y0, y1) =>
+        xPred.forall(v => x0 <= v && v <= x1) && yPred.forall(v => y0 <= v && v <= y1)
+      }
+    // x point predicate: both layouts prune (z a bit coarser is fine)
+    assert(candidates(zStats, Some(77), None) <= 8)
+    assert(candidates(linStats, Some(77), None) <= 2)
+    // y point predicate: the z layout keeps pruning, the linear layout
+    // degrades to a full scan — the whole point of the interleave
+    assert(candidates(zStats, None, Some(101)) <= 8,
+      s"z-order y-pruning too coarse: ${zStats.mkString(",")}")
+    assert(candidates(linStats, None, Some(101)) === 16,
+      "a linear-by-x layout cannot prune on y (if this fails the fixture is degenerate)")
+    // conjunctive predicate: z-order intersects both boxes
+    assert(candidates(zStats, Some(77), Some(101)) <= 4)
+  }
 }
