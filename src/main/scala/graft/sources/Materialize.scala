@@ -124,6 +124,28 @@ object Materialize {
     else acc += s"file|${p.toString}|${st.getLen}|${st.getModificationTime}"
   }
 
+  /** Cache janitor: delete artifacts whose publication is older than
+    * `maxAgeMs` (by the artifact directory's own mtime — set at the
+    * atomic rename, i.e. publication time).  Artifacts are immutable
+    * and signature-keyed, so deletion is always SAFE — the worst case
+    * is a rebuild on next read — which is why a blunt age policy
+    * suffices; a superseded artifact (inputs refreshed → new sig → new
+    * directory) stops being read immediately and ages out here.
+    * In-flight `.tmp-*` directories are skipped (their writer owns
+    * them; a crashed writer's orphan ages past `maxAgeMs` and is
+    * reaped too).  Returns the deleted artifact names.
+    */
+  def gc(s: SparkSession, maxAgeMs: Long): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(absolutize(cacheRoot(s)))
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && now - st.getModificationTime > maxAgeMs)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+  }
+
   /** Scheme-less paths are local-filesystem relative: absolutize against
     * the JVM cwd so the Hadoop Path doesn't resolve against fs.defaultFS's
     * working directory.

@@ -128,6 +128,27 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("gc reaps only artifacts older than the age bound; a reaped artifact rebuilds") {
+    val cache = freshCacheDir()
+    val in = java.nio.file.Files.createTempDirectory("graft_mat_gc").toString + "/t.parquet"
+    spark.range(7).write.parquet(in)
+    withCacheDir(cache) {
+      Materialize.resetBuildCount("spec_gc")
+      def get() = Materialize.readOrBuild(spark, "spec_gc", Seq(in),
+        Seq("ver" -> "1"))(spark.read.parquet(in))
+      assert(get().count() === 7)
+      // young artifact survives a 1-hour bound
+      assert(Materialize.gc(spark, 3600 * 1000L) === Nil)
+      assert(get().count() === 7)
+      assert(Materialize.buildCount("spec_gc") === 1)
+      // an age-0 bound reaps it; the next read rebuilds transparently
+      val reaped = Materialize.gc(spark, -1L)
+      assert(reaped.exists(_.startsWith("spec_gc-")), reaped.toString)
+      assert(get().count() === 7)
+      assert(Materialize.buildCount("spec_gc") === 2)
+    }
+  }
+
   test("concurrent identical builds: loser of the rename still reads a fresh artifact") {
     val cache = freshCacheDir()
     val in = java.nio.file.Files.createTempDirectory("graft_mat_in3").toString + "/t.parquet"
