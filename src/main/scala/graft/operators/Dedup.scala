@@ -137,6 +137,16 @@ object Dedup {
     */
   private[operators] val ShingleDfCap = 128
 
+  /** Shingle width (word 3-grams) and the Jaccard dedup bar — shared
+    * by the pair builder AND the Materialize signature params below,
+    * so a knob change re-keys the artifact automatically.  Builder
+    * CODE changes (same knobs, different algorithm/output) must bump
+    * the `"ver"` param at each readOrBuild call site — the persistent
+    * cross-round cache otherwise serves stale pairs.
+    */
+  private[operators] val ShingleW = 3
+  private[operators] val JaccardThreshold = 0.8
+
   /** Exact 3-gram Jaccard ≥ 0.8 pairs via a shingle inverted index:
     * explode distinct shingles, self-join on shingle (the shuffle key),
     * count intersections per pair, then J = |∩| / (|A|+|B|−|∩|).
@@ -173,8 +183,8 @@ object Dedup {
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     graft.sources.Materialize.readOrBuild(s, "neardup_pairs",
       inputs = Seq(s"$dir/documents.parquet"),
-      params = Seq("w" -> "3", "dfCap" -> ShingleDfCap.toString,
-        "thresh" -> "0.8", "ver" -> "1")) {
+      params = Seq("w" -> ShingleW.toString, "dfCap" -> ShingleDfCap.toString,
+        "thresh" -> JaccardThreshold.toString, "ver" -> "1")) {
       ngramJaccardPairs(Tables.documents(s, dir), ShingleDfCap)
     }
 
@@ -209,7 +219,7 @@ object Dedup {
     // read from one ReusedExchange instead of recomputing the
     // tokenize→shingle→explode pipeline twice
     val exploded = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
+      explode(array_distinct(shingles(col("text"), ShingleW))).as("shingle"))
       .repartition(col("shingle"))
     // DF cap as a keyed aggregate semi-joined back (the
     // [[dedupIncremental]] shape): both the aggregate and the join
@@ -243,7 +253,7 @@ object Dedup {
       .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"),
         (col("c") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= JaccardThreshold)
   }
 
   /** Dedup cluster resolution: connected components over the exact
@@ -281,8 +291,8 @@ object Dedup {
   private[graft] def nearDupComponentLabels(s: SparkSession, dir: String): DataFrame =
     graft.sources.Materialize.readOrBuild(s, "neardup_comps",
       inputs = Seq(s"$dir/documents.parquet"),
-      params = Seq("w" -> "3", "dfCap" -> ShingleDfCap.toString,
-        "thresh" -> "0.8", "cc" -> "ls-ss-v1", "ver" -> "1")) {
+      params = Seq("w" -> ShingleW.toString, "dfCap" -> ShingleDfCap.toString,
+        "thresh" -> JaccardThreshold.toString, "cc" -> "ls-ss-v1", "ver" -> "1")) {
       val pairs = nearDupPairs(s, dir).select(col("d1"), col("d2"))
       val nPairs = pairs.count()
       if (nPairs <= LocalCcMaxEdges) localComponents(s, pairs)
@@ -949,12 +959,37 @@ object Dedup {
     }: _*)
   }
 
+  /** Hard corpus-size budget for [[dedupEmbedding]]'s all-pairs form:
+    * n² pair volume at this bound is ~2³⁴ cosine evaluations — already
+    * a deliberately-heavy batch job; past it the all-pairs shape is a
+    * scale error, not a bigger job.  Same contract discipline as
+    * annBruteforceFor's broadcast bound and the CC contraction's edge
+    * budget: fail LOUD at plan time instead of launching a silent n²
+    * job.  The scale path is [[dedupEmbeddingLsh]] / semdedup.
+    */
+  private[operators] val EmbeddingAllPairsBudget = 131072L
+
   /** Embedding cosine near-dup pairs (threshold 0.4 for this corpus).
     * All-pairs reference form: at 100 TB use the LSH-bucketed variant
     * (see [[Similarity.annLsh]]) to key the shuffle.  The cosine is a
-    * strict sequential fold for cross-engine bit parity.
+    * strict sequential fold for cross-engine bit parity.  Guarded by
+    * [[EmbeddingAllPairsBudget]] — an oversized corpus fails loudly
+    * with a pointer to the LSH form instead of running O(n²).
     */
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingBudgeted(s, dir, EmbeddingAllPairsBudget)
+
+  /** Budget-parameterized seam so the spec can pin the loud failure
+    * with a tiny bound against the real operator path.
+    */
+  private[graft] def dedupEmbeddingBudgeted(s: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    val n = Similarity.corpusSize(s, dir)
+    require(n <= budget,
+      s"dedup_embedding's all-pairs form is O(n²) and budgeted at " +
+        s"$budget vectors (corpus has $n); use " +
+        "dedup_embedding_lsh (LSH-bucketed, same cosine threshold) or " +
+        "semdedup for corpora past the budget")
     // the O(n²) pair work is inherent to the reference form, but its
     // PARALLELISM must not depend on the input's file count: a
     // single-file corpus otherwise leaves the nested-loop stream side

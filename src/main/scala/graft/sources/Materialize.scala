@@ -72,11 +72,26 @@ object Materialize {
       build.write.mode("overwrite").parquet(tmp.toString)
       val out = fs.create(new Path(tmp, "_SIG"))
       try out.write(sig.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      if (!fs.rename(tmp, dest)) {
-        // a concurrent identical build won the rename; its bytes carry
-        // the same signature-keyed name, so reading it is equivalent
+      // A concurrent identical build may have published while we built.
+      // Check BEFORE renaming: on local filesystems a rename onto an
+      // existing directory can merge tmp INSIDE dest (and return true)
+      // instead of failing, which would leave a hidden duplicate copy.
+      if (fs.exists(dest)) {
         fs.delete(tmp, true)
         require(isFresh(fs, dest, sig), s"materialize race left no fresh artifact at $dest")
+      } else if (!fs.rename(tmp, dest)) {
+        // the race lost between the exists check and the rename; the
+        // winner's bytes carry the same signature-keyed name
+        fs.delete(tmp, true)
+        require(isFresh(fs, dest, sig), s"materialize race left no fresh artifact at $dest")
+      } else {
+        // rename semantics vary across Hadoop FS impls — a move-into-
+        // existing-directory fallback can leave the whole tmp dir as a
+        // hidden '.tmp-*' child inside dest; reap any such directory
+        // (plain '.crc' sidecar files are left alone)
+        fs.listStatus(dest)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("."))
+          .foreach(h => fs.delete(h.getPath, true))
       }
     }
     s.read.parquet(dest.toString)
@@ -131,9 +146,12 @@ object Materialize {
     * is a rebuild on next read — which is why a blunt age policy
     * suffices; a superseded artifact (inputs refreshed → new sig → new
     * directory) stops being read immediately and ages out here.
-    * In-flight `.tmp-*` directories are skipped (their writer owns
-    * them; a crashed writer's orphan ages past `maxAgeMs` and is
-    * reaped too).  Returns the deleted artifact names.
+    * In-flight `.tmp-*` directories belong to their writer and get a
+    * much larger grace period ([[OrphanGraceMs]], 24h minimum): a
+    * directory's mtime only updates on direct-child creation, so a
+    * long-running build whose last part-file opened before `maxAgeMs`
+    * would otherwise be reaped mid-write.  A crashed writer's orphan
+    * still ages out past the grace bound.  Returns the deleted names.
     */
   def gc(s: SparkSession, maxAgeMs: Long): Seq[String] = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -142,9 +160,18 @@ object Materialize {
     if (!fs.exists(root)) return Nil
     val now = System.currentTimeMillis()
     fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && now - st.getModificationTime > maxAgeMs)
+      .filter { st =>
+        val inFlight = st.getPath.getName.startsWith(".")
+        val bound = if (inFlight) math.max(maxAgeMs, OrphanGraceMs) else maxAgeMs
+        st.isDirectory && now - st.getModificationTime > bound
+      }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
   }
+
+  /** Minimum age before an in-flight `.tmp-*` build directory may be
+    * reaped as a crashed-writer orphan — far beyond any live build.
+    */
+  val OrphanGraceMs: Long = 24L * 60 * 60 * 1000
 
   /** Scheme-less paths are local-filesystem relative: absolutize against
     * the JVM cwd so the Hadoop Path doesn't resolve against fs.defaultFS's

@@ -350,9 +350,11 @@ object Stateful {
               case Some(p) =>
                 state.update(p)
                 // armed from the TOUCH time only — purchases must not
-                // extend a touch's creditable lease
+                // extend a touch's creditable lease; ceiling millis so
+                // truncation can never expire state before the
+                // microsecond-exact ttl enforced at credit time
                 state.setTimeoutTimestamp(math.max(
-                  p.us / 1000 + ttlUs / 1000,
+                  (p.us + ttlUs + 999) / 1000,
                   state.getCurrentWatermarkMs() + 1))
               case None => // purchases only so far: nothing to carry
             }

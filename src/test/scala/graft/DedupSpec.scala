@@ -146,6 +146,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_embedding fails LOUD past the all-pairs corpus budget, routing to the LSH form") {
+    // the real operator path with a budget below the fixture corpus:
+    // the n² job must never launch — a plan-time contract error names
+    // the scale-safe alternative instead
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupEmbeddingBudgeted(spark, sf, budget = 3L)
+    }
+    assert(ex.getMessage.contains("dedup_embedding_lsh"))
+    assert(ex.getMessage.contains("O(n²)"))
+    // and the production budget admits the fixture corpus unchanged
+    assert(Dedup.dedupEmbedding(spark, sf).count() > 0)
+  }
+
   test("exact-jaccard operator agrees with the Scala ground truth") {
     val got = Dedup.dedupNgramJaccard(spark, sf).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet

@@ -149,6 +149,25 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("gc leaves young in-flight .tmp-* builds alone even past the artifact age bound") {
+    val cache = freshCacheDir()
+    withCacheDir(cache) {
+      // simulate a live concurrent build: a fresh .tmp dir whose mtime
+      // is past the artifact bound (age-0) but inside the 24h grace —
+      // a directory mtime only moves on direct-child creation, so a
+      // long build hits exactly this state
+      val tmp = new java.io.File(cache, ".spec_gc-deadbeef.tmp-live")
+      assert(tmp.mkdirs())
+      assert(Materialize.gc(spark, -1L) === Nil, "in-flight build must survive the artifact bound")
+      assert(tmp.exists())
+      // a crashed writer's orphan (mtime pushed past the grace) is reaped
+      assert(tmp.setLastModified(System.currentTimeMillis() - Materialize.OrphanGraceMs - 60000))
+      val reaped = Materialize.gc(spark, -1L)
+      assert(reaped.contains(tmp.getName), reaped.toString)
+      assert(!tmp.exists())
+    }
+  }
+
   test("concurrent identical builds: loser of the rename still reads a fresh artifact") {
     val cache = freshCacheDir()
     val in = java.nio.file.Files.createTempDirectory("graft_mat_in3").toString + "/t.parquet"
