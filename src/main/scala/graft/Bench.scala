@@ -62,12 +62,18 @@ object Bench {
     // per run: (wall sec, gc sec, task sec) with the listener bus
     // drained around the snapshots so stage events land in the right
     // query's window
+    // which query paid which Materialize artifact build: diffing the
+    // build counts around each query makes the cold-cache accounting
+    // mechanical — the first consumer's run-1 carries the build and the
+    // committed builds file names it, instead of a prose claim
+    val buildsByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a full GC between queries keeps one query's garbage from
       // surfacing as another's pause: with 70+ queries × 3 runs in one
       // JVM, byte-identical queries have moved 2–8× run-to-run on
       // accumulated heap pressure alone
       System.gc()
+      val b0 = graft.sources.Materialize.buildCounts
       val runs = (1 to Runs).map { _ =>
         val (g0, k0) = drained((telem.gcMs.get, telem.taskMs.get))
         val t0 = System.nanoTime()
@@ -82,6 +88,9 @@ object Bench {
             (-1.0, 0.0, 0.0)
         }
       }
+      val b1 = graft.sources.Materialize.buildCounts
+      val paid = b1.collect { case (a, n) if n > b0.getOrElse(a, 0) => a }.toSeq.sorted
+      if (paid.nonEmpty) buildsByQuery(name) = paid
       // a failed query must read as a failure (-1), not a fast success;
       // gc/task ride along with their own run, so the median row is a
       // CONSISTENT (wall, gc, task) observation, not a mix of runs
@@ -196,6 +205,13 @@ object Bench {
         results.collect { case (k, t) if t.head._1 >= 0 =>
           val m = t(t.length / 2)
           s"\"" + k + s"""\":{"wall":${ms(m._1)},"gc":${ms(m._2)},"task":${ms(m._3)}}"""
+        }.mkString("{", ",", "}") + "\n")
+      // build attribution: empty map = fully warm run (evidence that a
+      // bench hid every build cost is itself committed)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_builds.json"),
+        buildsByQuery.map { case (q, as) =>
+          s"\"" + q + "\":[" + as.map("\"" + _ + "\"").mkString(",") + "]"
         }.mkString("{", ",", "}") + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] diagnostics write failed: $e") }
     val budget = 1920 - line.length - s"spread_top {} full=$spreadFile".length

@@ -46,6 +46,15 @@ object Materialize {
   private[graft] def buildCount(name: String): Int =
     builds.getOrDefault(name, 0)
 
+  /** Snapshot of every artifact's build count this JVM — Bench diffs
+    * it around each query so the committed evidence names which query
+    * paid which artifact build (cold-cache accounting, mechanical).
+    */
+  private[graft] def buildCounts: Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    builds.asScala.map { case (k, v) => k -> v.toInt }.toMap
+  }
+
   private[graft] def resetBuildCount(name: String): Unit = {
     builds.remove(name); ()
   }

@@ -22,6 +22,13 @@ if [ "${1:-}" != "quick" ]; then
   # its evidence as sf0.1
   bsf="${BENCH_SF:-sf0.1}"
   echo "== bench $bsf =="
+  # cold-cache accounting is MECHANICAL: the Verify legs above pre-warm
+  # target/graft_cache in this workspace, so without this wipe run-1
+  # never pays the artifact builds and the committed medians hide them.
+  # Bench attributes each build to the query that paid it
+  # (bench_builds_$bsf.json).  KEEP_GRAFT_CACHE=1 opts out for
+  # deliberate warm-cache probes.
+  [ "${KEEP_GRAFT_CACHE:-}" = "1" ] || rm -rf target/graft_cache
   SPARK_GRAFT_SF_DIR="/root/testdata/$bsf" SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" > /tmp/graft_bench.log 2>&1 || true
   # Replicate the driver's parse: it keeps only the LAST 2000 chars and
@@ -79,7 +86,7 @@ EOF
   # at coarsened precision).  A successful bench whose diagnostics are
   # missing is itself a failure worth explaining, not a silent exit 1
   # from a dangling '&&'.
-  for f in target/bench_spread.json target/bench_medians.json target/bench_telemetry.json; do
+  for f in target/bench_spread.json target/bench_medians.json target/bench_telemetry.json target/bench_builds.json; do
     if [ ! -f "$f" ]; then
       echo "ERROR: bench succeeded but $f was not written (Bench's diagnostics write failed — see the [bench] stderr line in /tmp/graft_bench.log)" >&2
       exit 1
@@ -88,4 +95,7 @@ EOF
   cp target/bench_spread.json "bench_spread_$bsf.json"
   cp target/bench_medians.json "bench_medians_$bsf.json"
   cp target/bench_telemetry.json "bench_telemetry_$bsf.json"
+  cp target/bench_builds.json "bench_builds_$bsf.json"
+  echo "build attribution (query -> artifacts paid):"
+  cat "bench_builds_$bsf.json"
 fi
