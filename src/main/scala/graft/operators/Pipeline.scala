@@ -526,6 +526,123 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** The curation funnel — per-stage document/token attrition across
+    * the full cleaning ladder in ONE report: raw → exact dedup (keep
+    * min doc_id per full-normalized-text fingerprint) → near-dup (keep
+    * the smallest surviving member of each 3-gram-Jaccard component,
+    * read from the materialized label artifact) → decontaminate (drop
+    * eval-overlapping docs: the corpus's even/odd eval split, capped
+    * 5-gram shingle match — [[Dedup.decontaminate]]'s exact relation)
+    * → Gopher doc rules → C4 doc rules.  This is the first dashboard a
+    * corpus curator reads, and it exercises the LADDER'S COMPOSITION:
+    * every count is an exact integer, so the whole funnel is
+    * oracle-checked end-to-end, conservation included
+    * (docs_in − docs_removed = docs_out, stage k's in = k−1's out).
+    *
+    * `removed_alone` is each filter's standalone removal count on the
+    * RAW corpus — the number a curator compares against the cumulative
+    * column to see overlap between filters, and the value that keeps
+    * every stage's semantics gate-pinned even when an upstream stage
+    * (C4 on this unpunctuated synthetic corpus) empties the funnel.
+    *
+    * Scale shape: one corpus scan feeds the per-doc flag columns; the
+    * fp/component windows shuffle skinny (id, key) rows; the stage
+    * algebra is a single 6-row stack over one aggregate row — at
+    * 100 TB this is strictly cheaper than running the six stage
+    * queries separately (shared scan, shared shingle artifacts).
+    */
+  def curationReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val comp = Dedup.nearDupComponentLabels(s, dir)
+      .select(col("id").as("doc_id"), col("comp"))
+    val decon = Dedup.decontaminate(s, dir)
+      .select(col("test_id").as("doc_id"), lit(true).as("decon"))
+    val gk = TextOps.qualityGopherFlags(docs).select(col("doc_id"), col("keep").as("g_keep"))
+    val ck = TextOps.qualityC4Flags(docs).select(col("doc_id"), col("keep").as("c_keep"))
+    val base = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .join(decon, Seq("doc_id"), "left")
+      .withColumn("decon", coalesce(col("decon"), lit(false)))
+      .join(gk, Seq("doc_id")).join(ck, Seq("doc_id"))
+    val flagged = base
+      .withColumn("k1", col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .withColumn("k2", col("k1") && col("doc_id") ===
+        min(when(col("k1"), col("doc_id"))).over(Window.partitionBy(col("comp"))))
+      .withColumn("a2", col("doc_id") === col("comp"))
+      .withColumn("k3", col("k2") && !col("decon"))
+      .withColumn("k4", col("k3") && col("g_keep"))
+      .withColumn("k5", col("k4") && col("c_keep"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def tok(c: Column) = sum(when(c, col("n_toks")).otherwise(0L))
+    flagged.agg(
+        count(lit(1)).as("n"), sum(col("n_toks")).as("t0"),
+        cnt(col("k1")).as("o1"), tok(col("k1")).as("t1"),
+        cnt(col("k2")).as("o2"), tok(col("k2")).as("t2"),
+        cnt(col("k3")).as("o3"), tok(col("k3")).as("t3"),
+        cnt(col("k4")).as("o4"), tok(col("k4")).as("t4"),
+        cnt(col("k5")).as("o5"), tok(col("k5")).as("t5"),
+        cnt(!col("a2")).as("r2a"), cnt(col("decon")).as("r3a"),
+        cnt(!col("g_keep")).as("r4a"), cnt(!col("c_keep")).as("r5a"))
+      .select(expr(
+        """stack(6,
+          |1, 'raw',           n,  CAST(0 AS BIGINT), n,  CAST(0 AS BIGINT), t0,
+          |2, 'exact_dedup',   n,  n - o1,  o1, n - o1, t1,
+          |3, 'near_dup',      o1, o1 - o2, o2, r2a, t2,
+          |4, 'decontaminate', o2, o2 - o3, o3, r3a, t3,
+          |5, 'gopher',        o3, o3 - o4, o4, r4a, t4,
+          |6, 'c4',            o4, o4 - o5, o5, r5a, t5)
+          |AS (stage_idx, stage, docs_in, docs_removed, docs_out, removed_alone, tokens_out)""".stripMargin))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Partition-pruning exercised THROUGH the gate: write the events
+    * table Hive-partitioned by (day, event_type) — the 100 TB lake
+    * layout — then read ONE day × one event type back and report what
+    * the scan actually touched.  `parts_selected`/`files_selected`
+    * come from the executed plan's [[org.apache.spark.sql.execution.FileSourceScanLike]]
+    * selected partitions (planning-time pruning truth, NOT
+    * input_file_name() which only sees files that produced surviving
+    * rows), so a pruning regression — a filter that stops reaching the
+    * scan as a PartitionFilter — changes the value and FAILS the
+    * oracle compare instead of only a spec.  The oracle can predict
+    * the file counts exactly because the writer repartitions on the
+    * partition columns first: each (day, event_type) combo lands in
+    * exactly one task ⇒ one file per partition directory, so
+    * files == partitions == COUNT(DISTINCT day, event_type).
+    *
+    * The write is the diagnostic's temp-dir side effect (the
+    * ingest_text128 precedent), overwritten per run; the LAYOUT is the
+    * product surface ([[graft.sources.Layout.writePartitioned]]).
+    */
+  def layoutPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_layout_prune_" + new java.io.File(dir).getName).getAbsolutePath
+    val day = "2024-01-15"
+    val etype = "purchase"
+    val events = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    graft.sources.Layout.writePartitioned(
+      events.repartition(col("day"), col("event_type")), tmp, "day", "event_type")
+    val pruned = s.read.parquet(tmp)
+      .filter(col("day") === day && col("event_type") === etype)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanLike => f
+    }.getOrElse(throw new IllegalStateException("layout_prune: no file scan in plan"))
+    val parts = scan.selectedPartitions
+    val partsSelected = parts.partitionCount.toLong
+    val filesSelected = parts.toPartitionArray.length.toLong
+    val filesTotal = scan.relation.location.inputFiles.length.toLong
+    val rows = pruned.count()
+    import s.implicits._
+    Seq((day, etype, rows, partsSelected, filesSelected, filesTotal))
+      .toDF("day", "event_type", "rows_read", "parts_selected",
+        "files_selected", "files_total")
+  }
+
   /** Column-profile audit — the pre-flight validation every pipeline
     * run starts with (and the post-run regression check it ends
     * with): per column, row/null/distinct counts and min/max, in one
@@ -748,6 +865,8 @@ object Pipeline {
     "split_assign_grouped" -> (splitAssignGrouped _),
     "pack_render" -> (packRenderDocs _),
     "ingest_text128" -> (ingestText128 _),
+    "layout_prune" -> (layoutPrune _),
+    "curation_report" -> (curationReport _),
     "pack_stats" -> (packStats _))
 
   def oracleSql: Map[String, String] = Map(
@@ -759,6 +878,103 @@ object Pipeline {
         |  COUNT(DISTINCT text) AS n_id64,
         |  COUNT(DISTINCT text) AS n_id128
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the funnel composes the already-proven stage oracles (exact-dedup
+    // fingerprint, the recursive near-dup CC, decontaminate's capped
+    // 5-gram overlap, the Gopher and C4 rule sets) into one 6-row
+    // attrition report; every value is an exact integer
+    "curation_report" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS tk,
+        |  string_split(text, chr(10)) AS lines,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |p AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |      WHERE c / (s1.n + s2.n - c) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |      UNION
+        |      SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |comp0 AS (SELECT id, LEAST(id, MIN(reach)) AS comp FROM r GROUP BY id),
+        |dsh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+        |          for i in generate_series(1, len(tk)-4)]
+        |    ELSE [] END) AS shingle FROM t),
+        |dsh AS (SELECT * FROM dsh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |dec AS (SELECT DISTINCT te.doc_id FROM dsh te JOIN dsh tr
+        |        ON te.shingle = tr.shingle AND te.doc_id % 2 = 0 AND tr.doc_id % 2 = 1),
+        |g AS (SELECT doc_id,
+        |  (CAST(len(tk) AS BIGINT) BETWEEN 50 AND 100000
+        |   AND CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(tk) BETWEEN 3 AND 10
+        |   AND CAST((len(text) - len(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(tk) <= 0.1
+        |   AND CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS DOUBLE) / len(lines) <= 0.9
+        |   AND CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE) / len(lines) <= 0.3
+        |   AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) >= 0.8
+        |   AND len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(tk, w))) >= 2) AS g_keep
+        |  FROM t),
+        |c AS (SELECT doc_id,
+        |  (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND len(regexp_extract_all(COALESCE(array_to_string(list_filter(lines, l ->
+        |         regexp_matches(rtrim(l), '[.!?"]$')
+        |         AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |         AND NOT contains(lower(l), 'javascript')), ' '), ''), '[.!?]')) >= 3) AS c_keep
+        |  FROM t),
+        |base AS (SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_toks, md5(nt) AS fp,
+        |  COALESCE(comp0.comp, t.doc_id) AS comp,
+        |  t.doc_id IN (SELECT doc_id FROM dec) AS decon,
+        |  g.g_keep, c.c_keep
+        |  FROM t LEFT JOIN comp0 ON t.doc_id = comp0.id
+        |  JOIN g ON t.doc_id = g.doc_id JOIN c ON t.doc_id = c.doc_id),
+        |fl AS (SELECT *,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS k1,
+        |  doc_id = comp AS a2
+        |  FROM base),
+        |fl2 AS (SELECT *,
+        |  k1 AND doc_id = MIN(CASE WHEN k1 THEN doc_id END) OVER (PARTITION BY comp) AS k2
+        |  FROM fl),
+        |fl3 AS (SELECT *, k2 AND NOT decon AS k3,
+        |  k2 AND NOT decon AND g_keep AS k4,
+        |  k2 AND NOT decon AND g_keep AND c_keep AS k5 FROM fl2),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_toks) AS BIGINT) AS t0,
+        |  CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS o1, CAST(SUM(CASE WHEN k1 THEN n_toks ELSE 0 END) AS BIGINT) AS t1,
+        |  CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS o2, CAST(SUM(CASE WHEN k2 THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
+        |  CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS o3, CAST(SUM(CASE WHEN k3 THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
+        |  CAST(SUM(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS o4, CAST(SUM(CASE WHEN k4 THEN n_toks ELSE 0 END) AS BIGINT) AS t4,
+        |  CAST(SUM(CASE WHEN k5 THEN 1 ELSE 0 END) AS BIGINT) AS o5, CAST(SUM(CASE WHEN k5 THEN n_toks ELSE 0 END) AS BIGINT) AS t5,
+        |  CAST(SUM(CASE WHEN NOT a2 THEN 1 ELSE 0 END) AS BIGINT) AS r2a,
+        |  CAST(SUM(CASE WHEN decon THEN 1 ELSE 0 END) AS BIGINT) AS r3a,
+        |  CAST(SUM(CASE WHEN NOT g_keep THEN 1 ELSE 0 END) AS BIGINT) AS r4a,
+        |  CAST(SUM(CASE WHEN NOT c_keep THEN 1 ELSE 0 END) AS BIGINT) AS r5a
+        |  FROM fl3)
+        |SELECT s.* FROM a, LATERAL (VALUES
+        |  (1, 'raw',           n,  CAST(0 AS BIGINT), n,  CAST(0 AS BIGINT), t0),
+        |  (2, 'exact_dedup',   n,  n - o1,  o1, n - o1, t1),
+        |  (3, 'near_dup',      o1, o1 - o2, o2, r2a, t2),
+        |  (4, 'decontaminate', o2, o2 - o3, o3, r3a, t3),
+        |  (5, 'gopher',        o3, o3 - o4, o4, r4a, t4),
+        |  (6, 'c4',            o4, o4 - o5, o5, r5a, t5))
+        |  s(stage_idx, stage, docs_in, docs_removed, docs_out, removed_alone, tokens_out)
+        |ORDER BY stage_idx""".stripMargin,
+    // the engine reports what its pruned scan TOUCHED (selected
+    // partitions of the executed plan); the oracle predicts those
+    // counts from the data because the layout is one file per
+    // (day, event_type) directory — an unpruned scan reads 150 files
+    // and mismatches the oracle's 1
+    "layout_prune" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events),
+        |f AS (SELECT * FROM e WHERE day = '2024-01-15' AND event_type = 'purchase')
+        |SELECT '2024-01-15' AS day, 'purchase' AS event_type,
+        |  CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS rows_read,
+        |  CAST((SELECT COUNT(DISTINCT day || '/' || event_type) FROM f) AS BIGINT) AS parts_selected,
+        |  CAST((SELECT COUNT(DISTINCT day || '/' || event_type) FROM f) AS BIGINT) AS files_selected,
+        |  CAST((SELECT COUNT(DISTINCT day || '/' || event_type) FROM e) AS BIGINT) AS files_total""".stripMargin,
     // the instr-alphabet nibble math mirrors the engine exactly
     // (DuckDB has no conv/strtol — SURVEY §5)
     "shuffle_shards" ->

@@ -26,6 +26,21 @@ class LayoutSkewSpec extends AnyFunSuite {
     assert(p.contains("__salt"), p.linesIterator.take(10).mkString("\n"))
   }
 
+  test("layout_prune reports the pruned scan's true touch counts") {
+    val row = graft.operators.Pipeline.layoutPrune(spark, sf).head
+    // one (day, event_type) directory selected, one file per directory
+    assert(row.getAs[Long]("parts_selected") === 1L)
+    assert(row.getAs[Long]("files_selected") === 1L)
+    // the full layout is 30 days x 5 event types, one file each
+    assert(row.getAs[Long]("files_total") === 150L)
+    // rows_read agrees with a direct filter over the source table
+    val want = Tables.events(spark, sf)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-15" &&
+        col("event_type") === "purchase").count()
+    assert(row.getAs[Long]("rows_read") === want)
+    assert(want > 0, "fixture day/type must be populated at every SF")
+  }
+
   test("bucketed tables on the same key join with zero shuffle exchange") {
     Layout.dropTable(spark, "b_orders"); Layout.dropTable(spark, "b_lineitem")
     Layout.writeBucketed(
