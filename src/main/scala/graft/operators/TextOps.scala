@@ -155,7 +155,10 @@ object TextOps {
     * (score, then language code).  Heuristic → rows-only oracle; the
     * ScalaTest spec pins determinism and output coverage.
     */
-  def langId(s: SparkSession, dir: String): DataFrame = {
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langIdOn(Tables.documents(s, dir))
+
+  private[graft] def langIdOn(docs: DataFrame): DataFrame = {
     val profiles: Seq[(String, Seq[String])] = Seq(
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
       "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on"),
@@ -168,7 +171,58 @@ object TextOps {
         (graft.functions.CountInSet.countInSet(toks, words) / size(toks)).as("score"),
         lit(lang).as("lang"))
     }: _*)
-    Tables.documents(s, dir).select(
+    docs.select(
+      col("doc_id"),
+      array_max(scored).getField("lang").as("lang_pred"),
+      array_max(scored).getField("score").as("lang_score"),
+      col("lang").as("lang_label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Character-n-gram language profiles (the TextCat family's public
+    * method, reduced to an oracle-exact scorer): per language, the
+    * most frequent character n-grams from published frequency lists —
+    * trigrams for the Latin and Cyrillic languages, single Han
+    * characters for Chinese (character identity IS the signal there).
+    * Shared by [[langIdNgram]] and its spec.
+    */
+  private[operators] val CharNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "sch", "ich", "nde", "die", "und", "che"),
+    "en" -> Seq("the", " th", "he ", "and", "ing", "ion", " of", "ed "),
+    "es" -> Seq(" de", "os ", " la", "ión", "es ", "ent", "que", " co"),
+    "fr" -> Seq("es ", " de", "ent", "le ", " le", "ait", "que", "eur"),
+    "ru" -> Seq(" и ", "ого", "ать", "ост", "ени", "ние", "ств", "при"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  /** Charset-robust language guesser: character-n-gram profile scoring
+    * (TextCat's public method) next to the stopword profile of
+    * [[langId]].  The stopword profile is blind outside Latin scripts
+    * — no marker token ever matches, every score is 0 and the argmax
+    * degenerates to the tie-break — while character n-grams see every
+    * script.  Score = Σ_g occurrences(g) / char_length, where
+    * occurrences comes from the exact length-difference-of-replace
+    * identity — an integer quotient both engines compute bit-equal, so
+    * the struct argmax (score, then language code) stays ORACLE-EXACT
+    * like lang_id's.  Per-row codegen'd string work, no shuffle: the
+    * 100 TB shape is a projection.
+    */
+  def langIdNgram(s: SparkSession, dir: String): DataFrame =
+    langIdNgramOn(Tables.documents(s, dir))
+
+  private[graft] def langIdNgramOn(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    // exact occurrence count via the length-difference-of-replace
+    // identity (plain substring replace, not regex — codegen'd and
+    // byte-identical across engines); greatest(len, 1) keeps the
+    // empty-text row at score 0 instead of engine-divergent 0/0
+    def occurrences(g: String): Column =
+      (length(t) - length(replace(t, lit(g), lit("")))) / lit(g.length)
+    val scored: Column = array(CharNgramProfiles.map { case (lang, grams) =>
+      struct(
+        (grams.map(occurrences).reduce(_ + _) / greatest(length(t), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    docs.select(
       col("doc_id"),
       array_max(scored).getField("lang").as("lang_pred"),
       array_max(scored).getField("score").as("lang_score"),
@@ -902,11 +956,30 @@ object TextOps {
     "vocab_coverage" -> (vocabCoverage _),
     "token_diversity" -> (tokenDiversity _),
     "lang_id" -> (langId _),
+    "lang_id_ngram" -> (langIdNgram _),
     "top_terms" -> (topTerms _),
     "text_commonness" -> (textCommonness _),
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    // GENERATED from the same CharNgramProfiles constant the engine
+    // reads, so profile and oracle can never diverge; the
+    // length-difference-of-replace occurrence count and the struct
+    // argmax are exact in both engines (see lang_id's note)
+    "lang_id_ngram" -> {
+      val cands = CharNgramProfiles.map { case (lang, grams) =>
+        val total = grams.map(g =>
+          s"(length(t) - length(replace(t, '$g', ''))) / ${g.length}").mkString(" + ")
+        s"{'score': ($total) / greatest(length(t), 1), 'lang': '$lang'}"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang AS lang_label, lower(text) AS t FROM documents),
+         |s AS (SELECT doc_id, lang_label, [
+         |  $cands
+         |  ] AS cand FROM t)
+         |SELECT doc_id, list_max(cand).lang AS lang_pred,
+         |  list_max(cand).score AS lang_score, lang_label
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     // exact integer counts throughout; the keep conjunction replays
     // the same comparisons
     "quality_c4" ->

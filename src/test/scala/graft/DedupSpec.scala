@@ -234,6 +234,26 @@ class DedupSpec extends AnyFunSuite {
     assert(local === want)
   }
 
+  test("curation_report conserves documents at every stage and chains stage outputs") {
+    val rows = graft.operators.Pipeline.curationReport(spark, sf).collect()
+      .sortBy(_.getAs[Int]("stage_idx"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("raw", "exact_dedup", "near_dup", "decontaminate", "gopher", "c4"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_in") - r.getAs[Long]("docs_removed") ===
+        r.getAs[Long]("docs_out"), s"conservation at ${r.getAs[String]("stage")}")
+      assert(r.getAs[Long]("docs_removed") >= 0 && r.getAs[Long]("tokens_out") >= 0)
+    }
+    rows.sliding(2).foreach { case Array(prev, next) =>
+      assert(prev.getAs[Long]("docs_out") === next.getAs[Long]("docs_in"),
+        s"chain break ${prev.getAs[String]("stage")} -> ${next.getAs[String]("stage")}")
+    }
+    // the raw row is the whole corpus; tokens only ever shrink
+    assert(rows.head.getAs[Long]("docs_in") === 500L)
+    assert(rows.map(_.getAs[Long]("tokens_out")).toSeq ===
+      rows.map(_.getAs[Long]("tokens_out")).toSeq.sorted.reverse)
+  }
+
   test("corpus_clean keeps exactly the quality reps") {
     val kept = Dedup.dedupComponents(spark, sf).collect()
     val nonReps = kept.filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("rep"))

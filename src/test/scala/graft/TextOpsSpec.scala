@@ -26,6 +26,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.length === 500)
   }
 
+  test("lang_id_ngram sees non-Latin scripts where the stopword profile is blind") {
+    import spark.implicits._
+    // a Russian sentence: no Latin stopword ever matches, so the
+    // stopword profile scores every language 0 and its argmax
+    // degenerates to the alphabetic tie-break ('zh') — misclassified.
+    // The character-n-gram profile reads the Cyrillic directly.
+    val docs = Seq(
+      (1L, "при этом ого состояние ости важно и について ние обеспечение прать", "ru"),
+      (2L, "the cat sat on the mat and the dog ate the bone of the day", "en"),
+      (3L, "我 不 是 人 了 的 有 我 在 的 是 不 了", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val stop = TextOps.langIdOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(stop(1L) !== "ru", "fixture must be one the stopword profile gets wrong")
+    val ngram = TextOps.langIdNgramOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(ngram(1L) === "ru")
+    assert(ngram(2L) === "en")
+    assert(ngram(3L) === "zh")
+    // and over the corpus: deterministic, total coverage (the lang_id contract)
+    val a = TextOps.langIdNgram(spark, sf).collect().map(_.toString).toSeq
+    assert(a.length === 500)
+    assert(a === TextOps.langIdNgram(spark, sf).collect().map(_.toString).toSeq)
+  }
+
   test("pii_scrub removes every match and counts agree with a local regex replay") {
     val rows = TextOps.piiScrub(spark, sf).collect()
     assert(rows.nonEmpty)
