@@ -18,13 +18,22 @@ import org.apache.spark.sql.types._
   * per-partition buffer reuse, constant memory, no shuffle — at 100 TB
   * both passes pipeline with the scan.
   *
-  * Scope mirrors [[AvroCodec]]: flat records of scalar fields —
-  * int64 (varint), sint64 (zigzag varint), double, float, bool,
-  * string, bytes.  Nested messages/repeated fields are out of scope
-  * (that structured a payload belongs in parquet) and rejected at
-  * schema-parse time.  The schema is a compact
+  * Scope: records of scalar fields — int64 (varint), sint64 (zigzag
+  * varint), double, float, bool, string, bytes — plus ONE level of
+  * structure, the shapes real Kafka proto topics actually carry:
+  * message-typed fields (wire type 2, the same length-delimited
+  * machinery as string/bytes; decode to a struct column, absent ⇒
+  * NULL — message fields are proto3's one explicit-presence scalar
+  * case) and repeated fields (scalars encode PACKED per the proto3
+  * default and decode both packed and expanded; strings/bytes/
+  * messages are one length-delimited element per tag; decode to an
+  * array column, absent ⇒ empty array).  Messages nested inside
+  * messages stay rejected at schema-parse time (depth > 1 structure
+  * belongs in parquet).  The schema is a compact
   * `"number:name:type,..."` string — proto3 semantics don't need more
-  * (names never hit the wire; numbers and types do).
+  * (names never hit the wire; numbers and types do); `type` extends to
+  * `int64[]` (repeated), `{1:street:string;2:zip:int64}` (message) and
+  * `{...}[]` (repeated message).
   *
   * proto3 semantics implemented faithfully, because they're the
   * interesting DLQ contrast with the other three formats:
@@ -40,20 +49,62 @@ import org.apache.spark.sql.types._
   */
 object ProtoCodec {
 
-  final case class ProtoField(number: Int, name: String, ptype: String)
+  /** `ptype` is the scalar kind or `"message"` (then `sub` carries the
+    * one-level nested fields); `repeated` wraps either in an array.
+    */
+  final case class ProtoField(number: Int, name: String, ptype: String,
+      repeated: Boolean = false, sub: Seq[ProtoField] = Nil)
 
   private val Types = Set("int64", "sint64", "double", "float", "bool", "string", "bytes")
 
   /** Parse + validate the `"number:name:type,..."` schema string; field
-    * numbers must be unique and in the proto-legal range.
+    * numbers must be unique and in the proto-legal range.  Message
+    * types use `{...;...}` with ';'-separated sub-fields (scalar or
+    * repeated-scalar only — depth > 1 is rejected); a trailing `[]`
+    * on any type means repeated.
     */
-  def parseSchema(s: String): Seq[ProtoField] = {
-    val fields = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
-      val bits = part.split(":")
+  def parseSchema(s: String): Seq[ProtoField] =
+    parseFields(s, ',', allowMessage = true)
+
+  /** Split on `sep` at brace depth 0 only, so message sub-schemas ride
+    * inside one top-level field part.
+    */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '{' => depth += 1; cur += '{'
+      case '}' => depth -= 1; require(depth >= 0, s"unbalanced braces in schema '$s'"); cur += '}'
+      case c if c == sep && depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    require(depth == 0, s"unbalanced braces in schema '$s'")
+    parts += cur.result()
+    parts.toSeq
+  }
+
+  private def parseFields(s: String, sep: Char, allowMessage: Boolean): Seq[ProtoField] = {
+    val fields = splitTop(s, sep).map(_.trim).filter(_.nonEmpty).map { part =>
+      val bits = part.split(":", 3)
       require(bits.length == 3, s"schema field '$part' is not number:name:type")
-      val f = ProtoField(bits(0).toInt, bits(1), bits(2))
-      require(Types.contains(f.ptype),
-        s"field '${f.name}': unsupported proto type ${f.ptype} (supported: ${Types.mkString(", ")})")
+      val (typeStr, repeated) =
+        if (bits(2).endsWith("[]")) (bits(2).dropRight(2), true) else (bits(2), false)
+      val f =
+        if (typeStr.startsWith("{")) {
+          require(allowMessage,
+            s"field '${bits(1)}': nested messages beyond one level are not supported " +
+              "(deeper structure belongs in parquet)")
+          require(typeStr.endsWith("}"), s"schema field '$part': unterminated message type")
+          val sub = parseFields(typeStr.substring(1, typeStr.length - 1), ';',
+            allowMessage = false)
+          require(sub.nonEmpty, s"field '${bits(1)}': empty message type")
+          ProtoField(bits(0).trim.toInt, bits(1).trim, "message", repeated, sub)
+        } else {
+          require(Types.contains(typeStr),
+            s"field '${bits(1)}': unsupported proto type $typeStr (supported: ${Types.mkString(", ")}, [], {...})")
+          ProtoField(bits(0).trim.toInt, bits(1).trim, typeStr, repeated)
+        }
       require(f.number >= 1 && f.number <= 536870911 && !(f.number >= 19000 && f.number <= 19999),
         s"field '${f.name}': illegal proto field number ${f.number}")
       f
@@ -73,12 +124,22 @@ object ProtoCodec {
     case other => throw new IllegalArgumentException(s"unsupported proto type $other")
   }
 
-  /** Spark schema of the decoded record: every field non-nullable in
-    * spirit (proto3 has no null — absent decodes to the default), but
-    * declared nullable=false only for what Spark enforces cheaply.
+  private def fieldType(f: ProtoField): DataType = {
+    val base =
+      if (f.ptype == "message") StructType(f.sub.map(sf =>
+        StructField(sf.name, fieldType(sf), nullable = sf.ptype == "message" && !sf.repeated)))
+      else sparkType(f.ptype)
+    if (f.repeated) ArrayType(base, containsNull = false) else base
+  }
+
+  /** Spark schema of the decoded record: scalars non-nullable (proto3
+    * has no null — absent decodes to the default), repeated fields
+    * non-nullable arrays (absent ⇒ empty), message fields NULLABLE
+    * (absence is observable presence in proto3's message case).
     */
   def sparkSchema(fields: Seq[ProtoField]): StructType =
-    StructType(fields.map(f => StructField(f.name, sparkType(f.ptype), nullable = false)))
+    StructType(fields.map(f => StructField(f.name, fieldType(f),
+      nullable = f.ptype == "message" && !f.repeated)))
 
   // ---- wire primitives (spec-pinned against the published examples) ----
 
@@ -99,64 +160,165 @@ object ProtoCodec {
     while (i < bytes) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
   }
 
+  /** Write one scalar VALUE (no tag) in its wire encoding — shared by
+    * the singular, packed-run and expanded paths.
+    */
+  private def writeScalar(out: java.io.ByteArrayOutputStream, ptype: String, v: Any): Unit =
+    ptype match {
+      case "int64"  => writeVarint(out, v.asInstanceOf[Long])
+      case "sint64" => writeVarint(out, zigzagEncode(v.asInstanceOf[Long]))
+      case "bool"   => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
+      case "double" => writeLe(out, java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]), 8)
+      case "float"  => writeLe(out, java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL, 4)
+      case other => throw new IllegalArgumentException(s"not a packable scalar: $other")
+    }
+
+  private def writeDelimited(out: java.io.ByteArrayOutputStream, number: Int,
+      b: Array[Byte]): Unit = {
+    writeTag(out, number, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+  }
+
   /** Encode one row's values (aligned with `fields`) in ascending
-    * field-number order, proto3 default-elision included.  Returns the
-    * byte offset after the last field with number ≤ `markAfterField`
-    * (-1 disables) — the deterministic field-boundary a torn-write
-    * simulation truncates at.
+    * field-number order, proto3 default-elision included (null/empty
+    * repeated fields and NULL message fields are omitted; a non-null
+    * all-default message still writes its zero-length presence).
+    * Repeated numeric scalars write PACKED (the proto3 default);
+    * repeated strings/bytes/messages write one length-delimited
+    * element per tag.  Returns the byte offset after the last field
+    * with number ≤ `markAfterField` (-1 disables) — the deterministic
+    * field-boundary a torn-write simulation truncates at.
     */
   private[graft] def encodeRecord(out: java.io.ByteArrayOutputStream,
       fields: Seq[ProtoField], values: Seq[Any], markAfterField: Int): Int = {
     var mark = 0
     fields.zip(values).foreach { case (f, v) =>
-      val dflt = v == null || (f.ptype match {
-        case "int64" | "sint64" => v.asInstanceOf[Long] == 0L
-        case "double" => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]) == 0L
-        case "float"  => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]) == 0
-        case "bool"   => !v.asInstanceOf[Boolean]
-        case "string" => v.asInstanceOf[String].isEmpty
-        case "bytes"  => v.asInstanceOf[Array[Byte]].isEmpty
-      })
-      if (!dflt) f.ptype match {
-        case "int64"  => writeTag(out, f.number, 0); writeVarint(out, v.asInstanceOf[Long])
-        case "sint64" => writeTag(out, f.number, 0); writeVarint(out, zigzagEncode(v.asInstanceOf[Long]))
-        case "bool"   => writeTag(out, f.number, 0); writeVarint(out, 1L)
-        case "double" => writeTag(out, f.number, 1)
-          writeLe(out, java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]), 8)
-        case "float"  => writeTag(out, f.number, 5)
-          writeLe(out, java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL, 4)
-        case "string" =>
-          val b = v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          writeTag(out, f.number, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
-        case "bytes"  =>
-          val b = v.asInstanceOf[Array[Byte]]
-          writeTag(out, f.number, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+      if (f.repeated) {
+        val elems: Seq[Any] = v match {
+          case null => Nil
+          case s: scala.collection.Seq[_] => s.toSeq
+          case a: Array[_] => scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+          case other => throw new IllegalArgumentException(
+            s"field '${f.name}': repeated value is not a sequence: ${other.getClass}")
+        }
+        if (elems.nonEmpty) f.ptype match {
+          case "string" => elems.foreach(e =>
+            writeDelimited(out, f.number,
+              e.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          case "bytes" => elems.foreach(e => writeDelimited(out, f.number, e.asInstanceOf[Array[Byte]]))
+          case "message" => elems.foreach { e =>
+            val sub = new java.io.ByteArrayOutputStream(64)
+            encodeRecord(sub, f.sub, rowValues(e), -1)
+            writeDelimited(out, f.number, sub.toByteArray)
+          }
+          case _ => // packed numeric run: one tag, one length, concatenated values
+            val run = new java.io.ByteArrayOutputStream(64)
+            elems.foreach(e => writeScalar(run, f.ptype, e))
+            writeDelimited(out, f.number, run.toByteArray)
+        }
+      } else if (f.ptype == "message") {
+        if (v != null) {
+          val sub = new java.io.ByteArrayOutputStream(64)
+          encodeRecord(sub, f.sub, rowValues(v), -1)
+          writeDelimited(out, f.number, sub.toByteArray)
+        }
+      } else {
+        val dflt = v == null || (f.ptype match {
+          case "int64" | "sint64" => v.asInstanceOf[Long] == 0L
+          case "double" => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]) == 0L
+          case "float"  => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]) == 0
+          case "bool"   => !v.asInstanceOf[Boolean]
+          case "string" => v.asInstanceOf[String].isEmpty
+          case "bytes"  => v.asInstanceOf[Array[Byte]].isEmpty
+        })
+        if (!dflt) f.ptype match {
+          case "int64" | "sint64" | "bool" => writeTag(out, f.number, 0); writeScalar(out, f.ptype, v)
+          case "double" => writeTag(out, f.number, 1); writeScalar(out, f.ptype, v)
+          case "float"  => writeTag(out, f.number, 5); writeScalar(out, f.ptype, v)
+          case "string" =>
+            writeDelimited(out, f.number,
+              v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case "bytes"  => writeDelimited(out, f.number, v.asInstanceOf[Array[Byte]])
+        }
       }
       if (f.number <= markAfterField) mark = out.size()
     }
     mark
   }
 
+  /** A message value arrives as a Spark Row or (from specs) a plain
+    * Seq/tuple product — normalize to the sub-field value sequence.
+    */
+  private def rowValues(v: Any): Seq[Any] = v match {
+    case r: Row => r.toSeq
+    case s: scala.collection.Seq[_] => s.toSeq
+    case p: Product => p.productIterator.toSeq
+    case other => throw new IllegalArgumentException(
+      s"message value is not a Row/Seq/Product: ${other.getClass}")
+  }
+
   /** Parse one record; `slots` is filled by field number (unknown
     * numbers skipped by wire type — the proto3 forward-compat
     * contract).  Throws on malformed bytes (truncated varint, length
     * overrun) — which, per the spec, can only happen on truncation
-    * INSIDE a field, never at a field boundary.
+    * INSIDE a field, never at a field boundary.  Repeated numeric
+    * fields accept BOTH packed runs and expanded per-tag elements
+    * (the spec's decoder requirement); a singular message field
+    * appearing more than once MERGES per the spec (later scalar
+    * occurrences overwrite, which falls out of decoding the later
+    * payload into the same slot array).
     */
   private[graft] def decodeRecord(bytes: Array[Byte], fields: Seq[ProtoField]): Array[Any] = {
-    val byNumber = fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
+    val slots = freshSlots(fields)
+    decodeInto(bytes, fields, slots)
+    finishSlots(fields, slots)
+  }
+
+  /** Working slots during a parse: repeated → ArrayBuffer, message →
+    * null-until-seen Array[Any] of its own slots, scalar → default.
+    */
+  private def freshSlots(fields: Seq[ProtoField]): Array[Any] = {
     val out = new Array[Any](fields.length)
-    // proto3 defaults for absent fields
     fields.zipWithIndex.foreach { case (f, i) =>
-      out(i) = f.ptype match {
-        case "int64" | "sint64" => 0L
-        case "double" => 0.0
-        case "float"  => 0.0f
-        case "bool"   => false
-        case "string" => ""
-        case "bytes"  => Array.emptyByteArray
-      }
+      out(i) =
+        if (f.repeated) scala.collection.mutable.ArrayBuffer.empty[Any]
+        else if (f.ptype == "message") null
+        else scalarDefault(f.ptype)
     }
+    out
+  }
+
+  private def scalarDefault(ptype: String): Any = ptype match {
+    case "int64" | "sint64" => 0L
+    case "double" => 0.0
+    case "float"  => 0.0f
+    case "bool"   => false
+    case "string" => ""
+    case "bytes"  => Array.emptyByteArray
+  }
+
+  /** Convert working slots to the Spark-facing record values. */
+  private def finishSlots(fields: Seq[ProtoField], slots: Array[Any]): Array[Any] = {
+    val out = new Array[Any](fields.length)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      out(i) =
+        if (f.repeated) {
+          val buf = slots(i).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+          if (f.ptype == "message")
+            buf.map(s => Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              finishSlots(f.sub, s.asInstanceOf[Array[Any]])))).toSeq
+          else buf.toSeq
+        } else if (f.ptype == "message") {
+          if (slots(i) == null) null
+          else Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            finishSlots(f.sub, slots(i).asInstanceOf[Array[Any]])))
+        } else slots(i)
+    }
+    out
+  }
+
+  private def decodeInto(bytes: Array[Byte], fields: Seq[ProtoField],
+      slots: Array[Any]): Unit = {
+    val byNumber = fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
     var pos = 0
     def readVarint(): Long = {
       var shift = 0; var acc = 0L
@@ -177,29 +339,79 @@ object ProtoCodec {
       pos += n
       acc
     }
+    def readScalar(ptype: String): Any = ptype match {
+      case "int64"  => readVarint()
+      case "sint64" => zigzagDecode(readVarint())
+      case "bool"   => readVarint() != 0L
+      case "double" => java.lang.Double.longBitsToDouble(readLe(8))
+      case "float"  => java.lang.Float.intBitsToFloat(readLe(4).toInt)
+    }
+    def readDelimited(number: Int, what: String): Int = {
+      val len = readVarint().toInt
+      require(pos + len <= bytes.length, s"$what field $number overruns payload")
+      len
+    }
+    def scalarWt(ptype: String): Int = ptype match {
+      case "int64" | "sint64" | "bool" => 0
+      case "double" => 1
+      case "float"  => 5
+    }
     while (pos < bytes.length) {
       val tag = readVarint()
       val number = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
       byNumber.get(number) match {
+        case Some((f, i)) if f.repeated =>
+          val buf = slots(i).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+          f.ptype match {
+            case "string" =>
+              require(wt == 2, s"field $number: wire type $wt, want length-delimited")
+              val len = readDelimited(number, "string")
+              buf += new String(bytes, pos, len, java.nio.charset.StandardCharsets.UTF_8); pos += len
+            case "bytes" =>
+              require(wt == 2, s"field $number: wire type $wt, want length-delimited")
+              val len = readDelimited(number, "bytes")
+              buf += java.util.Arrays.copyOfRange(bytes, pos, pos + len); pos += len
+            case "message" =>
+              require(wt == 2, s"field $number: wire type $wt, want length-delimited")
+              val len = readDelimited(number, "message")
+              val sub = freshSlots(f.sub)
+              decodeInto(java.util.Arrays.copyOfRange(bytes, pos, pos + len), f.sub, sub)
+              buf += sub; pos += len
+            case p =>
+              if (wt == 2) { // packed run: elements until the length is consumed
+                val len = readDelimited(number, "packed")
+                val end = pos + len
+                while (pos < end) buf += readScalar(p)
+                require(pos == end, s"packed field $number overran its length")
+              } else {       // expanded: one element under its scalar wire type
+                require(wt == scalarWt(p), s"field $number: wire type $wt, want ${scalarWt(p)} or packed")
+                buf += readScalar(p)
+              }
+          }
+        case Some((f, i)) if f.ptype == "message" =>
+          require(wt == 2, s"field $number: wire type $wt, want length-delimited")
+          val len = readDelimited(number, "message")
+          // spec merge: decode into the EXISTING sub-slots so later
+          // occurrences overwrite scalars and append to repeated
+          val sub = if (slots(i) == null) freshSlots(f.sub) else slots(i).asInstanceOf[Array[Any]]
+          decodeInto(java.util.Arrays.copyOfRange(bytes, pos, pos + len), f.sub, sub)
+          slots(i) = sub; pos += len
         case Some((f, i)) => f.ptype match {
-          case "int64"  => require(wt == 0, s"field $number: wire type $wt, want varint"); out(i) = readVarint()
-          case "sint64" => require(wt == 0, s"field $number: wire type $wt, want varint"); out(i) = zigzagDecode(readVarint())
-          case "bool"   => require(wt == 0, s"field $number: wire type $wt, want varint"); out(i) = readVarint() != 0L
+          case "int64" | "sint64" | "bool" =>
+            require(wt == 0, s"field $number: wire type $wt, want varint"); slots(i) = readScalar(f.ptype)
           case "double" => require(wt == 1, s"field $number: wire type $wt, want fixed64")
-            out(i) = java.lang.Double.longBitsToDouble(readLe(8))
+            slots(i) = readScalar(f.ptype)
           case "float"  => require(wt == 5, s"field $number: wire type $wt, want fixed32")
-            out(i) = java.lang.Float.intBitsToFloat(readLe(4).toInt)
+            slots(i) = readScalar(f.ptype)
           case "string" =>
             require(wt == 2, s"field $number: wire type $wt, want length-delimited")
-            val len = readVarint().toInt
-            require(pos + len <= bytes.length, s"string field $number overruns payload")
-            out(i) = new String(bytes, pos, len, java.nio.charset.StandardCharsets.UTF_8); pos += len
+            val len = readDelimited(number, "string")
+            slots(i) = new String(bytes, pos, len, java.nio.charset.StandardCharsets.UTF_8); pos += len
           case "bytes"  =>
             require(wt == 2, s"field $number: wire type $wt, want length-delimited")
-            val len = readVarint().toInt
-            require(pos + len <= bytes.length, s"bytes field $number overruns payload")
-            out(i) = java.util.Arrays.copyOfRange(bytes, pos, pos + len); pos += len
+            val len = readDelimited(number, "bytes")
+            slots(i) = java.util.Arrays.copyOfRange(bytes, pos, pos + len); pos += len
         }
         case None => wt match { // unknown field: skip by wire type
           case 0 => readVarint(); ()
@@ -211,7 +423,6 @@ object ProtoCodec {
         }
       }
     }
-    out
   }
 
   // ---- Confluent registry framing (the AvroCodec.frameConfluent twin) ----

@@ -84,6 +84,98 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(rec.toSeq === Seq(150L, ""))
   }
 
+  test("nested + packed golden vectors match the published encoding examples") {
+    // the spec's Test3 worked example: message field 3 wrapping
+    // Test1{a=150} -> 1a 03 08 96 01
+    assert(hex(encodeOne("3:c:{1:a:int64}", org.apache.spark.sql.Row(150L))) === "1a03089601")
+    // the spec's Test5 packed example: repeated field 6, values
+    // 3, 270, 86942 -> 32 06 03 8e 02 9e a7 05
+    assert(hex(encodeOne("6:f:int64[]", Seq(3L, 270L, 86942L))) === "3206038e029ea705")
+    // repeated string (not packable): one length-delimited element per tag
+    assert(hex(encodeOne("4:d:string[]", Seq("hi", "yo"))) === "220268692202796f")
+    // empty repeated and NULL message are omitted; PRESENT all-default
+    // message writes its zero-length presence (proto3 message presence)
+    // (parseSchema sorts by field number: 3:c first, then 6:f)
+    assert(encodeOne("6:f:int64[],3:c:{1:a:int64}", null, Seq.empty[Long]).isEmpty)
+    assert(hex(encodeOne("3:c:{1:a:int64}", org.apache.spark.sql.Row(0L))) === "1a00")
+  }
+
+  test("repeated decode accepts both packed and expanded forms; message fields merge") {
+    val rep = ProtoCodec.parseSchema("6:f:int64[]")
+    def dec(hex: String) = ProtoCodec.decodeRecord(
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, rep)
+    // packed run (the encoder's form)
+    assert(dec("3206038e029ea705")(0) === Seq(3L, 270L, 86942L))
+    // expanded per-tag form (tag 0x30 = field 6 wt 0), interleavable
+    assert(dec("3003308e02")(0) === Seq(3L, 270L))
+    // mixed: expanded element then a packed run appends in order
+    assert(dec("300132039ea705")(0) === Seq(1L, 86942L))
+    // singular message occurring twice MERGES: later scalars overwrite,
+    // earlier fields persist (the spec's concatenation semantics)
+    val msg = ProtoCodec.parseSchema("3:c:{1:a:int64;2:b:string}")
+    val out = new java.io.ByteArrayOutputStream()
+    // occurrence 1: a=5, b="x"; occurrence 2: a=7 only
+    ProtoCodec.encodeRecord(out, msg, Seq(org.apache.spark.sql.Row(5L, "x")), -1)
+    ProtoCodec.encodeRecord(out, msg, Seq(org.apache.spark.sql.Row(7L, "")), -1)
+    val merged = ProtoCodec.decodeRecord(out.toByteArray, msg)(0)
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(merged.getLong(0) === 7L, "later occurrence overwrites the scalar")
+    assert(merged.getString(1) === "x", "absent-in-later field persists from the earlier occurrence")
+  }
+
+  test("schema parser: depth-2 nesting and malformed braces are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ProtoCodec.parseSchema("1:a:{1:b:{1:c:int64}}")
+    }
+    assert(e.getMessage.contains("one level"))
+    intercept[IllegalArgumentException](ProtoCodec.parseSchema("1:a:{1:b:int64"))
+    // repeated message and repeated scalar inside a message both parse
+    val ok = ProtoCodec.parseSchema("1:tags:{1:k:string;2:vs:int64[]}[],2:n:int64")
+    assert(ok.head.repeated && ok.head.ptype === "message")
+    assert(ok.head.sub(1).repeated && ok.head.sub(1).ptype === "int64")
+  }
+
+  test("structured DataFrame round trip: nested struct + repeated columns survive") {
+    import org.apache.spark.sql.Row
+    val schema = "1:id:int64,2:tags:string[],3:loc:{1:lat:double;2:lon:double},4:ks:sint64[]"
+    val fields = ProtoCodec.parseSchema(schema)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        Row(1L, Seq("a", "b"), Row(1.5, -2.5), Seq(-1L, 3L)),
+        Row(2L, Seq.empty[String], null, Seq.empty[Long]),
+        Row(3L, Seq("z"), Row(0.0, 0.0), Seq(0L)))),
+      ProtoCodec.sparkSchema(fields))
+    val back = ProtoCodec.fromProto(ProtoCodec.toProto(df, schema), schema).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), Option(r.getStruct(2)).map(s => (s.getDouble(0), s.getDouble(1))), r.getSeq[Long](3)))
+      .sortBy(_._1)
+    assert(back(0) === ((1L, Seq("a", "b"), Some((1.5, -2.5)), Seq(-1L, 3L))))
+    // empty repeated comes back EMPTY (not null); absent message comes back NULL
+    assert(back(1) === ((2L, Seq(), None, Seq())))
+    // present all-default message survives as present (zero-length wire)
+    assert(back(2) === ((3L, Seq("z"), Some((0.0, 0.0)), Seq(0L))))
+  }
+
+  test("cross-generation: an old flat reader skips new structured fields; a new reader defaults old payloads") {
+    import org.apache.spark.sql.Row
+    val newSchema = "1:id:int64,2:tags:string[],3:loc:{1:lat:double;2:lon:double}"
+    val oldSchema = "1:id:int64"
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        Row(9L, Seq("t1", "t2"), Row(3.25, -4.5)))),
+      ProtoCodec.sparkSchema(ProtoCodec.parseSchema(newSchema)))
+    // old reader on new bytes: unknown length-delimited fields skip cleanly
+    val old = ProtoCodec.fromProto(ProtoCodec.toProto(df, newSchema), oldSchema).head
+    assert(old.getLong(0) === 9L)
+    // new reader on old bytes: repeated -> empty, message -> null
+    val oldDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(Row(9L))),
+      ProtoCodec.sparkSchema(ProtoCodec.parseSchema(oldSchema)))
+    val neu = ProtoCodec.fromProto(ProtoCodec.toProto(oldDf, oldSchema), newSchema).head
+    assert(neu.getLong(0) === 9L)
+    assert(neu.getSeq[String](1) === Seq())
+    assert(neu.isNullAt(2))
+  }
+
   test("DataFrame round trip is the identity on the record fields") {
     import EventOps.{EventProtoSchema => S}
     val ev = graft.sources.Tables.events(spark, sf).select(
