@@ -56,8 +56,16 @@ object Materialize {
   }
 
   private[graft] def resetBuildCount(name: String): Unit = {
-    builds.remove(name); ()
+    builds.remove(name); deltaBuilds.remove(name); ()
   }
+
+  /** Delta builds executed in this JVM per artifact name — the
+    * append-costs-the-delta claim is pinned against this.
+    */
+  private val deltaBuilds = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[graft] def deltaBuildCount(name: String): Int =
+    deltaBuilds.getOrDefault(name, 0)
 
   def cacheRoot(s: SparkSession): String =
     s.conf.get("spark.graft.cache.dir", "target/graft_cache")
@@ -71,39 +79,167 @@ object Materialize {
   def readOrBuild(s: SparkSession, name: String, inputs: Seq[String],
       params: Seq[(String, String)])(build: => DataFrame): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
-    val sig = signature(s, inputs, params)
+    val lines = statLines(s, inputs, params)
+    val sig = sha256(lines)
     val root = new Path(absolutize(cacheRoot(s)))
     val fs = root.getFileSystem(conf)
     val dest = new Path(root, s"$name-${sig.take(16)}")
     if (!isFresh(fs, dest, sig)) {
       builds.merge(name, 1, (a, b) => a + b)
-      val tmp = new Path(root, s".${dest.getName}.tmp-${java.util.UUID.randomUUID}")
-      build.write.mode("overwrite").parquet(tmp.toString)
-      val out = fs.create(new Path(tmp, "_SIG"))
-      try out.write(sig.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      // A concurrent identical build may have published while we built.
-      // Check BEFORE renaming: on local filesystems a rename onto an
-      // existing directory can merge tmp INSIDE dest (and return true)
-      // instead of failing, which would leave a hidden duplicate copy.
-      if (fs.exists(dest)) {
-        fs.delete(tmp, true)
-        require(isFresh(fs, dest, sig), s"materialize race left no fresh artifact at $dest")
-      } else if (!fs.rename(tmp, dest)) {
-        // the race lost between the exists check and the rename; the
-        // winner's bytes carry the same signature-keyed name
-        fs.delete(tmp, true)
-        require(isFresh(fs, dest, sig), s"materialize race left no fresh artifact at $dest")
-      } else {
-        // rename semantics vary across Hadoop FS impls — a move-into-
-        // existing-directory fallback can leave the whole tmp dir as a
-        // hidden '.tmp-*' child inside dest; reap any such directory
-        // (plain '.crc' sidecar files are left alone)
-        fs.listStatus(dest)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("."))
-          .foreach(h => fs.delete(h.getPath, true))
-      }
+      publish(fs, root, dest, sig, lines, build)
     }
     s.read.parquet(dest.toString)
+  }
+
+  /** Incremental variant: when the input change is a pure APPEND of a
+    * previously materialized snapshot (every old file byte-identical by
+    * stat, ≥ 1 new file), `delta(prevArtifact, prevFiles, deltaFiles)`
+    * builds the new artifact from the old one plus only the appended
+    * files — the incremental-view-maintenance path that makes a 100 TB
+    * daily-crawl append cost the delta, not the corpus.  The callback
+    * may return null to DECLINE (e.g. a required companion artifact
+    * from the prior snapshot is missing), falling back to `full`.
+    * Any non-append change (rewrite, delete, param change) takes the
+    * `full` path.  Correctness contract: delta(prev, old, new) must be
+    * value-identical to full on old+new — spec-pinned for every
+    * registered delta builder.
+    */
+  def readOrBuildDelta(s: SparkSession, name: String, inputs: Seq[String],
+      params: Seq[(String, String)])(full: => DataFrame)(
+      delta: (DataFrame, Seq[String], Seq[String]) => DataFrame): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val lines = statLines(s, inputs, params)
+    val sig = sha256(lines)
+    val root = new Path(absolutize(cacheRoot(s)))
+    val fs = root.getFileSystem(conf)
+    val dest = new Path(root, s"$name-${sig.take(16)}")
+    if (!isFresh(fs, dest, sig)) {
+      val built = findPrior(fs, root, name, dest, lines) match {
+        case Some((prevDir, prevFiles)) =>
+          val cur = fileLines(lines).keys.toSeq.sorted
+          val deltaFiles = cur.filterNot(prevFiles.contains)
+          val d = delta(s.read.parquet(prevDir.toString), prevFiles, deltaFiles)
+          if (d != null) deltaBuilds.merge(name, 1, (a, b) => a + b)
+          Option(d)
+        case None => None
+      }
+      builds.merge(name, 1, (a, b) => a + b)
+      publish(fs, root, dest, sig, lines, built.getOrElse(full))
+    }
+    s.read.parquet(dest.toString)
+  }
+
+  /** The freshest prior artifact of `name` whose manifest is an
+    * append-prefix of the current snapshot: same params, every listed
+    * file present with identical (len, mtime) stats, and at least one
+    * current file it doesn't have.  Returns its DataFrame + file list
+    * — the seam a delta builder uses to read the PREVIOUS snapshot's
+    * companion artifact (e.g. the pair delta reading the old index).
+    */
+  private[graft] def readPrior(s: SparkSession, name: String, inputs: Seq[String],
+      params: Seq[(String, String)]): Option[(DataFrame, Seq[String])] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val lines = statLines(s, inputs, params)
+    val root = new Path(absolutize(cacheRoot(s)))
+    val fs = root.getFileSystem(conf)
+    val dest = new Path(root, s"$name-${sha256(lines).take(16)}")
+    findPrior(fs, root, name, dest, lines).map { case (dir, files) =>
+      (s.read.parquet(dir.toString), files)
+    }
+  }
+
+  /** Read the artifact keyed to EXACTLY this input file set, if fresh —
+    * how a delta builder fetches a companion artifact of the same base
+    * snapshot (e.g. the base pairs aligned with the base index).
+    */
+  private[graft] def readIfFresh(s: SparkSession, name: String, inputs: Seq[String],
+      params: Seq[(String, String)]): Option[DataFrame] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sig = sha256(statLines(s, inputs, params))
+    val root = new Path(absolutize(cacheRoot(s)))
+    val fs = root.getFileSystem(conf)
+    val dest = new Path(root, s"$name-${sig.take(16)}")
+    if (isFresh(fs, dest, sig)) Some(s.read.parquet(dest.toString)) else None
+  }
+
+  private def findPrior(fs: FileSystem, root: Path, name: String, dest: Path,
+      curLines: Seq[String]): Option[(Path, Seq[String])] = {
+    if (!fs.exists(root)) return None
+    val curFiles = fileLines(curLines)
+    val curParams = paramLines(curLines)
+    fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$name-") && p.getName != dest.getName &&
+        !p.getName.startsWith("."))
+      .flatMap { p =>
+        readSmallFile(fs, new Path(p, "_MANIFEST")).flatMap { m =>
+          val prevLines = m.linesIterator.toSeq
+          val prevFiles = fileLines(prevLines)
+          val isPrefix = paramLines(prevLines) == curParams &&
+            prevFiles.nonEmpty && prevFiles.size < curFiles.size &&
+            prevFiles.forall { case (f, st) => curFiles.get(f).contains(st) }
+          if (isPrefix) Some((p, prevFiles.keys.toSeq.sorted)) else None
+        }
+      }
+      .sortBy { case (_, files) => -files.size } // largest prefix wins
+      .headOption
+  }
+
+  private def paramLines(lines: Seq[String]): Seq[String] = lines.filter(_.startsWith("param|"))
+
+  private def fileLines(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("file|")).map { l =>
+      val rest = l.stripPrefix("file|")
+      val cut = rest.lastIndexOf('|', rest.lastIndexOf('|') - 1)
+      (rest.substring(0, cut), rest.substring(cut + 1)) // path -> "len|mtime"
+    }.toMap
+
+  private def readSmallFile(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+
+  /** Write-to-temp + atomic publish, with the signature and the full
+    * input manifest (the stat lines) riding inside the artifact — the
+    * manifest is what makes a later snapshot's append detectable.
+    */
+  private def publish(fs: FileSystem, root: Path, dest: Path, sig: String,
+      lines: Seq[String], df: DataFrame): Unit = {
+    val tmp = new Path(root, s".${dest.getName}.tmp-${java.util.UUID.randomUUID}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, "_SIG"))
+    try out.write(sig.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val mf = fs.create(new Path(tmp, "_MANIFEST"))
+    try mf.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8)) finally mf.close()
+    // A concurrent identical build may have published while we built.
+    // Check BEFORE renaming: on local filesystems a rename onto an
+    // existing directory can merge tmp INSIDE dest (and return true)
+    // instead of failing, which would leave a hidden duplicate copy.
+    if (fs.exists(dest)) {
+      fs.delete(tmp, true)
+      require(isFresh(fs, dest, sig), s"materialize race left no fresh artifact at $dest")
+    } else if (!fs.rename(tmp, dest)) {
+      // the race lost between the exists check and the rename; the
+      // winner's bytes carry the same signature-keyed name
+      fs.delete(tmp, true)
+      require(isFresh(fs, dest, sig), s"materialize race left no fresh artifact at $dest")
+    } else {
+      // rename semantics vary across Hadoop FS impls — a move-into-
+      // existing-directory fallback can leave the whole tmp dir as a
+      // hidden '.tmp-*' child inside dest; reap any such directory
+      // (plain '.crc' sidecar files are left alone)
+      fs.listStatus(dest)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("."))
+        .foreach(h => fs.delete(h.getPath, true))
+    }
   }
 
   private def isFresh(fs: FileSystem, dest: Path, sig: String): Boolean = {
@@ -126,7 +262,20 @@ object Materialize {
     * stores and HDFS both honor).
     */
   private[graft] def signature(s: SparkSession, inputs: Seq[String],
-      params: Seq[(String, String)]): String = {
+      params: Seq[(String, String)]): String =
+    sha256(statLines(s, inputs, params))
+
+  private def sha256(lines: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** The canonical param + input-stat line list — both the signature
+    * preimage and the persisted _MANIFEST content.
+    */
+  private def statLines(s: SparkSession, inputs: Seq[String],
+      params: Seq[(String, String)]): Seq[String] = {
     val conf = s.sparkContext.hadoopConfiguration
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     params.sortBy(_._1).foreach { case (k, v) => lines += s"param|$k|$v" }
@@ -135,9 +284,7 @@ object Materialize {
       val fs = p.getFileSystem(conf)
       statRec(fs, p, lines)
     }
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    md.digest().map(b => f"$b%02x").mkString
+    lines.toSeq
   }
 
   private def statRec(fs: FileSystem, p: Path,
@@ -187,6 +334,8 @@ object Materialize {
     * working directory.
     */
   private def absolutize(path: String): String =
-    if (path.contains("://")) path
+    // ":/" (not just "://") — Hadoop Path.toString renders the local
+    // scheme as "file:/tmp/...", and manifest-recorded paths carry it
+    if (path.contains(":/")) path
     else new java.io.File(path).getAbsolutePath
 }

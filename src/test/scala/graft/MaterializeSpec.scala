@@ -149,6 +149,114 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("readOrBuildDelta: append takes the delta path, any other change or a decline falls back to full") {
+    val cache = freshCacheDir()
+    val in = java.nio.file.Files.createTempDirectory("graft_mat_delta").toString + "/t.parquet"
+    spark.range(10).write.parquet(in)
+    withCacheDir(cache) {
+      Materialize.resetBuildCount("spec_delta")
+      var deltaCalls = 0
+      def get() = Materialize.readOrBuildDelta(spark, "spec_delta", Seq(in),
+        Seq("ver" -> "1")) { spark.read.parquet(in) } { (prev, _, deltaFiles) =>
+        deltaCalls += 1
+        prev.unionByName(spark.read.parquet(deltaFiles: _*))
+      }
+      assert(get().count() === 10)
+      assert(Materialize.deltaBuildCount("spec_delta") === 0, "first build is full")
+      // append: new part files land next to the old ones, old stats unchanged
+      val stage = java.nio.file.Files.createTempDirectory("graft_mat_stage").toString + "/p"
+      spark.range(100, 105).write.parquet(stage)
+      appendParts(stage, in)
+      assert(get().collect().map(_.getLong(0)).sorted === ((0L to 9L) ++ (100L to 104L)).toArray)
+      assert(Materialize.deltaBuildCount("spec_delta") === 1, "append must take the delta path")
+      assert(deltaCalls === 1)
+      // an overwrite is NOT an append: full rebuild, no delta call
+      spark.range(7).write.mode("overwrite").parquet(in)
+      assert(get().count() === 7)
+      assert(Materialize.deltaBuildCount("spec_delta") === 1)
+      assert(deltaCalls === 1)
+      // a declining delta builder (returns null) falls back to full
+      val stage2 = java.nio.file.Files.createTempDirectory("graft_mat_stage2").toString + "/p"
+      spark.range(200, 203).write.parquet(stage2)
+      appendParts(stage2, in)
+      val declined = Materialize.readOrBuildDelta(spark, "spec_delta", Seq(in),
+        Seq("ver" -> "1")) { spark.read.parquet(in) } { (_, _, _) => null }
+      assert(declined.count() === 10)
+      assert(Materialize.deltaBuildCount("spec_delta") === 1, "a declined delta is a full build")
+    }
+  }
+
+  /** Move every data part file from `stage` into the live dataset dir
+    * under a unique name — a filesystem-level append, old files
+    * untouched (the daily-crawl shape).
+    */
+  private def appendParts(stage: String, dest: String): Unit = {
+    val dst = new java.io.File(dest)
+    new java.io.File(stage).listFiles().filter(f =>
+      f.getName.startsWith("part-")).zipWithIndex.foreach { case (f, i) =>
+      val to = new java.io.File(dst, s"part-append-${System.nanoTime()}-$i-${f.getName.stripPrefix("part-")}")
+      assert(f.renameTo(to), s"append move failed for $f")
+    }
+  }
+
+  test("neardup delta-merge is value-identical to a full rebuild, including a cap-crossing append") {
+    // corpus A: an exact near-dup pair (1,2), a doc that will pair
+    // cross-snapshot (3), 120 docs sharing the hot shingle "zz qq ww"
+    // (df 122 with X/Y — under the 128 cap), and the X/Y pair (130,131)
+    // engineered at J = 4/5 = 0.8 WITH the hot shingle and 3/4 = 0.75
+    // without it — the pair that must DIE when the append pushes the
+    // shingle over the cap and the dirty-doc recompute runs
+    def doc(id: Long, text: String) = (id, text)
+    val a = Seq(
+      doc(1, "alpha beta gamma delta epsilon"),
+      doc(2, "alpha beta gamma delta epsilon"),
+      doc(3, "one two three four five six"),
+      doc(130, "zz qq ww t1 t2 t3"),
+      doc(131, "zz qq ww t1 t2 t3 t4")) ++
+      (10L to 129L).map(i => doc(i, s"zz qq ww u$i v$i w$i"))
+    val b = Seq(
+      doc(201, "one two three four five six"),
+      doc(202, "omega psi chi phi upsilon"),
+      doc(203, "omega psi chi phi upsilon")) ++
+      (210L to 229L).map(i => doc(i, s"zz qq ww b$i c$i d$i"))
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_corpus").toString
+    a.toDF("doc_id", "text").repartition(2).write.parquet(s"$dir/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_delta_stage").toString + "/p"
+    b.toDF("doc_id", "text").repartition(2).write.parquet(stage)
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+
+    val cacheDelta = freshCacheDir()
+    val before = withCacheDir(cacheDelta) {
+      Materialize.resetBuildCount("neardup_pairs")
+      Materialize.resetBuildCount("neardup_index")
+      Materialize.resetBuildCount("neardup_df")
+      pairsOf(Dedup.nearDupPairs(spark, dir))
+    }
+    assert(before.map(t => (t._1, t._2)).contains((1L, 2L)))
+    assert(before.map(t => (t._1, t._2)).contains((130L, 131L)), "J=0.8 pair exists pre-append")
+    assert(!before.map(t => (t._1, t._2)).contains((3L, 201L)))
+
+    appendParts(stage, s"$dir/documents.parquet")
+    val viaDelta = withCacheDir(cacheDelta) { pairsOf(Dedup.nearDupPairs(spark, dir)) }
+    assert(Materialize.deltaBuildCount("neardup_pairs") === 1,
+      "the append must maintain the pair artifact incrementally")
+    assert(Materialize.buildCount("neardup_index") === 1,
+      "the base index must NOT be rebuilt on append — the composed " +
+        "snapshot index is lazy (no corpus-sized artifact rewrite)")
+    val viaFull = withCacheDir(freshCacheDir()) { pairsOf(Dedup.nearDupPairs(spark, dir)) }
+    // VALUE-identical: same pairs, bit-equal jaccard doubles
+    assert(viaDelta === viaFull)
+    val ids = viaDelta.map(t => (t._1, t._2))
+    assert(ids.contains((1L, 2L)), "clean-clean pair persists bit-identically")
+    assert(ids.contains((3L, 201L)), "cross-snapshot pair appears")
+    assert(ids.contains((202L, 203L)), "delta-internal pair appears")
+    assert(!ids.contains((130L, 131L)),
+      "the cap-crossing append must kill the J=0.8-with-hot-shingle pair")
+  }
+
   test("gc leaves young in-flight .tmp-* builds alone even past the artifact age bound") {
     val cache = freshCacheDir()
     withCacheDir(cache) {
