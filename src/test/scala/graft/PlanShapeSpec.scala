@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators._
@@ -52,6 +53,28 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(df)
     assert(p.contains("isFinalPlan=true"))
     assert(p.contains("ReusedExchange"), p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("pairs-from-index BUILD reads the index artifact, never replays the shingle pipeline") {
+    // round 13: the artifact build path is index-first — the pair
+    // self-join's two sides are FileScans of the materialized index,
+    // so the tokenize→shingle→explode pipeline runs exactly once (in
+    // the index build), not once per pair-build side
+    val cache = java.nio.file.Files.createTempDirectory("graft_plan_idx").toString
+    spark.conf.set("spark.graft.cache.dir", cache)
+    try {
+      val idx = Dedup.nearDupIndex(spark, sf) // materialize the index
+      val p = plan({
+        val sz = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        idx.as("a").join(idx.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("c"))
+          .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      })
+      assert(p.contains("neardup_index"), p.linesIterator.take(8).mkString("\n"))
+      assert(!p.contains("Generate"), "pair build must not replay the shingle explode")
+    } finally spark.conf.unset("spark.graft.cache.dir")
   }
 
   test("ann_bruteforce broadcasts the query side (no corpus shuffle before top-k)") {
