@@ -181,9 +181,16 @@ object Dedup {
     * with an empty transitive-missing set.)
     *
     * Round 13: the substrate is DELTA-MAINTAINED on append — see
-    * [[nearDupIndex]]/[[nearDupDf]]/[[nearDupPairsDelta]]; a daily
-    * crawl's append costs the delta + the dirty set, never a
-    * corpus-wide shingle self-join replay.
+    * [[nearDupIndex]]/[[nearDupPairsDelta]]; a daily crawl's append
+    * recomputes only pairs with an endpoint in appended∪dirty and
+    * rewrites no corpus-sized artifact.  NOT sublinear: the bipartite
+    * join's probe side and the size aggregate still take one linear
+    * pass over the composed index, so the win over a full rebuild is
+    * the avoided self-join + index write, bounded by that linear term
+    * (measured ≈0.7× at sf1 steady state).  Round 14 adds the
+    * cost-based decline: an oversized cumulative append compacts
+    * (full rebuild → new base) instead of paying a delta that would
+    * approach full cost anyway.
     */
   private def docInputs(dir: String): Seq[String] = Seq(s"$dir/documents.parquet")
 
@@ -256,10 +263,36 @@ object Dedup {
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     graft.sources.Materialize.readOrBuildDelta(s, "neardup_pairs",
       docInputs(dir), pairsParams) {
+      // a full (re)build compacts — the current snapshot becomes the
+      // new base — so pay the base DF sidecar NOW (one linear
+      // aggregate over shingles the build explodes anyway): the first
+      // append then reads it as a signature-exact cache hit instead of
+      // paying a corpus scan inside its own critical path (the r13
+      // probe's first-append-at-1.18×-full came exactly from this
+      // build being lazy)
+      val cur = graft.sources.Materialize.listFiles(s, s"$dir/documents.parquet")
+      nearDupBaseDf(s, cur)
       pairsFromIndex(nearDupIndex(s, dir))
     } { (_, prevFiles, deltaFiles) =>
       nearDupPairsDelta(s, dir, prevFiles, deltaFiles)
     }
+
+  /** Cumulative-append byte fraction past which a delta builder
+    * declines and the full rebuild compacts to a new base.  The delta
+    * path's cost is the B-endpoint pair recompute (∝ appended∪dirty)
+    * plus a linear composed-index pass; as the cumulative append
+    * approaches a third of the base, the measured win over a full
+    * rebuild vanishes (sf1 probe: steady-state delta ≈0.7× full at
+    * 1–3% appends, shrinking with the appended fraction) — past it
+    * compaction is also what keeps LATER appends cheap, since delta
+    * cost grows with the cumulative delta against the same base.
+    * Overridable for spec engineering via
+    * `spark.graft.delta.maxAppendFraction`.
+    */
+  private[graft] val MaxAppendFraction = 0.34
+
+  private[graft] def maxAppendFraction(s: SparkSession): Double =
+    s.conf.get("spark.graft.delta.maxAppendFraction", MaxAppendFraction.toString).toDouble
 
   /** Incremental pair maintenance on append, aligned at the BASE
     * snapshot (the one whose index artifact exists).  Invariant: a
@@ -288,6 +321,12 @@ object Dedup {
     // everything appended since the base — possibly several batches
     val appended = ((prevFiles ++ deltaFiles).toSet -- baseFiles).toSeq.sorted
     require(appended.nonEmpty, "delta invoked with no appended files")
+    // cost-based decline: past the crossover fraction the delta's
+    // B-endpoint recompute + linear composed-index pass approaches
+    // full-rebuild cost — compact instead (and reset the cumulative
+    // delta so later appends stay cheap)
+    if (M.totalBytes(s, appended) >
+        maxAppendFraction(s) * M.totalBytes(s, baseFiles)) return null
     val appendedDocs = s.read.parquet(appended: _*).select(col("doc_id"), col("text"))
     val shD = explodedShingles(appendedDocs)
     // merged DF decides the cap for the composed snapshot: base DF
@@ -432,16 +471,77 @@ object Dedup {
     * sizes the fixpoint partitioning is a cheap metadata-backed scan,
     * not a pipeline replay.
     */
+  private def compsParams: Seq[(String, String)] =
+    Seq("w" -> ShingleW.toString, "dfCap" -> ShingleDfCap.toString,
+      "thresh" -> JaccardThreshold.toString, "cc" -> "ls-ss-v1", "ver" -> "1")
+
   private[graft] def nearDupComponentLabels(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialize.readOrBuild(s, "neardup_comps",
-      inputs = Seq(s"$dir/documents.parquet"),
-      params = Seq("w" -> ShingleW.toString, "dfCap" -> ShingleDfCap.toString,
-        "thresh" -> JaccardThreshold.toString, "cc" -> "ls-ss-v1", "ver" -> "1")) {
+    graft.sources.Materialize.readOrBuildDelta(s, "neardup_comps",
+      inputs = docInputs(dir), params = compsParams) {
       val pairs = nearDupPairs(s, dir).select(col("d1"), col("d2"))
       val nPairs = pairs.count()
       if (nPairs <= LocalCcMaxEdges) localComponents(s, pairs)
       else connectedComponents(pairs, ccPartitions(nPairs))
+    } { (prevLabels, prevFiles, _) =>
+      nearDupCompsDelta(s, dir, prevLabels, prevFiles)
     }
+
+  /** Incremental component maintenance on append.  Under append the
+    * pair-edge set normally only GROWS, and new edges can only MERGE
+    * components — so the prior star-forest labels plus a
+    * component-level union-find over the ADDED pairs reproduce the
+    * full contraction exactly: each added pair links comp(a)–comp(b)
+    * (a node's comp = its prior label, or itself if previously
+    * unlabeled), the union-find roots every merged group at its
+    * minimum comp id — which IS the merged component's minimum member
+    * id, because prior labels are their components' minima and fresh
+    * nodes are their own — and only labels inside merged components
+    * change; everything else carries over bit-identically.  Driver
+    * state is bounded by the ADDED pair count (≤ [[LocalCcMaxEdges]],
+    * else decline to the distributed contraction).  Edges CAN also
+    * die on append (a DF-cap crossing shrinks a dirty doc's shingle
+    * set, and a died edge may SPLIT a component — splits are not
+    * expressible as label merges), so any removed pair declines to
+    * the full solver.
+    */
+  private def nearDupCompsDelta(s: SparkSession, dir: String,
+      prevLabels: DataFrame, prevFiles: Seq[String]): DataFrame = {
+    val M = graft.sources.Materialize
+    val prevPairs = M.readIfFresh(s, "neardup_pairs", prevFiles, pairsParams)
+      .getOrElse(return null)
+      .select(col("d1"), col("d2"))
+    // the CURRENT pair artifact — itself delta-maintained; building it
+    // here (not inside the closure below) keeps its cost attributed to
+    // the pair substrate, and comps read the published parquet
+    val curPairs = nearDupPairs(s, dir).select(col("d1"), col("d2"))
+    val removed = prevPairs.join(curPairs, Seq("d1", "d2"), "left_anti").limit(1).count()
+    if (removed > 0) return null
+    val added = curPairs.join(prevPairs, Seq("d1", "d2"), "left_anti")
+    val nAdded = added.count()
+    if (nAdded > LocalCcMaxEdges) return null
+    if (nAdded == 0) return prevLabels
+    // component-level merge edges: |added|-proportional driver state
+    val compEdges = added
+      .join(prevLabels.select(col("id").as("d1"), col("comp").as("c1")), Seq("d1"), "left")
+      .join(prevLabels.select(col("id").as("d2"), col("comp").as("c2")), Seq("d2"), "left")
+      .select(coalesce(col("c1"), col("d1")).as("a"), coalesce(col("c2"), col("d2")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    import s.implicits._
+    val remap = broadcast(unionFindLabels(compEdges).toDF("mkey", "mroot"))
+    // prior labels: comps that merged remap to the new root, the rest
+    // carry over untouched; endpoints never labeled before (appended
+    // docs, or base docs pairing for the first time) join their root
+    // directly — their comp-node in the union-find is their own id
+    val relabeled = prevLabels
+      .join(remap.withColumnRenamed("mkey", "comp"), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("mroot"), col("comp")).as("comp"))
+    val freshIds = added.select(col("d1").as("id"))
+      .unionByName(added.select(col("d2").as("id"))).distinct()
+      .join(prevLabels.select(col("id")), Seq("id"), "left_anti")
+      .join(remap, col("id") === col("mkey"))
+      .select(col("id"), col("mroot").as("comp"))
+    relabeled.unionByName(freshIds)
+  }
 
   /** Pair graphs at or below this edge count solve on the driver
     * (≈8 MB collected — the same bounded-driver-state budget as IVF's
@@ -461,6 +561,17 @@ object Dedup {
     */
   private[graft] def localComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    import s.implicits._
+    unionFindLabels(edges).sortBy(_._1).toDF("id", "comp")
+  }
+
+  /** Driver union-find core shared by [[localComponents]] and the
+    * comps delta: (node, root) for every node in `edges`, root = the
+    * component's minimum node id.  Self-pairs are dropped exactly as
+    * the distributed contraction drops them (u =!= v), so the solvers
+    * agree on any input.
+    */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
     val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     def find(x: Long): Long = {
       var r = x
@@ -470,8 +581,6 @@ object Dedup {
       r
     }
     edges.foreach { case (a, b) =>
-      // self-pairs are dropped exactly as the distributed contraction
-      // drops them (u =!= v), so the two solvers agree on any input
       if (a != b) {
         if (!parent.containsKey(a)) parent.put(a, a)
         if (!parent.containsKey(b)) parent.put(b, b)
@@ -484,8 +593,7 @@ object Dedup {
     val out = new Array[(Long, Long)](parent.size())
     var i = 0
     parent.keySet().forEach { k => out(i) = (k.longValue(), find(k)); i += 1 }
-    import s.implicits._
-    out.toSeq.sortBy(_._1).toDF("id", "comp")
+    out.toSeq
   }
 
   /** Fixpoint partition count derived from edge volume: ~250k edges

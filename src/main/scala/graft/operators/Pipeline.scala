@@ -619,27 +619,36 @@ object Pipeline {
     * product surface ([[graft.sources.Layout.writePartitioned]]).
     */
   def layoutPrune(s: SparkSession, dir: String): DataFrame = {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_layout_prune_" + new java.io.File(dir).getName).getAbsolutePath
     val day = "2024-01-15"
     val etype = "purchase"
-    // write the layout once per corpus snapshot (signature = events
-    // stats + layout knobs), like any lake layout: the QUERY under
-    // measurement is the pruned read, not a per-run rewrite of 150
-    // partition directories
-    val sigFile = java.nio.file.Paths.get(tmp, "_GRAFT_LAYOUT_SIG")
+    // write the layout once per corpus snapshot, SIGNATURE-KEYED and
+    // atomically published (the Materialize idiom): the directory name
+    // carries the signature, so existence == freshness — no
+    // check-then-overwrite window — and concurrent sessions (or two
+    // corpora sharing a basename) can never serve each other a stale
+    // or half-written layout; the QUERY under measurement is the
+    // pruned read, not a per-run rewrite of 150 partition directories
     val sig = graft.sources.Materialize.signature(s, Seq(s"$dir/events.parquet"),
       Seq("layout" -> "day,event_type", "ver" -> "1"))
-    val fresh = java.nio.file.Files.exists(sigFile) &&
-      new String(java.nio.file.Files.readAllBytes(sigFile)) == sig
-    if (!fresh) {
+    val root = new java.io.File("target/graft_layout").getAbsoluteFile
+    val dest = new java.io.File(root, s"events_day_etype-${sig.take(16)}")
+    if (!dest.isDirectory) {
+      root.mkdirs()
+      val tmp = new java.io.File(root,
+        s".${dest.getName}.tmp-${java.util.UUID.randomUUID}")
       val events = Tables.events(s, dir)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       graft.sources.Layout.writePartitioned(
-        events.repartition(col("day"), col("event_type")), tmp, "day", "event_type")
-      java.nio.file.Files.write(sigFile, sig.getBytes)
+        events.repartition(col("day"), col("event_type")),
+        tmp.getAbsolutePath, "day", "event_type")
+      if (!tmp.renameTo(dest)) {
+        // a concurrent identical build won the rename; its bytes carry
+        // the same signature-keyed name
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        require(dest.isDirectory, s"layout publish race left no layout at $dest")
+      }
     }
-    val pruned = s.read.parquet(tmp)
+    val pruned = s.read.parquet(dest.getAbsolutePath)
       .filter(col("day") === day && col("event_type") === etype)
     val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanLike => f

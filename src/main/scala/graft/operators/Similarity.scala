@@ -354,12 +354,55 @@ object Similarity {
     * is bit-identical to the inline join.
     */
   def knnJoinEmbeddings(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialize.readOrBuild(s, "knn_edges",
+    graft.sources.Materialize.readOrBuildDelta(s, "knn_edges",
       inputs = Seq(s"$dir/embeddings.parquet"),
       params = Seq("k" -> "5", "ver" -> "1")) {
       val emb = Tables.embeddings(s, dir)
       knnJoin(emb, emb, 5, lshBitsFor(corpusSize(s, dir)))
+    } { (prevEdges, prevFiles, deltaFiles) =>
+      knnEdgesDelta(s, dir, prevEdges, prevFiles, deltaFiles)
     }
+
+  /** Incremental kNN-graph maintenance on append — the
+    * [[appendToIndex]] algebra applied to the edge substrate.  Under
+    * append the corpus only grows, so an existing id's top-k can only
+    * change if a NEW vector enters its candidate set: bucket the new
+    * vectors (encode-only — the hyperplanes are seeded constants, so
+    * base bucket assignments are unchanged), join delta×all to find
+    * every lid with ≥1 new candidate, and recompute top-k ONLY for
+    * that dirty set ∪ the new ids themselves (the dirty-set idiom from
+    * the pair delta); every clean lid's row carries over
+    * bit-identically — its candidate set is untouched and the scorer
+    * is deterministic (exact top-k tie order, fixed rounding).
+    *
+    * Declines (→ full rebuild, which compacts) when: the appended
+    * corpus crosses an [[lshBitsFor]] bucket-width step, which re-keys
+    * every bucket; or the append exceeds the compaction fraction
+    * ([[graft.operators.Dedup.MaxAppendFraction]] discipline — past it
+    * the dirty recompute approaches full cost).
+    */
+  private def knnEdgesDelta(s: SparkSession, dir: String, prevEdges: DataFrame,
+      prevFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
+    val M = graft.sources.Materialize
+    val nPrev = s.read.parquet(prevFiles: _*).count()
+    val nAll = corpusSize(s, dir)
+    val bits = lshBitsFor(nAll)
+    if (bits != lshBitsFor(nPrev)) return null
+    val maxFrac = s.conf.get("spark.graft.delta.maxAppendFraction", "0.34").toDouble
+    if (M.totalBytes(s, deltaFiles) > maxFrac * M.totalBytes(s, prevFiles)) return null
+    val all = Tables.embeddings(s, dir)
+    val newVecs = s.read.parquet(deltaFiles: _*)
+      .select(col("vec_id"), col("embedding"))
+    val dirtyIds = knnJoinCandidates(all, newVecs, bits)
+      .select(col("lid").as("vec_id"))
+      .unionByName(newVecs.select(col("vec_id")))
+      .distinct()
+    val dirtyVecs = all.join(dirtyIds, Seq("vec_id"), "left_semi")
+    val fresh = knnJoin(dirtyVecs, all, 5, bits)
+    val carried = prevEdges
+      .join(dirtyIds.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
+    carried.unionByName(fresh)
+  }
 
   /** Past this cell count the centroids move from plan literals to a
     * broadcast relation: C·65 literal doubles are fine in codegen at

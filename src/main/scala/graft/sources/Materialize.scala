@@ -118,13 +118,15 @@ object Materialize {
         case Some((prevDir, prevFiles)) =>
           val cur = fileLines(lines).keys.toSeq.sorted
           val deltaFiles = cur.filterNot(prevFiles.contains)
-          val d = delta(s.read.parquet(prevDir.toString), prevFiles, deltaFiles)
-          if (d != null) deltaBuilds.merge(name, 1, (a, b) => a + b)
-          Option(d)
+          Option(delta(s.read.parquet(prevDir.toString), prevFiles, deltaFiles))
         case None => None
       }
       builds.merge(name, 1, (a, b) => a + b)
       publish(fs, root, dest, sig, lines, built.getOrElse(full))
+      // count the delta build only once its artifact has published —
+      // a failed publish must not skew the append-costs-the-delta
+      // evidence counters
+      if (built.isDefined) deltaBuilds.merge(name, 1, (a, b) => a + b)
     }
     s.read.parquet(dest.toString)
   }
@@ -253,6 +255,36 @@ object Materialize {
         while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
         new String(bytes.toByteArray, StandardCharsets.UTF_8) == sig
       } finally in.close()
+    }
+  }
+
+  /** The current recursive data-file listing of an input dataset, as
+    * the same fully-qualified path strings the _MANIFEST records — the
+    * seam a builder uses to key a companion artifact on the files of
+    * the snapshot it is building (so a later append's delta path gets
+    * a signature-exact cache hit on that companion).
+    */
+  private[graft] def listFiles(s: SparkSession, input: String): Seq[String] =
+    statList(s, input).map(_._1).sorted
+
+  /** Total byte length of a set of data files — the cheap size signal
+    * a delta builder's cost-based decline reads (stat-only, no data).
+    */
+  private[graft] def totalBytes(s: SparkSession, paths: Seq[String]): Long =
+    paths.map(in => statList(s, in).map(_._2).sum).sum
+
+  /** Recursive (qualified path, length) stat listing of one input. */
+  private def statList(s: SparkSession, input: String): Seq[(String, Long)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    val p = new Path(absolutize(input))
+    statRec(p.getFileSystem(conf), p, acc)
+    acc.toSeq.map { l =>
+      // same parse as fileLines: the two final '|' fields are len|mtime
+      val rest = l.stripPrefix("file|")
+      val mtimeCut = rest.lastIndexOf('|')
+      val lenCut = rest.lastIndexOf('|', mtimeCut - 1)
+      (rest.substring(0, lenCut), rest.substring(lenCut + 1, mtimeCut).toLong)
     }
   }
 

@@ -27,6 +27,15 @@ class MaterializeSpec extends AnyFunSuite {
     try body finally spark.conf.unset("spark.graft.cache.dir")
   }
 
+  /** Engineered spec corpora are tiny parquet files whose byte ratios
+    * are footer-dominated — lift the compaction fraction so the
+    * cost-based decline never masks the semantics under test.
+    */
+  private def withAppendFraction[A](frac: String)(body: => A): A = {
+    spark.conf.set("spark.graft.delta.maxAppendFraction", frac)
+    try body finally spark.conf.unset("spark.graft.delta.maxAppendFraction")
+  }
+
   test("readOrBuild builds once, then serves every later call from the artifact") {
     val cache = freshCacheDir()
     val in = java.nio.file.Files.createTempDirectory("graft_mat_in").toString + "/t.parquet"
@@ -228,33 +237,169 @@ class MaterializeSpec extends AnyFunSuite {
     def pairsOf(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
 
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+
     val cacheDelta = freshCacheDir()
-    val before = withCacheDir(cacheDelta) {
+    val (before, compsBefore) = withAppendFraction("100") { withCacheDir(cacheDelta) {
       Materialize.resetBuildCount("neardup_pairs")
       Materialize.resetBuildCount("neardup_index")
       Materialize.resetBuildCount("neardup_df")
-      pairsOf(Dedup.nearDupPairs(spark, dir))
-    }
+      Materialize.resetBuildCount("neardup_comps")
+      (pairsOf(Dedup.nearDupPairs(spark, dir)),
+        labelsOf(Dedup.nearDupComponentLabels(spark, dir)))
+    } }
     assert(before.map(t => (t._1, t._2)).contains((1L, 2L)))
     assert(before.map(t => (t._1, t._2)).contains((130L, 131L)), "J=0.8 pair exists pre-append")
     assert(!before.map(t => (t._1, t._2)).contains((3L, 201L)))
+    assert(compsBefore.contains((131L, 130L)), "pre-append comp for the doomed pair")
 
     appendParts(stage, s"$dir/documents.parquet")
-    val viaDelta = withCacheDir(cacheDelta) { pairsOf(Dedup.nearDupPairs(spark, dir)) }
+    val (viaDelta, compsDelta) = withAppendFraction("100") { withCacheDir(cacheDelta) {
+      (pairsOf(Dedup.nearDupPairs(spark, dir)),
+        labelsOf(Dedup.nearDupComponentLabels(spark, dir)))
+    } }
     assert(Materialize.deltaBuildCount("neardup_pairs") === 1,
       "the append must maintain the pair artifact incrementally")
     assert(Materialize.buildCount("neardup_index") === 1,
       "the base index must NOT be rebuilt on append — the composed " +
         "snapshot index is lazy (no corpus-sized artifact rewrite)")
-    val viaFull = withCacheDir(freshCacheDir()) { pairsOf(Dedup.nearDupPairs(spark, dir)) }
+    // the cap-crossing append KILLS pair (130,131): a died edge can
+    // split a component, so the comps delta must DECLINE to the full
+    // solver (the merge-only fast path would be wrong here)
+    assert(Materialize.deltaBuildCount("neardup_comps") === 0,
+      "a removed pair must decline the comps delta to the full solver")
+    assert(Materialize.buildCount("neardup_comps") === 2)
+    val (viaFull, compsFull) = withCacheDir(freshCacheDir()) {
+      (pairsOf(Dedup.nearDupPairs(spark, dir)),
+        labelsOf(Dedup.nearDupComponentLabels(spark, dir)))
+    }
     // VALUE-identical: same pairs, bit-equal jaccard doubles
     assert(viaDelta === viaFull)
+    assert(compsDelta === compsFull, "declined comps delta still matches full")
+    assert(!compsDelta.contains((131L, 130L)), "the split component's label is gone")
     val ids = viaDelta.map(t => (t._1, t._2))
     assert(ids.contains((1L, 2L)), "clean-clean pair persists bit-identically")
     assert(ids.contains((3L, 201L)), "cross-snapshot pair appears")
     assert(ids.contains((202L, 203L)), "delta-internal pair appears")
     assert(!ids.contains((130L, 131L)),
       "the cap-crossing append must kill the J=0.8-with-hot-shingle pair")
+  }
+
+  test("an oversized append declines the delta and compacts to a new base") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_oversize").toString
+    (1L to 40L).map(i => (i, s"base doc body x$i y$i z$i"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$dir/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_delta_oversize_stage").toString + "/p"
+    // the "append" is ~10x the base — past any sane crossover, the
+    // delta path must decline and the full rebuild becomes the new base
+    (1001L to 1400L).map(i => (i, s"appended doc body with much longer text a$i b$i c$i d$i e$i f$i"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(stage)
+    val cache = freshCacheDir()
+    withCacheDir(cache) {
+      Materialize.resetBuildCount("neardup_pairs")
+      Dedup.nearDupPairs(spark, dir).collect()
+      appendParts(stage, s"$dir/documents.parquet")
+      Dedup.nearDupPairs(spark, dir).collect()
+      assert(Materialize.deltaBuildCount("neardup_pairs") === 0,
+        "an oversized append must decline the delta (cost-based compaction)")
+      assert(Materialize.buildCount("neardup_pairs") === 2)
+    }
+  }
+
+  test("comps delta: a component-merging append relabels only the merged components") {
+    import spark.implicits._
+    // Merging two existing components under append is only reachable
+    // through the DIRTY path — at J ≥ 0.8 a single bridge doc cannot
+    // be near-dup to two components that are not near-dups of each
+    // other.  Engineered here via the DF cap: docs 1/2 end in the hot
+    // shingle "p6 h1 h2" (base df = 2 + 126 fillers = 128 = cap,
+    // kept); docs 5/6 are the same p-core WITHOUT the hot tail.
+    // Pre-append J(1,5) = 4/(6+4−4) = 2/3 < 0.8; the appended batch
+    // carries 20 more hot-shingle docs, pushing df to 148 > cap — the
+    // hot shingle leaves the index, doc 1's size drops to 5, and
+    // J(1,5) RISES to 4/(5+4−4) = 0.8: pairs {1,5},{1,6},{2,5},{2,6}
+    // are ADDED (none die — (1,2) and (5,6) stay J=1), merging the
+    // two components.  Exactly the merge-only append the comps delta
+    // fast path exists for.
+    val core = "p1 p2 p3 p4 p5 p6"
+    val a = Seq(
+      (1L, s"$core h1 h2"), (2L, s"$core h1 h2"),
+      (5L, core), (6L, core)) ++
+      (100L to 225L).map(i => (i, s"p6 h1 h2 u$i v$i w$i"))
+    val b = (300L to 319L).map(i => (i, s"p6 h1 h2 aa$i bb$i cc$i")) ++
+      Seq((400L, "omega psi chi phi upsilon tau sigma"),
+        (401L, "omega psi chi phi upsilon tau sigma"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_comps_merge").toString
+    a.toDF("doc_id", "text").repartition(2).write.parquet(s"$dir/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_comps_merge_stage").toString + "/p"
+    b.toDF("doc_id", "text").repartition(1).write.parquet(stage)
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val cache = freshCacheDir()
+    val before = withAppendFraction("100") { withCacheDir(cache) {
+      Materialize.resetBuildCount("neardup_pairs")
+      Materialize.resetBuildCount("neardup_comps")
+      labelsOf(Dedup.nearDupComponentLabels(spark, dir))
+    } }
+    assert(before.toSet === Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)),
+      s"engineered base components wrong: ${before.toSeq}")
+    appendParts(stage, s"$dir/documents.parquet")
+    val viaDelta = withAppendFraction("100") { withCacheDir(cache) {
+      labelsOf(Dedup.nearDupComponentLabels(spark, dir))
+    } }
+    assert(Materialize.deltaBuildCount("neardup_comps") === 1,
+      "a merge-only append must take the comps delta path")
+    val viaFull = withCacheDir(freshCacheDir()) {
+      labelsOf(Dedup.nearDupComponentLabels(spark, dir))
+    }
+    assert(viaDelta === viaFull, "delta comps must be value-identical to the full solver")
+    val m = viaDelta.toMap
+    // {1,2} and {5,6} merged, rooted at the global minimum member id
+    assert(Seq(1L, 2L, 5L, 6L).map(m) === Seq(1L, 1L, 1L, 1L))
+    assert(m(400L) === 400L && m(401L) === 400L,
+      "delta-internal component labels at its min id")
+    assert(!m.contains(100L), "docs with no pairs stay unlabeled (solver contract)")
+  }
+
+  test("knn_edges delta: append recomputes only dirty lids, value-identical to full") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 300L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_delta").toString
+    base.toDF("vec_id", "embedding").repartition(2).write.parquet(s"$dir/embeddings.parquet")
+    // append: vec 9001 is an exact copy of vec 42 (cos = 1 — must
+    // enter 42's top-5, so 42 is provably dirty), plus fresh vectors
+    val emb42 = base(41)._2
+    val app = Seq((9001L, emb42)) ++ (9002L to 9010L).map(i => (i, vec()))
+    val stage = java.nio.file.Files.createTempDirectory("graft_knn_delta_stage").toString + "/p"
+    app.toDF("vec_id", "embedding").repartition(1).write.parquet(stage)
+    def edgesOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    val cache = freshCacheDir()
+    val before = withCacheDir(cache) {
+      Materialize.resetBuildCount("knn_edges")
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(before.nonEmpty)
+    appendParts(stage, s"$dir/embeddings.parquet")
+    val viaDelta = withCacheDir(cache) {
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(Materialize.deltaBuildCount("knn_edges") === 1,
+      "the append must maintain the kNN edge artifact incrementally")
+    val viaFull = withCacheDir(freshCacheDir()) {
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(viaDelta === viaFull, "delta kNN edges must be value-identical to a full rebuild")
+    // the engineered exact-duplicate is rank-1 for lid 42 post-append
+    assert(viaDelta.filter(_._1 == 42L).take(1).map(t => (t._3, t._4)).toSeq
+      === Seq((9001L, 1.0)), "new exact-dup neighbor must displace 42's old top-1")
+    // and 9001's own row exists (new lids are computed, not carried)
+    assert(viaDelta.exists(_._1 == 9001L))
   }
 
   test("gc leaves young in-flight .tmp-* builds alone even past the artifact age bound") {
