@@ -27,13 +27,20 @@ import org.apache.spark.sql.types._
   * case) and repeated fields (scalars encode PACKED per the proto3
   * default and decode both packed and expanded; strings/bytes/
   * messages are one length-delimited element per tag; decode to an
-  * array column, absent ⇒ empty array).  Messages nested inside
-  * messages stay rejected at schema-parse time (depth > 1 structure
-  * belongs in parquet).  The schema is a compact
+  * array column, absent ⇒ empty array), plus the two remaining shapes
+  * routine on real topics: ENUM fields (open proto3 enums — int32
+  * varints with unknown values preserved, which an IntegerType column
+  * represents losslessly) and MAP fields (`map<K,V>` — wire-encoded
+  * as repeated synthetic (key=1, value=2) entry messages, decoded to
+  * a MapType column with the spec's last-one-wins duplicate-key
+  * merge; a bounded special case of the depth rule, since the entry
+  * message is generated, scalar-only and never user-nested).
+  * Messages nested inside messages stay rejected at schema-parse time
+  * (depth > 1 structure belongs in parquet).  The schema is a compact
   * `"number:name:type,..."` string — proto3 semantics don't need more
   * (names never hit the wire; numbers and types do); `type` extends to
-  * `int64[]` (repeated), `{1:street:string;2:zip:int64}` (message) and
-  * `{...}[]` (repeated message).
+  * `int64[]` (repeated), `{1:street:string;2:zip:int64}` (message),
+  * `{...}[]` (repeated message), `enum` and `map<string,int64>`.
   *
   * proto3 semantics implemented faithfully, because they're the
   * interesting DLQ contrast with the other three formats:
@@ -49,13 +56,27 @@ import org.apache.spark.sql.types._
   */
 object ProtoCodec {
 
-  /** `ptype` is the scalar kind or `"message"` (then `sub` carries the
-    * one-level nested fields); `repeated` wraps either in an array.
+  /** `ptype` is the scalar kind, `"message"` (then `sub` carries the
+    * one-level nested fields) or `"map"` (then `sub` is the synthetic
+    * entry message: key = field 1, value = field 2 — the spec's map
+    * encoding); `repeated` wraps scalars/messages in an array (maps
+    * cannot be repeated, per the spec).
     */
   final case class ProtoField(number: Int, name: String, ptype: String,
       repeated: Boolean = false, sub: Seq[ProtoField] = Nil)
 
-  private val Types = Set("int64", "sint64", "double", "float", "bool", "string", "bytes")
+  /** `enum` is proto3's open enum: an int32 varint on the wire, with
+    * UNKNOWN values preserved as their integer (the proto3
+    * unknown-value contract) — which is exactly what an int column
+    * gives, so the Spark type is IntegerType and no name table exists
+    * to lose values through.
+    */
+  private val Types = Set("int64", "sint64", "double", "float", "bool", "string", "bytes", "enum")
+
+  /** Legal map key kinds (the spec: any integral or string type; no
+    * float/bytes/enum/message keys).
+    */
+  private val MapKeyTypes = Set("int64", "sint64", "bool", "string")
 
   /** Parse + validate the `"number:name:type,..."` schema string; field
     * numbers must be unique and in the proto-legal range.  Message
@@ -66,8 +87,9 @@ object ProtoCodec {
   def parseSchema(s: String): Seq[ProtoField] =
     parseFields(s, ',', allowMessage = true)
 
-  /** Split on `sep` at brace depth 0 only, so message sub-schemas ride
-    * inside one top-level field part.
+  /** Split on `sep` at bracket depth 0 only, so message sub-schemas
+    * (`{...}`) and map type arguments (`map<K,V>`) ride inside one
+    * top-level field part.
     */
   private def splitTop(s: String, sep: Char): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -76,10 +98,12 @@ object ProtoCodec {
     s.foreach {
       case '{' => depth += 1; cur += '{'
       case '}' => depth -= 1; require(depth >= 0, s"unbalanced braces in schema '$s'"); cur += '}'
+      case '<' => depth += 1; cur += '<'
+      case '>' => depth -= 1; require(depth >= 0, s"unbalanced brackets in schema '$s'"); cur += '>'
       case c if c == sep && depth == 0 => parts += cur.result(); cur.clear()
       case c => cur += c
     }
-    require(depth == 0, s"unbalanced braces in schema '$s'")
+    require(depth == 0, s"unbalanced brackets in schema '$s'")
     parts += cur.result()
     parts.toSeq
   }
@@ -91,7 +115,25 @@ object ProtoCodec {
       val (typeStr, repeated) =
         if (bits(2).endsWith("[]")) (bits(2).dropRight(2), true) else (bits(2), false)
       val f =
-        if (typeStr.startsWith("{")) {
+        if (typeStr.startsWith("map<")) {
+          // map<K,V> is wire-encoded as a repeated SYNTHETIC message of
+          // (key = 1, value = 2) entries — a bounded special case of
+          // the depth rule, not a general depth-2 opening: the entry
+          // message is generated here, and its fields are scalar-only
+          require(allowMessage,
+            s"field '${bits(1)}': map fields are top-level only")
+          require(typeStr.endsWith(">"), s"schema field '$part': unterminated map type")
+          require(!repeated, s"field '${bits(1)}': map fields cannot be repeated (spec rule)")
+          val kv = typeStr.substring(4, typeStr.length - 1).split(",", 2).map(_.trim)
+          require(kv.length == 2 && kv.forall(_.nonEmpty),
+            s"field '${bits(1)}': map type needs map<keytype,valuetype>")
+          require(MapKeyTypes.contains(kv(0)),
+            s"field '${bits(1)}': illegal map key type ${kv(0)} (allowed: ${MapKeyTypes.mkString(", ")})")
+          require(Types.contains(kv(1)),
+            s"field '${bits(1)}': unsupported map value type ${kv(1)} (scalar values only)")
+          ProtoField(bits(0).trim.toInt, bits(1).trim, "map", repeated = false,
+            sub = Seq(ProtoField(1, "key", kv(0)), ProtoField(2, "value", kv(1))))
+        } else if (typeStr.startsWith("{")) {
           require(allowMessage,
             s"field '${bits(1)}': nested messages beyond one level are not supported " +
               "(deeper structure belongs in parquet)")
@@ -121,6 +163,7 @@ object ProtoCodec {
     case "bool"             => BooleanType
     case "string"           => StringType
     case "bytes"            => BinaryType
+    case "enum"             => IntegerType
     case other => throw new IllegalArgumentException(s"unsupported proto type $other")
   }
 
@@ -128,13 +171,15 @@ object ProtoCodec {
     val base =
       if (f.ptype == "message") StructType(f.sub.map(sf =>
         StructField(sf.name, fieldType(sf), nullable = sf.ptype == "message" && !sf.repeated)))
+      else if (f.ptype == "map")
+        MapType(sparkType(f.sub(0).ptype), sparkType(f.sub(1).ptype), valueContainsNull = false)
       else sparkType(f.ptype)
     if (f.repeated) ArrayType(base, containsNull = false) else base
   }
 
   /** Spark schema of the decoded record: scalars non-nullable (proto3
-    * has no null — absent decodes to the default), repeated fields
-    * non-nullable arrays (absent ⇒ empty), message fields NULLABLE
+    * has no null — absent decodes to the default), repeated fields and
+    * maps non-nullable (absent ⇒ empty), message fields NULLABLE
     * (absence is observable presence in proto3's message case).
     */
   def sparkSchema(fields: Seq[ProtoField]): StructType =
@@ -168,6 +213,9 @@ object ProtoCodec {
       case "int64"  => writeVarint(out, v.asInstanceOf[Long])
       case "sint64" => writeVarint(out, zigzagEncode(v.asInstanceOf[Long]))
       case "bool"   => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
+      // enum: int32 varint; negatives sign-extend to 64 bits and take
+      // the full 10 bytes (the spec's negative-enum rule)
+      case "enum"   => writeVarint(out, v.asInstanceOf[Int].toLong)
       case "double" => writeLe(out, java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]), 8)
       case "float"  => writeLe(out, java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL, 4)
       case other => throw new IllegalArgumentException(s"not a packable scalar: $other")
@@ -192,7 +240,28 @@ object ProtoCodec {
       fields: Seq[ProtoField], values: Seq[Any], markAfterField: Int): Int = {
     var mark = 0
     fields.zip(values).foreach { case (f, v) =>
-      if (f.repeated) {
+      if (f.ptype == "map") {
+        // one synthetic (key=1, value=2) entry message per pair, in
+        // the map's iteration order; default key/value elide inside
+        // the entry exactly like any message field (decoders restore
+        // them), and an empty/null map is omitted entirely
+        val entries: Seq[(Any, Any)] = v match {
+          case null => Nil
+          case m: scala.collection.Map[_, _] => m.toSeq.asInstanceOf[Seq[(Any, Any)]]
+          case m: java.util.Map[_, _] =>
+            import scala.jdk.CollectionConverters._
+            m.asScala.toSeq.asInstanceOf[Seq[(Any, Any)]]
+          case other => throw new IllegalArgumentException(
+            s"field '${f.name}': map value is not a Map: ${other.getClass}")
+        }
+        entries.foreach { case (k, vv) =>
+          require(k != null && vv != null,
+            s"field '${f.name}': null map key or value (proto3 maps have neither)")
+          val sub = new java.io.ByteArrayOutputStream(32)
+          encodeRecord(sub, f.sub, Seq(k, vv), -1)
+          writeDelimited(out, f.number, sub.toByteArray)
+        }
+      } else if (f.repeated) {
         val elems: Seq[Any] = v match {
           case null => Nil
           case s: scala.collection.Seq[_] => s.toSeq
@@ -200,6 +269,12 @@ object ProtoCodec {
           case other => throw new IllegalArgumentException(
             s"field '${f.name}': repeated value is not a sequence: ${other.getClass}")
         }
+        // ArrayType(containsNull=false) is declared but Spark does not
+        // enforce it on arbitrary input frames (e.g. parquet reads
+        // with nullable elements) — fail loudly, not with an NPE deep
+        // in a per-element cast
+        elems.foreach(e => require(e != null,
+          s"field '${f.name}': null element in repeated field"))
         if (elems.nonEmpty) f.ptype match {
           case "string" => elems.foreach(e =>
             writeDelimited(out, f.number,
@@ -224,6 +299,7 @@ object ProtoCodec {
       } else {
         val dflt = v == null || (f.ptype match {
           case "int64" | "sint64" => v.asInstanceOf[Long] == 0L
+          case "enum"   => v.asInstanceOf[Int] == 0
           case "double" => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]) == 0L
           case "float"  => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]) == 0
           case "bool"   => !v.asInstanceOf[Boolean]
@@ -231,7 +307,8 @@ object ProtoCodec {
           case "bytes"  => v.asInstanceOf[Array[Byte]].isEmpty
         })
         if (!dflt) f.ptype match {
-          case "int64" | "sint64" | "bool" => writeTag(out, f.number, 0); writeScalar(out, f.ptype, v)
+          case "int64" | "sint64" | "bool" | "enum" =>
+            writeTag(out, f.number, 0); writeScalar(out, f.ptype, v)
           case "double" => writeTag(out, f.number, 1); writeScalar(out, f.ptype, v)
           case "float"  => writeTag(out, f.number, 5); writeScalar(out, f.ptype, v)
           case "string" =>
@@ -281,6 +358,7 @@ object ProtoCodec {
     fields.zipWithIndex.foreach { case (f, i) =>
       out(i) =
         if (f.repeated) scala.collection.mutable.ArrayBuffer.empty[Any]
+        else if (f.ptype == "map") scala.collection.mutable.LinkedHashMap.empty[Any, Any]
         else if (f.ptype == "message") null
         else scalarDefault(f.ptype)
     }
@@ -289,6 +367,7 @@ object ProtoCodec {
 
   private def scalarDefault(ptype: String): Any = ptype match {
     case "int64" | "sint64" => 0L
+    case "enum"   => 0
     case "double" => 0.0
     case "float"  => 0.0f
     case "bool"   => false
@@ -307,6 +386,8 @@ object ProtoCodec {
             buf.map(s => Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
               finishSlots(f.sub, s.asInstanceOf[Array[Any]])))).toSeq
           else buf.toSeq
+        } else if (f.ptype == "map") {
+          slots(i).asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]].toMap
         } else if (f.ptype == "message") {
           if (slots(i) == null) null
           else Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
@@ -343,6 +424,9 @@ object ProtoCodec {
       case "int64"  => readVarint()
       case "sint64" => zigzagDecode(readVarint())
       case "bool"   => readVarint() != 0L
+      // enum: parsers take the LOWER 32 BITS of the varint (the spec's
+      // int32 truncation rule); unknown values come through as-is
+      case "enum"   => readVarint().toInt
       case "double" => java.lang.Double.longBitsToDouble(readLe(8))
       case "float"  => java.lang.Float.intBitsToFloat(readLe(4).toInt)
     }
@@ -352,7 +436,7 @@ object ProtoCodec {
       len
     }
     def scalarWt(ptype: String): Int = ptype match {
-      case "int64" | "sint64" | "bool" => 0
+      case "int64" | "sint64" | "bool" | "enum" => 0
       case "double" => 1
       case "float"  => 5
     }
@@ -389,6 +473,18 @@ object ProtoCodec {
                 buf += readScalar(p)
               }
           }
+        case Some((f, i)) if f.ptype == "map" =>
+          require(wt == 2, s"field $number: wire type $wt, want length-delimited")
+          val len = readDelimited(number, "map entry")
+          // each entry is a fresh synthetic message: absent key/value
+          // decode to their defaults, a later duplicate key OVERWRITES
+          // (the spec's last-one-wins map merge)
+          val sub = freshSlots(f.sub)
+          decodeInto(java.util.Arrays.copyOfRange(bytes, pos, pos + len), f.sub, sub)
+          val kv = finishSlots(f.sub, sub)
+          slots(i).asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]]
+            .put(kv(0), kv(1))
+          pos += len
         case Some((f, i)) if f.ptype == "message" =>
           require(wt == 2, s"field $number: wire type $wt, want length-delimited")
           val len = readDelimited(number, "message")
@@ -398,7 +494,7 @@ object ProtoCodec {
           decodeInto(java.util.Arrays.copyOfRange(bytes, pos, pos + len), f.sub, sub)
           slots(i) = sub; pos += len
         case Some((f, i)) => f.ptype match {
-          case "int64" | "sint64" | "bool" =>
+          case "int64" | "sint64" | "bool" | "enum" =>
             require(wt == 0, s"field $number: wire type $wt, want varint"); slots(i) = readScalar(f.ptype)
           case "double" => require(wt == 1, s"field $number: wire type $wt, want fixed64")
             slots(i) = readScalar(f.ptype)

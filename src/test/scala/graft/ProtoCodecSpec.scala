@@ -123,6 +123,95 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(merged.getString(1) === "x", "absent-in-later field persists from the earlier occurrence")
   }
 
+  test("enum fields: varint wire form, open-enum unknown values, negative 10-byte rule") {
+    // an enum value rides exactly like the spec's Test1 varint:
+    // field 1 value 150 -> 08 96 01 (enums ARE int32 varints)
+    assert(hex(encodeOne("1:e:enum", 150)) === "089601")
+    // default 0 elides; decode restores 0
+    assert(encodeOne("1:e:enum", 0).isEmpty)
+    assert(ProtoCodec.decodeRecord(Array.emptyByteArray,
+      ProtoCodec.parseSchema("1:e:enum")).toSeq === Seq(0))
+    // proto3 open enum: a value no generated code knows (99) survives
+    // decode as its integer — unknown-value-preserved
+    val rec = ProtoCodec.decodeRecord(encodeOne("1:e:enum", 99),
+      ProtoCodec.parseSchema("1:e:enum"))
+    assert(rec.toSeq === Seq(99))
+    // negative enum values sign-extend to 64 bits -> 10 varint bytes
+    // (the spec's negative-enum rule), and truncate back on decode
+    val neg = encodeOne("1:e:enum", -2)
+    assert(hex(neg).length === 2 * 11, s"tag + 10 bytes, got ${hex(neg)}")
+    assert(ProtoCodec.decodeRecord(neg, ProtoCodec.parseSchema("1:e:enum")).toSeq === Seq(-2))
+    // repeated enum packs like any numeric scalar
+    assert(hex(encodeOne("6:es:enum[]", Seq(3, 270, 86942))) === "3206038e029ea705")
+    assert(ProtoCodec.decodeRecord(encodeOne("6:es:enum[]", Seq(3, 270, 86942)),
+      ProtoCodec.parseSchema("6:es:enum[]"))(0) === Seq(3, 270, 86942))
+  }
+
+  test("map fields: synthetic (key=1,value=2) entry encoding, defaults, last-one-wins") {
+    // derived from the spec's map rule (maps == repeated entry
+    // messages): field 7 map<string,int64> {"abc" -> 150}:
+    //   tag 7<<3|2 = 0x3a, entry len 8,
+    //   key: tag 0x0a len 3 'abc'; value: tag 0x10 varint 150
+    assert(hex(encodeOne("7:m:map<string,int64>", Map("abc" -> 150L)))
+      === "3a080a03616263109601")
+    // empty and null maps are omitted; decode restores the empty map
+    assert(encodeOne("7:m:map<string,int64>", Map.empty[String, Long]).isEmpty)
+    assert(encodeOne("7:m:map<string,int64>", null).isEmpty)
+    assert(ProtoCodec.decodeRecord(Array.emptyByteArray,
+      ProtoCodec.parseSchema("7:m:map<string,int64>"))(0) === Map.empty[String, Long])
+    // default key and default value each elide INSIDE their entry and
+    // decode back to defaults — {"": 5} and {"k": 0} both round-trip
+    val schema = ProtoCodec.parseSchema("7:m:map<string,int64>")
+    assert(ProtoCodec.decodeRecord(
+      encodeOne("7:m:map<string,int64>", Map("" -> 5L, "k" -> 0L)), schema)(0)
+      === Map("" -> 5L, "k" -> 0L))
+    // duplicate key on the wire: LAST one wins (the spec's map merge) —
+    // two entries for "a" hand-concatenated
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(encodeOne("7:m:map<string,int64>", Map("a" -> 1L)))
+    out.write(encodeOne("7:m:map<string,int64>", Map("a" -> 9L, "b" -> 2L)))
+    assert(ProtoCodec.decodeRecord(out.toByteArray, schema)(0) === Map("a" -> 9L, "b" -> 2L))
+    // int64 keys and double values work; bool keys too
+    assert(ProtoCodec.decodeRecord(
+      encodeOne("1:m:map<int64,double>", Map(7L -> 2.5, 0L -> 0.0)),
+      ProtoCodec.parseSchema("1:m:map<int64,double>"))(0) === Map(7L -> 2.5, 0L -> 0.0))
+    // parser rejections: repeated map, float key, message value, depth
+    assert(intercept[IllegalArgumentException] {
+      ProtoCodec.parseSchema("1:m:map<string,int64>[]")
+    }.getMessage.contains("cannot be repeated"))
+    assert(intercept[IllegalArgumentException] {
+      ProtoCodec.parseSchema("1:m:map<double,int64>")
+    }.getMessage.contains("illegal map key type"))
+    assert(intercept[IllegalArgumentException] {
+      ProtoCodec.parseSchema("1:m:map<string,{1:a:int64}>")
+    }.getMessage.contains("unsupported map value type"))
+  }
+
+  test("map + enum DataFrame round trip through toProto/fromProto") {
+    import org.apache.spark.sql.Row
+    val schema = "1:id:int64,2:status:enum,3:attrs:map<string,int64>"
+    val fields = ProtoCodec.parseSchema(schema)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        Row(1L, 3, Map("x" -> 10L, "y" -> 0L)),
+        Row(2L, 0, Map.empty[String, Long]),
+        Row(3L, -7, Map("" -> 42L)))),
+      ProtoCodec.sparkSchema(fields))
+    val back = ProtoCodec.fromProto(ProtoCodec.toProto(df, schema), schema).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getMap[String, Long](2)))
+      .sortBy(_._1)
+    assert(back(0)._2 === 3 && back(0)._3 === Map("x" -> 10L, "y" -> 0L))
+    assert(back(1)._2 === 0 && back(1)._3 === Map.empty[String, Long])
+    assert(back(2)._2 === -7 && back(2)._3 === Map("" -> 42L))
+  }
+
+  test("a null element inside a repeated field fails loudly, naming the field") {
+    val e = intercept[IllegalArgumentException] {
+      encodeOne("2:tags:string[]", Seq("ok", null))
+    }
+    assert(e.getMessage.contains("tags") && e.getMessage.contains("null element"))
+  }
+
   test("schema parser: depth-2 nesting and malformed braces are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       ProtoCodec.parseSchema("1:a:{1:b:{1:c:int64}}")
