@@ -4,69 +4,121 @@ import org.apache.spark.sql.functions._
 
 /** Append-cost probe for the delta-maintained substrates: the
   * committed evidence that an appended crawl batch costs the DELTA,
-  * not the corpus — now for all three artifacts (neardup_pairs,
-  * neardup_comps, knn_edges) over a sequence of appends.
+  * not the corpus.
   *
-  * Copies the SF's documents and embeddings tables to a scratch dir,
-  * times the full base builds, then for each of `nAppends` synthetic
-  * append batches (`deltaPct`% new rows each, ids offset past the
-  * corpus max so they can never collide with real ids at any SF)
-  * times (a) the incremental build in the SHARED cache and (b) a
-  * from-scratch full rebuild of the same corpus state in a FRESH
-  * cache — (a) vs (b), per step, is the incremental-maintenance win
-  * at equal output.  Value-identity of the two is MaterializeSpec's
-  * job; this main measures cost and asserts the delta path was
-  * actually taken.
+  * Two modes:
+  *
+  *  - `sf` (default): copies the SF's documents and embeddings tables
+  *    to a scratch dir and probes all three artifacts (neardup_pairs,
+  *    neardup_comps, knn_edges).  At SF scale the pair graph sits far
+  *    below [[graft.operators.Dedup.LocalCcMaxEdges]], so the comps
+  *    delta DECLINES by design (the full path is one driver
+  *    union-find collect) — its delta_sec legs measure the declined
+  *    path, i.e. they match full_sec.
+  *  - `dup`: generates a heavy-duplication corpus (2,400 template
+  *    groups × 22 identical docs → ≈554k near-dup pairs, ABOVE the
+  *    driver budget) so the full comps path is the distributed
+  *    O(log n)-round star contraction — the regime the comps delta
+  *    exists for.  Appends spread one perturbed copy across the first
+  *    1% of groups (group shingle DF stays far under the cap — no
+  *    engineered pair deaths), so every append is merge-only and the
+  *    delta path is taken.  knn is skipped (no embeddings here).
+  *  - `vec`: generates a 200k-vector corpus (deterministic 64-dim
+  *    pseudo-random embeddings) and probes ONLY knn_edges — the scale
+  *    where the LSH self-join's candidate fan-out dominates the fixed
+  *    scan/encode costs that make delta ≈ full at sf1's 20k vectors.
+  *
+  * For each of `nAppends` batches (fresh ids offset past the corpus
+  * max so they can never collide at any scale), times (a) the
+  * incremental build in the SHARED cache and (b) a from-scratch full
+  * rebuild of the same corpus state in a FRESH cache — (a) vs (b),
+  * per step, is the incremental-maintenance win at equal output.
+  * Value-identity of the two is MaterializeSpec's job; this main
+  * measures cost and reports how often the delta path actually ran.
   *
   * Usage: {{{
   *   SPARK_GRAFT_SF_DIR=/root/repo/target/sf1 SPARK_GRAFT_CPUS=32 \
-  *     sbt "runMain graft.DeltaProbe 1 5"
+  *     sbt "runMain graft.DeltaProbe 1 5"        // sf mode
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.DeltaProbe 1 3 dup"
   * }}}
-  * Args = delta percent (default 1), append count (default 5).
-  * Writes `target/probe_delta_materialize.json`.
+  * Args = delta percent (default 1), append count (default 5), mode.
+  * Writes `target/probe_delta_materialize[_dup].json`.
   */
 object DeltaProbe {
   def main(args: Array[String]): Unit = {
     val deltaPct = args.headOption.map(_.toInt).getOrElse(1)
     val nAppends = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val mode = args.drop(2).headOption.getOrElse("sf")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val work = java.nio.file.Files.createTempDirectory("graft_delta_probe").toString
     val docsDir = s"$work/documents.parquet"
     val embDir = s"$work/embeddings.parquet"
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-    docs.write.parquet(docsDir)
-    val emb = graft.sources.Tables.embeddings(spark, sfDir)
-    emb.write.parquet(embDir)
-    val nDocs = spark.read.parquet(docsDir).count()
-    val nEmb = spark.read.parquet(embDir).count()
+    val withKnn = mode != "dup"
+    val withDocs = mode != "vec"
+    val docs =
+      if (mode == "dup") {
+        // 2,400 groups x 22 identical 52-word docs: C(22,2) pairs per
+        // group = 554,400 pairs total — above the 2^19 driver budget,
+        // so full comps = the distributed contraction
+        val perGroup = 22
+        spark.range(2400L * perGroup).select(
+          ((col("id") / perGroup).cast("long") * 100 + col("id") % perGroup).as("doc_id"),
+          expr(s"concat_ws(' ', transform(sequence(0, 51), " +
+            s"i -> concat('g', CAST(id DIV $perGroup AS STRING), 'w', CAST(i AS STRING))))")
+            .as("text"))
+      } else graft.sources.Tables.documents(spark, sfDir)
+    if (withDocs) docs.write.parquet(docsDir)
+    if (withKnn) {
+      val emb =
+        if (mode == "vec")
+          // deterministic pseudo-random 64-dim embeddings: cos of a
+          // murmur3 hash of (id, dim) — dimensions must be
+          // DECORRELATED (any arg affine in the dim index collapses
+          // every hyperplane dot to A·cos(x+φ), one scalar phase ⇒
+          // ~30 distinct LSH buckets and a quadratic candidate blowup)
+          spark.range(200000L).select(col("id").as("vec_id"),
+            expr("transform(sequence(0, 63), i -> cos(CAST(hash(id, i) AS DOUBLE)))")
+              .as("embedding"))
+        else graft.sources.Tables.embeddings(spark, sfDir)
+      emb.write.parquet(embDir)
+    }
+    val nDocs = if (withDocs) spark.read.parquet(docsDir).count() else 0L
+    val nEmb = if (withKnn) spark.read.parquet(embDir).count() else 0L
     // id offsets derive from the corpus maxima, so a synthetic id can
     // never collide with a real one regardless of scale factor
-    val maxDocId = spark.read.parquet(docsDir).agg(max(col("doc_id"))).head.getLong(0)
-    val maxVecId = spark.read.parquet(embDir).agg(max(col("vec_id"))).head.getLong(0)
+    val maxDocId = if (withDocs)
+      spark.read.parquet(docsDir).agg(max(col("doc_id"))).head.getLong(0) else 0L
+    val maxVecId = if (withKnn)
+      spark.read.parquet(embDir).agg(max(col("vec_id"))).head.getLong(0) else 0L
 
     // synthetic append batches: deltaPct% new rows each, fresh ids,
     // perturbed text (a token prefix keeps them near their source —
-    // some become near-dups of corpus docs, the realistic crawl
+    // they become near-dups of corpus docs, the realistic crawl
     // shape); embeddings reuse corpus vectors (exact semantic dups —
-    // guaranteed dirty-set work for the kNN delta)
-    val nDeltaDocs = math.max(1L, nDocs * deltaPct / 100)
-    val nDeltaEmb = math.max(1L, nEmb * deltaPct / 100)
+    // guaranteed dirty-set work for the kNN delta).  dup mode spreads
+    // ONE copy per group so no group's shingle DF approaches the cap.
+    val nDeltaDocs = math.max(1L, math.max(nDocs, 1L) * deltaPct / 100)
+    val nDeltaEmb = if (withKnn) math.max(1L, nEmb * deltaPct / 100) else 0L
     def stageDocs(k: Int): String = {
       val stage = s"$work/stage_docs$k"
-      docs.orderBy(col("doc_id")).limit(nDeltaDocs.toInt)
-        .select((col("doc_id") + (maxDocId + 1) * k).as("doc_id"),
-          concat(lit(s"appended batch $k doc "), col("text")).as("text"),
-          col("source"), col("lang"), col("n_chars"))
+      val src = if (mode == "dup")
+        spark.read.parquet(docsDir).filter(col("doc_id") % 100 === 0)
+      else spark.read.parquet(docsDir)
+      src.orderBy(col("doc_id")).limit(nDeltaDocs.toInt)
+        .select((col("doc_id") + (maxDocId + 1) * k).as("doc_id") +:
+          concat(lit(s"appended batch $k doc "), col("text")).as("text") +:
+          src.columns.filterNot(c => c == "doc_id" || c == "text").map(col).toSeq: _*)
         .write.parquet(stage)
       stage
     }
     def stageEmb(k: Int): String = {
       val stage = s"$work/stage_emb$k"
-      emb.orderBy(col("vec_id")).limit(nDeltaEmb.toInt)
+      spark.read.parquet(embDir).orderBy(col("vec_id")).limit(nDeltaEmb.toInt)
         .select((col("vec_id") + (maxVecId + 1) * k).as("vec_id"), col("embedding"))
         .write.parquet(stage)
       stage
@@ -92,7 +144,9 @@ object DeltaProbe {
     // already-built pair artifact, so each number is that substrate's
     // own cost
     def buildAll(): (Double, Double, Double) =
-      (timed(buildPairs()), timed(buildComps()), timed(buildKnn()))
+      (if (withDocs) timed(buildPairs()) else 0.0,
+        if (withDocs) timed(buildComps()) else 0.0,
+        if (withKnn) timed(buildKnn()) else 0.0)
 
     // warmup: one throwaway full build so codegen/shuffle/scan
     // machinery is hot before any timed leg (the Bench discipline)
@@ -108,8 +162,8 @@ object DeltaProbe {
     val deltaSecs = Array.ofDim[(Double, Double, Double)](nAppends)
     val fullSecs = Array.ofDim[(Double, Double, Double)](nAppends)
     for (k <- 1 to nAppends) {
-      appendBatch(stageDocs(k), docsDir)
-      appendBatch(stageEmb(k), embDir)
+      if (withDocs) appendBatch(stageDocs(k), docsDir)
+      if (withKnn) appendBatch(stageEmb(k), embDir)
       spark.conf.set("spark.graft.cache.dir", liveCache)
       deltaSecs(k - 1) = buildAll()
       // full-rebuild alternative for the SAME corpus state, fresh cache
@@ -124,17 +178,20 @@ object DeltaProbe {
     def arr(xs: Seq[Double]) = xs.map(r3).mkString("[", ",", "]")
     def block(name: String, base: Double, d: Seq[Double], f: Seq[Double]) =
       s""""$name":{"full_base_sec":${r3(base)},"delta_sec":${arr(d)},"full_sec":${arr(f)}}"""
+    val knnBlock = if (withKnn)
+      block("knn", fbK, deltaSecs.map(_._3).toSeq, fullSecs.map(_._3).toSeq) + "," else ""
     val json =
-      s"""{"metric":"delta_materialize","sf":"${new java.io.File(sfDir).getName}",""" +
+      s"""{"metric":"delta_materialize","mode":"$mode","sf":"${new java.io.File(sfDir).getName}",""" +
       s""""corpus_docs":$nDocs,"corpus_vecs":$nEmb,"delta_pct":$deltaPct,""" +
       s""""n_appends":$nAppends,""" +
       block("pairs", fbP, deltaSecs.map(_._1).toSeq, fullSecs.map(_._1).toSeq) + "," +
       block("comps", fbC, deltaSecs.map(_._2).toSeq, fullSecs.map(_._2).toSeq) + "," +
-      block("knn", fbK, deltaSecs.map(_._3).toSeq, fullSecs.map(_._3).toSeq) + "," +
+      knnBlock +
       s""""delta_builds":{"neardup_pairs":${taken("neardup_pairs")},""" +
       s""""neardup_comps":${taken("neardup_comps")},"knn_edges":${taken("knn_edges")}}}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/probe_delta_materialize.json"), json + "\n")
+    val outName = if (mode == "sf") "target/probe_delta_materialize.json"
+      else s"target/probe_delta_materialize_$mode.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outName), json + "\n")
     spark.stop()
     println(json)
   }

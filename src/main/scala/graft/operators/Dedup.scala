@@ -496,13 +496,24 @@ object Dedup {
     * minimum comp id — which IS the merged component's minimum member
     * id, because prior labels are their components' minima and fresh
     * nodes are their own — and only labels inside merged components
-    * change; everything else carries over bit-identically.  Driver
-    * state is bounded by the ADDED pair count (≤ [[LocalCcMaxEdges]],
-    * else decline to the distributed contraction).  Edges CAN also
-    * die on append (a DF-cap crossing shrinks a dirty doc's shingle
-    * set, and a died edge may SPLIT a component — splits are not
-    * expressible as label merges), so any removed pair declines to
-    * the full solver.
+    * change; everything else carries over bit-identically.
+    *
+    * Cost-based take: the delta runs ONLY in the distributed regime
+    * (current pairs > [[LocalCcMaxEdges]], where the full alternative
+    * is the O(log n)-round star contraction over the whole edge list;
+    * the delta is one bounded diff-collect plus a broadcast relabel).
+    * Below the budget the full path is a single driver union-find
+    * collect — measured strictly cheaper than ANY multi-job delta —
+    * so the builder declines and compacts (sf1 probe: delta 2.1 s vs
+    * 0.65 s full at ~30k pairs).  The regime bound is overridable via
+    * `spark.graft.delta.comps.minPairs` (spec hook).
+    *
+    * Declines additionally when: any pair DIED (a DF-cap crossing
+    * shrinks a dirty doc's shingle set, and a died edge may SPLIT a
+    * component — splits are not expressible as label merges), or the
+    * added-pair count exceeds the driver budget.  The whole diff is
+    * ONE bounded collect: pairs present on exactly one side, with
+    * their endpoints' prior labels joined on, limit budget+1.
     */
   private def nearDupCompsDelta(s: SparkSession, dir: String,
       prevLabels: DataFrame, prevFiles: Seq[String]): DataFrame = {
@@ -511,21 +522,27 @@ object Dedup {
       .getOrElse(return null)
       .select(col("d1"), col("d2"))
     // the CURRENT pair artifact — itself delta-maintained; building it
-    // here (not inside the closure below) keeps its cost attributed to
-    // the pair substrate, and comps read the published parquet
+    // here keeps its cost attributed to the pair substrate, and comps
+    // read the published parquet
     val curPairs = nearDupPairs(s, dir).select(col("d1"), col("d2"))
-    val removed = prevPairs.join(curPairs, Seq("d1", "d2"), "left_anti").limit(1).count()
-    if (removed > 0) return null
-    val added = curPairs.join(prevPairs, Seq("d1", "d2"), "left_anti")
-    val nAdded = added.count()
-    if (nAdded > LocalCcMaxEdges) return null
-    if (nAdded == 0) return prevLabels
-    // component-level merge edges: |added|-proportional driver state
-    val compEdges = added
+    val minPairs = s.conf.get("spark.graft.delta.comps.minPairs",
+      LocalCcMaxEdges.toString).toLong
+    if (curPairs.count() <= minPairs) return null
+    val budget = LocalCcMaxEdges.toInt
+    val diff = curPairs.withColumn("w", lit(1L))
+      .unionByName(prevPairs.withColumn("w", lit(2L)))
+      .groupBy(col("d1"), col("d2")).agg(sum(col("w")).as("w"))
+      .filter(col("w") =!= 3L)
       .join(prevLabels.select(col("id").as("d1"), col("comp").as("c1")), Seq("d1"), "left")
       .join(prevLabels.select(col("id").as("d2"), col("comp").as("c2")), Seq("d2"), "left")
-      .select(coalesce(col("c1"), col("d1")).as("a"), coalesce(col("c2"), col("d2")).as("b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .select(col("d1"), col("d2"), col("w"),
+        coalesce(col("c1"), col("d1")).as("a"), coalesce(col("c2"), col("d2")).as("b"))
+      .limit(budget + 1)
+      .collect()
+    if (diff.length > budget) return null          // added set past the driver budget
+    if (diff.exists(_.getLong(2) == 2L)) return null // a died edge can SPLIT a component
+    if (diff.isEmpty) return prevLabels
+    val compEdges = diff.map(r => (r.getLong(3), r.getLong(4)))
     import s.implicits._
     val remap = broadcast(unionFindLabels(compEdges).toDF("mkey", "mroot"))
     // prior labels: comps that merged remap to the new root, the rest
@@ -535,8 +552,8 @@ object Dedup {
     val relabeled = prevLabels
       .join(remap.withColumnRenamed("mkey", "comp"), Seq("comp"), "left")
       .select(col("id"), coalesce(col("mroot"), col("comp")).as("comp"))
-    val freshIds = added.select(col("d1").as("id"))
-      .unionByName(added.select(col("d2").as("id"))).distinct()
+    val addedIds = diff.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+    val freshIds = addedIds.toDF("id")
       .join(prevLabels.select(col("id")), Seq("id"), "left_anti")
       .join(remap, col("id") === col("mkey"))
       .select(col("id"), col("mroot").as("comp"))

@@ -357,48 +357,107 @@ object Similarity {
     graft.sources.Materialize.readOrBuildDelta(s, "knn_edges",
       inputs = Seq(s"$dir/embeddings.parquet"),
       params = Seq("k" -> "5", "ver" -> "1")) {
+      // a full (re)build compacts: the current snapshot becomes the
+      // new base, so pay its bucket sidecar now (one encode pass the
+      // build runs anyway) — every later append then buckets ONLY its
+      // new vectors (the eager-sidecar discipline from the pair delta)
       val emb = Tables.embeddings(s, dir)
-      knnJoin(emb, emb, 5, lshBitsFor(corpusSize(s, dir)))
+      val bits = lshBitsFor(corpusSize(s, dir))
+      knnBaseBuckets(s,
+        graft.sources.Materialize.listFiles(s, s"$dir/embeddings.parquet"), bits)
+      knnJoin(emb, emb, 5, bits)
     } { (prevEdges, prevFiles, deltaFiles) =>
       knnEdgesDelta(s, dir, prevEdges, prevFiles, deltaFiles)
     }
 
+  /** The (vec_id, tbl, bucket) LSH assignment of an explicit BASE file
+    * set, materialized once per base snapshot — the persisted-index
+    * half of [[knnEdgesDelta]]'s appendToIndex algebra: an appended
+    * snapshot's bucket table is composed LAZILY as base FileScan ∪
+    * encode(appended), so an append never re-encodes (or rewrites) the
+    * corpus-sized assignment.
+    */
+  private def knnBaseBuckets(s: SparkSession, baseFiles: Seq[String], bits: Int): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "knn_buckets", baseFiles,
+      Seq("bits" -> bits.toString, "tables" -> LshTables.toString, "ver" -> "1")) {
+      bucketsOf(s.read.parquet(baseFiles: _*).select(col("vec_id"), col("embedding")), bits)
+    }
+
+  private def bucketsOf(vecsRaw: DataFrame, bits: Int): DataFrame =
+    prep(vecsRaw)
+      .select(col("vec_id"), explode(hyperplaneBuckets(col("e"), bits)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
   /** Incremental kNN-graph maintenance on append — the
-    * [[appendToIndex]] algebra applied to the edge substrate.  Under
-    * append the corpus only grows, so an existing id's top-k can only
-    * change if a NEW vector enters its candidate set: bucket the new
-    * vectors (encode-only — the hyperplanes are seeded constants, so
-    * base bucket assignments are unchanged), join delta×all to find
-    * every lid with ≥1 new candidate, and recompute top-k ONLY for
-    * that dirty set ∪ the new ids themselves (the dirty-set idiom from
-    * the pair delta); every clean lid's row carries over
-    * bit-identically — its candidate set is untouched and the scorer
-    * is deterministic (exact top-k tie order, fixed rounding).
+    * [[appendToIndex]] algebra applied to the edge substrate, aligned
+    * at the BASE snapshot (the one whose bucket sidecar exists).
+    * Under append the corpus only grows, so an existing lid's
+    * candidate set can only GAIN the new vectors that share a bucket
+    * with it — and for ANY deterministic total order (the scorer's is
+    * score desc, id asc), topK(A ∪ B) = topK(topK(A) ∪ B).  So a
+    * dirty lid needs exactly: its PREVIOUS top-k rescored (exact
+    * doubles — the dot is deterministic) merged with its NEW
+    * collisions, never a re-scan of its whole candidate set.  Per
+    * append: encode ONLY this batch's vectors (the hyperplanes are
+    * seeded constants; base assignments read back as a FileScan of
+    * the sidecar), ONE broadcast join batch×composed finds every
+    * collision involving a batch vector — which yields, in both
+    * orientations, the existing lids' new candidates AND the new
+    * lids' full candidate sets — and the scorer runs over
+    * (prev-top-k ∪ new-collision) pairs only; clean lids carry over
+    * bit-identically.  Nothing corpus-sized is recomputed or
+    * shuffled: the composed assignment streams once through the
+    * broadcast join, and the remaining corpus-sized term is the
+    * artifact REWRITE (k rows per vector — the carried rows pass
+    * through to the new parquet), the honest floor of maintaining a
+    * materialized graph as one plain-FileScan artifact.
     *
-    * Declines (→ full rebuild, which compacts) when: the appended
-    * corpus crosses an [[lshBitsFor]] bucket-width step, which re-keys
-    * every bucket; or the append exceeds the compaction fraction
-    * ([[graft.operators.Dedup.MaxAppendFraction]] discipline — past it
-    * the dirty recompute approaches full cost).
+    * Declines (→ full rebuild, which compacts) when: the bucket
+    * sidecar for the base is missing; the appended corpus crosses an
+    * [[lshBitsFor]] bucket-width step, which re-keys every bucket; or
+    * the cumulative append exceeds the compaction fraction (the
+    * [[graft.operators.Dedup.MaxAppendFraction]] discipline).
     */
   private def knnEdgesDelta(s: SparkSession, dir: String, prevEdges: DataFrame,
       prevFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
     val M = graft.sources.Materialize
-    val nPrev = s.read.parquet(prevFiles: _*).count()
     val nAll = corpusSize(s, dir)
     val bits = lshBitsFor(nAll)
-    if (bits != lshBitsFor(nPrev)) return null
+    // the freshest base with a bucket sidecar at the CURRENT bit width;
+    // bits are stable across ~8x growth (lshBitsFor steps per doubling
+    // of n/8), so a step change simply compacts
+    val prior = M.readPrior(s, "knn_buckets", Seq(s"$dir/embeddings.parquet"),
+      Seq("bits" -> bits.toString, "tables" -> LshTables.toString, "ver" -> "1"))
+    if (prior.isEmpty) return null
+    val (baseBuckets, baseFiles) = prior.get
+    val appended = ((prevFiles ++ deltaFiles).toSet -- baseFiles).toSeq.sorted
+    if (appended.isEmpty) return null
     val maxFrac = s.conf.get("spark.graft.delta.maxAppendFraction", "0.34").toDouble
-    if (M.totalBytes(s, deltaFiles) > maxFrac * M.totalBytes(s, prevFiles)) return null
-    val all = Tables.embeddings(s, dir)
-    val newVecs = s.read.parquet(deltaFiles: _*)
-      .select(col("vec_id"), col("embedding"))
-    val dirtyIds = knnJoinCandidates(all, newVecs, bits)
-      .select(col("lid").as("vec_id"))
-      .unionByName(newVecs.select(col("vec_id")))
+    if (M.totalBytes(s, appended) > maxFrac * M.totalBytes(s, baseFiles)) return null
+    val composedB = baseBuckets.unionByName(bucketsOf(
+      s.read.parquet(appended: _*).select(col("vec_id"), col("embedding")), bits))
+    // every collision involving a vector of THIS batch (earlier
+    // appends are already reflected in prevEdges), both orientations
+    val batchB = bucketsOf(
+      s.read.parquet(deltaFiles: _*).select(col("vec_id"), col("embedding")), bits)
+    val hits = composedB.as("c")
+      .join(broadcast(batchB.as("n")), Seq("tbl", "bucket"))
+      .filter(col("c.vec_id") =!= col("n.vec_id"))
+      .select(col("c.vec_id").as("cid"), col("n.vec_id").as("nid"))
+      .localCheckpoint(eager = true)
+    val newCand = hits.select(col("cid").as("lid"), col("nid").as("vec_id"))
+      .unionByName(hits.select(col("nid").as("lid"), col("cid").as("vec_id")))
       .distinct()
-    val dirtyVecs = all.join(dirtyIds, Seq("vec_id"), "left_semi")
-    val fresh = knnJoin(dirtyVecs, all, 5, bits)
+    val dirtyIds = newCand.select(col("lid").as("vec_id")).distinct()
+    // the dirty lids' previous top-k re-enter the scorer as candidate
+    // pairs (their cosines recompute to the same doubles), so the
+    // per-lid merge is topK(prevTopK ∪ newCollisions) — exact
+    val prevTop = prevEdges
+      .join(dirtyIds.select(col("vec_id").as("q_id")), Seq("q_id"), "left_semi")
+      .select(col("q_id").as("lid"), col("vec_id"))
+    val cand = newCand.unionByName(prevTop).distinct()
+    val all = Tables.embeddings(s, dir)
+    val fresh = knnJoinScore(all, all, cand, 5)
     val carried = prevEdges
       .join(dirtyIds.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
     carried.unionByName(fresh)

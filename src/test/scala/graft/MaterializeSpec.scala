@@ -28,12 +28,18 @@ class MaterializeSpec extends AnyFunSuite {
   }
 
   /** Engineered spec corpora are tiny parquet files whose byte ratios
-    * are footer-dominated — lift the compaction fraction so the
-    * cost-based decline never masks the semantics under test.
+    * are footer-dominated and whose pair graphs sit far below the
+    * comps delta's distributed-regime bound — lift the compaction
+    * fraction and drop the regime bound so the cost-based declines
+    * never mask the semantics under test.
     */
   private def withAppendFraction[A](frac: String)(body: => A): A = {
     spark.conf.set("spark.graft.delta.maxAppendFraction", frac)
-    try body finally spark.conf.unset("spark.graft.delta.maxAppendFraction")
+    spark.conf.set("spark.graft.delta.comps.minPairs", "0")
+    try body finally {
+      spark.conf.unset("spark.graft.delta.maxAppendFraction")
+      spark.conf.unset("spark.graft.delta.comps.minPairs")
+    }
   }
 
   test("readOrBuild builds once, then serves every later call from the artifact") {
