@@ -533,7 +533,11 @@ object Pipeline {
     * read from the materialized label artifact) → decontaminate (drop
     * eval-overlapping docs: the corpus's even/odd eval split, capped
     * 5-gram shingle match — [[Dedup.decontaminate]]'s exact relation)
-    * → Gopher doc rules → C4 doc rules.  This is the first dashboard a
+    * → Gopher doc rules → C4 doc rules → (round 14) the SELECTION
+    * stages: source_mix's √-temperature per-source keep (rates derived
+    * from the cleaned survivors, the order a real pipeline selects in)
+    * → the deterministic 0.90 train split — so the funnel runs raw →
+    * clean → SELECTED, end to end.  This is the first dashboard a
     * corpus curator reads, and it exercises the LADDER'S COMPOSITION:
     * every count is an exact integer, so the whole funnel is
     * oracle-checked end-to-end, conservation included
@@ -543,24 +547,28 @@ object Pipeline {
     * RAW corpus — the number a curator compares against the cumulative
     * column to see overlap between filters, and the value that keeps
     * every stage's semantics gate-pinned even when an upstream stage
-    * (C4 on this unpunctuated synthetic corpus) empties the funnel.
+    * (Gopher on this synthetic corpus) empties the funnel: the
+    * mixture/split hash-threshold machinery is exercised and
+    * oracle-bound through the standalone columns at any funnel state.
     *
-    * Scale shape: one corpus scan feeds the per-doc flag columns; the
-    * fp/component windows shuffle skinny (id, key) rows; the stage
-    * algebra is a single 6-row stack over one aggregate row — at
-    * 100 TB this is strictly cheaper than running the six stage
-    * queries separately (shared scan, shared shingle artifacts).
+    * Scale shape: one corpus scan feeds the per-doc flag columns,
+    * materialized once at a skinny eager checkpoint; the fp/component
+    * windows shuffle skinny (id, key) rows; the selection rates are
+    * two |sources|-row aggregates broadcast back; the stage algebra
+    * is a single 8-row stack over one aggregate row — at 100 TB this
+    * is strictly cheaper than running the eight stage queries
+    * separately (shared scan, shared shingle artifacts).
     */
   def curationReport(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
     val comp = Dedup.nearDupComponentLabels(s, dir)
       .select(col("id").as("doc_id"), col("comp"))
     val decon = Dedup.decontaminate(s, dir)
       .select(col("test_id").as("doc_id"), lit(true).as("decon"))
     val gk = TextOps.qualityGopherFlags(docs).select(col("doc_id"), col("keep").as("g_keep"))
     val ck = TextOps.qualityC4Flags(docs).select(col("doc_id"), col("keep").as("c_keep"))
-    val base = docs.select(col("doc_id"),
+    val base = docs.select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"),
         graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       .join(comp, Seq("doc_id"), "left")
@@ -568,6 +576,10 @@ object Pipeline {
       .join(decon, Seq("doc_id"), "left")
       .withColumn("decon", coalesce(col("decon"), lit(false)))
       .join(gk, Seq("doc_id")).join(ck, Seq("doc_id"))
+    // flag columns materialize ONCE (eager local checkpoint): the two
+    // |sources|-row rate aggregates below and the final funnel
+    // aggregate all read this skinny leaf instead of re-running the
+    // fp/comp windows per consumer — still one corpus scan total
     val flagged = base
       .withColumn("k1", col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .withColumn("k2", col("k1") && col("doc_id") ===
@@ -576,25 +588,56 @@ object Pipeline {
       .withColumn("k3", col("k2") && !col("decon"))
       .withColumn("k4", col("k3") && col("g_keep"))
       .withColumn("k5", col("k4") && col("c_keep"))
+      .withColumn("h", concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4)))
+      .localCheckpoint(eager = true)
+    // stages 7–8, the SELECTION half of the pipeline: source_mix's
+    // √-temperature keep (rates derived from the stage-6 SURVIVORS —
+    // the order a real pipeline runs: select after cleaning) and the
+    // deterministic train split.  The max-tokens divisor floors at 1
+    // so an emptied funnel yields rate 0 in both engines (no 0/0
+    // NaN); the standalone column applies the same machinery to the
+    // RAW corpus — the overlap comparison every other stage reports.
+    def cutoffs(keep: Column, name: String) = {
+      val ts = flagged.groupBy(col("source"))
+        .agg(sum(when(keep, col("n_toks")).otherwise(0L)).as("ts"))
+      val mx = ts.agg(greatest(max(col("ts")), lit(1L)).as("mx"))
+      ts.join(broadcast(mx))
+        .select(col("source"),
+          floor(sqrt(col("ts").cast("double") / col("mx").cast("double")) * 65536)
+            .cast("long").as(name))
+    }
+    val trainCut = format_string("%05x", lit(58982L)) // floor(0.90 * 65536)
+    val sel = flagged
+      .join(broadcast(cutoffs(col("k5"), "cut6")), Seq("source"))
+      .join(broadcast(cutoffs(lit(true), "cut6r")), Seq("source"))
+      .withColumn("k6", col("k5") && col("h") < format_string("%05x", col("cut6")))
+      .withColumn("a6", col("h") < format_string("%05x", col("cut6r")))
+      .withColumn("a7", col("h") < trainCut)
+      .withColumn("k7", col("k6") && col("a7"))
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
     def tok(c: Column) = sum(when(c, col("n_toks")).otherwise(0L))
-    flagged.agg(
+    sel.agg(
         count(lit(1)).as("n"), sum(col("n_toks")).as("t0"),
         cnt(col("k1")).as("o1"), tok(col("k1")).as("t1"),
         cnt(col("k2")).as("o2"), tok(col("k2")).as("t2"),
         cnt(col("k3")).as("o3"), tok(col("k3")).as("t3"),
         cnt(col("k4")).as("o4"), tok(col("k4")).as("t4"),
         cnt(col("k5")).as("o5"), tok(col("k5")).as("t5"),
+        cnt(col("k6")).as("o6"), tok(col("k6")).as("t6"),
+        cnt(col("k7")).as("o7"), tok(col("k7")).as("t7"),
         cnt(!col("a2")).as("r2a"), cnt(col("decon")).as("r3a"),
-        cnt(!col("g_keep")).as("r4a"), cnt(!col("c_keep")).as("r5a"))
+        cnt(!col("g_keep")).as("r4a"), cnt(!col("c_keep")).as("r5a"),
+        cnt(!col("a6")).as("r6a"), cnt(!col("a7")).as("r7a"))
       .select(expr(
-        """stack(6,
+        """stack(8,
           |1, 'raw',           n,  CAST(0 AS BIGINT), n,  CAST(0 AS BIGINT), t0,
           |2, 'exact_dedup',   n,  n - o1,  o1, n - o1, t1,
           |3, 'near_dup',      o1, o1 - o2, o2, r2a, t2,
           |4, 'decontaminate', o2, o2 - o3, o3, r3a, t3,
           |5, 'gopher',        o3, o3 - o4, o4, r4a, t4,
-          |6, 'c4',            o4, o4 - o5, o5, r5a, t5)
+          |6, 'c4',            o4, o4 - o5, o5, r5a, t5,
+          |7, 'source_mix',    o5, o5 - o6, o6, r6a, t6,
+          |8, 'split_train',   o6, o6 - o7, o7, r7a, t7)
           |AS (stage_idx, stage, docs_in, docs_removed, docs_out, removed_alone, tokens_out)""".stripMargin))
       .orderBy(col("stage_idx"))
   }
@@ -904,7 +947,7 @@ object Pipeline {
     // 5-gram overlap, the Gopher and C4 rule sets) into one 6-row
     // attrition report; every value is an exact integer
     "curation_report" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, text,
+      """WITH RECURSIVE t AS (SELECT doc_id, text, source,
         |  string_split_regex(trim(text), '\s+') AS tk,
         |  string_split(text, chr(10)) AS lines,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS nt
@@ -947,7 +990,7 @@ object Pipeline {
         |         AND len(string_split_regex(trim(l), '\s+')) >= 5
         |         AND NOT contains(lower(l), 'javascript')), ' '), ''), '[.!?]')) >= 3) AS c_keep
         |  FROM t),
-        |base AS (SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_toks, md5(nt) AS fp,
+        |base AS (SELECT t.doc_id, t.source, CAST(len(tk) AS BIGINT) AS n_toks, md5(nt) AS fp,
         |  COALESCE(comp0.comp, t.doc_id) AS comp,
         |  t.doc_id IN (SELECT doc_id FROM dec) AS decon,
         |  g.g_keep, c.c_keep
@@ -963,24 +1006,46 @@ object Pipeline {
         |fl3 AS (SELECT *, k2 AND NOT decon AS k3,
         |  k2 AND NOT decon AND g_keep AS k4,
         |  k2 AND NOT decon AND g_keep AND c_keep AS k5 FROM fl2),
+        |mix AS (SELECT source,
+        |  CAST(SUM(CASE WHEN k5 THEN n_toks ELSE 0 END) AS BIGINT) AS ts,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tsr FROM fl3 GROUP BY source),
+        |mxx AS (SELECT GREATEST(MAX(ts), 1) AS m5, GREATEST(MAX(tsr), 1) AS mr FROM mix),
+        |cut AS (SELECT source,
+        |  CAST(floor(sqrt(CAST(ts AS DOUBLE) / CAST(m5 AS DOUBLE)) * 65536) AS BIGINT) AS cut6,
+        |  CAST(floor(sqrt(CAST(tsr AS DOUBLE) / CAST(mr AS DOUBLE)) * 65536) AS BIGINT) AS cut6r
+        |  FROM mix, mxx),
+        |fl4 AS (SELECT fl3.*, cut6, cut6r,
+        |  '0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM fl3 JOIN cut USING (source)),
+        |fl5 AS (SELECT *,
+        |  k5 AND h < printf('%05x', cut6) AS k6,
+        |  h < printf('%05x', cut6r) AS a6,
+        |  h < printf('%05x', 58982) AS a7 FROM fl4),
+        |fl6 AS (SELECT *, k6 AND a7 AS k7 FROM fl5),
         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_toks) AS BIGINT) AS t0,
         |  CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS o1, CAST(SUM(CASE WHEN k1 THEN n_toks ELSE 0 END) AS BIGINT) AS t1,
         |  CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS o2, CAST(SUM(CASE WHEN k2 THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
         |  CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS o3, CAST(SUM(CASE WHEN k3 THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
         |  CAST(SUM(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS o4, CAST(SUM(CASE WHEN k4 THEN n_toks ELSE 0 END) AS BIGINT) AS t4,
         |  CAST(SUM(CASE WHEN k5 THEN 1 ELSE 0 END) AS BIGINT) AS o5, CAST(SUM(CASE WHEN k5 THEN n_toks ELSE 0 END) AS BIGINT) AS t5,
+        |  CAST(SUM(CASE WHEN k6 THEN 1 ELSE 0 END) AS BIGINT) AS o6, CAST(SUM(CASE WHEN k6 THEN n_toks ELSE 0 END) AS BIGINT) AS t6,
+        |  CAST(SUM(CASE WHEN k7 THEN 1 ELSE 0 END) AS BIGINT) AS o7, CAST(SUM(CASE WHEN k7 THEN n_toks ELSE 0 END) AS BIGINT) AS t7,
         |  CAST(SUM(CASE WHEN NOT a2 THEN 1 ELSE 0 END) AS BIGINT) AS r2a,
         |  CAST(SUM(CASE WHEN decon THEN 1 ELSE 0 END) AS BIGINT) AS r3a,
         |  CAST(SUM(CASE WHEN NOT g_keep THEN 1 ELSE 0 END) AS BIGINT) AS r4a,
-        |  CAST(SUM(CASE WHEN NOT c_keep THEN 1 ELSE 0 END) AS BIGINT) AS r5a
-        |  FROM fl3)
+        |  CAST(SUM(CASE WHEN NOT c_keep THEN 1 ELSE 0 END) AS BIGINT) AS r5a,
+        |  CAST(SUM(CASE WHEN NOT a6 THEN 1 ELSE 0 END) AS BIGINT) AS r6a,
+        |  CAST(SUM(CASE WHEN NOT a7 THEN 1 ELSE 0 END) AS BIGINT) AS r7a
+        |  FROM fl6)
         |SELECT s.* FROM a, LATERAL (VALUES
         |  (1, 'raw',           n,  CAST(0 AS BIGINT), n,  CAST(0 AS BIGINT), t0),
         |  (2, 'exact_dedup',   n,  n - o1,  o1, n - o1, t1),
         |  (3, 'near_dup',      o1, o1 - o2, o2, r2a, t2),
         |  (4, 'decontaminate', o2, o2 - o3, o3, r3a, t3),
         |  (5, 'gopher',        o3, o3 - o4, o4, r4a, t4),
-        |  (6, 'c4',            o4, o4 - o5, o5, r5a, t5))
+        |  (6, 'c4',            o4, o4 - o5, o5, r5a, t5),
+        |  (7, 'source_mix',    o5, o5 - o6, o6, r6a, t6),
+        |  (8, 'split_train',   o6, o6 - o7, o7, r7a, t7))
         |  s(stage_idx, stage, docs_in, docs_removed, docs_out, removed_alone, tokens_out)
         |ORDER BY stage_idx""".stripMargin,
     // the engine reports what its pruned scan TOUCHED (selected

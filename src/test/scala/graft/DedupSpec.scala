@@ -238,7 +238,8 @@ class DedupSpec extends AnyFunSuite {
     val rows = graft.operators.Pipeline.curationReport(spark, sf).collect()
       .sortBy(_.getAs[Int]("stage_idx"))
     assert(rows.map(_.getAs[String]("stage")).toSeq ===
-      Seq("raw", "exact_dedup", "near_dup", "decontaminate", "gopher", "c4"))
+      Seq("raw", "exact_dedup", "near_dup", "decontaminate", "gopher", "c4",
+        "source_mix", "split_train"))
     rows.foreach { r =>
       assert(r.getAs[Long]("docs_in") - r.getAs[Long]("docs_removed") ===
         r.getAs[Long]("docs_out"), s"conservation at ${r.getAs[String]("stage")}")
@@ -252,6 +253,67 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("docs_in") === 500L)
     assert(rows.map(_.getAs[Long]("tokens_out")).toSeq ===
       rows.map(_.getAs[Long]("tokens_out")).toSeq.sorted.reverse)
+    // the selection stages' standalone columns bind even though the
+    // synthetic corpus's funnel is empty by stage 7: the split drops a
+    // nonzero, non-total share of the raw corpus, and the raw-corpus
+    // mixture keeps at least the max-token source entirely
+    val bySt = rows.map(r => r.getAs[String]("stage") -> r).toMap
+    val rSplit = bySt("split_train").getAs[Long]("removed_alone")
+    assert(rSplit > 0L && rSplit < 500L, s"split standalone removal $rSplit")
+    assert(bySt("source_mix").getAs[Long]("removed_alone") < 500L,
+      "the √-temperature mixture keeps the largest source fully")
+  }
+
+  test("curation_report selection stages: cumulative legs bind on a corpus that survives the quality gates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // engineered docs that PASS gopher and c4: >=50 tokens of 3-10
+    // mean char length with stopwords, sentence-ended lines; two
+    // sources of different sizes so the √-temperature rates differ
+    val sentence = "the quick brown fox jumps over the lazy dog with great delight today."
+    def doc(i: Long) = {
+      val body = (0 until 6).map(k => sentence.replace("today", s"day u${i}v$k")).mkString(" ")
+      (i, body, if (i % 3 == 0) "small" else "large")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation_sel").toString
+    (1L to 90L).map(doc).toDF("doc_id", "text", "source")
+      .repartition(2).write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Pipeline.curationReport(spark, dir).collect()
+      .sortBy(_.getAs[Int]("stage_idx"))
+    val bySt = rows.map(r => r.getAs[String]("stage") -> r).toMap
+    val o5 = bySt("c4").getAs[Long]("docs_out")
+    assert(o5 > 0L, "the engineered corpus must survive the quality gates")
+    val o6 = bySt("source_mix").getAs[Long]("docs_out")
+    val o7 = bySt("split_train").getAs[Long]("docs_out")
+    assert(o6 > 0L && o6 <= o5, s"mixture keeps a nonempty subset ($o6 of $o5)")
+    assert(o7 <= o6, s"train split is a subset of the mixture ($o7 of $o6)")
+    // independent recomputation of the mixture stage: √-temperature
+    // rates over the c4 survivors, md5-threshold keep — the sourceMix
+    // machinery applied to the survivor frame
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    // survivors of the engineered corpus: no exact/near dups, no
+    // contamination of odd (train) docs... recompute k5 directly
+    val gk = graft.operators.TextOps.qualityGopherFlags(
+      spark.read.parquet(s"$dir/documents.parquet")).filter(col("keep"))
+      .select(col("doc_id"))
+    val ck = graft.operators.TextOps.qualityC4Flags(
+      spark.read.parquet(s"$dir/documents.parquet")).filter(col("keep"))
+      .select(col("doc_id"))
+    val decon = Dedup.decontaminate(spark, dir).select(col("test_id").as("doc_id"))
+    val k5 = docs.join(gk, "doc_id").join(ck, "doc_id")
+      .join(decon, Seq("doc_id"), "left_anti")
+    val perSrc = k5.groupBy(col("source")).agg(sum(col("tok")).as("ts"))
+    val mx = math.max(1L, perSrc.agg(max(col("ts"))).head.getLong(0))
+    val cut = perSrc.collect().map(r => r.getString(0) ->
+      math.floor(math.sqrt(r.getLong(1).toDouble / mx.toDouble) * 65536).toLong).toMap
+    val kept = k5.withColumn("h",
+        concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4)))
+      .collect().count { r =>
+        r.getAs[String]("h") < f"${cut(r.getAs[String]("source"))}%05x"
+      }
+    assert(o6 === kept.toLong, "stage-7 cumulative must equal the independent sourceMix replay")
   }
 
   test("corpus_clean keeps exactly the quality reps") {
