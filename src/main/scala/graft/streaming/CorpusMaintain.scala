@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of the [[graft.sources.Materialize]] delta seam —
+  * the deployment form a crawl pipeline actually runs: a stream of
+  * incoming documents is appended to the corpus directory micro-batch
+  * by micro-batch, and the delta-maintained substrates refresh after
+  * each epoch, so the near-dup pair graph (and through it components
+  * and every downstream consumer) stays live against the growing
+  * corpus at batch cadence while each epoch costs the DELTA, not the
+  * corpus.
+  *
+  * Epoch discipline (the [[Frizzle]]/[[AnnServe]] ack pattern): the
+  * append and the refresh run inside the checkpointed foreachBatch
+  * epoch.  The append is IDEMPOTENT per epoch — batch files are named
+  * by epoch id and any files of a replayed epoch are deleted before
+  * the re-write — so at-least-once delivery upgrades to an
+  * effectively-once corpus append, and a crashed epoch's partial
+  * files are overwritten on replay, never duplicated.  Artifact
+  * freshness is Materialize's job, unchanged from the batch path:
+  * each refresh re-keys on the corpus file stats, detects the append
+  * prefix against the prior manifest and runs the registered delta
+  * builder — including its cost-based declines — so stream-final ≡
+  * batch-full value identity holds by construction (spec-pinned in
+  * StreamingSpec, the same contract MaterializeSpec pins batch-side).
+  *
+  * The file moves use local-filesystem renames (the corpus layouts
+  * the tests and probes exercise); on a cluster the same shape is an
+  * object-store/HDFS rename — the epoch-keyed naming and
+  * delete-before-rewrite idempotency carry over unchanged.
+  */
+object CorpusMaintain {
+
+  /** Start maintaining: each micro-batch of `docStream` (any frame
+    * schema-compatible with the corpus's documents table) is appended
+    * to `corpusDir/documents.parquet`, then the delta-maintained
+    * near-dup pair artifact refreshes and the resulting frame is
+    * handed to `onEpoch` with its epoch id.  Empty batches skip both
+    * (no append, no refresh, no callback).
+    */
+  def maintainNearDup(s: SparkSession, corpusDir: String, docStream: DataFrame,
+      checkpoint: String,
+      onEpoch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        if (!batch.isEmpty) {
+          appendEpoch(batch.toDF(), s"$corpusDir/documents.parquet", epoch)
+          onEpoch(graft.operators.Dedup.nearDupPairs(s, corpusDir), epoch)
+        }
+      }
+      .start()
+
+  /** Idempotent filesystem append: write the batch to a temp dir,
+    * delete any prior files of the same epoch (the replay case), then
+    * move the part files into the live dataset under epoch-keyed
+    * names.  Old files are never touched — the pure-append shape
+    * Materialize's prefix detection keys on.
+    */
+  private[graft] def appendEpoch(batch: DataFrame, destDir: String, epoch: Long): Unit = {
+    val dest = new java.io.File(destDir)
+    require(dest.isDirectory, s"corpus dataset dir missing: $destDir")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_epoch").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    dest.listFiles().filter(_.getName.startsWith(s"part-epoch$epoch-"))
+      .foreach(f => require(f.delete(), s"could not delete replayed epoch file $f"))
+    new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val to = new java.io.File(dest,
+          s"part-epoch$epoch-$i-${f.getName.stripPrefix("part-")}")
+        require(f.renameTo(to), s"epoch append move failed for $f")
+      }
+  }
+}

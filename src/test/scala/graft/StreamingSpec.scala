@@ -178,6 +178,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.get("dlq") === nCorrupt + clean.filter(col("value") < 1.0).count())
   }
 
+  test("corpus maintenance stream: per-epoch appends delta-maintain the pair substrate, stream-final ≡ batch-full") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seed corpus: an exact pair (1,2) and a doc that will pair
+    // cross-epoch (3) — the MaterializeSpec fixture shape
+    val corpus = Files.createTempDirectory("graft-maintain-corpus").toString
+    Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"),
+        (3L, "one two three four five six"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$corpus/documents.parquet")
+    val cache = Files.createTempDirectory("graft-maintain-cache").toString
+    spark.conf.set("spark.graft.cache.dir", cache)
+    spark.conf.set("spark.graft.delta.maxAppendFraction", "100")
+    try {
+      graft.sources.Materialize.resetBuildCount("neardup_pairs")
+      // base build BEFORE the stream starts — the crawl maintains an
+      // existing corpus
+      graft.operators.Dedup.nearDupPairs(spark, corpus).count()
+      val mem = MemoryStream[(Long, String)]
+      val src = mem.toDF().toDF("doc_id", "text")
+      val epochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val perEpochPairs = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val ckpt = Files.createTempDirectory("graft-maintain-ckpt").toString
+      val q = CorpusMaintain.maintainNearDup(spark, corpus, src, ckpt,
+        (pairs, e) => { perEpochPairs.put(e, pairs.count()); epochs.add(e); () })
+      // epoch 1: doc 201 = a copy of doc 3 -> new cross-epoch pair
+      mem.addData((201L, "one two three four five six")); q.processAllAvailable()
+      // epoch 2: a delta-internal pair
+      mem.addData((202L, "omega psi chi phi upsilon"),
+        (203L, "omega psi chi phi upsilon")); q.processAllAvailable()
+      q.stop()
+      assert(epochs.size === 2, s"expected 2 maintenance epochs, saw $epochs")
+      assert(graft.sources.Materialize.deltaBuildCount("neardup_pairs") === 2,
+        "each micro-batch append must take the delta path against the base")
+      // the pair count grew across epochs as appends landed
+      val counts = epochs.toArray(Array.empty[java.lang.Long]).map(e => perEpochPairs.get(e: Long))
+      assert(counts.max > counts.min, s"pair graph must grow across epochs: ${counts.toSeq}")
+      // stream-final ≡ batch-full: the artifact the stream left behind
+      // is value-identical to a from-scratch rebuild of the final corpus
+      def pairsOf(cacheDir: String) = {
+        spark.conf.set("spark.graft.cache.dir", cacheDir)
+        graft.operators.Dedup.nearDupPairs(spark, corpus)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2))
+      }
+      val streamed = pairsOf(cache)
+      val batchFull = pairsOf(Files.createTempDirectory("graft-maintain-cache2").toString)
+      assert(streamed === batchFull)
+      val ids = streamed.map(t => (t._1, t._2))
+      assert(ids.contains((3L, 201L)), "cross-epoch pair present")
+      assert(ids.contains((202L, 203L)), "delta-internal pair present")
+    } finally {
+      spark.conf.unset("spark.graft.cache.dir")
+      spark.conf.unset("spark.graft.delta.maxAppendFraction")
+    }
+  }
+
+  test("corpus maintenance append is idempotent per epoch: a replayed epoch overwrites, never duplicates") {
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("graft-maintain-idem").toString
+    val dataDir = s"$corpus/documents.parquet"
+    Seq((1L, "seed doc")).toDF("doc_id", "text").repartition(1).write.parquet(dataDir)
+    val batch = Seq((10L, "epoch doc a"), (11L, "epoch doc b")).toDF("doc_id", "text")
+      .repartition(1)
+    CorpusMaintain.appendEpoch(batch, dataDir, 7L)
+    val once = spark.read.parquet(dataDir).count()
+    // the at-least-once replay: same epoch appended again
+    CorpusMaintain.appendEpoch(batch, dataDir, 7L)
+    assert(spark.read.parquet(dataDir).count() === once,
+      "replaying an epoch must not duplicate rows")
+    assert(spark.read.parquet(dataDir).select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 10L, 11L))
+    // a different epoch DOES append
+    CorpusMaintain.appendEpoch(batch, dataDir, 8L)
+    assert(spark.read.parquet(dataDir).count() === once + 2)
+  }
+
   test("ann serving: a persisted IVF-PQ index answers a query stream with exact batch parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
