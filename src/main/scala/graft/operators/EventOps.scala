@@ -422,6 +422,56 @@ object EventOps {
       .orderBy(col("stage"))
   }
 
+  /** Deadline-bounded funnel: [[eventFunnel]] with each step required
+    * WITHIN a conversion window of the previous step — reported at
+    * 1/3/7 days side by side, the operating curve behind "7-day
+    * conversion" dashboards (the unbounded funnel overstates
+    * conversion by counting a purchase months after the click; the
+    * sf0.01 corpus converts 25 vs 138 users at 1 vs 7 days — the
+    * window IS the metric).  Chain semantics match [[eventFunnel]]:
+    * t1 = first view, t2_w = first click in (t1, t1+w], t3_w = first
+    * purchase in (t2_w, t2_w+w].
+    *
+    * Scale shape: three type-filtered user-keyed min-aggregates — the
+    * three windows are CONDITIONAL mins in the SAME aggregate, so
+    * widening the window sweep adds columns, not passes — two
+    * user-keyed joins, then 9 scalar counts unioned.  All integer
+    * microsecond arithmetic; localCheckpoint on the shared stage
+    * frames keeps the 3-window fan-out from recomputing the joins.
+    */
+  def funnelWindow(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val windows = Seq(1L, 3L, 7L)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), epochUs(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      .localCheckpoint(eager = false)
+    val cAggs = windows.map(d => min(when(
+      col("us") > col("t1") && col("us") <= col("t1") + lit(d * dayUs),
+      col("us"))).as(s"t2_$d"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .groupBy(col("user_id")).agg(cAggs.head, cAggs.tail: _*)
+      .localCheckpoint(eager = false)
+    val pAggs = windows.map(d => min(when(
+      col("us") > col(s"t2_$d") && col("us") <= col(s"t2_$d") + lit(d * dayUs),
+      col("us"))).as(s"t3_$d"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .groupBy(col("user_id")).agg(pAggs.head, pAggs.tail: _*)
+      .localCheckpoint(eager = false)
+    windows.map { d =>
+      v.agg(count(lit(1)).as("n"))
+        .select(lit(d).as("window_days"), lit("1_view").as("stage"),
+          col("n").as("n_users"))
+        .unionAll(c.agg(count(col(s"t2_$d")).as("n"))
+          .select(lit(d).as("window_days"), lit("2_click").as("stage"),
+            col("n").as("n_users")))
+        .unionAll(p.agg(count(col(s"t3_$d")).as("n"))
+          .select(lit(d).as("window_days"), lit("3_purchase").as("stage"),
+            col("n").as("n_users")))
+    }.reduce(_ unionAll _).orderBy(col("window_days"), col("stage"))
+  }
+
   /** Per-user event-type transition matrix: for every consecutive
     * (prev → next) pair in each user's event-time order, the corpus
     * count — the Markov-chain statistic behind session modeling and
@@ -533,6 +583,7 @@ object EventOps {
     "event_retention" -> (eventRetention _),
     "event_transitions" -> (eventTransitions _),
     "event_funnel" -> (eventFunnel _),
+    "funnel_window" -> (funnelWindow _),
     "msg_ingest" -> (msgIngest _),
     "msg_decode_avro" -> (msgDecodeAvro _),
     "msg_decode_json" -> (msgDecodeJson _),
@@ -596,6 +647,35 @@ object EventOps {
         |UNION ALL SELECT '2_click' AS stage, COUNT(*) AS n_users FROM c
         |UNION ALL SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM p
         |ORDER BY stage""".stripMargin,
+    // same chain as event_funnel with each step's min made CONDITIONAL
+    // on the per-window deadline — pure integer microsecond compares,
+    // COUNT(col) counts non-null conversions
+    "funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id,
+        |  MIN(CASE WHEN e.us > v.t1 AND e.us <= v.t1 + 86400000000 THEN e.us END) AS t2_1,
+        |  MIN(CASE WHEN e.us > v.t1 AND e.us <= v.t1 + 259200000000 THEN e.us END) AS t2_3,
+        |  MIN(CASE WHEN e.us > v.t1 AND e.us <= v.t1 + 604800000000 THEN e.us END) AS t2_7
+        |  FROM e JOIN v USING (user_id) WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id,
+        |  MIN(CASE WHEN e.us > c.t2_1 AND e.us <= c.t2_1 + 86400000000 THEN e.us END) AS t3_1,
+        |  MIN(CASE WHEN e.us > c.t2_3 AND e.us <= c.t2_3 + 259200000000 THEN e.us END) AS t3_3,
+        |  MIN(CASE WHEN e.us > c.t2_7 AND e.us <= c.t2_7 + 604800000000 THEN e.us END) AS t3_7
+        |  FROM e JOIN c USING (user_id) WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS window_days, '1_view' AS stage,
+        |  (SELECT COUNT(*) FROM v) AS n_users
+        |UNION ALL SELECT 1, '2_click', (SELECT COUNT(t2_1) FROM c)
+        |UNION ALL SELECT 1, '3_purchase', (SELECT COUNT(t3_1) FROM p)
+        |UNION ALL SELECT 3, '1_view', (SELECT COUNT(*) FROM v)
+        |UNION ALL SELECT 3, '2_click', (SELECT COUNT(t2_3) FROM c)
+        |UNION ALL SELECT 3, '3_purchase', (SELECT COUNT(t3_3) FROM p)
+        |UNION ALL SELECT 7, '1_view', (SELECT COUNT(*) FROM v)
+        |UNION ALL SELECT 7, '2_click', (SELECT COUNT(t2_7) FROM c)
+        |UNION ALL SELECT 7, '3_purchase', (SELECT COUNT(t3_7) FROM p)
+        |ORDER BY window_days, stage""".stripMargin,
     "msg_ingest" ->
       """SELECT CAST(event_id AS VARCHAR) AS msg_id, CAST(user_id AS VARCHAR) AS routing_key,
         |  CAST(octet_length(encode(props)) AS BIGINT) AS payload_bytes,

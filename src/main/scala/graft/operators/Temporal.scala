@@ -533,7 +533,61 @@ object Temporal {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Trailing-window ROBUST anomaly detection on the daily volume
+    * series: for each (event_type, day), the median and MAD (median
+    * absolute deviation) of the PREVIOUS ≤ 7 days' counts and a robust
+    * score |c − med| / (mad + ½).  The production twin of
+    * [[graft.operators.EventOps.spikeOver event_spike]]: that one
+    * scores against a GLOBAL per-type mean/σ (one outlier day inflates
+    * σ and masks later spikes; the baseline sees the future), this one
+    * scores each day against only its own trailing week with
+    * breakdown-point-½ statistics — the shape a live volume monitor
+    * actually runs.  Warm-up rows (fewer than 4 trailing days) report
+    * their score but are never flagged.
+    *
+    * FLOAT DISCIPLINE: no percentile interpolation (cross-engine
+    * quantile semantics are not hash-stable — SURVEY §5).  The frame
+    * is ≤ 7 integer counts collected and SORTED; median = the exact
+    * mean of the two middle elements ((a+b)/2.0 of longs ⇒ half-
+    * integer, exact), deviations |c−med| are half-integers, their
+    * median is a quarter-integer, and the score is ONE division of
+    * exact doubles — bit-identical on any engine replaying the tree.
+    * (mad + ½ rather than a mad=0 branch: the offset is exact and
+    * keeps constant-baseline days finite and comparable.)
+    *
+    * Scale shape: one bounded-key (type, day) count, one RANGE window
+    * per type holding ≤ 7 longs per row — no corpus-sized state, no
+    * shuffle beyond the daily aggregate's.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), epochUs(col("ts")).as("us"))
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-7, -1)
+    // exact median of a sorted array: mean of the two middle elements
+    def mid(arr: String) = expr(
+      s"(CAST(element_at($arr, CAST((size($arr) - 1) DIV 2 + 1 AS INT)) AS DOUBLE)" +
+        s" + CAST(element_at($arr, CAST(size($arr) DIV 2 + 1 AS INT)) AS DOUBLE)) / 2.0")
+    daily
+      .withColumn("arr", sort_array(collect_list(col("c")).over(w)))
+      .filter(size(col("arr")) >= 1)
+      .withColumn("med", mid("arr"))
+      .withColumn("devs", sort_array(transform(col("arr"),
+        x => abs(x.cast("double") - col("med")))))
+      .withColumn("mad", mid("devs"))
+      .withColumn("score",
+        abs(col("c").cast("double") - col("med")) / (col("mad") + lit(0.5)))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        size(col("arr")).cast("long").as("n_trail"), col("med"), col("mad"),
+        col("score"),
+        (col("score") > lit(3.0) && size(col("arr")) >= 4).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_mad" -> (anomalyMad _),
     "ts_decompose" -> (tsDecompose _),
     "interval_merge" -> (intervalMerge _),
     "user_growth" -> (userGrowth _),
@@ -550,6 +604,32 @@ object Temporal {
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    // no percentile functions on either engine: both sides sort the
+    // ≤ 7-element trailing list and take the exact two-middle mean, so
+    // med/mad/score replay the identical IEEE tree (see scaladoc)
+    "anomaly_mad" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |t AS (SELECT a.event_type, a.day, a.c,
+        |        list_sort(list(b.c)) AS arr, COUNT(*) AS n_trail
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND b.day BETWEEN a.day - 7 AND a.day - 1
+        |      GROUP BY a.event_type, a.day, a.c),
+        |m AS (SELECT event_type, day, c, n_trail,
+        |        (CAST(arr[CAST((n_trail - 1) // 2 AS BIGINT) + 1] AS DOUBLE)
+        |       + CAST(arr[CAST(n_trail // 2 AS BIGINT) + 1] AS DOUBLE)) / 2.0 AS med, arr
+        |      FROM t),
+        |d AS (SELECT event_type, day, c, n_trail, med,
+        |        list_sort(list_transform(arr, x -> abs(CAST(x AS DOUBLE) - med))) AS devs
+        |      FROM m),
+        |x AS (SELECT event_type, day, c, n_trail, med,
+        |        (devs[CAST((n_trail - 1) // 2 AS BIGINT) + 1]
+        |       + devs[CAST(n_trail // 2 AS BIGINT) + 1]) / 2.0 AS mad
+        |      FROM d)
+        |SELECT event_type, day, c AS n_events, n_trail, med, mad,
+        |  abs(CAST(c AS DOUBLE) - med) / (mad + 0.5) AS score,
+        |  (abs(CAST(c AS DOUBLE) - med) / (mad + 0.5)) > 3.0 AND n_trail >= 4 AS is_anomaly
+        |FROM x ORDER BY event_type, day""".stripMargin,
     // integer sums until one final division each (trend = sum7/7.0,
     // seasonal = sd7/(7.0*nd)); resid recomputes seasonal from the
     // same operands — identical IEEE ops, identical bits

@@ -113,6 +113,45 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got("3_purchase") > 0, "test data should carry full conversions")
   }
 
+  test("funnel_window matches a per-window replayed deadline funnel and nests monotonically") {
+    import org.apache.spark.sql.functions._
+    val dayUs = 86400000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        graft.functions.TimeFunctions.epochUs(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def firstIn(u: Long, tpe: String, lo: Long, hi: Long): Option[Long] =
+      byUser.getOrElse(u, Array.empty[(Long, String, Long)])
+        .filter(e => e._2 == tpe && e._3 > lo && e._3 <= hi).map(_._3).minOption
+    val t1 = byUser.keys.flatMap(u =>
+      byUser(u).filter(_._2 == "view").map(_._3).minOption.map(u -> _)).toMap
+    val want = Seq(1L, 3L, 7L).flatMap { d =>
+      val w = d * dayUs
+      val t2 = t1.flatMap { case (u, t) => firstIn(u, "click", t, t + w).map(u -> _) }
+      val t3 = t2.flatMap { case (u, t) => firstIn(u, "purchase", t, t + w).map(u -> _) }
+      Seq((d, "1_view") -> t1.size.toLong, (d, "2_click") -> t2.size.toLong,
+        (d, "3_purchase") -> t3.size.toLong)
+    }.toMap
+    val got = EventOps.funnelWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    // each stage must be monotone in the window size, and every
+    // window's funnel must shrink stage over stage
+    Seq("2_click", "3_purchase").foreach { st =>
+      assert(got((1L, st)) <= got((3L, st)) && got((3L, st)) <= got((7L, st)), st)
+    }
+    Seq(1L, 3L, 7L).foreach { d =>
+      assert(got((d, "1_view")) >= got((d, "2_click")) &&
+        got((d, "2_click")) >= got((d, "3_purchase")), s"window $d")
+    }
+    // the window must BITE at sf0.001: the 1-day funnel converts
+    // strictly fewer users than the 7-day one
+    assert(got((1L, "3_purchase")) < got((7L, "3_purchase")),
+      "deadline should exclude some conversions in the fixture")
+  }
+
   test("event_spike flags exactly the planted spike day; zero-variance types never flag") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

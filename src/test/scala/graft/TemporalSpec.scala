@@ -336,4 +336,35 @@ class TemporalSpec extends AnyFunSuite {
       (d - 3 to d + 3).forall(x => allDays.contains((et, x)))
     })
   }
+
+  test("anomaly_mad matches a sequential trailing median/MAD replay, bit for bit") {
+    val daily = raw.groupBy { case (_, _, t, et, _) => (et, t / 86400) }
+      .map { case (k, v) => k -> v.length.toLong }
+    val byType = daily.groupBy(_._1._1)
+    def midOf(sorted: Seq[Double]): Double =
+      (sorted((sorted.size - 1) / 2) + sorted(sorted.size / 2)) / 2.0
+    val expected = daily.flatMap { case ((et, d), c) =>
+      val days = byType(et).map { case ((_, dd), cc) => dd -> cc }
+      val trail = days.collect {
+        case (dd, cc) if dd >= d - 7 && dd <= d - 1 => cc
+      }.toSeq.sorted
+      if (trail.isEmpty) None else {
+        val med = midOf(trail.map(_.toDouble))
+        val mad = midOf(trail.map(x => math.abs(x.toDouble - med)).sorted)
+        val score = math.abs(c.toDouble - med) / (mad + 0.5)
+        Some((et, d) -> (c, trail.size.toLong, med, mad, score,
+          score > 3.0 && trail.size >= 4))
+      }
+    }
+    val got = Temporal.anomalyMad(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_trail"),
+          r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Double]("score"), r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(v === expected(k), s"at $k") }
+    // the robust frame must differ from event_spike's GLOBAL baseline
+    // somewhere: warm-up rows exist (n_trail < 7 near each series head)
+    assert(got.values.exists(_._2 < 7L) && got.values.exists(_._2 === 7L))
+  }
 }
