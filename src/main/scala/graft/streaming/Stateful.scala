@@ -418,6 +418,98 @@ object Stateful {
       }
   }
 
+  case class MadDay(day: Long, c: Long)
+  case class MadState(open: Map[Long, Long], trail: Seq[MadDay],
+      late_dropped: Long)
+  case class MadRow(event_type: String, day: Long, n_events: Long,
+      n_trail: Long, med: Double, mad: Double, score: Double,
+      is_anomaly: Boolean)
+
+  /** Streaming twin of [[graft.operators.Temporal.anomalyMad]]: the
+    * live robust volume monitor.  Keyed by event_type, the state holds
+    * the OPEN days' accumulating counts plus the trailing ≤ 8 finalized
+    * (day, count) pairs; a day FINALIZES — scores against its trailing
+    * ≤ 7-day median/MAD frame, emits once, joins the trail — when the
+    * event-time watermark passes its end (the same completeness
+    * contract as a windowed aggregate in Append mode).  Finalization
+    * runs in day order inside one invocation, so a late-starting
+    * trigger that retires several days at once replays exactly the
+    * batch sequence; med/mad/score use the identical sorted-frame
+    * two-middle arithmetic, so stream rows are bit-identical to the
+    * batch image (parity spec-pinned, including warm-up rows never
+    * flagging).
+    *
+    * Contributions arriving after their day finalized are COUNTED AND
+    * DROPPED (`late_dropped` in state) — the watermark delay is the
+    * lateness contract, exactly as Spark's own windowed aggregates
+    * drop post-watermark rows.  Unlike [[transitions]] no TTL is
+    * needed: the key domain is event_type (schema-bounded, not
+    * user-cardinality), and the trail is capped at 8 entries by
+    * construction; the event-time timeout is armed only to flush open
+    * days through quiet periods.
+    *
+    * Input needs (event_type, ts) with a watermark on ts.
+    */
+  def madMonitor(spark: SparkSession, events: DataFrame): Dataset[MadRow] = {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val typed = events
+      .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(String, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[MadState, MadRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (et: String, batch: Iterator[(String, java.sql.Timestamp, Long)],
+            state: GroupState[MadState]) =>
+          val st0 = state.getOption.getOrElse(MadState(Map.empty, Seq.empty, 0L))
+          var open = st0.open
+          var late = st0.late_dropped
+          // trail is day-ascending; anything at-or-under its head day
+          // has already been scored and emitted
+          val lastFinal = st0.trail.lastOption.map(_.day)
+          batch.foreach { case (_, _, us) =>
+            val d = Math.floorDiv(us, dayUs)
+            if (lastFinal.exists(d <= _)) late += 1
+            else open += d -> (open.getOrElse(d, 0L) + 1L)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val due = open.keys.filter(d => (d + 1) * dayUs <= wmUs).toSeq.sorted
+          var trail = st0.trail
+          val out = Seq.newBuilder[MadRow]
+          def midOf(s: Seq[Double]): Double =
+            (s((s.size - 1) / 2) + s(s.size / 2)) / 2.0
+          due.foreach { d =>
+            val c = open(d); open -= d
+            val frame = trail.collect {
+              case t if t.day >= d - 7 && t.day <= d - 1 => t.c
+            }
+            if (frame.nonEmpty) {
+              val med = midOf(frame.map(_.toDouble).sorted)
+              val mad = midOf(frame.map(x => math.abs(x.toDouble - med)).sorted)
+              val score = math.abs(c.toDouble - med) / (mad + 0.5)
+              out += MadRow(et, d, c, frame.size.toLong, med, mad, score,
+                score > 3.0 && frame.size >= 4)
+            }
+            // the NEXT day to finalize is > d, so its frame never
+            // reaches below d - 6: evict and cap the trail at 8
+            trail = (trail :+ MadDay(d, c)).filter(_.day >= d - 6)
+          }
+          if (open.isEmpty && trail.isEmpty && late == 0L) state.remove()
+          else {
+            state.update(MadState(open, trail, late))
+            // flush-through-quiet: wake when the earliest open day can
+            // finalize (Spark rejects timeouts at-or-below the current
+            // watermark — clamp just above; it fires next trigger)
+            open.keys.minOption.foreach { d =>
+              state.setTimeoutTimestamp(
+                math.max((d + 1) * (dayUs / 1000L),
+                  state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   case class UpsertState(ts_sec: Long, event_id: Long, event_type: String,
       cents: Long)
   case class UpsertRow(user_id: Long, ts_sec: Long, event_id: Long,

@@ -488,6 +488,42 @@ class StatefulSpec extends AnyFunSuite {
     }
     assert(lastPerKey == batchImage)
   }
+
+  test("madMonitor stream-final matches the batch anomaly_mad image bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        graft.functions.TimeFunctions.epochUs(col("ts")).as("us"))
+      .orderBy(col("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // three ts-ordered micro-batches, so no event is late for its day
+    val chunks = ev.grouped(ev.length / 3 + 1).toSeq
+    val mem = MemoryStream[(String, Long)]
+    val src = mem.toDF()
+      .select(col("_1").as("event_type"), timestamp_micros(col("_2")).as("ts"))
+      .withWatermark("ts", "1 second")
+    val q = Stateful.madMonitor(spark, src).writeStream
+      .outputMode("append").format("memory").queryName("mad_stream").start()
+    chunks.foreach { ch => mem.addData(ch.toSeq: _*); q.processAllAvailable() }
+    // flush: a far-future sentinel advances the watermark past every
+    // real day; the second round lets the armed timeouts fire (the
+    // watermark computed at a batch's end gates the NEXT trigger)
+    val flushUs = ev.last._2 + 40L * 86400000000L
+    mem.addData(("zz_flush", flushUs)); q.processAllAvailable()
+    mem.addData(("zz_flush", flushUs + 1000000L)); q.processAllAvailable()
+    q.stop()
+    def img(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getBoolean(7))
+    }.toMap
+    val streamed = img(spark.table("mad_stream")
+      .filter(col("event_type") =!= "zz_flush").collect())
+    val batch = img(graft.operators.Temporal.anomalyMad(spark, sf).collect())
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.values.exists(_._2 === 7L))
+  }
 }
 
 /** MemoryStream row shape for the streaming-upsert parity spec. */
