@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   *    pseudo-random embeddings) and probes ONLY knn_edges — the scale
   *    where the LSH self-join's candidate fan-out dominates the fixed
   *    scan/encode costs that make delta ≈ full at sf1's 20k vectors.
+  *  - `cop` (round 14): stages the SF's lineitem table and probes ONLY
+  *    copurchase_pairs — appends are deltaPct% of the base's orders
+  *    re-keyed fresh (the transactional crawl shape), so the delta
+  *    pays the appended lines' self-join + a semi-filtered prior scan
+  *    instead of the corpus-wide order self-join.
   *
   * For each of `nAppends` batches (fresh ids offset past the corpus
   * max so they can never collide at any scale), times (a) the
@@ -56,6 +61,75 @@ object DeltaProbe {
     import spark.implicits._
 
     val work = java.nio.file.Files.createTempDirectory("graft_delta_probe").toString
+
+    if (mode == "cop") {
+      // `cop`: probes ONLY copurchase_pairs — appended batches are
+      // deltaPct% of the base's orders re-keyed past the max orderkey
+      // (fresh orders, the transactional crawl shape; the cross-order
+      // and replay terms are MaterializeSpec's job, this measures cost)
+      val liDir = s"$work/lineitem.parquet"
+      graft.sources.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).write.parquet(liDir)
+      val nOrders = spark.read.parquet(liDir)
+        .select(col("l_orderkey")).distinct().count()
+      val maxOk = spark.read.parquet(liDir)
+        .agg(max(col("l_orderkey"))).head.getLong(0)
+      def stageLi(k: Int): String = {
+        val stage = s"$work/stage_li$k"
+        val src = spark.read.parquet(liDir)
+        val picked = src.select(col("l_orderkey")).distinct()
+          .orderBy(col("l_orderkey"))
+          .limit(math.max(1L, nOrders * deltaPct / 100).toInt)
+        src.join(picked, Seq("l_orderkey"), "left_semi")
+          .select((col("l_orderkey") + (maxOk + 1) * k).as("l_orderkey"),
+            col("l_partkey"))
+          .write.parquet(stage)
+        stage
+      }
+      def appendLi(stage: String): Unit = {
+        val dst = new java.io.File(liDir)
+        new java.io.File(stage).listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            require(f.renameTo(new java.io.File(dst,
+              s"part-${new java.io.File(stage).getName}-${f.getName.stripPrefix("part-")}")))
+          }
+      }
+      def timedC(body: => Any): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def freshCacheC(): String =
+        java.nio.file.Files.createTempDirectory("graft_delta_probe_cache").toString
+      def buildCop(): Double =
+        timedC(graft.operators.GraphOps.coPurchasePairs(spark, work).count())
+      spark.conf.set("spark.graft.cache.dir", freshCacheC())
+      buildCop() // warmup
+      val liveCache = freshCacheC()
+      spark.conf.set("spark.graft.cache.dir", liveCache)
+      val fb = buildCop()
+      val deltaSecs = Array.ofDim[Double](nAppends)
+      val fullSecs = Array.ofDim[Double](nAppends)
+      for (k <- 1 to nAppends) {
+        appendLi(stageLi(k))
+        spark.conf.set("spark.graft.cache.dir", liveCache)
+        deltaSecs(k - 1) = buildCop()
+        spark.conf.set("spark.graft.cache.dir", freshCacheC())
+        fullSecs(k - 1) = buildCop()
+      }
+      def r3c(x: Double) = math.rint(x * 1000) / 1000
+      def arrC(xs: Seq[Double]) = xs.map(r3c).mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"delta_materialize","mode":"cop","sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""corpus_orders":$nOrders,"delta_pct":$deltaPct,"n_appends":$nAppends,""" +
+        s""""cop":{"full_base_sec":${r3c(fb)},"delta_sec":${arrC(deltaSecs.toSeq)},""" +
+        s""""full_sec":${arrC(fullSecs.toSeq)}},""" +
+        s""""delta_builds":{"copurchase_pairs":${graft.sources.Materialize.deltaBuildCount("copurchase_pairs")}}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/probe_delta_materialize_cop.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
+
     val docsDir = s"$work/documents.parquet"
     val embDir = s"$work/embeddings.parquet"
     val withKnn = mode != "dup"

@@ -410,9 +410,23 @@ object GraphOps {
     * lazy-checkpoints the item set so the scan+distinct feeds both
     * self-join sides from ONE exchange (the [[Analytics.basketPairs]]
     * discipline); consumers read the (src, dst, n_ab) parquet.
+    *
+    * DELTA-MAINTAINED on append (round 14, the 4th substrate): orders
+    * PARTITION the pair multiset — every pair lives inside exactly one
+    * order — so an appended batch decomposes additively:
+    * pairs(old ∪ new) = pairs(old) + pairs(new-only lines within an
+    * order) + (old × new-only cross pairs of the TOUCHED orders).  The
+    * delta pays the appended lines' self-join plus ONE semi-filtered
+    * scan of the prior lines (orders the append touched — no corpus
+    * self-join), then merges counts into the prior artifact by
+    * integer sum; an (ok, pk) line replayed in the append is stripped
+    * by an anti-join so it cannot double-count.  Inherits the
+    * [[Dedup.maxAppendFraction]] decline → full rebuild compacts.
+    * Value identity vs full — including the cross-order case where an
+    * append adds an item to an EXISTING order — is spec-pinned.
     */
   private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialize.readOrBuild(s, "copurchase_pairs",
+    graft.sources.Materialize.readOrBuildDelta(s, "copurchase_pairs",
       inputs = Seq(s"$dir/lineitem.parquet"),
       params = Seq("ver" -> "1")) {
       val it = graft.sources.Tables.lineitem(s, dir)
@@ -423,6 +437,37 @@ object GraphOps {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
         .agg(count(lit(1)).as("n_ab"))
+    } { (prevPairs, prevFiles, deltaFiles) =>
+      val M = graft.sources.Materialize
+      if (M.totalBytes(s, deltaFiles) >
+          Dedup.maxAppendFraction(s) * M.totalBytes(s, prevFiles)) null
+      else {
+        val newIt = s.read.parquet(deltaFiles: _*)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        // prior lines of only the TOUCHED orders: a semi-filtered
+        // linear scan, never the corpus self-join
+        val oldIt = s.read.parquet(prevFiles: _*)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .join(newIt.select(col("ok")).distinct(), Seq("ok"), "left_semi")
+          .localCheckpoint(eager = false)
+        val newOnly = newIt.join(oldIt, Seq("ok", "pk"), "left_anti")
+          .localCheckpoint(eager = false)
+        val within = newOnly.as("a").join(newOnly.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        val cross = oldIt.as("o").join(newOnly.as("n"), col("o.ok") === col("n.ok"))
+          .filter(col("o.pk") =!= col("n.pk"))
+          .select(least(col("o.pk"), col("n.pk")).as("src"),
+            greatest(col("o.pk"), col("n.pk")).as("dst"))
+        prevPairs.select(col("src"), col("dst"), col("n_ab"))
+          .unionByName(within.unionByName(cross)
+            .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_ab")))
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col("n_ab")).as("n_ab"))
+      }
     }
 
   /** k-core of an undirected edge list: the maximal subgraph where

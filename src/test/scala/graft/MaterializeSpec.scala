@@ -369,6 +369,51 @@ class MaterializeSpec extends AnyFunSuite {
     assert(!m.contains(100L), "docs with no pairs stay unlabeled (solver contract)")
   }
 
+  test("copurchase delta: an appended batch merges additively, value-identical to full") {
+    import spark.implicits._
+    // base: order 10 = {1,2,3}, order 20 = {4,5}, order 30 = {6}
+    val base = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 4L), (20L, 5L), (30L, 6L))
+    // append exercises all three delta terms: a NEW order 40 = {1,4,7}
+    // (within-pairs), a new item 9 on EXISTING order 10 (cross pairs
+    // vs {1,2,3}), a REPLAYED line (10,2) that must not double-count,
+    // and order 50 = {4,5} repeating a BASE pair so the count MERGE
+    // (1 + 1 = 2) is exercised, not just the union
+    val app = Seq((40L, 1L), (40L, 4L), (40L, 7L), (10L, 9L), (10L, 2L),
+      (50L, 4L), (50L, 5L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cop").toString
+    base.toDF("l_orderkey", "l_partkey").repartition(2)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_cop_stage").toString + "/p"
+    app.toDF("l_orderkey", "l_partkey").repartition(1).write.parquet(stage)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).sortBy(_._1)
+    val cache = freshCacheDir()
+    val before = withAppendFraction("100") { withCacheDir(cache) {
+      Materialize.resetBuildCount("copurchase_pairs")
+      pairsOf(GraphOps.coPurchasePairs(spark, dir))
+    } }
+    assert(before.toMap === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L,
+      (2L, 3L) -> 1L, (4L, 5L) -> 1L))
+    appendParts(stage, s"$dir/lineitem.parquet")
+    val viaDelta = withAppendFraction("100") { withCacheDir(cache) {
+      pairsOf(GraphOps.coPurchasePairs(spark, dir))
+    } }
+    assert(Materialize.deltaBuildCount("copurchase_pairs") === 1,
+      "a pure append must take the copurchase delta path")
+    val viaFull = withCacheDir(freshCacheDir()) {
+      pairsOf(GraphOps.coPurchasePairs(spark, dir))
+    }
+    assert(viaDelta === viaFull,
+      "delta-merged pair counts must be value-identical to the full self-join")
+    val m = viaDelta.toMap
+    assert(m.size === 10)
+    assert(m((4L, 5L)) === 2L, "base pair repeated by an appended order must SUM")
+    assert(m((1L, 2L)) === 1L, "a replayed (ok, pk) line must not double-count")
+    assert(Seq((1L, 9L), (2L, 9L), (3L, 9L)).forall(m(_) === 1L),
+      "an item appended to an EXISTING order must form cross pairs")
+    assert(Seq((1L, 4L), (1L, 7L), (4L, 7L)).forall(m(_) === 1L))
+  }
+
   test("knn_edges delta: append recomputes only dirty lids, value-identical to full") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
