@@ -53,6 +53,32 @@ object CorpusMaintain {
       }
       .start()
 
+  /** Transactional twin of [[maintainNearDup]] — the message-stream
+    * shape the frafka surface actually carries: each micro-batch of
+    * order lines (schema-compatible with the lineitem table — at
+    * minimum l_orderkey, l_partkey) appends to
+    * `corpusDir/lineitem.parquet` under the same epoch-idempotent
+    * naming, then the delta-maintained co-purchase pair artifact
+    * refreshes ([[graft.operators.GraphOps.coPurchasePairs]]'s
+    * additive order algebra: the epoch costs its own lines' pairs +
+    * a semi-filtered prior scan, never the corpus self-join), so the
+    * basket graph every recommender/k-core consumer reads stays live
+    * at ingest cadence.  Stream-final ≡ batch-full value identity is
+    * spec-pinned.
+    */
+  def maintainCoPurchase(s: SparkSession, corpusDir: String, lineStream: DataFrame,
+      checkpoint: String,
+      onEpoch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    lineStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        if (!batch.isEmpty) {
+          appendEpoch(batch.toDF(), s"$corpusDir/lineitem.parquet", epoch)
+          onEpoch(graft.operators.GraphOps.coPurchasePairs(s, corpusDir), epoch)
+        }
+      }
+      .start()
+
   /** Idempotent filesystem append: write the batch to a temp dir,
     * delete any prior files of the same epoch (the replay case), then
     * move the part files into the live dataset under epoch-keyed

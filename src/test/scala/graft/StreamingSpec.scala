@@ -235,6 +235,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("co-purchase maintenance: streamed order lines keep the basket graph live, stream-final equals batch-full") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Files.createTempDirectory("graft-maintain-cop").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 4L), (20L, 5L))
+      .toDF("l_orderkey", "l_partkey").repartition(1)
+      .write.parquet(s"$corpus/lineitem.parquet")
+    val cache = Files.createTempDirectory("graft-maintain-cop-cache").toString
+    spark.conf.set("spark.graft.cache.dir", cache)
+    spark.conf.set("spark.graft.delta.maxAppendFraction", "100")
+    try {
+      graft.sources.Materialize.resetBuildCount("copurchase_pairs")
+      // base build BEFORE the stream starts — the stream maintains an
+      // existing basket graph
+      graft.operators.GraphOps.coPurchasePairs(spark, corpus).count()
+      val mem = MemoryStream[(Long, Long)]
+      val src = mem.toDF().toDF("l_orderkey", "l_partkey")
+      val epochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val perEpoch = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val ckpt = Files.createTempDirectory("graft-maintain-cop-ckpt").toString
+      val q = CorpusMaintain.maintainCoPurchase(spark, corpus, src, ckpt,
+        (pairs, e) => { perEpoch.put(e, pairs.count()); epochs.add(e); () })
+      // epoch 1: item 3 joins EXISTING order 10 → cross pairs (1,3),(2,3)
+      mem.addData((10L, 3L)); q.processAllAvailable()
+      // epoch 2: new order 30 repeats the base pair (4,5) — count
+      // merges to 2 — and adds item 9 → new pairs (4,9),(5,9)
+      mem.addData((30L, 4L), (30L, 5L), (30L, 9L)); q.processAllAvailable()
+      q.stop()
+      assert(epochs.size === 2, s"expected 2 maintenance epochs, saw $epochs")
+      assert(graft.sources.Materialize.deltaBuildCount("copurchase_pairs") === 2,
+        "each micro-batch append must take the copurchase delta path")
+      val counts = epochs.toArray(Array.empty[java.lang.Long]).map(e => perEpoch.get(e: Long))
+      assert(counts.max > counts.min, s"pair support must grow across epochs: ${counts.toSeq}")
+      def pairsOf(cacheDir: String) = {
+        spark.conf.set("spark.graft.cache.dir", cacheDir)
+        graft.operators.GraphOps.coPurchasePairs(spark, corpus).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).sortBy(_._1)
+      }
+      val streamed = pairsOf(cache)
+      val batchFull = pairsOf(Files.createTempDirectory("graft-maintain-cop-cache2").toString)
+      assert(streamed === batchFull,
+        "the artifact the stream leaves behind must equal a from-scratch rebuild")
+      val m = streamed.toMap
+      assert(m((1L, 3L)) === 1L && m((2L, 3L)) === 1L,
+        "an item streamed onto an existing order must form cross pairs")
+      assert(m((4L, 5L)) === 2L,
+        "a base pair repeated by a streamed order must merge to support 2")
+      assert(m((4L, 9L)) === 1L && m((5L, 9L)) === 1L)
+    } finally {
+      spark.conf.unset("spark.graft.cache.dir")
+      spark.conf.unset("spark.graft.delta.maxAppendFraction")
+    }
+  }
+
   test("corpus maintenance append is idempotent per epoch: a replayed epoch overwrites, never duplicates") {
     import spark.implicits._
     val corpus = Files.createTempDirectory("graft-maintain-idem").toString
