@@ -412,6 +412,25 @@ class MaterializeSpec extends AnyFunSuite {
     assert(Seq((1L, 9L), (2L, 9L), (3L, 9L)).forall(m(_) === 1L),
       "an item appended to an EXISTING order must form cross pairs")
     assert(Seq((1L, 4L), (1L, 7L), (4L, 7L)).forall(m(_) === 1L))
+    // a SECOND append composes delta-on-delta: the prior artifact is
+    // itself delta-built, prevFiles = base + append-1, and an item
+    // landing on append-1's order 40 must cross-pair against ITS lines
+    val app2 = Seq((40L, 8L), (60L, 2L), (60L, 3L))
+    val stage2 = java.nio.file.Files.createTempDirectory("graft_cop_stage2").toString + "/p"
+    app2.toDF("l_orderkey", "l_partkey").repartition(1).write.parquet(stage2)
+    appendParts(stage2, s"$dir/lineitem.parquet")
+    val viaDelta2 = withAppendFraction("100") { withCacheDir(cache) {
+      pairsOf(GraphOps.coPurchasePairs(spark, dir))
+    } }
+    assert(Materialize.deltaBuildCount("copurchase_pairs") === 2)
+    val viaFull2 = withCacheDir(freshCacheDir()) {
+      pairsOf(GraphOps.coPurchasePairs(spark, dir))
+    }
+    assert(viaDelta2 === viaFull2, "delta-on-delta must equal the full self-join")
+    val m2 = viaDelta2.toMap
+    assert(Seq((1L, 8L), (4L, 8L), (7L, 8L)).forall(m2(_) === 1L),
+      "an item appended onto a PREVIOUS append's order must cross-pair against its lines")
+    assert(m2((2L, 3L)) === 2L, "order 60 repeats a base pair - support must sum")
   }
 
   test("knn_edges delta: append recomputes only dirty lids, value-identical to full") {

@@ -512,4 +512,26 @@ class PlanShapeSpec extends AnyFunSuite {
       p.linesIterator.take(15).mkString("\n"))
     assert(countIn(p, "Scan parquet") === 1)
   }
+
+  test("anomaly_mad is one daily aggregate + one per-type window, join-free") {
+    val p = plan(Temporal.anomalyMad(spark, sf))
+    // exchanges: partial-agg → (type, day), window repartition → type,
+    // presentation sort; everything after the first aggregate is
+    // bounded by the calendar span, never corpus-sized
+    assert(countIn(p, "Exchange") <= 3, p.linesIterator.take(20).mkString("\n"))
+    assert(countIn(p, "Window") === 1)
+    assert(!p.contains("Join"), "the trailing frame must come from the window, not a self-join")
+    assert(countIn(p, "Scan parquet") === 1)
+  }
+
+  test("funnel_window's 9 stage counts read the checkpointed frames, never a recomputed join") {
+    val p = plan(EventOps.funnelWindow(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // 3 windows x 3 stages: each count leg scans one localCheckpoint
+    // RDD; a recomputed view/click/purchase join pipeline would show
+    // parquet scans here instead
+    assert(countIn(p, "Scan ExistingRDD") === 9,
+      p.linesIterator.take(20).mkString("\n"))
+    assert(countIn(p, "Scan parquet") === 0)
+  }
 }
