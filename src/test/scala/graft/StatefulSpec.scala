@@ -489,6 +489,36 @@ class StatefulSpec extends AnyFunSuite {
     assert(lastPerKey == batchImage)
   }
 
+  test("madMonitor drops post-watermark stragglers: a finalized day never re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    val mem = MemoryStream[(String, Long)]
+    val src = mem.toDF()
+      .select(col("_1").as("event_type"), timestamp_micros(col("_2")).as("ts"))
+      .withWatermark("ts", "1 second")
+    val q = Stateful.madMonitor(spark, src).writeStream
+      .outputMode("append").format("memory").queryName("mad_late").start()
+    // batch 1: 3 events on day 0, 1 on day 1, and a day-9 event that
+    // will advance the watermark past both
+    mem.addData(("t", 10L), ("t", 20L), ("t", 30L), ("t", dayUs + 10L),
+      ("t", 9L * dayUs)); q.processAllAvailable()
+    // batch 2: the advanced watermark finalizes days 0 and 1 — day 0
+    // emits nothing (empty trail), day 1 emits c=1 against trail [3]
+    mem.addData(("t", 9L * dayUs + 10L)); q.processAllAvailable()
+    val after2 = spark.table("mad_late").collect()
+    assert(after2.length === 1)
+    assert(after2.head.getLong(1) === 1L && after2.head.getDouble(4) === 3.0 &&
+      after2.head.getDouble(6) === 4.0 && !after2.head.getBoolean(7),
+      s"day-1 row wrong: ${after2.head}")
+    // batch 3: a STRAGGLER for the finalized day 0 — it must be
+    // dropped (late_dropped), never re-open the day or re-emit
+    mem.addData(("t", 40L), ("t", 9L * dayUs + 20L)); q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("mad_late").collect()
+    assert(fin.length === 1, s"straggler must not re-emit: ${fin.toSeq}")
+  }
+
   test("madMonitor stream-final matches the batch anomaly_mad image bit for bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
