@@ -603,7 +603,89 @@ object Analytics {
       .orderBy(col("source"), col("slice"), col("bucket"))
   }
 
+  /** Data-quality constraint suite over the order star — the check set
+    * a warehouse runs before trusting a load (the shape popularized by
+    * Deequ/Great Expectations): PK uniqueness, FK integrity in both
+    * directions of the star, row-local range constraints, and the
+    * cross-table temporal consistency "no lineitem ships before its
+    * order".  One row per check: (check_name, tbl, violations,
+    * n_checked) — a report that is diffable across loads and alertable
+    * on `violations > 0`.
+    *
+    * Scale shape — the suite costs TWO joins and TWO scans regardless
+    * of how many checks it carries: all row-local lineitem range
+    * checks ride one scan as conditional counting sums (map-side
+    * partials collapse every partition to one row); the lineitem→
+    * orders FK check and the ship-before-order consistency check
+    * share ONE left join (violation = null probe side vs. matched-but-
+    * inverted dates — both fall out of the same joined row); orders'
+    * PK-uniqueness and orders→customer FK share the orders scan/join
+    * the same way.  Adding a 20th range check at 100 TB adds one
+    * `when` branch to an existing scan, not a pass.  The joins shuffle
+    * on their keys (AQE-planned); every aggregate is a global count —
+    * partial-aggregated map-side, so nothing wider than a handful of
+    * longs crosses the wire.
+    */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"), col("l_shipdate"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+
+    // one lineitem scan: every row-local range constraint
+    val liLocal = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.10, 1L)
+        .otherwise(0L)).as("v_disc"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"))
+    // one left join: FK lineitem→orders + ship-before-order consistency
+    val liJoin = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"),
+        sum(when(col("o_orderkey").isNotNull &&
+          col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("v_ship"))
+    // orders: PK uniqueness (scan) + FK orders→customer (left join)
+    val ordPk = ord.agg(count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"))
+    val ordFk = ord.select(col("o_custkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v"))
+
+    // unpivot each 1-row aggregate with a generator so no source frame
+    // is re-executed per check row
+    val liRows = liLocal.select(
+      stack(lit(3),
+        lit("range_quantity"), col("v_qty"),
+        lit("range_discount"), col("v_disc"),
+        lit("range_extendedprice"), col("v_price")).as(Seq("check_name", "violations")),
+      lit("lineitem").as("tbl"), col("n"))
+    val ljRows = liJoin.select(
+      stack(lit(2),
+        lit("fk_orderkey"), col("v_fk"),
+        lit("ship_before_order"), col("v_ship")).as(Seq("check_name", "violations")),
+      lit("lineitem").as("tbl"), col("n"))
+    val opRows = ordPk.select(lit("pk_unique").as("check_name"),
+      col("v_dup").as("violations"), lit("orders").as("tbl"), col("n"))
+    val ofRows = ordFk.select(lit("fk_custkey").as("check_name"),
+      col("v").as("violations"), lit("orders").as("tbl"), col("n"))
+
+    liRows.unionByName(ljRows).unionByName(opRows).unionByName(ofRows)
+      .select(col("check_name"), col("tbl"),
+        col("violations").cast("long").as("violations"),
+        col("n").cast("long").as("n_checked"))
+      .orderBy(col("check_name"), col("tbl"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> (dqChecks _),
     "drift_report" -> (driftReport _),
     "skew_report" -> (skewReport _),
     "basket_pairs" -> (basketPairs _),
@@ -621,6 +703,34 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    // every aggregate is an integer count; SUM over ints is HUGEINT in
+    // DuckDB -> explicit BIGINT casts (the standard trap)
+    "dq_checks" ->
+      """WITH li AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty,
+        |  SUM(CASE WHEN l_discount < 0 OR l_discount > 0.10 THEN 1 ELSE 0 END) AS v_disc,
+        |  SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price
+        |  FROM lineitem),
+        |lj AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_fk,
+        |  SUM(CASE WHEN o.o_orderkey IS NOT NULL
+        |           AND l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS v_ship
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |op AS (SELECT COUNT(*) AS n,
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup FROM orders),
+        |ofk AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'range_quantity' AS check_name, 'lineitem' AS tbl,
+        |    CAST(v_qty AS BIGINT) AS violations, n AS n_checked FROM li
+        |  UNION ALL SELECT 'range_discount', 'lineitem', CAST(v_disc AS BIGINT), n FROM li
+        |  UNION ALL SELECT 'range_extendedprice', 'lineitem', CAST(v_price AS BIGINT), n FROM li
+        |  UNION ALL SELECT 'fk_orderkey', 'lineitem', CAST(v_fk AS BIGINT), n FROM lj
+        |  UNION ALL SELECT 'ship_before_order', 'lineitem', CAST(v_ship AS BIGINT), n FROM lj
+        |  UNION ALL SELECT 'pk_unique', 'orders', CAST(v_dup AS BIGINT), n FROM op
+        |  UNION ALL SELECT 'fk_custkey', 'orders', CAST(v AS BIGINT), n FROM ofk
+        |) ORDER BY check_name, tbl""".stripMargin,
     // per-source 2xB contingency replayed with the same integer counts
     // and the identical per-cell double tree (see contingency_chi2)
     "drift_report" ->

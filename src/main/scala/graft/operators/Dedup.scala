@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimHash64.simhash64
@@ -458,6 +459,45 @@ object Dedup {
       .join(sizes, col("rep") === col("srep"))
       .select(col("doc_id"), col("rep"), col("n_members"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Cluster-representative selection by QUALITY, not by id: for each
+    * near-dup component keep the member with the most content
+    * (`n_chars` DESC, doc_id ASC tie-break) — the policy real curation
+    * pipelines run, where near-dup clusters hold truncated/boilerplate
+    * variants of one document and the canonical-min-id choice of
+    * [[corpusClean]] would happily keep the stub.  One row per
+    * component: the kept doc, its size, the cluster size, and the
+    * characters the dedup saves (`chars_dropped`) — the number a
+    * storage-budget owner actually asks for.
+    *
+    * Scale shape: rides the MATERIALIZED (and delta-maintained)
+    * component-label substrate — no pair generation here, just one
+    * hash join of the label map against the (doc_id, n_chars)
+    * projection (column-pruned at the scan) and one window partitioned
+    * by component.  Near-dup components are bounded by the shingle DF
+    * cap's pair fan-out, so no window partition is corpus-sized; the
+    * output is one row per CLUSTER, strictly smaller than the label
+    * map itself.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val labels = nearDupComponentLabels(s, dir)
+      .select(col("id").as("doc_id"), col("comp"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels.join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+        max(when(col("rn") === 1, col("n_chars"))).as("kept_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("comp"), col("n_members"), col("kept_doc"), col("kept_chars"),
+        col("total_chars"),
+        (col("total_chars") - col("kept_chars")).as("chars_dropped"))
+      .orderBy(col("comp"))
   }
 
   /** Component labels (id, comp) over [[nearDupPairs]], materialized as
@@ -1403,6 +1443,7 @@ object Dedup {
     "dedup_substr_remove" -> (dedupSubstrRemove _),
     "dedup_lines" -> (dedupLines _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "decontaminate_substr" -> ((s: SparkSession, dir: String) => decontaminateSubstr(s, dir)),
@@ -1621,6 +1662,36 @@ object Dedup {
         |SELECT c.doc_id, c.rep, cnt.n AS n_members
         |FROM comp c JOIN (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep) cnt ON c.rep = cnt.rep
         |ORDER BY c.doc_id""".stripMargin,
+    // same component CTE as dedup_components, then keep-best by
+    // (n_chars DESC, doc_id) per cluster
+    "dedup_keep_best" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |p AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |      WHERE c / (s1.n + s2.n - c) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |      UNION
+        |      SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |cmp AS (SELECT id AS doc_id, LEAST(id, MIN(reach)) AS comp FROM r GROUP BY id),
+        |sel AS (SELECT cmp.comp, d.doc_id, d.n_chars,
+        |        row_number() OVER (PARTITION BY cmp.comp
+        |                           ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |        FROM cmp JOIN documents d USING (doc_id))
+        |SELECT comp, COUNT(*) AS n_members,
+        |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+        |  MAX(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) - MAX(CASE WHEN rn = 1 THEN n_chars END)
+        |    AS chars_dropped
+        |FROM sel GROUP BY comp ORDER BY comp""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (SELECT * FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |  sqrt(list_sum(list_transform(generate_series(1, len(CAST(embedding AS DOUBLE[]))),

@@ -1258,6 +1258,61 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Label-noise audit over the WHOLE corpus — the O(n·|labels|)
+    * companion to [[knnLabelVote]]'s fixture-bounded O(|Q|·n) vote:
+    * each label gets a centroid of its members' unit vectors, every
+    * vector is re-assigned to its nearest centroid by cosine, and the
+    * output is the (own_label, pred_label) confusion matrix with
+    * per-cell counts — off-diagonal mass IS the suspected-noise set,
+    * the centroid-distance screen used in practice before paying for
+    * a kNN pass on the flagged slice.
+    *
+    * Determinism contract (the [[kmeansTrain]] rule): centroid
+    * components accumulate as DECIMAL(38,18) sums of `e[i]/nrm` —
+    * decimal addition is exact and order-insensitive, so the
+    * centroids (and therefore every downstream cosine) are
+    * bit-identical on any partitioning, and the DuckDB oracle replays
+    * them exactly.  Each component casts to double ONCE (correctly
+    * rounded, engine-identical) before the cosine; the per-cell
+    * `sum_cos6` confidence mass rounds each cosine to 6 places and
+    * sums in DECIMAL so the report aggregate is order-insensitive too.
+    *
+    * Scale shape: the per-label sums collapse map-side to ≤
+    * |labels|·dim rows; the ≤ |labels|-row centroid relation
+    * BROADCASTS into one corpus scan (the [[assignCells]] shape —
+    * n·|labels| skinny rows, never a corpus-sized shuffle); the
+    * argmax window partitions by vec_id over |labels| rows per key;
+    * the output is ≤ |labels|² rows.  Nothing corpus-sized lands on
+    * the driver and no pairwise n² term exists anywhere.
+    */
+  def labelNoiseCentroid(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+      .filter(col("nrm") > 0)
+      .localCheckpoint(eager = false) // centroid sums + scoring share
+    val sums = v
+      .select(col("label"), col("nrm"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum((col("x") / col("nrm")).cast("decimal(38,18)")).as("sx"))
+    val cents = sums
+      .groupBy(col("label").as("clabel"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("ps"))
+      .select(col("clabel"),
+        transform(col("ps"), p => p.getField("sx").cast("double")).as("ce"))
+      .withColumn("cnrm", l2Norm(col("ce")))
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label").as("own_label"), col("clabel"),
+        (dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("own_label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("cos"), 6).cast("decimal(18,6)")).cast("double").as("sum_cos6"))
+      .orderBy(col("own_label"), col("pred_label"))
+  }
+
   /** Distributed spherical k-means (Lloyd's) over the FULL corpus — the
     * scale path for quantizer training when a bounded driver-local
     * sample isn't enough (the per-run IVF/PQ entries train on
@@ -1817,7 +1872,8 @@ object Similarity {
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
-    "knn_label_vote" -> (knnLabelVote _))
+    "knn_label_vote" -> (knnLabelVote _),
+    "label_noise_centroid" -> (labelNoiseCentroid _))
 
   def oracleSql: Map[String, String] = Map(
     // norm² replayed as the SAME left-to-right fold; counting
@@ -1930,7 +1986,36 @@ object Similarity {
         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, label) = 1)
         |SELECT w.q_id, pred_label, votes, e.label AS own_label
         |FROM win w JOIN embeddings e ON w.q_id = e.vec_id
-        |ORDER BY w.q_id""".stripMargin)
+        |ORDER BY w.q_id""".stripMargin,
+    // centroid components replayed as the SAME exact decimal sums the
+    // engine computes (order-insensitive), one double cast per
+    // component, then the identical cosine expression tree
+    "label_noise_centroid" ->
+      """WITH v0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (SELECT * FROM (SELECT vec_id, label, e,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))) AS nrm
+        |  FROM v0) WHERE nrm > 0),
+        |dims AS (SELECT unnest(generate_series(1, (SELECT MAX(len(e)) FROM v))) AS i),
+        |ex AS (SELECT label, i, e[CAST(i AS INT)] / nrm AS x
+        |       FROM v JOIN dims ON i <= len(e)),
+        |cs AS (SELECT label, i, SUM(CAST(x AS DECIMAL(38,18))) AS sx
+        |       FROM ex GROUP BY label, i),
+        |c AS (SELECT label AS clabel, list(CAST(sx AS DOUBLE) ORDER BY i) AS ce
+        |      FROM cs GROUP BY label),
+        |c2 AS (SELECT clabel, ce,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(ce)), i -> ce[i] * ce[i]))) AS cnrm
+        |  FROM c),
+        |sc AS (SELECT vec_id, label AS own_label, clabel,
+        |  list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * ce[i]))
+        |  / (nrm * cnrm) AS cos
+        |  FROM v CROSS JOIN c2),
+        |pr AS (SELECT own_label, clabel AS pred_label, cos FROM sc
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                                  ORDER BY cos DESC, clabel) = 1)
+        |SELECT own_label, pred_label, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos6
+        |FROM pr GROUP BY own_label, pred_label
+        |ORDER BY own_label, pred_label""".stripMargin)
 }
 
 /** A persistable ANN index: `codes` is the corpus-sized quantized code

@@ -369,4 +369,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
       === cells.keySet)
   }
+
+  test("dq_checks equals the sequential constraint replay") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"), col("l_shipdate"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getAs[java.time.LocalDateTime](4)))
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2)))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val ordDate = ord.map(o => o._1 -> o._3).toMap
+
+    val want = Map(
+      ("range_quantity", "lineitem") ->
+        (li.count(r => r._2 < 1 || r._2 > 50).toLong, li.length.toLong),
+      ("range_discount", "lineitem") ->
+        (li.count(r => r._3 < 0 || r._3 > 0.10).toLong, li.length.toLong),
+      ("range_extendedprice", "lineitem") ->
+        (li.count(_._4 <= 0).toLong, li.length.toLong),
+      ("fk_orderkey", "lineitem") ->
+        (li.count(r => !ordDate.contains(r._1)).toLong, li.length.toLong),
+      ("ship_before_order", "lineitem") ->
+        (li.count(r => ordDate.get(r._1).exists(r._5.isBefore(_))).toLong, li.length.toLong),
+      ("pk_unique", "orders") ->
+        ((ord.length - ord.map(_._1).distinct.length).toLong, ord.length.toLong),
+      ("fk_custkey", "orders") ->
+        (ord.count(o => !cust.contains(o._2)).toLong, ord.length.toLong))
+
+    val got = Analytics.dqChecks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === want)
+    // the report is ordered and covers each check exactly once
+    val names = Analytics.dqChecks(spark, sf).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(names.toSeq === names.toSeq.sorted)
+  }
 }

@@ -1137,4 +1137,34 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     assert(pairs === Set((5001L, 5002L)))
   }
+
+  test("dedup_keep_best keeps the largest member per component and conserves cluster mass") {
+    val comps = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep")))
+    val chars = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val byComp = comps.groupBy(_._2)
+    val got = Dedup.dedupKeepBest(spark, sf).collect()
+      .map(r => r.getAs[Long]("comp") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("kept_doc"),
+          r.getAs[Long]("kept_chars"), r.getAs[Long]("total_chars"),
+          r.getAs[Long]("chars_dropped")))
+      .toMap
+    assert(got.keySet === byComp.keySet)
+    assert(got.nonEmpty)
+    byComp.foreach { case (comp, members) =>
+      val ids = members.map(_._1)
+      val keep = ids.map(id => (id, chars(id))).minBy { case (id, c) => (-c, id) }
+      val total = ids.map(chars).sum
+      val (n, keptDoc, keptChars, tot, dropped) = got(comp)
+      assert(n === ids.length.toLong, s"comp $comp")
+      assert(keptDoc === keep._1, s"comp $comp")
+      assert(keptChars === keep._2, s"comp $comp")
+      assert(tot === total, s"comp $comp")
+      assert(dropped === total - keep._2, s"comp $comp")
+    }
+    // every clustered doc is accounted for exactly once
+    assert(got.values.map(_._1).sum === comps.length.toLong)
+  }
 }

@@ -877,4 +877,78 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Long]("p99_n2e4") === pct(99))
     assert(r.getAs[Int]("dim_min") === r.getAs[Int]("dim_max"), "uniform dim")
   }
+
+  test("label_noise_centroid equals the exact-decimal sequential replay") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .filter { case (_, _, e) =>
+        var s = 0.0; var i = 0
+        while (i < e.length) { s += e(i) * e(i); i += 1 }
+        math.sqrt(s) > 0
+      }
+    def nrmOf(e: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < e.length) { s += e(i) * e(i); i += 1 }
+      math.sqrt(s)
+    }
+    def dotL2R(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // per-label centroid: exact decimal(38,18) sums of e_i/nrm, one
+    // double cast per component (the engine's determinism contract)
+    val dim = rows.head._3.length
+    val cents: Map[Int, Array[Double]] = rows.groupBy(_._2).map { case (l, g) =>
+      val acc = Array.fill(dim)(JBD.ZERO)
+      g.foreach { case (_, _, e) =>
+        val nrm = nrmOf(e)
+        var i = 0
+        while (i < dim) {
+          // Spark's double->decimal cast rounds the SHORTEST decimal
+          // representation (BigDecimal.valueOf), not the exact binary
+          // expansion — the replay must take the same route
+          acc(i) = acc(i).add(JBD.valueOf(e(i) / nrm)
+            .setScale(18, RoundingMode.HALF_UP))
+          i += 1
+        }
+      }
+      l -> acc.map(_.doubleValue)
+    }
+    val labels = cents.keys.toArray.sorted
+    val cnrms = labels.map(l => l -> nrmOf(cents(l))).toMap
+    // nearest-centroid assignment, (cos DESC, label ASC) tie-break
+    case class Cell(var n: Long, var sum: JBD)
+    val cells = scala.collection.mutable.Map[(Int, Int), Cell]()
+    rows.foreach { case (_, own, e) =>
+      val nrm = nrmOf(e)
+      val best = labels.map { l =>
+        (dotL2R(e, cents(l)) / (nrm * cnrms(l)), l)
+      }.minBy { case (cos, l) => (-cos, l) }
+      val c = cells.getOrElseUpdate((own, best._2), Cell(0L, JBD.ZERO))
+      c.n += 1
+      c.sum = c.sum.add(java.math.BigDecimal.valueOf(best._1)
+        .setScale(6, RoundingMode.HALF_UP))
+    }
+    val got = Similarity.labelNoiseCentroid(spark, sf).collect()
+      .map(r => (r.getAs[Int]("own_label"), r.getAs[Int]("pred_label")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_cos6"))).toMap
+    assert(got.keySet === cells.keySet.toSet)
+    cells.foreach { case (k, c) =>
+      assert(got(k)._1 === c.n, s"cell $k count")
+      assert(got(k)._2 === c.sum.doubleValue, s"cell $k sum_cos6")
+    }
+    // every vector assigned exactly once
+    assert(got.values.map(_._1).sum === rows.length.toLong)
+    // the tiny centroid relation broadcasts; no corpus-sized shuffle join
+    val plan = Similarity.labelNoiseCentroid(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
 }
