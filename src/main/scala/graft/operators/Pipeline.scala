@@ -559,7 +559,13 @@ object Pipeline {
     * is strictly cheaper than running the eight stage queries
     * separately (shared scan, shared shingle artifacts).
     */
-  def curationReport(s: SparkSession, dir: String): DataFrame = {
+  /** The shared stage-1–6 flag pipeline under [[curationReport]] and
+    * [[curationBySource]]: one corpus scan joined to the cleaning-stage
+    * verdicts, k1–k5 survival flags materialized once (eager local
+    * checkpoint) so every consumer aggregate reads the skinny flag
+    * leaf instead of re-running the fingerprint/component windows.
+    */
+  private def curationFlags(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
     val comp = Dedup.nearDupComponentLabels(s, dir)
@@ -576,11 +582,11 @@ object Pipeline {
       .join(decon, Seq("doc_id"), "left")
       .withColumn("decon", coalesce(col("decon"), lit(false)))
       .join(gk, Seq("doc_id")).join(ck, Seq("doc_id"))
-    // flag columns materialize ONCE (eager local checkpoint): the two
-    // |sources|-row rate aggregates below and the final funnel
-    // aggregate all read this skinny leaf instead of re-running the
+    // flag columns materialize ONCE (eager local checkpoint): the
+    // |sources|-row rate aggregates and the consumer funnel/matrix
+    // aggregates all read this skinny leaf instead of re-running the
     // fp/comp windows per consumer — still one corpus scan total
-    val flagged = base
+    base
       .withColumn("k1", col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .withColumn("k2", col("k1") && col("doc_id") ===
         min(when(col("k1"), col("doc_id"))).over(Window.partitionBy(col("comp"))))
@@ -590,6 +596,10 @@ object Pipeline {
       .withColumn("k5", col("k4") && col("c_keep"))
       .withColumn("h", concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4)))
       .localCheckpoint(eager = true)
+  }
+
+  def curationReport(s: SparkSession, dir: String): DataFrame = {
+    val flagged = curationFlags(s, dir)
     // stages 7–8, the SELECTION half of the pipeline: source_mix's
     // √-temperature keep (rates derived from the stage-6 SURVIVORS —
     // the order a real pipeline runs: select after cleaning) and the
@@ -640,6 +650,37 @@ object Pipeline {
           |8, 'split_train',   o6, o6 - o7, o7, r7a, t7)
           |AS (stage_idx, stage, docs_in, docs_removed, docs_out, removed_alone, tokens_out)""".stripMargin))
       .orderBy(col("stage_idx"))
+  }
+
+  /** Per-SOURCE curation matrix — [[curationReport]]'s cleaning funnel
+    * (stages 1–6: exact, near-dup, decontaminate, Gopher, C4) broken
+    * out by feed: one row per source with its survivor count at every
+    * stage plus raw/surviving token mass.  The question this answers
+    * is the one the global funnel can't: WHICH feed is the boilerplate
+    * mill / the contaminated one / the one C4 guts — the
+    * keep-or-drop-the-crawl decision input.  The global selection
+    * stages (source_mix cutoffs, train split) are deliberately out of
+    * scope: they are cross-source POLICY relative to the global
+    * maximum, not per-feed hygiene.
+    *
+    * Scale shape: one corpus scan builds [[curationFlags]]'s skinny
+    * flag leaf (eager checkpoint, fingerprint/component windows run
+    * once per call), then ONE |sources|-row keyed aggregate with
+    * map-side partials.  Output is |sources| rows.
+    */
+  def curationBySource(s: SparkSession, dir: String): DataFrame = {
+    val flagged = curationFlags(s, dir)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    flagged.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("toks_raw"),
+        cnt(col("k1")).as("o_exact"),
+        cnt(col("k2")).as("o_neardup"),
+        cnt(col("k3")).as("o_decon"),
+        cnt(col("k4")).as("o_gopher"),
+        cnt(col("k5")).as("o_c4"),
+        sum(when(col("k5"), col("n_toks")).otherwise(0L)).as("toks_c4"))
+      .orderBy(col("source"))
   }
 
   /** Partition-pruning exercised THROUGH the gate: write the events
@@ -931,6 +972,7 @@ object Pipeline {
     "ingest_text128" -> (ingestText128 _),
     "layout_prune" -> (layoutPrune _),
     "curation_report" -> (curationReport _),
+    "curation_by_source" -> (curationBySource _),
     "pack_stats" -> (packStats _))
 
   def oracleSql: Map[String, String] = Map(
@@ -946,6 +988,76 @@ object Pipeline {
     // fingerprint, the recursive near-dup CC, decontaminate's capped
     // 5-gram overlap, the Gopher and C4 rule sets) into one 6-row
     // attrition report; every value is an exact integer
+    // the curation_report CTE chain through fl3 (stages 1-6), grouped
+    // by source instead of stacked into the global funnel
+    "curation_by_source" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, text, source,
+        |  string_split_regex(trim(text), '\s+') AS tk,
+        |  string_split(text, chr(10)) AS lines,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |p AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |      WHERE c / (s1.n + s2.n - c) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |      UNION
+        |      SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |comp0 AS (SELECT id, LEAST(id, MIN(reach)) AS comp FROM r GROUP BY id),
+        |dsh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+        |          for i in generate_series(1, len(tk)-4)]
+        |    ELSE [] END) AS shingle FROM t),
+        |dsh AS (SELECT * FROM dsh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |dec AS (SELECT DISTINCT te.doc_id FROM dsh te JOIN dsh tr
+        |        ON te.shingle = tr.shingle AND te.doc_id % 2 = 0 AND tr.doc_id % 2 = 1),
+        |g AS (SELECT doc_id,
+        |  (CAST(len(tk) AS BIGINT) BETWEEN 50 AND 100000
+        |   AND CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(tk) BETWEEN 3 AND 10
+        |   AND CAST((len(text) - len(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(tk) <= 0.1
+        |   AND CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS DOUBLE) / len(lines) <= 0.9
+        |   AND CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE) / len(lines) <= 0.3
+        |   AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) >= 0.8
+        |   AND len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(tk, w))) >= 2) AS g_keep
+        |  FROM t),
+        |c AS (SELECT doc_id,
+        |  (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND len(regexp_extract_all(COALESCE(array_to_string(list_filter(lines, l ->
+        |         regexp_matches(rtrim(l), '[.!?"]$')
+        |         AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |         AND NOT contains(lower(l), 'javascript')), ' '), ''), '[.!?]')) >= 3) AS c_keep
+        |  FROM t),
+        |base AS (SELECT t.doc_id, t.source, CAST(len(tk) AS BIGINT) AS n_toks, md5(nt) AS fp,
+        |  COALESCE(comp0.comp, t.doc_id) AS comp,
+        |  t.doc_id IN (SELECT doc_id FROM dec) AS decon,
+        |  g.g_keep, c.c_keep
+        |  FROM t LEFT JOIN comp0 ON t.doc_id = comp0.id
+        |  JOIN g ON t.doc_id = g.doc_id JOIN c ON t.doc_id = c.doc_id),
+        |fl AS (SELECT *,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS k1
+        |  FROM base),
+        |fl2 AS (SELECT *,
+        |  k1 AND doc_id = MIN(CASE WHEN k1 THEN doc_id END) OVER (PARTITION BY comp) AS k2
+        |  FROM fl),
+        |fl3 AS (SELECT *, k2 AND NOT decon AS k3,
+        |  k2 AND NOT decon AND g_keep AS k4,
+        |  k2 AND NOT decon AND g_keep AND c_keep AS k5 FROM fl2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS toks_raw,
+        |  CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS o_exact,
+        |  CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS o_neardup,
+        |  CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS o_decon,
+        |  CAST(SUM(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS o_gopher,
+        |  CAST(SUM(CASE WHEN k5 THEN 1 ELSE 0 END) AS BIGINT) AS o_c4,
+        |  CAST(SUM(CASE WHEN k5 THEN n_toks ELSE 0 END) AS BIGINT) AS toks_c4
+        |FROM fl3 GROUP BY source ORDER BY source""".stripMargin,
     "curation_report" ->
       """WITH RECURSIVE t AS (SELECT doc_id, text, source,
         |  string_split_regex(trim(text), '\s+') AS tk,

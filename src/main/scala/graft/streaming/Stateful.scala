@@ -682,4 +682,60 @@ object Stateful {
           Iterator.single(cur)
       }
   }
+
+  case class DqCount(rule: String, checked: Long, violations: Long)
+
+  /** Streaming data-quality monitor — the live twin of
+    * [[graft.operators.Analytics.dqChecks]]'s row-local tier: each
+    * rule is a (name, violation-predicate) pair evaluated INSIDE the
+    * micro-batch scan (one projection, no per-rule pass — the batch
+    * op's shared-scan design carried to the stream), and the keyed
+    * state accumulates one (checked, violations) counter pair per
+    * rule, emitting the CUMULATIVE totals every epoch (Update mode).
+    * Stream-final totals over any batch split equal the batch
+    * predicate counts over the same rows — counting is additive, so
+    * parity is exact regardless of micro-batch boundaries
+    * (spec-pinned).
+    *
+    * Only ROW-LOCAL checks belong here: cross-table FK checks on a
+    * stream are anti-joins whose verdicts can RESOLVE later (a
+    * lineitem arriving before its order is not yet a violation) —
+    * that shape is [[dedupAgainstCorpus]]'s stream-static join with
+    * retraction semantics the consumer must own, not a counter.
+    *
+    * State: |rules| keys × one 16-byte pair — constant regardless of
+    * stream length; null predicate results count as violations (a
+    * rule that cannot evaluate is a data problem, not a pass).
+    */
+  def dqMonitor(spark: SparkSession, events: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): Dataset[DqCount] = {
+    import spark.implicits._
+    require(rules.nonEmpty, "dqMonitor: empty rule set")
+    val flagged = events.select(explode(array(rules.map { case (n, p) =>
+      struct(lit(n).as("rule"),
+        coalesce(p.cast("boolean"), lit(true)).as("viol"))
+    }: _*)).as("r")).select(col("r.rule"), col("r.viol")).as[(String, Boolean)]
+    flagged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), DqCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (rule: String, batch: Iterator[(String, Boolean)],
+            state: GroupState[(Long, Long)]) =>
+          var (checked, viol) = state.getOption.getOrElse((0L, 0L))
+          batch.foreach { case (_, v) =>
+            checked += 1; if (v) viol += 1
+          }
+          state.update((checked, viol))
+          Iterator.single(DqCount(rule, checked, viol))
+      }
+  }
+
+  /** The default rule set for the events envelope — the checks a feed
+    * owner alerts on: non-negative value, known event type, non-empty
+    * props payload.
+    */
+  def eventDqRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "value_nonneg" -> (col("value") < 0),
+    "type_known" -> !col("event_type").isin(
+      "click", "view", "purchase", "signup", "error"),
+    "props_present" -> (col("props").isNull || length(col("props")) === 0))
 }

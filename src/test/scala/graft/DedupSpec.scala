@@ -264,6 +264,30 @@ class DedupSpec extends AnyFunSuite {
       "the √-temperature mixture keeps the largest source fully")
   }
 
+  test("curation_by_source sums to the global funnel at every shared stage") {
+    val funnel = graft.operators.Pipeline.curationReport(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("docs_out"), r.getAs[Long]("tokens_out"))).toMap
+    val matrix = graft.operators.Pipeline.curationBySource(spark, sf).collect()
+    assert(matrix.length > 1, "multi-source corpus expected")
+    def tot(c: String): Long = matrix.map(_.getAs[Long](c)).sum
+    assert(tot("n_docs") === funnel("raw")._1)
+    assert(tot("toks_raw") === funnel("raw")._2)
+    assert(tot("o_exact") === funnel("exact_dedup")._1)
+    assert(tot("o_neardup") === funnel("near_dup")._1)
+    assert(tot("o_decon") === funnel("decontaminate")._1)
+    assert(tot("o_gopher") === funnel("gopher")._1)
+    assert(tot("o_c4") === funnel("c4")._1)
+    assert(tot("toks_c4") === funnel("c4")._2)
+    // per-source survivor counts only ever shrink down the ladder
+    matrix.foreach { r =>
+      val chain = Seq(r.getAs[Long]("n_docs"), r.getAs[Long]("o_exact"),
+        r.getAs[Long]("o_neardup"), r.getAs[Long]("o_decon"),
+        r.getAs[Long]("o_gopher"), r.getAs[Long]("o_c4"))
+      assert(chain === chain.sorted.reverse, s"${r.getAs[String]("source")}: $chain")
+    }
+  }
+
   test("curation_report selection stages: cumulative legs bind on a corpus that survives the quality gates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -554,6 +554,48 @@ class StatefulSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty && streamed.values.exists(_._2 === 7L))
   }
+
+  test("dqMonitor cumulative totals equal the local predicate replay; monotone across epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clean = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("props"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    // planted violations: unknown type, negative value, empty/null props
+    val planted = Seq(("bogus", -2.5, ""), ("click", -0.01, null),
+      ("view", 3.0, ""), ("mystery", 1.0, "x"))
+    val fed = clean.toSeq ++ planted
+    val mem = MemoryStream[(String, Double, String)]
+    val src = mem.toDF().select(col("_1").as("event_type"),
+      col("_2").as("value"), col("_3").as("props"))
+    val q = Stateful.dqMonitor(spark, src, Stateful.eventDqRules).writeStream
+      .outputMode("update").format("memory").queryName("dq_stream").start()
+    fed.grouped(fed.size / 3 + 1).foreach { ch =>
+      mem.addData(ch.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val known = Set("click", "view", "purchase", "signup", "error")
+    val want = Map(
+      "value_nonneg" -> fed.count(_._2 < 0).toLong,
+      "type_known" -> fed.count(e => !known.contains(e._1)).toLong,
+      "props_present" -> fed.count(e => e._3 == null || e._3.isEmpty).toLong)
+    val rows = spark.table("dq_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // memory sink in Update mode appends one row per (rule, epoch):
+    // the cumulative pair is monotone within each rule
+    rows.groupBy(_._1).foreach { case (rule, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.sliding(2).forall(p =>
+        p.length < 2 || (p(0)._2 <= p(1)._2 && p(0)._3 <= p(1)._3)), rule)
+    }
+    val fin = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    assert(fin.keySet === want.keySet)
+    want.foreach { case (rule, v) =>
+      assert(fin(rule)._2 === fed.size.toLong, s"$rule checked")
+      assert(fin(rule)._3 === v, s"$rule violations")
+    }
+    assert(want.values.forall(_ > 0), "every planted rule fires at least once")
+  }
 }
 
 /** MemoryStream row shape for the streaming-upsert parity spec. */
