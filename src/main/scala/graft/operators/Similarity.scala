@@ -1313,6 +1313,37 @@ object Similarity {
       .orderBy(col("own_label"), col("pred_label"))
   }
 
+  /** The kNN-confirmation tier above [[labelNoiseCentroid]]'s screen:
+    * every vector's k=5 nearest neighbors vote on its label (majority,
+    * ties → smaller label), and the output is ONLY the flagged slice —
+    * vectors whose neighborhood disagrees with their own label, with
+    * the vote count as confidence.  Where the centroid screen models
+    * each class as one ball, the kNN vote is local: it catches noise
+    * inside multi-modal classes the centroid can't see.
+    *
+    * Scale shape: consumes the MATERIALIZED (delta-maintained)
+    * knn_edges substrate — no similarity search here, just one keyed
+    * join of the edge list onto the (vec_id, label) projection, a
+    * (q_id, label)-keyed count, and a per-q_id window over ≤ k rows.
+    * Rows-only by design (the substrate's LSH bucketing is
+    * approximate); the spec pins the vote against a sequential replay
+    * over the same edges.
+    */
+  def labelNoiseKnn(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val edges = knnJoinEmbeddings(s, dir).select(col("q_id"), col("vec_id"))
+    val votes = edges.join(labels, "vec_id")
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))
+    val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("label").as("pred_label"), col("votes"))
+    labels.select(col("vec_id"), col("label").as("own_label"))
+      .join(pred, "vec_id")
+      .filter(col("pred_label") =!= col("own_label"))
+      .select(col("vec_id"), col("own_label"), col("pred_label"), col("votes"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Distributed spherical k-means (Lloyd's) over the FULL corpus — the
     * scale path for quantizer training when a bounded driver-local
     * sample isn't enough (the per-run IVF/PQ entries train on
@@ -1873,7 +1904,8 @@ object Similarity {
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "knn_label_vote" -> (knnLabelVote _),
-    "label_noise_centroid" -> (labelNoiseCentroid _))
+    "label_noise_centroid" -> (labelNoiseCentroid _),
+    "label_noise_knn" -> (labelNoiseKnn _))
 
   def oracleSql: Map[String, String] = Map(
     // norm² replayed as the SAME left-to-right fold; counting

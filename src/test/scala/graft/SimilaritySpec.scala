@@ -951,4 +951,28 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("label_noise_knn: vote replay over the materialized edges; only disagreements emit") {
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val edges = Similarity.knnJoinEmbeddings(spark, sf)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+    val want = edges.groupBy(_._1).flatMap { case (q, ns) =>
+      val (pl, v) = ns.map(n => labels(n._2))
+        .groupBy(identity).map { case (l, g) => (l, g.size) }
+        .toSeq.minBy { case (l, c) => (-c, l) }
+      if (labels(q) != pl) Some(q -> (labels(q), pl, v.toLong)) else None
+    }
+    val got = Similarity.labelNoiseKnn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("own_label"), r.getAs[Int]("pred_label"),
+          r.getAs[Long]("votes"))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    got.values.foreach { case (own, p, v) =>
+      assert(own != p); assert(v >= 1L && v <= 5L)
+    }
+  }
 }
