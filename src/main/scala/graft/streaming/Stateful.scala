@@ -703,9 +703,16 @@ object Stateful {
     * that shape is [[dedupAgainstCorpus]]'s stream-static join with
     * retraction semantics the consumer must own, not a counter.
     *
-    * State: |rules| keys × one 16-byte pair — constant regardless of
-    * stream length; null predicate results count as violations (a
-    * rule that cannot evaluate is a data problem, not a pass).
+    * Scale shape: `groupByKey` on a |rules|-cardinality key would
+    * funnel EVERY row of a rule through one task, so the counters
+    * pre-reduce per INPUT PARTITION first (a stateless
+    * `mapPartitions` — the map-side combine Spark's typed stateful
+    * path doesn't do for you): the per-rule stateful task then
+    * receives ≤ numPartitions (rule, checked, violations) partials
+    * per epoch, never the row stream.  State: |rules| keys × one
+    * 16-byte pair — constant regardless of stream length; null
+    * predicate results count as violations (a rule that cannot
+    * evaluate is a data problem, not a pass).
     */
   def dqMonitor(spark: SparkSession, events: DataFrame,
       rules: Seq[(String, org.apache.spark.sql.Column)]): Dataset[DqCount] = {
@@ -715,14 +722,22 @@ object Stateful {
       struct(lit(n).as("rule"),
         coalesce(p.cast("boolean"), lit(true)).as("viol"))
     }: _*)).as("r")).select(col("r.rule"), col("r.viol")).as[(String, Boolean)]
-    flagged.groupByKey(_._1)
+    val partials = flagged.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      it.foreach { case (r, v) =>
+        val (c, x) = acc.getOrElse(r, (0L, 0L))
+        acc(r) = (c + 1, if (v) x + 1 else x)
+      }
+      acc.iterator.map { case (r, (c, x)) => (r, c, x) }
+    }
+    partials.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long), DqCount](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (rule: String, batch: Iterator[(String, Boolean)],
+        (rule: String, batch: Iterator[(String, Long, Long)],
             state: GroupState[(Long, Long)]) =>
           var (checked, viol) = state.getOption.getOrElse((0L, 0L))
-          batch.foreach { case (_, v) =>
-            checked += 1; if (v) viol += 1
+          batch.foreach { case (_, c, v) =>
+            checked += c; viol += v
           }
           state.update((checked, viol))
           Iterator.single(DqCount(rule, checked, viol))
