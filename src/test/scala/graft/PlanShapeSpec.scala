@@ -534,4 +534,32 @@ class PlanShapeSpec extends AnyFunSuite {
       p.linesIterator.take(20).mkString("\n"))
     assert(countIn(p, "Scan parquet") === 0)
   }
+
+  test("dq_checks: the whole suite costs two lineitem scans and two orders-side joins") {
+    val p = plan(Analytics.dqChecks(spark, sf))
+    // one scan carries ALL row-local range checks (conditional sums),
+    // one more feeds the FK/ship-date join — adding a range check must
+    // not add a scan
+    assert(countIn(p, "Scan parquet") === 6, // 2 lineitem + 3 orders + 1 customer
+      p.linesIterator.take(25).mkString("\n"))
+    assert(countIn(p, "Join") === 2)
+    assert(!p.contains("CartesianProduct"))
+    // range checks reach the scan column-pruned
+    assert(p.contains("struct<l_quantity:double,l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("dedup_keep_best reads the comps artifact and the pruned doc projection, one window") {
+    val p = plan(Dedup.dedupKeepBest(spark, sf))
+    assert(countIn(p, "Window") === 1)
+    assert(p.contains("struct<doc_id:bigint,n_chars:bigint>"), "n_chars-pruned doc scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("label_noise_centroid broadcasts the centroid relation; no corpus-sized shuffle join") {
+    val p = plan(Similarity.labelNoiseCentroid(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the rank-1 filter prunes map-side before the vec_id exchange
+    assert(p.contains("WindowGroupLimit"))
+  }
 }
