@@ -79,6 +79,34 @@ object CorpusMaintain {
       }
       .start()
 
+  /** The embedding-side twin — keeps the kNN edge relation live
+    * against an embedding stream (the ANN serving corpus's ingest
+    * path): each micro-batch (schema-compatible with the embeddings
+    * table — vec_id, embedding, label) appends to
+    * `corpusDir/embeddings.parquet` under the same epoch-idempotent
+    * naming, then the delta-maintained knn_edges artifact refreshes
+    * ([[graft.operators.Similarity.knnJoinEmbeddings]]'s
+    * appendToIndex algebra: encode/bucket only the new vectors,
+    * recompute top-k only for ids with a new candidate — including
+    * its MaxAppendFraction decline), so pagerank/communities/
+    * label-noise consumers read a graph that is value-identical to a
+    * full rebuild at every epoch.  With this, all THREE streaming
+    * substrate families (document near-dup, transactional co-purchase,
+    * embedding kNN) maintain through one idempotent epoch shape.
+    */
+  def maintainKnn(s: SparkSession, corpusDir: String, embStream: DataFrame,
+      checkpoint: String,
+      onEpoch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    embStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        if (!batch.isEmpty) {
+          appendEpoch(batch.toDF(), s"$corpusDir/embeddings.parquet", epoch)
+          onEpoch(graft.operators.Similarity.knnJoinEmbeddings(s, corpusDir), epoch)
+        }
+      }
+      .start()
+
   /** Idempotent filesystem append: write the batch to a temp dir,
     * delete any prior files of the same epoch (the replay case), then
     * move the part files into the live dataset under epoch-keyed

@@ -289,6 +289,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("knn maintenance: streamed embeddings keep the edge graph live, stream-final equals batch-full") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Files.createTempDirectory("graft-maintain-knn").toString
+    val rnd = new scala.util.Random(777)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 200L).map(i => (i, vec()))
+    base.toDF("vec_id", "embedding").repartition(2)
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val cache = Files.createTempDirectory("graft-maintain-knn-cache").toString
+    spark.conf.set("spark.graft.cache.dir", cache)
+    spark.conf.set("spark.graft.delta.maxAppendFraction", "100")
+    try {
+      graft.sources.Materialize.resetBuildCount("knn_edges")
+      // base build BEFORE the stream starts — ingest maintains an
+      // existing ANN corpus
+      graft.operators.Similarity.knnJoinEmbeddings(spark, corpus).count()
+      val mem = MemoryStream[(Long, Array[Double])]
+      val src = mem.toDF().toDF("vec_id", "embedding")
+      val epochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val ckpt = Files.createTempDirectory("graft-maintain-knn-ckpt").toString
+      val q = CorpusMaintain.maintainKnn(spark, corpus, src, ckpt,
+        (edges, e) => { edges.count(); epochs.add(e); () })
+      // epoch 1: an exact copy of vec 7 — must enter 7's top-5 at
+      // cos = 1, so lid 7 is provably recomputed by the delta
+      mem.addData((9001L, base(6)._2)); q.processAllAvailable()
+      // epoch 2: fresh vectors, new lids only
+      mem.addData((9002L, vec()), (9003L, vec())); q.processAllAvailable()
+      q.stop()
+      assert(epochs.size === 2, s"expected 2 maintenance epochs, saw $epochs")
+      assert(graft.sources.Materialize.deltaBuildCount("knn_edges") === 2,
+        "each micro-batch append must take the kNN delta path")
+      def edgesOf(cacheDir: String) = {
+        spark.conf.set("spark.graft.cache.dir", cacheDir)
+        graft.operators.Similarity.knnJoinEmbeddings(spark, corpus).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(t => (t._1, t._2))
+      }
+      val streamed = edgesOf(cache)
+      val batchFull = edgesOf(
+        Files.createTempDirectory("graft-maintain-knn-cache2").toString)
+      assert(streamed === batchFull,
+        "the artifact the stream leaves behind must equal a from-scratch rebuild")
+      assert(streamed.filter(_._1 == 7L).take(1).map(t => (t._3, t._4)).toSeq
+        === Seq((9001L, 1.0)), "the streamed exact-dup must displace 7's top-1")
+      assert(streamed.exists(_._1 == 9001L), "streamed lids get their own edges")
+    } finally {
+      spark.conf.unset("spark.graft.cache.dir")
+      spark.conf.unset("spark.graft.delta.maxAppendFraction")
+    }
+  }
+
   test("corpus maintenance append is idempotent per epoch: a replayed epoch overwrites, never duplicates") {
     import spark.implicits._
     val corpus = Files.createTempDirectory("graft-maintain-idem").toString
