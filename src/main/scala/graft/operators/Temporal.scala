@@ -489,6 +489,53 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Exact DAU/WAU/stickiness per calendar day — the engagement
+    * dashboard every event product runs, computed WITHOUT the
+    * scale-killer (a sliding count-distinct re-scanning 7 days of
+    * users per day).  The trick: a user's contribution to WAU is a
+    * UNION OF INTERVALS — each active day d covers WAU(d..d+6), and
+    * per user those covers coalesce wherever consecutive active days
+    * are ≤ 6 apart — so per user we emit one (+1 at start, −1 after
+    * end+6) delta pair per coalesced interval, and one prefix-sum
+    * sweep over the calendar spine reads off the exact WAU for every
+    * day.  Work: one (user, day) distinct shuffle, one per-user
+    * window over that user's active days, then a calendar-bounded
+    * sweep (the [[volumeTrend]] rule: a global window is fine when
+    * its input is the day domain, never the corpus).  Stickiness is
+    * the integer ppm quotient DAU·10⁶ div WAU — exact on both
+    * engines, no float division in the oracle lane.
+    */
+  def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    val acts = Tables.events(s, dir)
+      .select(col("user_id"), epochSec(col("ts")).as("ts_sec"))
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+      .distinct()
+      .localCheckpoint(eager = false) // dau + interval legs share
+    val dau = acts.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val iv = acts
+      .withColumn("prev", lag(col("day"), 1).over(wUser))
+      .withColumn("ng",
+        when(col("prev").isNull || col("day") - col("prev") > 6, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("ng")).over(wUser))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("s"), max(col("day")).as("e"))
+    val deltas = iv.select(col("s").as("day"), lit(1L).as("dd"))
+      .unionAll(iv.select((col("e") + 7).as("day"), lit(-1L).as("dd")))
+      .groupBy(col("day")).agg(sum(col("dd")).as("delta"))
+    val spine = acts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wDay = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(deltas, Seq("day"), "left")
+      .join(dau, Seq("day"), "left")
+      .withColumn("wau", sum(coalesce(col("delta"), lit(0L))).over(wDay))
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .withColumn("stickiness_ppm",
+        when(col("wau") > 0, expr("dau * 1000000 div wau")).otherwise(lit(0L)))
+      .orderBy(col("day"))
+  }
+
   /** Classical additive time-series decomposition of the daily event
     * count per type: trend = centered 7-day moving average (complete
     * windows only — RANGE frame on the integer day, so calendar gaps
@@ -591,6 +638,7 @@ object Temporal {
     "ts_decompose" -> (tsDecompose _),
     "interval_merge" -> (intervalMerge _),
     "user_growth" -> (userGrowth _),
+    "active_users" -> (activeUsers _),
     "order_gaps" -> (orderGaps _),
     "autocorr_lag" -> (autocorrLag _),
     "conversion_lag" -> (conversionLag _),
@@ -604,6 +652,31 @@ object Temporal {
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    // the interval-coalesce + delta-sweep WAU, replayed verbatim;
+    // epoch() seconds are < 2^53 so floor-division is exact
+    "active_users" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM a GROUP BY day),
+        |g AS (SELECT user_id, day,
+        |  CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+        |         OR day - lag(day) OVER (PARTITION BY user_id ORDER BY day) > 6
+        |       THEN 1 ELSE 0 END AS ng FROM a),
+        |g2 AS (SELECT *, SUM(ng) OVER (PARTITION BY user_id ORDER BY day) AS grp FROM g),
+        |iv AS (SELECT user_id, grp, MIN(day) AS s, MAX(day) AS e
+        |       FROM g2 GROUP BY user_id, grp),
+        |d AS (SELECT s AS day, 1 AS dd FROM iv
+        |      UNION ALL SELECT e + 7, -1 FROM iv),
+        |dd AS (SELECT day, CAST(SUM(dd) AS BIGINT) AS delta FROM d GROUP BY day),
+        |spine AS (SELECT unnest(generate_series(
+        |  (SELECT MIN(day) FROM a), (SELECT MAX(day) FROM a))) AS day),
+        |sw AS (SELECT spine.day, COALESCE(dau.dau, 0) AS dau,
+        |  CAST(SUM(COALESCE(dd.delta, 0)) OVER (ORDER BY spine.day) AS BIGINT) AS wau
+        |  FROM spine LEFT JOIN dd ON spine.day = dd.day
+        |  LEFT JOIN dau ON spine.day = dau.day)
+        |SELECT day, CAST(dau AS BIGINT) AS dau, wau,
+        |  CASE WHEN wau > 0 THEN dau * 1000000 // wau ELSE 0 END AS stickiness_ppm
+        |FROM sw ORDER BY day""".stripMargin,
     // no percentile functions on either engine: both sides sort the
     // ≤ 7-element trailing list and take the exact two-middle mean, so
     // med/mad/score replay the identical IEEE tree (see scaladoc)

@@ -367,4 +367,28 @@ class TemporalSpec extends AnyFunSuite {
     // somewhere: warm-up rows exist (n_trail < 7 near each series head)
     assert(got.values.exists(_._2 < 7L) && got.values.exists(_._2 === 7L))
   }
+
+  test("active_users equals the brute-force trailing-7-day distinct count per day") {
+    val acts = Tables.events(spark, sf)
+      .select(col("user_id"),
+        graft.functions.TimeFunctions.epochSec(col("ts")).as("s"))
+      .collect().map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400L)))
+      .distinct
+    val lo = acts.map(_._2).min
+    val hi = acts.map(_._2).max
+    val want = (lo to hi).map { d =>
+      val dau = acts.count(_._2 == d).toLong
+      val wau = acts.filter(a => a._2 >= d - 6 && a._2 <= d).map(_._1).distinct.length.toLong
+      d -> (dau, wau, if (wau > 0) dau * 1000000L / wau else 0L)
+    }.toMap
+    val got = Temporal.activeUsers(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+          r.getAs[Long]("stickiness_ppm"))).toMap
+    assert(got === want)
+    // the spine covers every calendar day, including any inactive ones
+    assert(got.keySet === (lo to hi).toSet)
+    // WAU >= DAU everywhere (a day's actives are in their own window)
+    got.values.foreach { case (dau, wau, _) => assert(wau >= dau) }
+  }
 }
