@@ -418,6 +418,31 @@ object Similarity {
     * the cumulative append exceeds the compaction fraction (the
     * [[graft.operators.Dedup.MaxAppendFraction]] discipline).
     */
+  /** Byte budget on the APPEND BATCH's parquet files above which the
+    * delta's collision join drops its forced `broadcast` hint.  The
+    * hint exists for the streaming-cadence epoch — a few thousand
+    * vectors whose 8-rows-each bucket table is a trivially
+    * broadcastable relation, where the single-stage plan avoids
+    * shuffling the corpus-sized composed assignment.  But the only
+    * OTHER bound on this path, [[graft.operators.Dedup
+    * .MaxAppendFraction]], is relative to BASE bytes: at a 100 TB
+    * corpus it admits a one-shot 30 TB append whose bucket table a
+    * forced hint would still try to broadcast, bypassing AQE's own
+    * threshold and OOMing executors + driver instead of degrading.
+    * Past this budget the join runs un-hinted on (tbl, bucket) and
+    * AQE picks the strategy from measured sizes.  The delta parquet
+    * bytes are a free file-stat and an over-estimate of batchB's
+    * in-memory size (the files carry the full embedding vectors;
+    * batchB is 8 skinny (id, tbl, bucket) rows per vector), so the
+    * gate errs on the safe side.  Overridable for spec engineering
+    * via `spark.graft.delta.knnBroadcastBytes`.
+    */
+  private[graft] val KnnDeltaBroadcastBytesDefault = 256L << 20
+
+  private[graft] def knnDeltaBroadcastBytes(s: SparkSession): Long =
+    s.conf.get("spark.graft.delta.knnBroadcastBytes",
+      KnnDeltaBroadcastBytesDefault.toString).toLong
+
   private def knnEdgesDelta(s: SparkSession, dir: String, prevEdges: DataFrame,
       prevFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
     val M = graft.sources.Materialize
@@ -432,7 +457,7 @@ object Similarity {
     val (baseBuckets, baseFiles) = prior.get
     val appended = ((prevFiles ++ deltaFiles).toSet -- baseFiles).toSeq.sorted
     if (appended.isEmpty) return null
-    val maxFrac = s.conf.get("spark.graft.delta.maxAppendFraction", "0.34").toDouble
+    val maxFrac = graft.operators.Dedup.maxAppendFraction(s)
     if (M.totalBytes(s, appended) > maxFrac * M.totalBytes(s, baseFiles)) return null
     val composedB = baseBuckets.unionByName(bucketsOf(
       s.read.parquet(appended: _*).select(col("vec_id"), col("embedding")), bits))
@@ -440,10 +465,9 @@ object Similarity {
     // appends are already reflected in prevEdges), both orientations
     val batchB = bucketsOf(
       s.read.parquet(deltaFiles: _*).select(col("vec_id"), col("embedding")), bits)
-    val hits = composedB.as("c")
-      .join(broadcast(batchB.as("n")), Seq("tbl", "bucket"))
-      .filter(col("c.vec_id") =!= col("n.vec_id"))
-      .select(col("c.vec_id").as("cid"), col("n.vec_id").as("nid"))
+    val hits = knnCollisionHits(composedB, batchB,
+      batchBytes = M.totalBytes(s, deltaFiles),
+      budgetBytes = knnDeltaBroadcastBytes(s))
       .localCheckpoint(eager = true)
     val newCand = hits.select(col("cid").as("lid"), col("nid").as("vec_id"))
       .unionByName(hits.select(col("nid").as("lid"), col("cid").as("vec_id")))
@@ -461,6 +485,34 @@ object Similarity {
     val carried = prevEdges
       .join(dirtyIds.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
     carried.unionByName(fresh)
+  }
+
+  /** The delta's collision join — every (composed, batch) bucket
+    * co-occurrence, self-pairs dropped.  Force-broadcasts ONLY a
+    * budget-bounded batch: batchB is exactly [[LshTables]] skinny rows
+    * per appended vector, so the batch's parquet bytes (a pure
+    * file-stat, embedding-dominated — hence an over-estimate of
+    * batchB's in-memory size) bound it for free.  The
+    * MaxAppendFraction decline is relative to BASE bytes and admits a
+    * one-shot append far past broadcastable size at large corpora; a
+    * forced hint there would bypass AQE's own threshold and OOM
+    * executors + driver instead of degrading.  Small
+    * (streaming-cadence) epochs keep the hint — the single-stage
+    * broadcast plan that never shuffles the corpus-sized composed
+    * assignment is the fast path — and an oversized batch falls back
+    * to an un-hinted equi-join on (tbl, bucket), where AQE picks the
+    * strategy from measured sizes.  Seam is separate from
+    * [[knnEdgesDelta]] so the spec can pin BOTH branches' plan shape
+    * directly (hint present under budget, absent over it).
+    */
+  private[graft] def knnCollisionHits(composedB: DataFrame, batchB: DataFrame,
+      batchBytes: Long, budgetBytes: Long): DataFrame = {
+    val batchSide =
+      if (batchBytes <= budgetBytes) broadcast(batchB.as("n")) else batchB.as("n")
+    composedB.as("c")
+      .join(batchSide, Seq("tbl", "bucket"))
+      .filter(col("c.vec_id") =!= col("n.vec_id"))
+      .select(col("c.vec_id").as("cid"), col("n.vec_id").as("nid"))
   }
 
   /** Past this cell count the centroids move from plan literals to a

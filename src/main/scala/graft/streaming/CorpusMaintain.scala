@@ -107,24 +107,36 @@ object CorpusMaintain {
       }
       .start()
 
-  /** Idempotent filesystem append: write the batch to a temp dir,
-    * delete any prior files of the same epoch (the replay case), then
-    * move the part files into the live dataset under epoch-keyed
-    * names.  Old files are never touched — the pure-append shape
-    * Materialize's prefix detection keys on.
+  /** Idempotent filesystem append: write the batch to a staging dir
+    * that is a SIBLING of the dataset dir (same filesystem, so the
+    * per-file rename is the atomic syscall — `java.io.File.renameTo`
+    * cannot cross mount points, and a /tmp staging dir fails every
+    * epoch on hosts where /tmp is tmpfs), delete any prior files of
+    * the same epoch (the replay case), then move the part files into
+    * the live dataset under epoch-keyed names.  The staging dir (with
+    * its _SUCCESS and .crc sidecars) is deleted in a finally so a
+    * long-running stream leaks nothing per epoch.  Old files are
+    * never touched — the pure-append shape Materialize's prefix
+    * detection keys on.
     */
   private[graft] def appendEpoch(batch: DataFrame, destDir: String, epoch: Long): Unit = {
     val dest = new java.io.File(destDir)
     require(dest.isDirectory, s"corpus dataset dir missing: $destDir")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_epoch").toString
-    batch.write.mode("overwrite").parquet(tmp)
-    dest.listFiles().filter(_.getName.startsWith(s"part-epoch$epoch-"))
-      .foreach(f => require(f.delete(), s"could not delete replayed epoch file $f"))
-    new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-"))
-      .zipWithIndex.foreach { case (f, i) =>
-        val to = new java.io.File(dest,
-          s"part-epoch$epoch-$i-${f.getName.stripPrefix("part-")}")
-        require(f.renameTo(to), s"epoch append move failed for $f")
-      }
+    val tmp = new java.io.File(dest.getParentFile,
+      s".graft_epoch_staging-${dest.getName}-$epoch")
+    try {
+      batch.write.mode("overwrite").parquet(tmp.getPath)
+      dest.listFiles().filter(_.getName.startsWith(s"part-epoch$epoch-"))
+        .foreach(f => require(f.delete(), s"could not delete replayed epoch file $f"))
+      tmp.listFiles().filter(_.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val to = new java.io.File(dest,
+            s"part-epoch$epoch-$i-${f.getName.stripPrefix("part-")}")
+          require(f.renameTo(to), s"epoch append move failed for $f")
+        }
+    } finally {
+      Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
+      tmp.delete()
+    }
   }
 }

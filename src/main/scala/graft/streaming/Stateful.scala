@@ -427,7 +427,7 @@ object Stateful {
 
   /** Streaming twin of [[graft.operators.Temporal.anomalyMad]]: the
     * live robust volume monitor.  Keyed by event_type, the state holds
-    * the OPEN days' accumulating counts plus the trailing ≤ 8 finalized
+    * the OPEN days' accumulating counts plus the trailing ≤ 7 finalized
     * (day, count) pairs; a day FINALIZES — scores against its trailing
     * ≤ 7-day median/MAD frame, emits once, joins the trail — when the
     * event-time watermark passes its end (the same completeness
@@ -444,7 +444,7 @@ object Stateful {
     * lateness contract, exactly as Spark's own windowed aggregates
     * drop post-watermark rows.  Unlike [[transitions]] no TTL is
     * needed: the key domain is event_type (schema-bounded, not
-    * user-cardinality), and the trail is capped at 8 entries by
+    * user-cardinality), and the trail is capped at 7 entries by
     * construction; the event-time timeout is armed only to flush open
     * days through quiet periods.
     *
@@ -491,7 +491,8 @@ object Stateful {
                 score > 3.0 && frame.size >= 4)
             }
             // the NEXT day to finalize is > d, so its frame never
-            // reaches below d - 6: evict and cap the trail at 8
+            // reaches below d - 6: evict, capping the trail at the 7
+            // entries [d-6, d]
             trail = (trail :+ MadDay(d, c)).filter(_.day >= d - 6)
           }
           if (open.isEmpty && trail.isEmpty && late == 0L) state.remove()
@@ -691,7 +692,12 @@ object Stateful {
     * micro-batch scan (one projection, no per-rule pass — the batch
     * op's shared-scan design carried to the stream), and the keyed
     * state accumulates one (checked, violations) counter pair per
-    * rule, emitting the CUMULATIVE totals every epoch (Update mode).
+    * rule, emitting the CUMULATIVE totals for every rule the epoch
+    * TOUCHED (Update mode: a rule with no rows in a micro-batch
+    * produces no partial, so its stateful function is not invoked and
+    * it emits nothing that epoch — its counters are simply unchanged;
+    * consumers wanting one row per rule per epoch keep the last seen
+    * value per key, the standard Update-mode contract).
     * Stream-final totals over any batch split equal the batch
     * predicate counts over the same rows — counting is additive, so
     * parity is exact regardless of micro-batch boundaries

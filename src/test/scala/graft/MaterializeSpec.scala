@@ -472,6 +472,41 @@ class MaterializeSpec extends AnyFunSuite {
     assert(viaDelta.exists(_._1 == 9001L))
   }
 
+  test("knn_edges delta: an over-budget batch still deltas (un-hinted join), value-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 200L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_budget").toString
+    base.toDF("vec_id", "embedding").repartition(2).write.parquet(s"$dir/embeddings.parquet")
+    val app = (9001L to 9008L).map(i => (i, vec()))
+    val stage = java.nio.file.Files.createTempDirectory("graft_knn_budget_stage").toString + "/p"
+    app.toDF("vec_id", "embedding").repartition(1).write.parquet(stage)
+    def edgesOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    val cache = freshCacheDir()
+    withCacheDir(cache) {
+      Materialize.resetBuildCount("knn_edges")
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    appendParts(stage, s"$dir/embeddings.parquet")
+    // budget 0: every batch is "oversized" — the broadcast hint must
+    // drop, but the delta itself still runs and stays exact (AQE picks
+    // the join strategy; the decline is the hint's, not the delta's)
+    spark.conf.set("spark.graft.delta.knnBroadcastBytes", "0")
+    val viaDelta = try withCacheDir(cache) {
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    } finally spark.conf.unset("spark.graft.delta.knnBroadcastBytes")
+    assert(Materialize.deltaBuildCount("knn_edges") === 1,
+      "the over-budget batch must still take the delta path")
+    val viaFull = withCacheDir(freshCacheDir()) {
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(viaDelta === viaFull,
+      "un-hinted delta kNN edges must be value-identical to a full rebuild")
+  }
+
   test("gc leaves young in-flight .tmp-* builds alone even past the artifact age bound") {
     val cache = freshCacheDir()
     withCacheDir(cache) {

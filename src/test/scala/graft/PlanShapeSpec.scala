@@ -389,6 +389,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
   }
 
+  test("knn delta collision join: forced broadcast only under the batch byte budget") {
+    import spark.implicits._
+    val comp = Seq((1L, 0, 5L), (2L, 0, 5L), (3L, 1, 9L)).toDF("vec_id", "tbl", "bucket")
+    val batch = Seq((9L, 0, 5L)).toDF("vec_id", "tbl", "bucket")
+    // streaming-cadence epoch: under budget, the hint pins a
+    // BroadcastHashJoin — the single-stage plan that never shuffles
+    // the corpus-sized composed assignment
+    val small = Similarity.knnCollisionHits(comp, batch, batchBytes = 100L, budgetBytes = 1000L)
+    assert(small.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      small.queryExecution.optimizedPlan.toString)
+    assert(plan(small).contains("BroadcastHashJoin"))
+    // oversized one-shot append: the forced hint is DROPPED so AQE
+    // picks the strategy from measured sizes instead of OOMing on a
+    // tens-of-GB bucket relation
+    val big = Similarity.knnCollisionHits(comp, batch, batchBytes = 2000L, budgetBytes = 1000L)
+    assert(!big.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      big.queryExecution.optimizedPlan.toString)
+    // both branches compute the same collisions
+    assert(small.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === big.collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
+  }
+
   test("vocab_coverage: each V is a map-side top-V, never a corpus-wide row numbering") {
     val p = plan(TextOps.vocabCoverage(spark, sf))
     assert(countIn(p, "TakeOrderedAndProject") === 3,
