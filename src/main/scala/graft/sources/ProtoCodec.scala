@@ -34,13 +34,23 @@ import org.apache.spark.sql.types._
   * as repeated synthetic (key=1, value=2) entry messages, decoded to
   * a MapType column with the spec's last-one-wins duplicate-key
   * merge; a bounded special case of the depth rule, since the entry
-  * message is generated, scalar-only and never user-nested).
-  * Messages nested inside messages stay rejected at schema-parse time
-  * (depth > 1 structure belongs in parquet).  The schema is a compact
-  * `"number:name:type,..."` string — proto3 semantics don't need more
-  * (names never hit the wire; numbers and types do); `type` extends to
-  * `int64[]` (repeated), `{1:street:string;2:zip:int64}` (message),
-  * `{...}[]` (repeated message), `enum` and `map<string,int64>`.
+  * message is generated and never user-nested — message-typed VALUES
+  * (`map<string,{...}>`) are the one legal depth-2 value case, ridden
+  * on the same struct machinery inside the synthetic entry), and
+  * ONEOF groups (wire-PLAIN fields — a oneof never appears as a tag
+  * itself; its members are ordinary fields where the LAST member seen
+  * on the wire wins and clears the others, and a set member
+  * serializes EVEN AT its default value, proto3's explicit-presence
+  * rule for oneof — decoded to nullable columns, exactly one non-null
+  * per group).  Messages nested inside messages stay rejected at
+  * schema-parse time (depth > 1 structure belongs in parquet).  The
+  * schema is a compact `"number:name:type,..."` string — proto3
+  * semantics don't need more (names never hit the wire; numbers and
+  * types do); `type` extends to `int64[]` (repeated),
+  * `{1:street:string;2:zip:int64}` (message), `{...}[]` (repeated
+  * message), `enum`, `map<string,int64>`, `map<string,{...}>`
+  * (message-valued map), and `string@contact` (member of oneof group
+  * `contact`).
   *
   * proto3 semantics implemented faithfully, because they're the
   * interesting DLQ contrast with the other three formats:
@@ -59,11 +69,16 @@ object ProtoCodec {
   /** `ptype` is the scalar kind, `"message"` (then `sub` carries the
     * one-level nested fields) or `"map"` (then `sub` is the synthetic
     * entry message: key = field 1, value = field 2 — the spec's map
-    * encoding); `repeated` wraps scalars/messages in an array (maps
-    * cannot be repeated, per the spec).
+    * encoding; the value field may itself be `"message"`, the bounded
+    * depth-2 case); `repeated` wraps scalars/messages in an array
+    * (maps cannot be repeated, per the spec); `oneof` names the
+    * field's oneof group, if any — members get explicit presence
+    * (nullable column, serialized even at the default value) and
+    * last-member-seen-wins decode within the group.
     */
   final case class ProtoField(number: Int, name: String, ptype: String,
-      repeated: Boolean = false, sub: Seq[ProtoField] = Nil)
+      repeated: Boolean = false, sub: Seq[ProtoField] = Nil,
+      oneof: Option[String] = None)
 
   /** `enum` is proto3's open enum: an int32 varint on the wire, with
     * UNKNOWN values preserved as their integer (the proto3
@@ -108,12 +123,45 @@ object ProtoCodec {
     parts.toSeq
   }
 
+  /** Index of the first '@' at bracket depth 0, or -1 — the oneof
+    * group separator, which must not match '@' inside a nested message
+    * sub-schema (whose own fields may carry their own groups).
+    */
+  private def atTop(s: String): Int = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '{' | '<' => depth += 1
+        case '}' | '>' => depth -= 1
+        case '@' if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   private def parseFields(s: String, sep: Char, allowMessage: Boolean): Seq[ProtoField] = {
     val fields = splitTop(s, sep).map(_.trim).filter(_.nonEmpty).map { part =>
       val bits = part.split(":", 3)
       require(bits.length == 3, s"schema field '$part' is not number:name:type")
+      // a depth-0 '@' suffixes the oneof group name; it never occurs
+      // inside {...} or <...> (sub-schemas re-enter parseFields, where
+      // their own depth-0 '@' is theirs)
+      val (typeAndRep, oneof) = atTop(bits(2)) match {
+        case -1 => (bits(2), None)
+        case at =>
+          val g = bits(2).substring(at + 1)
+          require(g.nonEmpty, s"field '${bits(1)}': empty oneof group name")
+          (bits(2).substring(0, at), Some(g))
+      }
       val (typeStr, repeated) =
-        if (bits(2).endsWith("[]")) (bits(2).dropRight(2), true) else (bits(2), false)
+        if (typeAndRep.endsWith("[]")) (typeAndRep.dropRight(2), true) else (typeAndRep, false)
+      require(oneof.isEmpty || !repeated,
+        s"field '${bits(1)}': oneof members cannot be repeated (spec rule)")
+      require(oneof.isEmpty || !typeStr.startsWith("map<"),
+        s"field '${bits(1)}': oneof members cannot be maps (spec rule)")
       val f =
         if (typeStr.startsWith("map<")) {
           // map<K,V> is wire-encoded as a repeated SYNTHETIC message of
@@ -124,15 +172,31 @@ object ProtoCodec {
             s"field '${bits(1)}': map fields are top-level only")
           require(typeStr.endsWith(">"), s"schema field '$part': unterminated map type")
           require(!repeated, s"field '${bits(1)}': map fields cannot be repeated (spec rule)")
-          val kv = typeStr.substring(4, typeStr.length - 1).split(",", 2).map(_.trim)
+          val kv = splitTop(typeStr.substring(4, typeStr.length - 1), ',').map(_.trim)
           require(kv.length == 2 && kv.forall(_.nonEmpty),
             s"field '${bits(1)}': map type needs map<keytype,valuetype>")
           require(MapKeyTypes.contains(kv(0)),
             s"field '${bits(1)}': illegal map key type ${kv(0)} (allowed: ${MapKeyTypes.mkString(", ")})")
-          require(Types.contains(kv(1)),
-            s"field '${bits(1)}': unsupported map value type ${kv(1)} (scalar values only)")
+          // message-typed values are the one legal depth-2 case: the
+          // entry's value field is itself a length-delimited message,
+          // riding the existing depth-1 struct machinery inside the
+          // synthetic entry (its own sub-fields stay scalar-only)
+          val valueField =
+            if (kv(1).startsWith("{")) {
+              require(kv(1).endsWith("}"),
+                s"field '${bits(1)}': unterminated map value message type")
+              val vsub = parseFields(kv(1).substring(1, kv(1).length - 1), ';',
+                allowMessage = false)
+              require(vsub.nonEmpty, s"field '${bits(1)}': empty map value message type")
+              ProtoField(2, "value", "message", repeated = false, vsub)
+            } else {
+              require(Types.contains(kv(1)),
+                s"field '${bits(1)}': unsupported map value type ${kv(1)} " +
+                  "(scalars or one {...} message level)")
+              ProtoField(2, "value", kv(1))
+            }
           ProtoField(bits(0).trim.toInt, bits(1).trim, "map", repeated = false,
-            sub = Seq(ProtoField(1, "key", kv(0)), ProtoField(2, "value", kv(1))))
+            sub = Seq(ProtoField(1, "key", kv(0)), valueField))
         } else if (typeStr.startsWith("{")) {
           require(allowMessage,
             s"field '${bits(1)}': nested messages beyond one level are not supported " +
@@ -141,11 +205,11 @@ object ProtoCodec {
           val sub = parseFields(typeStr.substring(1, typeStr.length - 1), ';',
             allowMessage = false)
           require(sub.nonEmpty, s"field '${bits(1)}': empty message type")
-          ProtoField(bits(0).trim.toInt, bits(1).trim, "message", repeated, sub)
+          ProtoField(bits(0).trim.toInt, bits(1).trim, "message", repeated, sub, oneof)
         } else {
           require(Types.contains(typeStr),
             s"field '${bits(1)}': unsupported proto type $typeStr (supported: ${Types.mkString(", ")}, [], {...})")
-          ProtoField(bits(0).trim.toInt, bits(1).trim, typeStr, repeated)
+          ProtoField(bits(0).trim.toInt, bits(1).trim, typeStr, repeated, Nil, oneof)
         }
       require(f.number >= 1 && f.number <= 536870911 && !(f.number >= 19000 && f.number <= 19999),
         s"field '${f.name}': illegal proto field number ${f.number}")
@@ -172,19 +236,24 @@ object ProtoCodec {
       if (f.ptype == "message") StructType(f.sub.map(sf =>
         StructField(sf.name, fieldType(sf), nullable = sf.ptype == "message" && !sf.repeated)))
       else if (f.ptype == "map")
-        MapType(sparkType(f.sub(0).ptype), sparkType(f.sub(1).ptype), valueContainsNull = false)
+        // message-typed values: an entry with the value field absent
+        // decodes to the DEFAULT INSTANCE (all-defaults row), never a
+        // null — so valueContainsNull stays false for every value kind
+        MapType(sparkType(f.sub(0).ptype), fieldType(f.sub(1)), valueContainsNull = false)
       else sparkType(f.ptype)
     if (f.repeated) ArrayType(base, containsNull = false) else base
   }
 
   /** Spark schema of the decoded record: scalars non-nullable (proto3
     * has no null — absent decodes to the default), repeated fields and
-    * maps non-nullable (absent ⇒ empty), message fields NULLABLE
-    * (absence is observable presence in proto3's message case).
+    * maps non-nullable (absent ⇒ empty), message fields and ONEOF
+    * members NULLABLE (absence is observable presence for both — an
+    * unset oneof member is null, and at most one member per group is
+    * non-null).
     */
   def sparkSchema(fields: Seq[ProtoField]): StructType =
     StructType(fields.map(f => StructField(f.name, fieldType(f),
-      nullable = f.ptype == "message" && !f.repeated)))
+      nullable = (f.ptype == "message" && !f.repeated) || f.oneof.isDefined)))
 
   // ---- wire primitives (spec-pinned against the published examples) ----
 
@@ -239,6 +308,14 @@ object ProtoCodec {
   private[graft] def encodeRecord(out: java.io.ByteArrayOutputStream,
       fields: Seq[ProtoField], values: Seq[Any], markAfterField: Int): Int = {
     var mark = 0
+    // a oneof holds AT MOST one set member — two non-null members in
+    // one row is a data bug the wire would silently resolve last-wins;
+    // fail loudly instead
+    fields.zip(values).filter(_._1.oneof.isDefined).groupBy(_._1.oneof.get)
+      .foreach { case (g, members) =>
+        require(members.count(_._2 != null) <= 1,
+          s"oneof group '$g': more than one member set in a single row")
+      }
     fields.zip(values).foreach { case (f, v) =>
       if (f.ptype == "map") {
         // one synthetic (key=1, value=2) entry message per pair, in
@@ -297,7 +374,10 @@ object ProtoCodec {
           writeDelimited(out, f.number, sub.toByteArray)
         }
       } else {
-        val dflt = v == null || (f.ptype match {
+        // oneof members have explicit presence: a SET (non-null)
+        // member serializes even at its default value (the spec's
+        // oneof rule — presence must survive the round trip)
+        val dflt = v == null || (f.oneof.isEmpty && (f.ptype match {
           case "int64" | "sint64" => v.asInstanceOf[Long] == 0L
           case "enum"   => v.asInstanceOf[Int] == 0
           case "double" => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]) == 0L
@@ -305,7 +385,7 @@ object ProtoCodec {
           case "bool"   => !v.asInstanceOf[Boolean]
           case "string" => v.asInstanceOf[String].isEmpty
           case "bytes"  => v.asInstanceOf[Array[Byte]].isEmpty
-        })
+        }))
         if (!dflt) f.ptype match {
           case "int64" | "sint64" | "bool" | "enum" =>
             writeTag(out, f.number, 0); writeScalar(out, f.ptype, v)
@@ -360,6 +440,9 @@ object ProtoCodec {
         if (f.repeated) scala.collection.mutable.ArrayBuffer.empty[Any]
         else if (f.ptype == "map") scala.collection.mutable.LinkedHashMap.empty[Any, Any]
         else if (f.ptype == "message") null
+        // oneof members have explicit presence: unset ⇒ null, not the
+        // scalar default (proto3's oneof case observability)
+        else if (f.oneof.isDefined) null
         else scalarDefault(f.ptype)
     }
     out
@@ -400,6 +483,14 @@ object ProtoCodec {
   private def decodeInto(bytes: Array[Byte], fields: Seq[ProtoField],
       slots: Array[Any]): Unit = {
     val byNumber = fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
+    // oneof last-member-wins: setting a member clears its group mates
+    // (to null — unset presence), EXCEPT itself, so a re-occurrence of
+    // the SAME message member still merges per the spec
+    def clearMates(f: ProtoField, i: Int): Unit = f.oneof.foreach { g =>
+      fields.zipWithIndex.foreach { case (m, j) =>
+        if (j != i && m.oneof.contains(g)) slots(j) = null
+      }
+    }
     var pos = 0
     def readVarint(): Long = {
       var shift = 0; var acc = 0L
@@ -482,18 +573,28 @@ object ProtoCodec {
           val sub = freshSlots(f.sub)
           decodeInto(java.util.Arrays.copyOfRange(bytes, pos, pos + len), f.sub, sub)
           val kv = finishSlots(f.sub, sub)
+          // message-typed value absent from the entry ⇒ the DEFAULT
+          // INSTANCE (the parsers' map contract), never a null value
+          val vv =
+            if (kv(1) == null && f.sub(1).ptype == "message")
+              Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                finishSlots(f.sub(1).sub, freshSlots(f.sub(1).sub))))
+            else kv(1)
           slots(i).asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]]
-            .put(kv(0), kv(1))
+            .put(kv(0), vv)
           pos += len
         case Some((f, i)) if f.ptype == "message" =>
           require(wt == 2, s"field $number: wire type $wt, want length-delimited")
           val len = readDelimited(number, "message")
+          clearMates(f, i)
           // spec merge: decode into the EXISTING sub-slots so later
           // occurrences overwrite scalars and append to repeated
           val sub = if (slots(i) == null) freshSlots(f.sub) else slots(i).asInstanceOf[Array[Any]]
           decodeInto(java.util.Arrays.copyOfRange(bytes, pos, pos + len), f.sub, sub)
           slots(i) = sub; pos += len
-        case Some((f, i)) => f.ptype match {
+        case Some((f, i)) =>
+          clearMates(f, i)
+          f.ptype match {
           case "int64" | "sint64" | "bool" | "enum" =>
             require(wt == 0, s"field $number: wire type $wt, want varint"); slots(i) = readScalar(f.ptype)
           case "double" => require(wt == 1, s"field $number: wire type $wt, want fixed64")

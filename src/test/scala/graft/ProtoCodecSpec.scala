@@ -182,9 +182,121 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       ProtoCodec.parseSchema("1:m:map<double,int64>")
     }.getMessage.contains("illegal map key type"))
+    // depth bound holds THROUGH the map value message: its sub-fields
+    // are scalar-only, like any depth-1 message
     assert(intercept[IllegalArgumentException] {
-      ProtoCodec.parseSchema("1:m:map<string,{1:a:int64}>")
-    }.getMessage.contains("unsupported map value type"))
+      ProtoCodec.parseSchema("1:m:map<string,{1:a:{1:b:int64}}>")
+    }.getMessage.contains("map fields are top-level only") ||
+      intercept[IllegalArgumentException] {
+        ProtoCodec.parseSchema("1:m:map<string,{1:a:{1:b:int64}}>")
+      }.getMessage.contains("nested messages"))
+  }
+
+  test("map with message-typed values: the bounded depth-2 case") {
+    // field 7 map<string,{1:n:int64}> {"ab" -> {n: 1}}: entry is
+    //   key: 0a 02 'ab'; value: tag 12, len 2, inner 08 01
+    val schema = "7:m:map<string,{1:n:int64;2:tag:string}>"
+    val fields = ProtoCodec.parseSchema(schema)
+    assert(hex(encodeOne("7:m:map<string,{1:n:int64}>", Map("ab" -> Seq(1L))))
+      === "3a080a0261621202" + "0801")
+    // absent VALUE field in an entry decodes to the DEFAULT INSTANCE
+    // (never a null value) — hand-built entry with only the key
+    val keyOnly = Array[Byte](0x3a, 0x04, 0x0a, 0x02, 0x61, 0x62)
+    val m = ProtoCodec.decodeRecord(keyOnly, fields)(0)
+      .asInstanceOf[Map[String, org.apache.spark.sql.Row]]
+    assert(m("ab") === org.apache.spark.sql.Row(0L, ""))
+    // full round trip with a non-default message value, last-one-wins
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(encodeOne(schema, Map("k" -> Seq(1L, "x"))))
+    out.write(encodeOne(schema, Map("k" -> Seq(9L, "y"), "j" -> Seq(0L, ""))))
+    val merged = ProtoCodec.decodeRecord(out.toByteArray, fields)(0)
+      .asInstanceOf[Map[String, org.apache.spark.sql.Row]]
+    assert(merged === Map(
+      "k" -> org.apache.spark.sql.Row(9L, "y"),
+      "j" -> org.apache.spark.sql.Row(0L, "")))
+    // the Spark type carries the struct as the map value
+    val mt = ProtoCodec.sparkSchema(fields)("m").dataType
+      .asInstanceOf[org.apache.spark.sql.types.MapType]
+    assert(mt.valueType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(!mt.valueContainsNull)
+  }
+
+  test("oneof: wire-plain members, last-wins decode, presence at defaults") {
+    val schema = "1:id:int64,2:email:string@contact,3:phone:sint64@contact"
+    val fields = ProtoCodec.parseSchema(schema)
+    // members are ordinary wire fields; a SET member serializes even
+    // at its default value (explicit presence): email = "" writes
+    // tag 0x12 len 0 where a plain string field would elide
+    assert(hex(encodeOne(schema, 0L, "", null)) === "1200")
+    assert(hex(encodeOne(schema, 0L, null, 0L)) === "1800")
+    // unset group: both members decode to null (not scalar defaults)
+    val none = ProtoCodec.decodeRecord(Array.emptyByteArray, fields)
+    assert(none(1) == null && none(2) == null)
+    // round trip preserves which member is set, including at defaults
+    val rt = ProtoCodec.decodeRecord(encodeOne(schema, 7L, "", null), fields)
+    assert(rt.toSeq === Seq(7L, "", null))
+    // LAST member seen on the wire wins and clears its mates
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(encodeOne(schema, 0L, "a@b", null))
+    out.write(encodeOne(schema, 0L, null, -3L))
+    assert(ProtoCodec.decodeRecord(out.toByteArray, fields).toSeq === Seq(0L, null, -3L))
+    // ...in either order
+    val out2 = new java.io.ByteArrayOutputStream()
+    out2.write(encodeOne(schema, 0L, null, -3L))
+    out2.write(encodeOne(schema, 0L, "a@b", null))
+    assert(ProtoCodec.decodeRecord(out2.toByteArray, fields).toSeq === Seq(0L, "a@b", null))
+    // two set members in one row is a data bug the encoder rejects
+    assert(intercept[IllegalArgumentException] {
+      encodeOne(schema, 0L, "a@b", 5L)
+    }.getMessage.contains("more than one member"))
+    // parser rejections: repeated / map members (spec rules)
+    assert(intercept[IllegalArgumentException] {
+      ProtoCodec.parseSchema("2:xs:int64[]@g")
+    }.getMessage.contains("cannot be repeated"))
+    assert(intercept[IllegalArgumentException] {
+      ProtoCodec.parseSchema("2:m:map<string,int64>@g")
+    }.getMessage.contains("cannot be maps"))
+    // message members carry presence through a zero-length write, and
+    // a re-occurrence of the SAME member merges while a mate clears it
+    val ms = "2:addr:{1:street:string;2:zip:int64}@loc,3:code:int64@loc"
+    val mf = ProtoCodec.parseSchema(ms)
+    assert(hex(encodeOne(ms, org.apache.spark.sql.Row("", 0L), null)) === "1200")
+    val out3 = new java.io.ByteArrayOutputStream()
+    out3.write(encodeOne(ms, org.apache.spark.sql.Row("elm", 0L), null))
+    out3.write(encodeOne(ms, org.apache.spark.sql.Row("", 42L), null))
+    // same-member merge: later zip overwrites, earlier street survives
+    assert(ProtoCodec.decodeRecord(out3.toByteArray, mf).toSeq ===
+      Seq(org.apache.spark.sql.Row("elm", 42L), null))
+    val out4 = new java.io.ByteArrayOutputStream()
+    out4.write(encodeOne(ms, org.apache.spark.sql.Row("elm", 7L), null))
+    out4.write(encodeOne(ms, null, 5L))
+    out4.write(encodeOne(ms, org.apache.spark.sql.Row("", 42L), null))
+    // a mate in between CLEARS the message member: no merge with "elm"
+    assert(ProtoCodec.decodeRecord(out4.toByteArray, mf).toSeq ===
+      Seq(org.apache.spark.sql.Row("", 42L), null))
+  }
+
+  test("oneof + message-map DataFrame round trip, nullable columns") {
+    import org.apache.spark.sql.Row
+    val schema = "1:id:int64,2:email:string@c,3:phone:sint64@c," +
+      "4:tags:map<string,{1:v:int64;2:s:string}>"
+    val fields = ProtoCodec.parseSchema(schema)
+    assert(ProtoCodec.sparkSchema(fields)("email").nullable)
+    assert(ProtoCodec.sparkSchema(fields)("phone").nullable)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        Row(1L, "x@y", null, Map("a" -> Row(1L, "p"))),
+        Row(2L, null, -9L, Map.empty[String, Row]),
+        Row(3L, "", null, Map("" -> Row(0L, ""))),
+        Row(4L, null, null, Map("k" -> Row(5L, ""))))),
+      ProtoCodec.sparkSchema(fields))
+    val back = ProtoCodec.fromProto(ProtoCodec.toProto(df, schema), schema)
+      .collect().sortBy(_.getLong(0))
+    assert(back(0).toSeq === Seq(1L, "x@y", null, Map("a" -> Row(1L, "p"))))
+    assert(back(1).toSeq === Seq(2L, null, -9L, Map.empty[String, Row]))
+    // row 3: email SET to "" — presence survives the round trip
+    assert(back(2).toSeq === Seq(3L, "", null, Map("" -> Row(0L, ""))))
+    assert(back(3).toSeq === Seq(4L, null, null, Map("k" -> Row(5L, ""))))
   }
 
   test("map + enum DataFrame round trip through toProto/fromProto") {
