@@ -561,11 +561,22 @@ object Pipeline {
     */
   /** The shared stage-1–6 flag pipeline under [[curationReport]] and
     * [[curationBySource]]: one corpus scan joined to the cleaning-stage
-    * verdicts, k1–k5 survival flags materialized once (eager local
-    * checkpoint) so every consumer aggregate reads the skinny flag
-    * leaf instead of re-running the fingerprint/component windows.
+    * verdicts, k1–k5 survival flags MATERIALIZED once per corpus
+    * snapshot through the [[graft.sources.Materialize]] seam (the same
+    * discipline as the pair/edge substrates — before round 15 each
+    * consumer rebuilt the leaf per CALL behind a session-lifetime
+    * localCheckpoint, so a fresh session re-ran the fingerprint/
+    * component windows once per consumer).  Both consumers now read
+    * one plain FileScan of the skinny flag relation; flags are longs/
+    * booleans/strings, so parquet read-back is bit-identical and both
+    * oracles are unchanged by construction.
     */
-  private def curationFlags(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def curationFlags(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "curation_flags",
+      inputs = Seq(s"$dir/documents.parquet"),
+      params = Seq("ver" -> "1"))(curationFlagsBuild(s, dir))
+
+  private def curationFlagsBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
     val comp = Dedup.nearDupComponentLabels(s, dir)
@@ -582,10 +593,11 @@ object Pipeline {
       .join(decon, Seq("doc_id"), "left")
       .withColumn("decon", coalesce(col("decon"), lit(false)))
       .join(gk, Seq("doc_id")).join(ck, Seq("doc_id"))
-    // flag columns materialize ONCE (eager local checkpoint): the
-    // |sources|-row rate aggregates and the consumer funnel/matrix
-    // aggregates all read this skinny leaf instead of re-running the
-    // fp/comp windows per consumer — still one corpus scan total
+    // flag columns materialize ONCE (parquet artifact, via the seam
+    // above): the |sources|-row rate aggregates and the consumer
+    // funnel/matrix aggregates all read this skinny leaf instead of
+    // re-running the fp/comp windows per consumer — still one corpus
+    // scan total
     base
       .withColumn("k1", col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .withColumn("k2", col("k1") && col("doc_id") ===
@@ -595,7 +607,6 @@ object Pipeline {
       .withColumn("k4", col("k3") && col("g_keep"))
       .withColumn("k5", col("k4") && col("c_keep"))
       .withColumn("h", concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4)))
-      .localCheckpoint(eager = true)
   }
 
   def curationReport(s: SparkSession, dir: String): DataFrame = {

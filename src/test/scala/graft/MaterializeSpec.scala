@@ -110,6 +110,13 @@ class MaterializeSpec extends AnyFunSuite {
         "the lineitem self-join must execute once for the whole suite")
       assert(Materialize.buildCount("knn_edges") === 1,
         "the LSH-bucketed kNN join must execute once for the whole suite")
+      // the curation flag leaf (round 15): both funnel consumers read
+      // one materialized build of the stage-1–6 flag pipeline
+      Materialize.resetBuildCount("curation_flags")
+      Pipeline.curationReport(spark, sf).collect()
+      Pipeline.curationBySource(spark, sf).collect()
+      assert(Materialize.buildCount("curation_flags") === 1,
+        "the stage-1–6 flag pipeline must execute once for the whole suite")
     }
   }
 
