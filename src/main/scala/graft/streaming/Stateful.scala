@@ -706,8 +706,8 @@ object Stateful {
     * Only ROW-LOCAL checks belong here: cross-table FK checks on a
     * stream are anti-joins whose verdicts can RESOLVE later (a
     * lineitem arriving before its order is not yet a violation) —
-    * that shape is [[dedupAgainstCorpus]]'s stream-static join with
-    * retraction semantics the consumer must own, not a counter.
+    * that shape lives in [[fkMonitor]], whose per-key state owns the
+    * resolution semantics a cumulative counter cannot.
     *
     * Scale shape: `groupByKey` on a |rules|-cardinality key would
     * funnel EVERY row of a rule through one task, so the counters
@@ -759,4 +759,77 @@ object Stateful {
     "type_known" -> !col("event_type").isin(
       "click", "view", "purchase", "signup", "error"),
     "props_present" -> (col("props").isNull || length(col("props")) === 0))
+
+  case class FkRow(fk_key: Long, children_seen: Long, parent_seen: Boolean,
+      orphans: Long)
+
+  /** Streaming twin of [[graft.operators.Analytics.dqChecks]]'s
+    * CROSS-TABLE tier — the FK shape [[dqMonitor]] deliberately
+    * excludes, because its verdicts are not additive counters: a child
+    * arriving before its parent is an orphan NOW that RESOLVES when
+    * the parent lands (out-of-order arrival across two feeds is the
+    * normal case, not the exception).  Keyed by the join key, the
+    * state is one (children_seen, parent_seen) pair; every epoch that
+    * touches a key re-emits that key's CURRENT verdict
+    * ([[FkRow]]: orphans = children_seen while no parent has
+    * appeared, dropping to 0 the epoch the parent arrives — the
+    * resolution event a consumer alerts off, Update-mode semantics as
+    * in [[dqMonitor]]).  Matching is pure EXISTENCE, so within-epoch
+    * order is irrelevant and stream-final state over any batch split
+    * equals the batch left-join verdict on the same rows: Σ orphans
+    * over final per-key rows = the batch op's `fk_*` violation count
+    * — parity spec-pinned against [[graft.operators.Analytics
+    * .dqChecks]] on the same order star.
+    *
+    * Scale shape: the key domain is the FK domain, so state SHARDS
+    * across it (no |rules|-style funnel) at one ~20-byte struct per
+    * key ever seen — the same state floor as an unwatermarked
+    * stream-stream join, which is what exact FK monitoring IS; a
+    * production deployment bounds it by declaring never-parented keys
+    * final past a lateness horizon (event-time timeout), the
+    * [[sessionizeWithTimeout]] machinery.  A HOT key (one parent with
+    * millions of children) would funnel its child rows through one
+    * stateful task, so the counts pre-reduce per input partition
+    * first (the [[dqMonitor]] map-side-combine discipline): the keyed
+    * task sees ≤ numPartitions partials per key per epoch, never the
+    * row stream.
+    *
+    * `children` and `parents` are streaming frames each exposing the
+    * join key as a long column `key` (project before calling);
+    * `parents` may also be a BATCH frame for the stream-static case —
+    * the union then requires both sides streaming, so the static
+    * parent set is handled by the caller turning it into a one-batch
+    * stream (the StreamingSpec fixture idiom).
+    */
+  def fkMonitor(spark: SparkSession, children: DataFrame,
+      parents: DataFrame): Dataset[FkRow] = {
+    import spark.implicits._
+    val tagged = children.select(col("key").cast("long").as("key"),
+        lit(false).as("is_parent"))
+      .unionByName(parents.select(col("key").cast("long").as("key"),
+        lit(true).as("is_parent")))
+      .as[(Long, Boolean)]
+    // per-partition pre-reduce: (key, child rows, parent present)
+    val partials = tagged.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+      it.foreach { case (k, isP) =>
+        val (c, p) = acc.getOrElse(k, (0L, false))
+        acc(k) = (if (isP) c else c + 1, p || isP)
+      }
+      acc.iterator.map { case (k, (c, p)) => (k, c, p) }
+    }
+    partials.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Boolean), FkRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[(Long, Long, Boolean)],
+            state: GroupState[(Long, Boolean)]) =>
+          var (children, parentSeen) = state.getOption.getOrElse((0L, false))
+          batch.foreach { case (_, c, p) =>
+            children += c; parentSeen ||= p
+          }
+          state.update((children, parentSeen))
+          Iterator.single(FkRow(key, children,
+            parentSeen, if (parentSeen) 0L else children))
+      }
+  }
 }

@@ -596,6 +596,65 @@ class StatefulSpec extends AnyFunSuite {
     }
     assert(want.values.forall(_ > 0), "every planted rule fires at least once")
   }
+
+  test("fkMonitor: orphans resolve when the parent arrives; stream-final equals dq_checks' join tier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    // planted orphans: child keys with no parent ever — the violations
+    // that must survive to the final verdict
+    val planted = Seq(999999001L, 999999001L, 999999002L)
+    val memC = MemoryStream[Long]
+    val memP = MemoryStream[Long]
+    val q = Stateful.fkMonitor(spark,
+        memC.toDF().select(col("value").as("key")),
+        memP.toDF().select(col("value").as("key")))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("fk_stream").start()
+    // epoch 1: children land BEFORE any parent — every touched key is
+    // an orphan NOW
+    val (first, rest) = li.splitAt(li.length / 2)
+    memC.addData(first.toSeq ++ planted: _*); q.processAllAvailable()
+    val ep1 = spark.table("fk_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(ep1.nonEmpty && ep1.forall(r => !r._3 && r._4 === r._2),
+      "before any parent, every emitted key reports its children as orphans")
+    // epoch 2: all parents + the remaining children — orphans with a
+    // real parent RESOLVE (re-emit with orphans = 0)
+    memP.addData(ord.toSeq: _*)
+    memC.addData(rest.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fk_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    // final per-key state: children_seen is monotone, parent_seen latches
+    val fin = rows.groupBy(_._1).view.mapValues { rs =>
+      val children = rs.map(_._2).max
+      val parent = rs.exists(_._3)
+      (children, parent, if (parent) 0L else children)
+    }.toMap
+    val parentSet = ord.toSet
+    fin.foreach { case (k, (c, p, o)) =>
+      assert(p === parentSet.contains(k), s"parent_seen for $k")
+      assert(o === (if (p) 0L else c), s"orphans for $k")
+    }
+    // parity with the batch join tier: sum of final orphans over the
+    // same rows = dq_checks' fk_orderkey violations + the planted set
+    val batchFk = graft.operators.Analytics.dqChecks(spark, sf).collect()
+      .find(r => r.getString(0) == "fk_orderkey").get.getLong(2)
+    assert(fin.values.map(_._3).sum === batchFk + planted.length,
+      "stream-final orphan total must equal the batch left-join verdict")
+    // children accounting is exact end to end
+    assert(fin.values.map(_._1).sum === (li.length + planted.length).toLong)
+    // the resolution event actually happened: keys orphaned in epoch 1
+    // with a real parent re-emitted with orphans = 0
+    val resolved = ep1.filter(r => parentSet.contains(r._1)).map(_._1)
+    assert(resolved.nonEmpty)
+    resolved.foreach(k => assert(fin(k)._3 === 0L, s"key $k must resolve"))
+  }
 }
 
 /** MemoryStream row shape for the streaming-upsert parity spec. */
