@@ -520,8 +520,16 @@ object Temporal {
       .withColumn("grp", sum(col("ng")).over(wUser))
       .groupBy(col("user_id"), col("grp"))
       .agg(min(col("day")).as("s"), max(col("day")).as("e"))
-    val deltas = iv.select(col("s").as("day"), lit(1L).as("dd"))
-      .unionAll(iv.select((col("e") + 7).as("day"), lit(-1L).as("dd")))
+    // both delta rows of an interval come out of ONE pass (a 2-row
+    // generate per interval) — a union of two selects over `iv` would
+    // REPLAY the per-user window pipeline once per branch (caught by
+    // the round-15 plan audit: two identical Sort+Window subtrees
+    // under the union)
+    val deltas = iv
+      .select(explode(array(
+        struct(col("s").as("day"), lit(1L).as("dd")),
+        struct((col("e") + 7).as("day"), lit(-1L).as("dd")))).as("x"))
+      .select(col("x.day").as("day"), col("x.dd").as("dd"))
       .groupBy(col("day")).agg(sum(col("dd")).as("delta"))
     val spine = acts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))

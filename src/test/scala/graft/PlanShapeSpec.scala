@@ -411,6 +411,25 @@ class PlanShapeSpec extends AnyFunSuite {
       === big.collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
   }
 
+  test("active_users: one per-user window pass, day-bounded global sweep, broadcast day relations") {
+    val p = plan(Temporal.activeUsers(spark, sf))
+    // exactly three Window nodes: lag + interval-group sum over the
+    // per-user frame, then ONE global sweep whose input is the day
+    // spine — a fourth would mean the interval leg's union replays
+    // the per-user pipeline per delta sign (the round-15 audit bug)
+    assert(countIn(p, "Window ") === 3, p.linesIterator.take(30).mkString("\n"))
+    // the per-user leg shuffles once on user_id (its window sort);
+    // the (user, day) distinct exchange lives inside the shared
+    // checkpointed leaf, executed once for the dau + interval legs
+    assert(countIn(p, "hashpartitioning\\(user_id") === 1)
+    // the global sweep's input is the generated calendar spine with
+    // the day-keyed aggregates BROADCAST onto it — never a
+    // corpus-sized relation under an unpartitioned window
+    assert(p.contains("explode(sequence("))
+    assert(countIn(p, "BroadcastHashJoin") === 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("vocab_coverage: each V is a map-side top-V, never a corpus-wide row numbering") {
     val p = plan(TextOps.vocabCoverage(spark, sf))
     assert(countIn(p, "TakeOrderedAndProject") === 3,
