@@ -130,6 +130,97 @@ object DeltaProbe {
       return
     }
 
+    if (mode == "del") {
+      // `del` (round 15): takedown-cost probe for the two
+      // delete-maintained substrates (neardup_pairs, knn_edges).  The
+      // corpus is staged as base + nAppends doomed batches (deltaPct%
+      // each, separate part files, present BEFORE the base build —
+      // the compacted-base shape takedowns apply to); each step
+      // REMOVES one batch's files and times (a) the delete-maintained
+      // rebuild in the shared cache vs (b) a from-scratch full build
+      // of the surviving corpus in a fresh cache.  Doomed embeddings
+      // are copies of corpus vectors (guaranteed top-k hits, so the
+      // dirty-lid rescore does real work); doomed docs are perturbed
+      // near-dups of corpus docs.
+      val docsDir = s"$work/documents.parquet"
+      val embDir = s"$work/embeddings.parquet"
+      val docs = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      docs.write.parquet(docsDir)
+      graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).write.parquet(embDir)
+      val nDocs = spark.read.parquet(docsDir).count()
+      val nEmb = spark.read.parquet(embDir).count()
+      val maxDocId = spark.read.parquet(docsDir).agg(max(col("doc_id"))).head.getLong(0)
+      val maxVecId = spark.read.parquet(embDir).agg(max(col("vec_id"))).head.getLong(0)
+      val nDelDocs = math.max(1L, nDocs * deltaPct / 100)
+      val nDelEmb = math.max(1L, nEmb * deltaPct / 100)
+      def stageIn(k: Int): Unit = {
+        val sd = s"$work/doom_docs$k"
+        spark.read.parquet(docsDir).orderBy(col("doc_id")).limit(nDelDocs.toInt)
+          .select((col("doc_id") + (maxDocId + 1) * k).as("doc_id"),
+            concat(lit(s"doomed batch $k doc "), col("text")).as("text"))
+          .write.parquet(sd)
+        val se = s"$work/doom_emb$k"
+        spark.read.parquet(embDir).orderBy(col("vec_id")).limit(nDelEmb.toInt)
+          .select((col("vec_id") + (maxVecId + 1) * k).as("vec_id"), col("embedding"))
+          .write.parquet(se)
+        def move(stage: String, destDir: String): Unit =
+          new java.io.File(stage).listFiles().filter(_.getName.startsWith("part-"))
+            .foreach { f =>
+              require(f.renameTo(new java.io.File(destDir,
+                s"part-doom$k-${f.getName.stripPrefix("part-")}")))
+            }
+        move(sd, docsDir); move(se, embDir)
+      }
+      (1 to nAppends).foreach(stageIn)
+      def removeBatch(k: Int): Unit =
+        Seq(docsDir, embDir).foreach { d =>
+          new java.io.File(d).listFiles()
+            .filter(_.getName.startsWith(s"part-doom$k-"))
+            .foreach(f => require(f.delete(), s"could not remove $f"))
+        }
+      def timedD(body: => Any): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def freshCacheD(): String =
+        java.nio.file.Files.createTempDirectory("graft_delta_probe_cache").toString
+      def buildBoth(): (Double, Double) =
+        (timedD(graft.operators.Dedup.nearDupPairs(spark, work).count()),
+          timedD(graft.operators.Similarity.knnJoinEmbeddings(spark, work).count()))
+      spark.conf.set("spark.graft.cache.dir", freshCacheD())
+      buildBoth() // warmup
+      val liveCache = freshCacheD()
+      spark.conf.set("spark.graft.cache.dir", liveCache)
+      val (fbP, fbK) = buildBoth()
+      val delSecs = Array.ofDim[(Double, Double)](nAppends)
+      val fullSecs = Array.ofDim[(Double, Double)](nAppends)
+      for (k <- 1 to nAppends) {
+        removeBatch(k)
+        spark.conf.set("spark.graft.cache.dir", liveCache)
+        delSecs(k - 1) = buildBoth()
+        spark.conf.set("spark.graft.cache.dir", freshCacheD())
+        fullSecs(k - 1) = buildBoth()
+      }
+      val M = graft.sources.Materialize
+      def r3d(x: Double) = math.rint(x * 1000) / 1000
+      def arrD(xs: Seq[Double]) = xs.map(r3d).mkString("[", ",", "]")
+      def blockD(name: String, base: Double, d: Seq[Double], f: Seq[Double]) =
+        s""""$name":{"full_base_sec":${r3d(base)},"delete_sec":${arrD(d)},"full_sec":${arrD(f)}}"""
+      val json =
+        s"""{"metric":"delete_materialize","mode":"del","sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""corpus_docs":$nDocs,"corpus_vecs":$nEmb,"delta_pct":$deltaPct,""" +
+        s""""n_deletes":$nAppends,""" +
+        blockD("pairs", fbP, delSecs.map(_._1).toSeq, fullSecs.map(_._1).toSeq) + "," +
+        blockD("knn", fbK, delSecs.map(_._2).toSeq, fullSecs.map(_._2).toSeq) + "," +
+        s""""delete_builds":{"neardup_pairs":${M.deleteBuildCount("neardup_pairs")},""" +
+        s""""knn_edges":${M.deleteBuildCount("knn_edges")}}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/probe_delta_materialize_del.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
+
     val docsDir = s"$work/documents.parquet"
     val embDir = s"$work/embeddings.parquet"
     val withKnn = mode != "dup"

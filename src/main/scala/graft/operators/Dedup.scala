@@ -262,7 +262,7 @@ object Dedup {
       "thresh" -> JaccardThreshold.toString, "ver" -> "2")
 
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialize.readOrBuildDelta(s, "neardup_pairs",
+    graft.sources.Materialize.readOrBuildMaintained(s, "neardup_pairs",
       docInputs(dir), pairsParams) {
       // a full (re)build compacts — the current snapshot becomes the
       // new base — so pay the base DF sidecar NOW (one linear
@@ -276,6 +276,8 @@ object Dedup {
       pairsFromIndex(nearDupIndex(s, dir))
     } { (_, prevFiles, deltaFiles) =>
       nearDupPairsDelta(s, dir, prevFiles, deltaFiles)
+    } { (prevPairs, prevStats, removedFiles) =>
+      nearDupPairsDelete(s, dir, prevPairs, prevStats, removedFiles)
     }
 
   /** Cumulative-append byte fraction past which a delta builder
@@ -346,8 +348,21 @@ object Dedup {
     val dirty = baseIdx.join(affected, Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
     val bIds = dirty.unionByName(appendedDocs.select(col("doc_id"))).distinct()
-    val bIdx = newIdx.join(bIds, Seq("doc_id"), "left_semi")
-    val flagged = newIdx.join(bIds.withColumn("inB", lit(true)), Seq("doc_id"), "left")
+    val fresh = pairsWithBEndpoint(newIdx, bIds)
+    val clean = basePairs
+      .join(bIds.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+      .join(bIds.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+    clean.select(col("d1"), col("d2"), col("jaccard")).unionByName(fresh)
+  }
+
+  /** Every qualifying pair with ≥ 1 endpoint in `bIds`, computed over
+    * the composed index `idx` — the recompute kernel both maintenance
+    * paths (append delta, takedown delete) share: candidate volume
+    * scales with B's shingle mass, never the corpus's.
+    */
+  private def pairsWithBEndpoint(idx: DataFrame, bIds: DataFrame): DataFrame = {
+    val bIdx = idx.join(bIds, Seq("doc_id"), "left_semi")
+    val flagged = idx.join(bIds.withColumn("inB", lit(true)), Seq("doc_id"), "left")
       .withColumn("inB", coalesce(col("inB"), lit(false)))
     // each unordered pair with >= 1 B endpoint matches exactly once per
     // shared shingle: B-vs-clean in either order via the inB guard,
@@ -359,17 +374,90 @@ object Dedup {
       .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .agg(count(lit(1)).as("c"))
-    val sz = newIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val fresh = inter
+    val sz = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
       .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"),
         (col("c") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-    val clean = basePairs
-      .join(bIds.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
-      .join(bIds.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
-    clean.select(col("d1"), col("d2"), col("jaccard")).unionByName(fresh)
+  }
+
+  /** Takedown maintenance for the pair substrate.  Under DELETE the
+    * document texts never change — only presence and the DF landscape
+    * do, and DF can only DECREASE, so the only cap transition is
+    * over→under: a boilerplate shingle whose removed occurrences drop
+    * it back under [[ShingleDfCap]] is RE-ADMITTED to the index for
+    * every surviving doc containing it.  So: pairs lose rows whose
+    * endpoint was removed (a join against the surviving ids — the
+    * "only witness removed" case needs no recompute, pair metrics are
+    * pairwise), pairs of two CLEAN docs carry bit-identically (their
+    * capped shingle sets are untouched: no flipped shingle, same
+    * texts), and only docs CONTAINING a flipped shingle are dirty —
+    * their pairs recompute over the surviving corpus' index via the
+    * shared [[pairsWithBEndpoint]] kernel (new pairs can APPEAR here:
+    * a re-admitted shingle can push two survivors over the Jaccard
+    * threshold — spec-pinned).  Flip detection compares the PREV
+    * corpus DF (the base [[nearDupBaseDf]] sidecar, located
+    * manifest-vs-manifest since removed files cannot be stat'ed, plus
+    * the appended-since-base survivors' counts) against the surviving
+    * corpus DF.  The delete pays the full build's two LINEAR passes —
+    * the DF and capped-index sidecars, refreshed for the surviving
+    * snapshot so every consumer below reads a FileScan and the NEXT
+    * maintenance step finds its aligned base as a cache hit — plus
+    * the dirty recompute; saved vs full is the corpus-wide pair
+    * self-join that dominates a rebuild.
+    *
+    * Declines (→ full rebuild, which compacts): the base DF sidecar
+    * is missing; a removed file post-dates the base (its shingle
+    * counts are unrecoverable, so the PREV DF cannot be reconstructed
+    * — appends should compact before takedowns apply); or removed
+    * bytes exceed [[MaxAppendFraction]] of the prev corpus.
+    */
+  private def nearDupPairsDelete(s: SparkSession, dir: String, prevPairs: DataFrame,
+      prevStats: Map[String, String], removedFiles: Seq[String]): DataFrame = {
+    val M = graft.sources.Materialize
+    val removedBytes = removedFiles.map(f => M.statLen(prevStats(f))).sum
+    if (removedBytes > maxAppendFraction(s) * prevStats.values.map(M.statLen).sum)
+      return null
+    val prior = M.readWithin(s, "neardup_df", prevStats, dfParams)
+    if (prior.isEmpty) return null
+    val (baseDf, baseFiles) = prior.get
+    if (!removedFiles.forall(baseFiles.contains)) return null
+    // PREV-corpus DF: base sidecar + appended-since-base counts (all
+    // appended files survive — guarded above)
+    val appended = (prevStats.keySet -- baseFiles).toSeq.sorted
+    val prevDf =
+      if (appended.isEmpty) baseDf
+      else baseDf.unionByName(
+          explodedShingles(s.read.parquet(appended: _*)
+            .select(col("doc_id"), col("text")))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+        .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+    // refresh BOTH sidecars for the surviving snapshot (the
+    // eager-sidecar discipline): the full build's two linear passes,
+    // paid here so (a) every consumer below reads a FileScan instead
+    // of replaying a corpus explode, and (b) the NEXT maintenance
+    // step — append delta or another takedown — finds its aligned
+    // base as a cache hit instead of declining to a full rebuild
+    val survivors = M.listFiles(s, s"$dir/documents.parquet")
+    val newDf = nearDupBaseDf(s, survivors)
+    val curIdx = nearDupIndex(s, dir)
+    // cap flips under delete are over→under only (DF can only drop):
+    // the re-admitted shingle's postings are IN the refreshed index
+    val flipped = prevDf.filter(col("df") > ShingleDfCap).select(col("shingle"))
+      .join(newDf.filter(col("df") <= ShingleDfCap).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+    val dirty = curIdx.join(flipped, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val fresh = pairsWithBEndpoint(curIdx, dirty)
+    val curIds = Tables.documents(s, dir).select(col("doc_id"))
+    val carried = prevPairs
+      .join(curIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(curIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+      .join(dirty.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+      .join(dirty.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+    carried.select(col("d1"), col("d2"), col("jaccard")).unionByName(fresh)
   }
 
   /** Pair generation over any (doc_id, text) frame — parameterized so

@@ -354,7 +354,7 @@ object Similarity {
     * is bit-identical to the inline join.
     */
   def knnJoinEmbeddings(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialize.readOrBuildDelta(s, "knn_edges",
+    graft.sources.Materialize.readOrBuildMaintained(s, "knn_edges",
       inputs = Seq(s"$dir/embeddings.parquet"),
       params = Seq("k" -> "5", "ver" -> "1")) {
       // a full (re)build compacts: the current snapshot becomes the
@@ -368,6 +368,8 @@ object Similarity {
       knnJoin(emb, emb, 5, bits)
     } { (prevEdges, prevFiles, deltaFiles) =>
       knnEdgesDelta(s, dir, prevEdges, prevFiles, deltaFiles)
+    } { (prevEdges, prevStats, removedFiles) =>
+      knnEdgesDelete(s, dir, prevEdges, prevStats, removedFiles)
     }
 
   /** The (vec_id, tbl, bucket) LSH assignment of an explicit BASE file
@@ -484,6 +486,91 @@ object Similarity {
     val fresh = knnJoinScore(all, all, cand, 5)
     val carried = prevEdges
       .join(dirtyIds.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
+    carried.unionByName(fresh)
+  }
+
+  /** Takedown maintenance for the kNN edge substrate — the
+    * [[deleteFromIndex]] algebra applied to the materialized graph:
+    * under DELETE the corpus only shrinks, so an existing lid's
+    * candidate set can only LOSE members — a lid whose previous top-k
+    * contains no removed id keeps its rows BIT-IDENTICALLY (removal
+    * cannot add candidates), and a "dirty" lid (one that lost a
+    * neighbor) needs its top-k REFILLED from its full bucket-collision
+    * candidate set within the surviving corpus, because the evicted
+    * slot's replacement is whatever ranked k+1th — information the
+    * artifact no longer holds.  Removed ids never need enumerating:
+    * a prev edge row's neighbor validity is a join against the
+    * surviving id relation (the removed files are gone, so their
+    * vectors simply don't exist).  Work: one skinny id scan, one
+    * k·n-row validity join (the same linear floor as the artifact
+    * rewrite), one survivor encode pass refreshing the bucket sidecar
+    * (which the NEXT append or takedown then hits as its aligned
+    * base — without the refresh every second maintenance step would
+    * decline for want of alignment), and bucket re-probe + rescore
+    * for the dirty lids only — |dirty| ≲ k · |removed| in
+    * expectation.  Saved vs full: the corpus-wide collision join and
+    * the score-everything pass.
+    *
+    * Declines (→ full rebuild, which compacts): no prev-aligned
+    * bucket sidecar exists at the CURRENT bit width (alignment is
+    * manifest-vs-manifest — removed files cannot be live-stat'ed; a
+    * shrink across a [[lshBitsFor]] step is an automatic miss, and
+    * carried rows would be bucketed differently than a full
+    * rebuild's); or the removed bytes exceed the
+    * [[graft.operators.Dedup.MaxAppendFraction]] fraction of the
+    * prev corpus (per the prior manifest's recorded lengths), where
+    * compaction wins.
+    */
+  private def knnEdgesDelete(s: SparkSession, dir: String, prevEdges: DataFrame,
+      prevStats: Map[String, String], removedFiles: Seq[String]): DataFrame = {
+    val M = graft.sources.Materialize
+    val removedBytes = removedFiles.map(f => M.statLen(prevStats(f))).sum
+    val prevBytes = prevStats.values.map(M.statLen).sum
+    if (removedBytes > graft.operators.Dedup.maxAppendFraction(s) * prevBytes) return null
+    val bits = lshBitsFor(corpusSize(s, dir))
+    // the prev chain's bucket sidecar, located manifest-vs-manifest at
+    // the CURRENT bit width — its existence is the witness that prev
+    // edges were bucketed at these bits (a shrink across a lshBitsFor
+    // step is an automatic miss → decline, carried rows would be
+    // bucketed differently than a full rebuild's)
+    if (M.readWithin(s, "knn_buckets", prevStats,
+        Seq("bits" -> bits.toString, "tables" -> LshTables.toString, "ver" -> "1")).isEmpty)
+      return null
+    // refresh the sidecar FOR THE SURVIVORS (one linear encode pass +
+    // skinny write — the eager-sidecar discipline): it is this
+    // delete's clean candidate table (no stale assignments for
+    // removed vectors) AND the base alignment the NEXT maintenance
+    // step (append delta or another takedown) gets as a cache hit —
+    // without it, every second maintenance step would decline to a
+    // full rebuild for want of an aligned sidecar
+    val survivors = M.listFiles(s, s"$dir/embeddings.parquet")
+    val curB = knnBaseBuckets(s, survivors, bits)
+    val emb = Tables.embeddings(s, dir)
+    val curIds = emb.select(col("vec_id"))
+    // one pass over the k·n prev rows: drop removed lids, split the
+    // survivors into carried (every neighbor still present — rows
+    // carry bit-identically) and dirty (≥ 1 neighbor removed — top-k
+    // must refill from the full surviving candidate set)
+    val tagged = prevEdges
+      .join(curIds.select(col("vec_id").as("q_id")), Seq("q_id"), "left_semi")
+      .join(curIds.select(col("vec_id").as("nok")).withColumn("ok", lit(true)),
+        col("vec_id") === col("nok"), "left")
+    val lidLoss = tagged.groupBy(col("q_id"))
+      .agg(max(when(col("ok").isNull, 1).otherwise(0)).as("lost"))
+      .localCheckpoint(eager = true)
+    val dirtyLids = lidLoss.filter(col("lost") === 1).select(col("q_id"))
+    val carried = prevEdges
+      .join(lidLoss.filter(col("lost") === 0).select(col("q_id")), Seq("q_id"), "left_semi")
+    // dirty refill: full bucket re-probe within the surviving corpus —
+    // no forced broadcast (|dirty| is data-dependent; AQE picks from
+    // measured sizes, the knnCollisionHits discipline)
+    val dirtyB = curB.join(dirtyLids.withColumnRenamed("q_id", "vec_id"),
+      Seq("vec_id"), "left_semi")
+    val cands = dirtyB.as("d").join(curB.as("c"), Seq("tbl", "bucket"))
+      .filter(col("d.vec_id") =!= col("c.vec_id"))
+      .select(col("d.vec_id").as("lid"), col("c.vec_id").as("vec_id"))
+      .distinct()
+    val fresh = knnJoinScore(emb, emb, cands, 5)
     carried.unionByName(fresh)
   }
 

@@ -56,7 +56,7 @@ object Materialize {
   }
 
   private[graft] def resetBuildCount(name: String): Unit = {
-    builds.remove(name); deltaBuilds.remove(name); ()
+    builds.remove(name); deltaBuilds.remove(name); deleteBuilds.remove(name); ()
   }
 
   /** Delta builds executed in this JVM per artifact name — the
@@ -66,6 +66,14 @@ object Materialize {
 
   private[graft] def deltaBuildCount(name: String): Int =
     deltaBuilds.getOrDefault(name, 0)
+
+  /** Delete (takedown) builds executed in this JVM per artifact name —
+    * the removal-costs-the-dirty-set claim is pinned against this.
+    */
+  private val deleteBuilds = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[graft] def deleteBuildCount(name: String): Int =
+    deleteBuilds.getOrDefault(name, 0)
 
   def cacheRoot(s: SparkSession): String =
     s.conf.get("spark.graft.cache.dir", "target/graft_cache")
@@ -106,7 +114,31 @@ object Materialize {
     */
   def readOrBuildDelta(s: SparkSession, name: String, inputs: Seq[String],
       params: Seq[(String, String)])(full: => DataFrame)(
-      delta: (DataFrame, Seq[String], Seq[String]) => DataFrame): DataFrame = {
+      delta: (DataFrame, Seq[String], Seq[String]) => DataFrame): DataFrame =
+    readOrBuildMaintained(s, name, inputs, params)(full)(delta)((_, _, _) => null)
+
+  /** The fully-maintained variant: [[readOrBuildDelta]] plus a PURE
+    * DELETE path — the takedown mutation (GDPR removal, license
+    * retraction), the second-most-common corpus change after the
+    * crawl append.  When the current snapshot is a prior one with ≥ 1
+    * file REMOVED and every surviving file byte-identical by stat,
+    * `remove(prevArtifact, prevStats, removedFiles)` builds the new
+    * artifact from the old one minus the removed files' contribution.
+    * `prevStats` maps every PRIOR file path to its recorded
+    * `"len|mtime"` manifest stat — the removed files no longer exist
+    * on disk, so their sizes (for cost-based declines) and identities
+    * come from the prior manifest, never a live stat.  The callback
+    * may return null to DECLINE → full rebuild (which compacts).  A
+    * MIXED change (files both added and removed, or any rewrite)
+    * matches neither maintenance shape and takes the full path.
+    * Correctness contract, mirroring the delta's: remove(prev, stats,
+    * removed) must be value-identical to full on the surviving files
+    * — spec-pinned for every registered delete builder.
+    */
+  def readOrBuildMaintained(s: SparkSession, name: String, inputs: Seq[String],
+      params: Seq[(String, String)])(full: => DataFrame)(
+      delta: (DataFrame, Seq[String], Seq[String]) => DataFrame)(
+      remove: (DataFrame, Map[String, String], Seq[String]) => DataFrame): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
     val lines = statLines(s, inputs, params)
     val sig = sha256(lines)
@@ -114,19 +146,29 @@ object Materialize {
     val fs = root.getFileSystem(conf)
     val dest = new Path(root, s"$name-${sig.take(16)}")
     if (!isFresh(fs, dest, sig)) {
-      val built = findPrior(fs, root, name, dest, lines) match {
+      val viaAppend = findPrior(fs, root, name, dest, lines) match {
         case Some((prevDir, prevFiles)) =>
           val cur = fileLines(lines).keys.toSeq.sorted
           val deltaFiles = cur.filterNot(prevFiles.contains)
           Option(delta(s.read.parquet(prevDir.toString), prevFiles, deltaFiles))
         case None => None
       }
+      val viaDelete =
+        if (viaAppend.isDefined) None
+        else findPriorSuperset(fs, root, name, dest, lines) match {
+          case Some((prevDir, prevStats)) =>
+            val removed = (prevStats.keySet -- fileLines(lines).keySet).toSeq.sorted
+            Option(remove(s.read.parquet(prevDir.toString), prevStats, removed))
+          case None => None
+        }
+      val built = viaAppend.orElse(viaDelete)
       builds.merge(name, 1, (a, b) => a + b)
       publish(fs, root, dest, sig, lines, built.getOrElse(full))
-      // count the delta build only once its artifact has published —
-      // a failed publish must not skew the append-costs-the-delta
-      // evidence counters
-      if (built.isDefined) deltaBuilds.merge(name, 1, (a, b) => a + b)
+      // count maintenance builds only once their artifact has
+      // published — a failed publish must not skew the
+      // maintenance-costs-the-delta evidence counters
+      if (viaAppend.isDefined) deltaBuilds.merge(name, 1, (a, b) => a + b)
+      if (viaDelete.isDefined) deleteBuilds.merge(name, 1, (a, b) => a + b)
     }
     s.read.parquet(dest.toString)
   }
@@ -186,6 +228,76 @@ object Materialize {
       .sortBy { case (_, files) => -files.size } // largest prefix wins
       .headOption
   }
+
+  /** The freshest prior artifact of `name` whose manifest is a strict
+    * SUPERSET of the current snapshot: same params, every current file
+    * present in the prior with identical (len, mtime) stats, ≥ 1 prior
+    * file no longer present — the pure-delete twin of [[findPrior]].
+    * Returns the prior dir plus its full path → "len|mtime" stat map
+    * (the only surviving record of the removed files' identities and
+    * sizes).  The prior with the FEWEST removals wins: it is the
+    * closest snapshot, so the delete set — and the rescore work — is
+    * minimal.
+    */
+  private def findPriorSuperset(fs: FileSystem, root: Path, name: String, dest: Path,
+      curLines: Seq[String]): Option[(Path, Map[String, String])] = {
+    if (!fs.exists(root)) return None
+    val curFiles = fileLines(curLines)
+    val curParams = paramLines(curLines)
+    fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$name-") && p.getName != dest.getName &&
+        !p.getName.startsWith("."))
+      .flatMap { p =>
+        readSmallFile(fs, new Path(p, "_MANIFEST")).flatMap { m =>
+          val prevLines = m.linesIterator.toSeq
+          val prevFiles = fileLines(prevLines)
+          val isSuperset = paramLines(prevLines) == curParams &&
+            curFiles.nonEmpty && prevFiles.size > curFiles.size &&
+            curFiles.forall { case (f, st) => prevFiles.get(f).contains(st) }
+          if (isSuperset) Some((p, prevFiles)) else None
+        }
+      }
+      .sortBy { case (_, files) => files.size } // fewest removals wins
+      .headOption
+  }
+
+  /** The largest artifact of `name` whose manifest files are a
+    * sub-map of `within` (path and "len|mtime" stat both equal) under
+    * the same params — how a DELETE builder locates the base-snapshot
+    * companion artifact (bucket sidecar, DF sidecar) when some of the
+    * base's files no longer exist on disk: the alignment check runs
+    * manifest-vs-manifest, never a live stat.  Returns the artifact's
+    * DataFrame plus its file list.
+    */
+  private[graft] def readWithin(s: SparkSession, name: String,
+      within: Map[String, String],
+      params: Seq[(String, String)]): Option[(DataFrame, Seq[String])] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(absolutize(cacheRoot(s)))
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    val wantParams = params.sortBy(_._1).map { case (k, v) => s"param|$k|$v" }
+    fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$name-") && !p.getName.startsWith("."))
+      .flatMap { p =>
+        readSmallFile(fs, new Path(p, "_MANIFEST")).flatMap { m =>
+          val prevLines = m.linesIterator.toSeq
+          val files = fileLines(prevLines)
+          val fits = paramLines(prevLines) == wantParams && files.nonEmpty &&
+            files.forall { case (f, st) => within.get(f).contains(st) }
+          if (fits) Some((p, files)) else None
+        }
+      }
+      .sortBy { case (_, files) => -files.size } // largest base wins
+      .headOption
+      .map { case (p, files) => (s.read.parquet(p.toString), files.keys.toSeq.sorted) }
+  }
+
+  /** Byte length recorded in a manifest "len|mtime" stat value. */
+  private[graft] def statLen(st: String): Long =
+    st.substring(0, st.indexOf('|')).toLong
 
   private def paramLines(lines: Seq[String]): Seq[String] = lines.filter(_.startsWith("param|"))
 

@@ -514,6 +514,187 @@ class MaterializeSpec extends AnyFunSuite {
       "un-hinted delta kNN edges must be value-identical to a full rebuild")
   }
 
+  test("knn_edges delete: takedown rescores only lids that lost a neighbor, value-identical to full") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5151)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 300L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_del").toString
+    base.toDF("vec_id", "embedding").repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    // the to-be-removed file: an exact copy of vec 42 (rank-1 in 42's
+    // top-5, so 42 provably loses a neighbor) plus fresh vectors —
+    // staged in BEFORE the first build, so it is part of the base
+    val emb42 = base(41)._2
+    val doomed = Seq((9001L, emb42)) ++ (9002L to 9020L).map(i => (i, vec()))
+    val stage = java.nio.file.Files.createTempDirectory("graft_knn_del_stage").toString + "/p"
+    doomed.toDF("vec_id", "embedding").repartition(1).write.parquet(stage)
+    appendParts(stage, s"$dir/embeddings.parquet")
+    def edgesOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    val cache = freshCacheDir()
+    val before = withCacheDir(cache) {
+      Materialize.resetBuildCount("knn_edges")
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(before.filter(_._1 == 42L).take(1).map(_._3).toSeq === Seq(9001L),
+      "pre-delete, the planted duplicate must be 42's top-1")
+    // the takedown: remove the staged part file (a GDPR-style file-
+    // level delete — survivors untouched)
+    new java.io.File(s"$dir/embeddings.parquet").listFiles()
+      .filter(_.getName.startsWith("part-append-"))
+      .foreach(f => assert(f.delete(), s"could not remove $f"))
+    val viaDelete = withCacheDir(cache) {
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(Materialize.deleteBuildCount("knn_edges") === 1,
+      "the takedown must maintain the kNN edge artifact incrementally")
+    val viaFull = withCacheDir(freshCacheDir()) {
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(viaDelete === viaFull,
+      "delete-maintained kNN edges must be value-identical to a full rebuild")
+    // no removed id survives on either side of any edge, and 42's
+    // top-k REFILLED (k rows again, new top-1)
+    assert(viaDelete.forall(t => t._1 < 9000L && t._3 < 9000L))
+    val e42 = viaDelete.filter(_._1 == 42L)
+    assert(e42.length === 5 && e42.head._3 != 9001L,
+      "42 must refill its top-5 from the surviving candidate set")
+  }
+
+  test("knn_edges delete: an oversized takedown declines to a compacting full rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5252)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_del_big").toString
+    (1L to 150L).map(i => (i, vec())).toDF("vec_id", "embedding")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_knn_del_big_stage").toString + "/p"
+    (201L to 350L).map(i => (i, vec())).toDF("vec_id", "embedding")
+      .repartition(1).write.parquet(stage)
+    appendParts(stage, s"$dir/embeddings.parquet")
+    val cache = freshCacheDir()
+    withCacheDir(cache) {
+      Materialize.resetBuildCount("knn_edges")
+      graft.operators.Similarity.knnJoinEmbeddings(spark, dir).count()
+    }
+    new java.io.File(s"$dir/embeddings.parquet").listFiles()
+      .filter(_.getName.startsWith("part-append-"))
+      .foreach(f => assert(f.delete(), s"could not remove $f"))
+    // ~half the corpus bytes removed — far past the compaction
+    // fraction: the delete path must DECLINE and the full rebuild
+    // compacts (a fresh base for later maintenance)
+    val n = withCacheDir(cache) {
+      graft.operators.Similarity.knnJoinEmbeddings(spark, dir).count()
+    }
+    assert(n > 0)
+    assert(Materialize.deleteBuildCount("knn_edges") === 0,
+      "an oversized takedown must decline to the full path")
+    assert(Materialize.buildCount("knn_edges") === 2)
+  }
+
+  test("neardup delete: witness removal, cap re-admission, clean carry — value-identical to full") {
+    import spark.implicits._
+    // a/b: 11 words, 9 shingles each, 8 shared — one shared shingle is
+    // the hot "w1 w2 w3" (df 131 > cap 128 pre-delete, so it is capped
+    // OUT and j(a,b) = 7/9 < 0.8: NO pair).  Removing 3 of its hosts
+    // drops df to 128: re-admission pushes j(a,b) to 8/10 = 0.8 — the
+    // pair APPEARS under a takedown.  c/d: identical docs (pair at
+    // j=1.0) with d removed — the pair whose only witness is removed,
+    // dropped with NO recompute (c stays clean).  e/f: identical
+    // surviving docs — their pair must carry bit-identically.
+    val w10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val a = (1L, s"$w10 enda")
+    val b = (2L, s"$w10 endb")
+    val c = (3L, "m1 m2 m3 m4")
+    val d = (4L, "m1 m2 m3 m4")
+    val e = (5L, "n1 n2 n3 n4 n5")
+    val f = (6L, "n1 n2 n3 n4 n5")
+    def filler(i: Int) = (100L + i, s"w1 w2 w3 u$i")
+    val keepDocs = Seq(a, b, c, e, f) ++ (1 to 126).map(filler)
+    val doomedDocs = Seq(d) ++ (127 to 129).map(filler)
+    def toDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_del").toString
+    toDocs(keepDocs).repartition(1).write.parquet(s"$dir/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_nd_del_stage").toString + "/p"
+    toDocs(doomedDocs).repartition(1).write.parquet(stage)
+    appendParts(stage, s"$dir/documents.parquet")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    // tiny engineered files are footer-dominated, so the takedown's
+    // byte fraction would trip the compaction decline — lift it so the
+    // SEMANTICS are what this test exercises
+    withAppendFraction("0.95") {
+      val cache = freshCacheDir()
+      val before = withCacheDir(cache) {
+        Materialize.resetBuildCount("neardup_pairs")
+        pairsOf(Dedup.nearDupPairs(spark, dir))
+      }
+      assert(before.map(t => (t._1, t._2)).toSet === Set((3L, 4L), (5L, 6L)),
+        s"pre-delete pairs: witness pair + carry pair only, got ${before.toSeq}")
+      new java.io.File(s"$dir/documents.parquet").listFiles()
+        .filter(_.getName.startsWith("part-append-"))
+        .foreach(x => assert(x.delete(), s"could not remove $x"))
+      val viaDelete = withCacheDir(cache) {
+        pairsOf(Dedup.nearDupPairs(spark, dir))
+      }
+      assert(Materialize.deleteBuildCount("neardup_pairs") === 1,
+        "the takedown must maintain the pair artifact incrementally")
+      val viaFull = withCacheDir(freshCacheDir()) {
+        pairsOf(Dedup.nearDupPairs(spark, dir))
+      }
+      assert(viaDelete === viaFull,
+        "delete-maintained pairs must be value-identical to a full rebuild")
+      assert(viaDelete.map(t => (t._1, t._2)).toSet === Set((1L, 2L), (5L, 6L)),
+        s"post-delete: (3,4) lost its witness, (1,2) appeared via cap re-admission, got ${viaDelete.toSeq}")
+      assert(viaDelete.filter(_._1 == 1L).head._3 === 0.8,
+        "the re-admitted shingle puts j(a,b) exactly at the threshold")
+      // the carried pair is the SAME double, not a recompute artifact
+      assert(viaDelete.filter(_._1 == 5L).head._3 === before.filter(_._1 == 5L).head._3)
+    }
+  }
+
+  test("maintained artifacts: a mixed add+remove change invokes neither maintenance path") {
+    import spark.implicits._
+    val cache = freshCacheDir()
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed").toString + "/t.parquet"
+    spark.range(10).repartition(1).write.parquet(dir)
+    val stage1 = java.nio.file.Files.createTempDirectory("graft_mixed_s1").toString + "/p"
+    spark.range(10, 20).repartition(1).write.parquet(stage1)
+    appendParts(stage1, dir)
+    var deltaCalled = 0
+    var removeCalled = 0
+    def get() = withCacheDir(cache) {
+      Materialize.readOrBuildMaintained(spark, "spec_mixed", Seq(dir),
+        Seq("ver" -> "1"))(spark.read.parquet(dir)) { (_, _, _) =>
+        deltaCalled += 1; null
+      } { (_, _, _) =>
+        removeCalled += 1; null
+      }.count()
+    }
+    assert(get() === 20)
+    // mixed change: remove the appended file AND add a different one
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-append-"))
+      .foreach(x => assert(x.delete()))
+    val stage2 = java.nio.file.Files.createTempDirectory("graft_mixed_s2").toString + "/p"
+    spark.range(50, 55).repartition(1).write.parquet(stage2)
+    appendParts(stage2, dir)
+    assert(get() === 15)
+    assert(deltaCalled === 0 && removeCalled === 0,
+      "a mixed add+remove matches neither maintenance shape")
+    // pure delete: remove the second append — now the REMOVE callback
+    // fires (and its null decline still falls back to full, correctly)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-append-"))
+      .foreach(x => assert(x.delete()))
+    assert(get() === 10)
+    assert(removeCalled === 1 && deltaCalled === 0)
+    assert(Materialize.deleteBuildCount("spec_mixed") === 0,
+      "a declined remove must not count as a delete build")
+  }
+
   test("gc leaves young in-flight .tmp-* builds alone even past the artifact age bound") {
     val cache = freshCacheDir()
     withCacheDir(cache) {
