@@ -32,13 +32,18 @@ reads them; the measured queries touch only the two scaled tables).
 """
 import os
 import re
+import sys
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# args: [copies] [dst] - defaults build the classic 10x "sf1"; 100
+# copies + target/sf10 builds the third scale decade (same isomorphic-
+# shard construction, so every per-shard statistic is preserved at any
+# copy count)
 SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/target/sf1"
-COPIES = 10
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1"
 STRIDE = 10_000_000
 
 os.makedirs(DST, exist_ok=True)
