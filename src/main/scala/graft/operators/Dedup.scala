@@ -160,6 +160,27 @@ object Dedup {
     nearDupPairs(s, dir)
       .orderBy(col("d1"), col("d2"))
 
+  /** Cross-feed duplication matrix — WHO copies WHOM: the near-dup
+    * pair graph rolled up by the unordered (source, source) endpoint
+    * pair.  The off-diagonal rows are the syndication/plagiarism
+    * signal a corpus owner acts on (feed B is 80% reposts of feed A ⇒
+    * keep one); the diagonal is each feed's internal redundancy.
+    * Pure consumer of the materialized pair substrate: one FileScan,
+    * two id-keyed joins against the skinny (doc_id, source) relation,
+    * then a ≤|sources|² keyed aggregate — no shingle work at query
+    * time.
+    */
+  def sourcePairOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    nearDupPairs(s, dir)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("sb")), Seq("d2"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** THE suite-level shared intermediate: the exact near-dup pair graph
     * (d1, d2, jaccard), materialized once per corpus snapshot via
     * [[graft.sources.Materialize]] and read by every consumer —
@@ -1526,6 +1547,7 @@ object Dedup {
     "contamination_matrix" -> ((s: SparkSession, dir: String) => contaminationMatrix(s, dir)),
     "lsh_tuning" -> (lshTuning _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "source_pair_overlap" -> (sourcePairOverlap _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_substr" -> (dedupSubstr _),
     "dedup_substr_remove" -> (dedupSubstrRemove _),
@@ -1631,6 +1653,25 @@ object Dedup {
         |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         |WHERE c / (s1.n + s2.n - c) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+    // the same pair CTE rolled up by the unordered source pair
+    "source_pair_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |pr AS (SELECT d1, d2 FROM inter
+        |       JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |       WHERE c / (s1.n + s2.n - c) >= 0.8)
+        |SELECT least(da.source, db.source) AS src_a,
+        |  greatest(da.source, db.source) AS src_b, COUNT(*) AS n_pairs
+        |FROM pr JOIN documents da ON pr.d1 = da.doc_id
+        |        JOIN documents db ON pr.d2 = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // chunk grouping rides the chunk TEXT here (the engine's 64-bit
     // hash key is collision-free at any test SF, so the counts agree)
     "dedup_chunk" ->

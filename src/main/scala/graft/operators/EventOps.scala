@@ -225,6 +225,55 @@ object EventOps {
     decodedTypeProfile(dec, col("event_type"))
   }
 
+  /** Wire schema for the oneof/map decode tier: a `contact` oneof
+    * (email XOR phone — the classic either-or payload field) and a
+    * message-valued map (`attrs`) — the round-15 proto surface,
+    * driven through the oracle gate.
+    */
+  private[graft] val OneofProtoSchema =
+    "1:event_id:int64,2:user_id:int64,3:event_type:string," +
+      "6:email:string@contact,7:phone:sint64@contact," +
+      "8:attrs:map<string,{1:v:int64;2:s:string}>"
+
+  /** ONEOF + message-map decode through the full wire round trip — the
+    * proto3 semantics the scalar tier cannot show, each pinned by an
+    * exact-integer aggregate the oracle recomputes straight from the
+    * events table: EXPLICIT PRESENCE (clicks/views set `email`,
+    * purchases/signups set `phone`, errors set NEITHER — and every
+    * 11th email is set to the EMPTY STRING, which a plain proto3
+    * string field would elide into absence but a set oneof member
+    * serializes, so `n_email` counts it while `sum_email_len` adds 0
+    * — the presence-at-default contract, gate-checked), NULL decode
+    * for the unset members (count() skips them on both engines),
+    * zigzag on a negative oneof sint (`phone` = −user_id), and the
+    * message-valued map entry round-tripping its struct (summed via
+    * element_at).  Same plan shape as the other decode tiers: two
+    * narrow codec passes pipelined with the scan, one bounded-key
+    * exchange.
+    */
+  def msgDecodeOneof(s: SparkSession, dir: String): DataFrame = {
+    val isEmail = col("event_type").isin("click", "view")
+    val isPhone = col("event_type").isin("purchase", "signup")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("email", when(isEmail,
+        when(col("user_id") % 11 === 0, lit(""))
+          .otherwise(concat(lit("u"), col("user_id").cast("string"), lit("@ex.com")))))
+      .withColumn("phone", when(isPhone, -col("user_id")))
+      .withColumn("attrs", map(lit("k"),
+        struct((col("user_id") % 100).as("v"), col("event_type").as("s"))))
+    val dec = graft.sources.ProtoCodec.fromProto(
+      graft.sources.ProtoCodec.toProto(ev, OneofProtoSchema), OneofProtoSchema)
+    dec.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      count(col("email")).as("n_email"),
+      count(col("phone")).as("n_phone"),
+      sum(length(col("email"))).as("sum_email_len"),
+      sum(col("phone")).as("sum_phone"),
+      sum(element_at(col("attrs"), "k").getField("v")).as("map_v_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** Destination routing (`Sink.Send(msg, dest)`): stable topic mapping
     * from the event type, aggregated per destination.
     */
@@ -589,6 +638,7 @@ object EventOps {
     "msg_decode_json" -> (msgDecodeJson _),
     "msg_decode_csv" -> (msgDecodeCsv _),
     "msg_decode_proto" -> (msgDecodeProto _),
+    "msg_decode_oneof" -> (msgDecodeOneof _),
     "msg_route" -> (msgRoute _),
     "dead_letter_split" -> (deadLetterSplit _),
     "stream_dedup" -> (streamDedup _),
@@ -732,6 +782,25 @@ object EventOps {
         |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  MIN(id) AS min_id, MAX(id) AS max_id,
         |  CAST(SUM(length(p)) AS BIGINT) AS sum_props_chars
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // decode(encode(x)) is the identity on every set field, presence
+    // included, so the oracle recomputes the aggregates from the raw
+    // events: email set (possibly to '') for clicks/views, phone set
+    // for purchases/signups, neither otherwise — count() skips the
+    // null (unset) members identically on both engines
+    "msg_decode_oneof" ->
+      """WITH d AS (SELECT event_type,
+        |    CASE WHEN event_type IN ('click','view') THEN
+        |      CASE WHEN user_id % 11 = 0 THEN ''
+        |           ELSE 'u' || CAST(user_id AS VARCHAR) || '@ex.com' END END AS email,
+        |    CASE WHEN event_type IN ('purchase','signup') THEN -user_id END AS phone,
+        |    user_id % 100 AS v
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(email) AS n_email, COUNT(phone) AS n_phone,
+        |  CAST(SUM(length(email)) AS BIGINT) AS sum_email_len,
+        |  CAST(SUM(phone) AS BIGINT) AS sum_phone,
+        |  CAST(SUM(v) AS BIGINT) AS map_v_sum
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "msg_route" ->
       """SELECT 'events.' || event_type AS dest, COUNT(*) AS n_msgs,

@@ -546,11 +546,34 @@ object GraphOps {
         inputCanonical = true)
       .select(col("id").as("p_partkey"), col("core_deg"))
 
+  /** Degree distribution of the co-purchase graph in power-of-two
+    * buckets — the shape report that decides every downstream graph
+    * plan (is there a hub that needs salting?  how heavy is the
+    * tail?), and the first thing to diff when a crawl lands.  Bucket
+    * = ⌊log₂ deg⌋ computed EXACTLY via the binary string length
+    * (`length(bin(deg)) − 1` — a float log2 of a power of two can
+    * land at 2.9999… and floor wrong; both engines' bin() is exact).
+    * Rides the materialized pair substrate: one FileScan, one degree
+    * aggregate keyed on the node id, then a ≤64-bucket aggregate —
+    * nothing corpus-sized after the first groupBy.
+    */
+  def graphDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(s, dir)
+    val deg = pairs.select(col("src").as("id"))
+      .unionAll(pairs.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_pagerank" -> (knnPagerank _),
     "knn_communities" -> (knnCommunities _),
     "link_predict" -> (linkPredictParts _),
     "graph_kcore" -> (graphKcore _),
+    "graph_degree_hist" -> (graphDegreeHist _),
     "graph_triangles" -> (graphTriangles _))
 
   /** graph_kcore oracle: the synchronous peel UNROLLED to a fixed
@@ -594,6 +617,18 @@ object GraphOps {
     */
   def oracleSql: Map[String, String] = Map(
     "graph_kcore" -> kcoreOracle(64, 16),
+    // degree = neighbor count over the same DISTINCT-line pair graph;
+    // bin() is exact on both engines, so the log2 bucket is integer
+    "graph_degree_hist" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS src, b.pk AS dst
+        |      FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |d AS (SELECT id, COUNT(*) AS deg FROM
+        |  (SELECT src AS id FROM p UNION ALL SELECT dst FROM p) GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS sum_deg,
+        |  CAST(MIN(deg) AS BIGINT) AS min_deg, CAST(MAX(deg) AS BIGINT) AS max_deg
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // co-purchase support relation (the basket_pairs CTE with a ≥2
     // floor); wedges through ≤64-degree centers, minus existing edges,
     // joined back to UNcapped degrees

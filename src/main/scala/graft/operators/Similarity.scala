@@ -1468,6 +1468,37 @@ object Similarity {
     * approximate); the spec pins the vote against a sequential replay
     * over the same edges.
     */
+  /** Label-balance audit across corpus slices — the FIRST report a
+    * labeled-dataset owner reads (is any source's class distribution
+    * skewed vs the corpus?): per (source, label), the count, the
+    * within-source share and its deviation from the global label
+    * share, both as exact integer ppm quotients (n·10⁶ div n_source —
+    * the active_users stickiness discipline: no float division in the
+    * oracle lane).  Joins the label relation to the document slice
+    * relation on the shared id — an equi-join both engines shuffle on
+    * the key (co-partition/bucket at warehouse scale), then ONE
+    * |sources|·|labels| keyed aggregate; the per-source and global
+    * totals re-aggregate those bounded cells and broadcast back.
+    */
+  def labelBalance(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+      .groupBy(col("source"), col("label")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // totals + output share the cells
+    val bySrc = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+    val byLbl = cells.groupBy(col("label")).agg(sum(col("n")).as("nl"))
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    cells
+      .join(broadcast(bySrc), Seq("source"))
+      .join(broadcast(byLbl), Seq("label"))
+      .join(broadcast(tot))
+      .select(col("source"), col("label"), col("n"),
+        expr("n * 1000000 div ns").as("share_ppm"),
+        expr("n * 1000000 div ns - nl * 1000000 div nt").as("skew_ppm"))
+      .orderBy(col("source"), col("label"))
+  }
+
   def labelNoiseKnn(s: SparkSession, dir: String): DataFrame = {
     val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
     val edges = knnJoinEmbeddings(s, dir).select(col("q_id"), col("vec_id"))
@@ -2044,9 +2075,24 @@ object Similarity {
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "knn_label_vote" -> (knnLabelVote _),
     "label_noise_centroid" -> (labelNoiseCentroid _),
-    "label_noise_knn" -> (labelNoiseKnn _))
+    "label_noise_knn" -> (labelNoiseKnn _),
+    "label_balance" -> (labelBalance _))
 
   def oracleSql: Map[String, String] = Map(
+    // exact-integer ppm quotients: both engines integer-divide, so
+    // every column is hash-exact
+    "label_balance" ->
+      """WITH j AS (SELECT d.source, e.label FROM embeddings e
+        |           JOIN documents d ON e.vec_id = d.doc_id),
+        |c AS (SELECT source, label, COUNT(*) AS n FROM j GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+        |g AS (SELECT label, SUM(n) AS nl FROM c GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nt FROM c)
+        |SELECT c.source, c.label, CAST(c.n AS BIGINT) AS n,
+        |  CAST(c.n * 1000000 // st.ns AS BIGINT) AS share_ppm,
+        |  CAST(c.n * 1000000 // st.ns - g.nl * 1000000 // t.nt AS BIGINT) AS skew_ppm
+        |FROM c JOIN st USING (source) JOIN g USING (label) CROSS JOIN t
+        |ORDER BY c.source, c.label""".stripMargin,
     // norm² replayed as the SAME left-to-right fold; counting
     // percentiles over the 1e-4 integer grid (skew_report convention)
     "embed_audit" ->

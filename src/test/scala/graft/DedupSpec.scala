@@ -1191,4 +1191,20 @@ class DedupSpec extends AnyFunSuite {
     // every clustered doc is accounted for exactly once
     assert(got.values.map(_._1).sum === comps.length.toLong)
   }
+
+  test("source_pair_overlap: conserves the pair graph under an unordered source rollup") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Dedup.sourcePairOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every near-dup pair lands in exactly one unordered source cell
+    val nPairs = graft.operators.Dedup.dedupNgramJaccard(spark, sf).count()
+    assert(rows.map(_._3).sum === nPairs)
+    rows.foreach { case (a, b, n) =>
+      assert(a <= b, s"unordered key violated: ($a, $b)")
+      assert(n >= 1)
+    }
+    // the rollup key is unique (no split cells)
+    assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length)
+  }
 }

@@ -268,4 +268,42 @@ class EventOpsSpec extends AnyFunSuite {
         s"wire-format fork for ${r.getAs[String]("event_type")}")
     }
   }
+
+  test("msg_decode_oneof: presence survives the wire, including default-valued set members") {
+    import org.apache.spark.sql.functions._
+    val out = EventOps.msgDecodeOneof(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val raw = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("user_id") % 11 === 0, 0L)
+          .otherwise(length(concat(lit("u"), col("user_id").cast("string"),
+            lit("@ex.com"))).cast("long"))).as("elen"),
+        sum(-col("user_id")).as("nphone"),
+        sum(col("user_id") % 100).as("vsum"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val emailTypes = Set("click", "view")
+    val phoneTypes = Set("purchase", "signup")
+    raw.foreach { case (t, e) =>
+      val r = out(t)
+      assert(r.getAs[Long]("n") === e.getAs[Long]("n"))
+      // presence: EVERY row of a member type decodes non-null — the
+      // ''-valued emails included (a plain string field would elide
+      // them into absence; the oneof member keeps presence)
+      assert(r.getAs[Long]("n_email") ===
+        (if (emailTypes(t)) e.getAs[Long]("n") else 0L), s"n_email($t)")
+      assert(r.getAs[Long]("n_phone") ===
+        (if (phoneTypes(t)) e.getAs[Long]("n") else 0L), s"n_phone($t)")
+      if (emailTypes(t))
+        assert(r.getAs[Long]("sum_email_len") === e.getAs[Long]("elen"), t)
+      if (phoneTypes(t))
+        assert(r.getAs[Long]("sum_phone") === e.getAs[Long]("nphone"), t)
+      assert(r.getAs[Long]("map_v_sum") === e.getAs[Long]("vsum"), t)
+    }
+    // the ''-email rows exist in the corpus (the presence case is live)
+    val nEmpty = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view") && col("user_id") % 11 === 0)
+      .count()
+    assert(nEmpty > 0, "fixture must exercise the presence-at-default case")
+  }
 }

@@ -288,4 +288,24 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(tri <= deg * (deg - 1) / 2, s"triangles through ${r.getLong(0)} exceed wedge bound")
     }
   }
+
+  test("graph_degree_hist: buckets partition the degree domain and conserve the edge count") {
+    import org.apache.spark.sql.functions._
+    val hist = GraphOps.graphDegreeHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(hist.nonEmpty)
+    val pairs = GraphOps.coPurchasePairs(spark, sf)
+    val nEdges = pairs.count()
+    val nNodes = pairs.select(col("src").as("id"))
+      .unionByName(pairs.select(col("dst").as("id"))).distinct().count()
+    // handshake: every edge contributes 2 to total degree
+    assert(hist.map(_._3).sum === 2 * nEdges)
+    assert(hist.map(_._2).sum === nNodes)
+    hist.foreach { case (b, n, _, lo, hi) =>
+      assert(n >= 1)
+      // bucket b holds exactly the degrees in [2^b, 2^(b+1))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)), s"bucket $b: [$lo, $hi]")
+    }
+    assert(hist.map(_._1).toSeq === hist.map(_._1).toSeq.sorted)
+  }
 }

@@ -975,4 +975,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(own != p); assert(v >= 1L && v <= 5L)
     }
   }
+
+  test("label_balance: cells conserve the joined corpus and ppm shares telescope") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.labelBalance(spark, sf).collect()
+      .map(r => (r.getString(0), r.get(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val joined = graft.sources.Tables.embeddings(spark, sf).select(col("vec_id"))
+      .join(graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .count()
+    assert(rows.map(_._3).sum === joined, "cells must conserve the joined corpus")
+    // per source: floor-division shares sum into (1e6 - |labels|, 1e6]
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val tot = rs.map(_._4).sum
+      assert(tot <= 1000000L && tot > 1000000L - rs.length, s"$src share sum $tot")
+    }
+    // skew is share-relative: per label, Σ_source (skew · n_source)
+    // telescopes to ~0 — spot-check the bound |skew| < 1e6
+    rows.foreach { case (_, _, n, share, skew) =>
+      assert(n >= 1 && share >= 0 && math.abs(skew) < 1000000L)
+    }
+  }
 }
