@@ -107,6 +107,29 @@ object CorpusMaintain {
       }
       .start()
 
+  /** TAKEDOWN: remove one ingested epoch's files from a corpus
+    * dataset — the retraction a GDPR/license request forces on a
+    * crawl pipeline, at the same file granularity the stream ingests
+    * at (the epoch is the natural takedown unit: "delete everything
+    * batch N brought in").  Removing whole epoch files leaves every
+    * survivor byte-identical, which is exactly the PURE-DELETE shape
+    * [[graft.sources.Materialize.readOrBuildMaintained]] detects —
+    * the next substrate read runs the registered delete builder
+    * (dirty-set rescore + sidecar refresh) instead of a full rebuild,
+    * and stream-final ≡ batch-over-survivors value identity holds by
+    * construction (spec-pinned in StreamingSpec).  Idempotent: a
+    * replayed takedown finds no files and is a no-op.  Returns the
+    * number of files removed.
+    */
+  def takedownEpoch(corpusDir: String, dataset: String, epoch: Long): Int = {
+    val dest = new java.io.File(s"$corpusDir/$dataset")
+    require(dest.isDirectory, s"corpus dataset dir missing: $dest")
+    val doomed = Option(dest.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"part-epoch$epoch-"))
+    doomed.foreach(f => require(f.delete(), s"takedown could not remove $f"))
+    doomed.length
+  }
+
   /** Idempotent filesystem append: write the batch to a staging dir
     * that is a SIBLING of the dataset dir (same filesystem, so the
     * per-file rename is the atomic syscall — `java.io.File.renameTo`

@@ -341,6 +341,78 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("takedown: removing an ingested epoch delete-maintains the substrate, batch-over-survivors identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Files.createTempDirectory("graft-takedown").toString
+    val rnd = new scala.util.Random(4711)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 200L).map(i => (i, vec()))
+    base.toDF("vec_id", "embedding").repartition(2)
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val cache = Files.createTempDirectory("graft-takedown-cache").toString
+    spark.conf.set("spark.graft.cache.dir", cache)
+    spark.conf.set("spark.graft.delta.maxAppendFraction", "100")
+    try {
+      graft.sources.Materialize.resetBuildCount("knn_edges")
+      graft.operators.Similarity.knnJoinEmbeddings(spark, corpus).count()
+      val mem = MemoryStream[(Long, Array[Double])]
+      val src = mem.toDF().toDF("vec_id", "embedding")
+      val ckpt = Files.createTempDirectory("graft-takedown-ckpt").toString
+      val q = CorpusMaintain.maintainKnn(spark, corpus, src, ckpt)
+      // epoch 0 plants an exact copy of vec 7 (displaces 7's top-1) —
+      // the retraction must restore the original neighbor
+      mem.addData((9001L, base(6)._2), (9002L, vec())); q.processAllAvailable()
+      // epoch 1: unrelated survivors — so the post-takedown snapshot
+      // (base + epoch 1) matches NO prior artifact and the delete
+      // path, not a cache hit, must produce it
+      mem.addData((9901L, vec()), (9902L, vec())); q.processAllAvailable()
+      q.stop()
+      val displaced = graft.operators.Similarity.knnJoinEmbeddings(spark, corpus)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(displaced.filter(_._1 == 7L).take(1).map(_._3).toSeq === Seq(9001L))
+      // artifact retention: a real cache TTL reaps superseded
+      // snapshots' artifacts — keep only the newest (base+e0+e1).
+      // (With the FULL chain retained, this takedown would resolve
+      // even cheaper, as an append over the old base-prefix artifact
+      // — the maintenance detection prefers the cheapest valid prior;
+      // reaping makes the DELETE path the one under test.)
+      val arts = new java.io.File(cache).listFiles()
+        .filter(_.getName.startsWith("knn_edges-")).sortBy(_.lastModified)
+      arts.dropRight(1).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
+      // GDPR retraction of everything epoch 0 ingested
+      val removed = CorpusMaintain.takedownEpoch(corpus, "embeddings.parquet", 0L)
+      assert(removed >= 1, "the takedown must remove the epoch's files")
+      val after = graft.operators.Similarity.knnJoinEmbeddings(spark, corpus)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(graft.sources.Materialize.deleteBuildCount("knn_edges") === 1,
+        "the retraction must take the delete-maintenance path, not a full rebuild")
+      assert(after.forall(t => t._3 != 9001L && t._3 != 9002L && t._1 != 9001L && t._1 != 9002L),
+        "no retracted id may survive on either side of an edge")
+      assert(after.exists(_._1 == 9901L), "epoch 1's survivors keep their edges")
+      // batch-over-survivors identity: the maintained artifact must
+      // equal a fresh rebuild of the surviving corpus
+      spark.conf.set("spark.graft.cache.dir",
+        Files.createTempDirectory("graft-takedown-cache2").toString)
+      val fresh = graft.operators.Similarity.knnJoinEmbeddings(spark, corpus)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(after === fresh,
+        "takedown-maintained edges must equal the batch build over the survivors")
+      // a replayed takedown is a no-op (idempotent retraction)
+      assert(CorpusMaintain.takedownEpoch(corpus, "embeddings.parquet", 0L) === 0)
+    } finally {
+      spark.conf.unset("spark.graft.cache.dir")
+      spark.conf.unset("spark.graft.delta.maxAppendFraction")
+    }
+  }
+
   test("corpus maintenance append is idempotent per epoch: a replayed epoch overwrites, never duplicates") {
     import spark.implicits._
     val corpus = Files.createTempDirectory("graft-maintain-idem").toString
