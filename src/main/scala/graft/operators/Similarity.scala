@@ -353,16 +353,24 @@ object Similarity {
     * build (seeded hyperplanes, exact top-k tie order), so read-back
     * is bit-identical to the inline join.
     */
-  def knnJoinEmbeddings(s: SparkSession, dir: String): DataFrame =
+  def knnJoinEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    // the bit width rides in the PARAMS even though it is derived from
+    // the inputs (same files ⇒ same bits, so keying is unchanged):
+    // the prior-artifact detection requires param equality, so any
+    // snapshot change that crosses an [[lshBitsFor]] step makes BOTH
+    // maintenance shapes miss structurally and the full rebuild is
+    // automatic — without this, a shrink across a step could still
+    // find an ANCIENT bucket sidecar at the new width inside the prev
+    // manifest and wrongly carry rows bucketed at the old width
+    val bits = lshBitsFor(corpusSize(s, dir))
     graft.sources.Materialize.readOrBuildMaintained(s, "knn_edges",
       inputs = Seq(s"$dir/embeddings.parquet"),
-      params = Seq("k" -> "5", "ver" -> "1")) {
+      params = Seq("k" -> "5", "bits" -> bits.toString, "ver" -> "1")) {
       // a full (re)build compacts: the current snapshot becomes the
       // new base, so pay its bucket sidecar now (one encode pass the
       // build runs anyway) — every later append then buckets ONLY its
       // new vectors (the eager-sidecar discipline from the pair delta)
       val emb = Tables.embeddings(s, dir)
-      val bits = lshBitsFor(corpusSize(s, dir))
       knnBaseBuckets(s,
         graft.sources.Materialize.listFiles(s, s"$dir/embeddings.parquet"), bits)
       knnJoin(emb, emb, 5, bits)
@@ -371,6 +379,7 @@ object Similarity {
     } { (prevEdges, prevStats, removedFiles) =>
       knnEdgesDelete(s, dir, prevEdges, prevStats, removedFiles)
     }
+  }
 
   /** The (vec_id, tbl, bucket) LSH assignment of an explicit BASE file
     * set, materialized once per base snapshot — the persisted-index
@@ -511,15 +520,14 @@ object Similarity {
     * expectation.  Saved vs full: the corpus-wide collision join and
     * the score-everything pass.
     *
-    * Declines (→ full rebuild, which compacts): no prev-aligned
-    * bucket sidecar exists at the CURRENT bit width (alignment is
-    * manifest-vs-manifest — removed files cannot be live-stat'ed; a
-    * shrink across a [[lshBitsFor]] step is an automatic miss, and
-    * carried rows would be bucketed differently than a full
-    * rebuild's); or the removed bytes exceed the
-    * [[graft.operators.Dedup.MaxAppendFraction]] fraction of the
-    * prev corpus (per the prior manifest's recorded lengths), where
-    * compaction wins.
+    * Declines (→ full rebuild, which compacts) when the removed bytes
+    * exceed the [[graft.operators.Dedup.MaxAppendFraction]] fraction
+    * of the prev corpus (per the prior manifest's recorded lengths —
+    * removed files cannot be live-stat'ed), where compaction wins.
+    * A shrink across an [[lshBitsFor]] step never reaches this
+    * builder at all: the bit width rides in the artifact params
+    * (see [[knnJoinEmbeddings]]), so prior detection itself misses
+    * and the full rebuild is structural.
     */
   private def knnEdgesDelete(s: SparkSession, dir: String, prevEdges: DataFrame,
       prevStats: Map[String, String], removedFiles: Seq[String]): DataFrame = {
@@ -528,14 +536,6 @@ object Similarity {
     val prevBytes = prevStats.values.map(M.statLen).sum
     if (removedBytes > graft.operators.Dedup.maxAppendFraction(s) * prevBytes) return null
     val bits = lshBitsFor(corpusSize(s, dir))
-    // the prev chain's bucket sidecar, located manifest-vs-manifest at
-    // the CURRENT bit width — its existence is the witness that prev
-    // edges were bucketed at these bits (a shrink across a lshBitsFor
-    // step is an automatic miss → decline, carried rows would be
-    // bucketed differently than a full rebuild's)
-    if (M.readWithin(s, "knn_buckets", prevStats,
-        Seq("bits" -> bits.toString, "tables" -> LshTables.toString, "ver" -> "1")).isEmpty)
-      return null
     // refresh the sidecar FOR THE SURVIVORS (one linear encode pass +
     // skinny write — the eager-sidecar discipline): it is this
     // delete's clean candidate table (no stale assignments for
