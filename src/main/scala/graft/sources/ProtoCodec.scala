@@ -85,13 +85,28 @@ object ProtoCodec {
     * unknown-value contract) — which is exactly what an int column
     * gives, so the Spark type is IntegerType and no name table exists
     * to lose values through.
+    *
+    * Round 15 completes the SCALAR MATRIX — every proto3 scalar
+    * encoding the spec defines: the 32-bit varints (`int32` —
+    * negatives sign-extend to the 10-byte form, parsers take the low
+    * 32 bits; `sint32` — 32-bit zigzag, ≤ 5 bytes; `uint32` — LongType
+    * column, the unsigned range doesn't fit an int), the unsigned
+    * 64-bit varint (`uint64` — LongType REINTERPRETED: the wire bits
+    * equal int64's, only the interpretation differs, and Spark has no
+    * unsigned long — documented, the standard JVM convention), and
+    * the fixed-width family (`fixed64`/`sfixed64` — 8-byte LE, wire
+    * type 1; `fixed32` — 4-byte LE unsigned, LongType; `sfixed32` —
+    * 4-byte LE signed, IntegerType; wire type 5).  All pack/unpack in
+    * repeated fields like any numeric scalar.
     */
-  private val Types = Set("int64", "sint64", "double", "float", "bool", "string", "bytes", "enum")
+  private val Types = Set("int64", "sint64", "double", "float", "bool", "string", "bytes", "enum",
+    "int32", "sint32", "uint32", "uint64", "fixed64", "sfixed64", "fixed32", "sfixed32")
 
   /** Legal map key kinds (the spec: any integral or string type; no
     * float/bytes/enum/message keys).
     */
-  private val MapKeyTypes = Set("int64", "sint64", "bool", "string")
+  private val MapKeyTypes = Set("int64", "sint64", "bool", "string",
+    "int32", "sint32", "uint32", "uint64", "fixed64", "sfixed64", "fixed32", "sfixed32")
 
   /** Parse + validate the `"number:name:type,..."` schema string; field
     * numbers must be unique and in the proto-legal range.  Message
@@ -221,7 +236,10 @@ object ProtoCodec {
   }
 
   def sparkType(ptype: String): DataType = ptype match {
-    case "int64" | "sint64" => LongType
+    case "int64" | "sint64" | "uint64" | "fixed64" | "sfixed64" => LongType
+    // the unsigned 32-bit ranges don't fit an int — they ride longs
+    case "uint32" | "fixed32"           => LongType
+    case "int32" | "sint32" | "sfixed32" => IntegerType
     case "double"           => DoubleType
     case "float"            => FloatType
     case "bool"             => BooleanType
@@ -282,9 +300,26 @@ object ProtoCodec {
       case "int64"  => writeVarint(out, v.asInstanceOf[Long])
       case "sint64" => writeVarint(out, zigzagEncode(v.asInstanceOf[Long]))
       case "bool"   => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
-      // enum: int32 varint; negatives sign-extend to 64 bits and take
-      // the full 10 bytes (the spec's negative-enum rule)
-      case "enum"   => writeVarint(out, v.asInstanceOf[Int].toLong)
+      // enum/int32: int32 varints; negatives sign-extend to 64 bits
+      // and take the full 10 bytes (the spec's rule for both)
+      case "enum" | "int32" => writeVarint(out, v.asInstanceOf[Int].toLong)
+      // sint32: 32-bit zigzag — ≤ 5 bytes even for negatives
+      case "sint32" =>
+        val n = v.asInstanceOf[Int]
+        writeVarint(out, ((n << 1) ^ (n >> 31)).toLong & 0xffffffffL)
+      case "uint32" =>
+        val n = v.asInstanceOf[Long]
+        require(n >= 0L && n <= 0xffffffffL, s"uint32 out of range: $n")
+        writeVarint(out, n)
+      // uint64 shares int64's wire bits — only the interpretation
+      // differs (the column long REINTERPRETS as unsigned)
+      case "uint64" => writeVarint(out, v.asInstanceOf[Long])
+      case "fixed64" | "sfixed64" => writeLe(out, v.asInstanceOf[Long], 8)
+      case "fixed32" =>
+        val n = v.asInstanceOf[Long]
+        require(n >= 0L && n <= 0xffffffffL, s"fixed32 out of range: $n")
+        writeLe(out, n, 4)
+      case "sfixed32" => writeLe(out, v.asInstanceOf[Int].toLong & 0xffffffffL, 4)
       case "double" => writeLe(out, java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]), 8)
       case "float"  => writeLe(out, java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL, 4)
       case other => throw new IllegalArgumentException(s"not a packable scalar: $other")
@@ -378,8 +413,9 @@ object ProtoCodec {
         // member serializes even at its default value (the spec's
         // oneof rule — presence must survive the round trip)
         val dflt = v == null || (f.oneof.isEmpty && (f.ptype match {
-          case "int64" | "sint64" => v.asInstanceOf[Long] == 0L
-          case "enum"   => v.asInstanceOf[Int] == 0
+          case "int64" | "sint64" | "uint64" | "fixed64" | "sfixed64" |
+               "uint32" | "fixed32" => v.asInstanceOf[Long] == 0L
+          case "enum" | "int32" | "sint32" | "sfixed32" => v.asInstanceOf[Int] == 0
           case "double" => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]) == 0L
           case "float"  => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]) == 0
           case "bool"   => !v.asInstanceOf[Boolean]
@@ -387,10 +423,13 @@ object ProtoCodec {
           case "bytes"  => v.asInstanceOf[Array[Byte]].isEmpty
         }))
         if (!dflt) f.ptype match {
-          case "int64" | "sint64" | "bool" | "enum" =>
+          case "int64" | "sint64" | "bool" | "enum" | "int32" | "sint32" |
+               "uint32" | "uint64" =>
             writeTag(out, f.number, 0); writeScalar(out, f.ptype, v)
-          case "double" => writeTag(out, f.number, 1); writeScalar(out, f.ptype, v)
-          case "float"  => writeTag(out, f.number, 5); writeScalar(out, f.ptype, v)
+          case "double" | "fixed64" | "sfixed64" =>
+            writeTag(out, f.number, 1); writeScalar(out, f.ptype, v)
+          case "float" | "fixed32" | "sfixed32" =>
+            writeTag(out, f.number, 5); writeScalar(out, f.ptype, v)
           case "string" =>
             writeDelimited(out, f.number,
               v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -449,8 +488,9 @@ object ProtoCodec {
   }
 
   private def scalarDefault(ptype: String): Any = ptype match {
-    case "int64" | "sint64" => 0L
-    case "enum"   => 0
+    case "int64" | "sint64" | "uint64" | "fixed64" | "sfixed64" |
+         "uint32" | "fixed32" => 0L
+    case "enum" | "int32" | "sint32" | "sfixed32" => 0
     case "double" => 0.0
     case "float"  => 0.0f
     case "bool"   => false
@@ -512,12 +552,19 @@ object ProtoCodec {
       acc
     }
     def readScalar(ptype: String): Any = ptype match {
-      case "int64"  => readVarint()
+      case "int64" | "uint64" => readVarint()
       case "sint64" => zigzagDecode(readVarint())
       case "bool"   => readVarint() != 0L
-      // enum: parsers take the LOWER 32 BITS of the varint (the spec's
-      // int32 truncation rule); unknown values come through as-is
-      case "enum"   => readVarint().toInt
+      // enum/int32: parsers take the LOWER 32 BITS of the varint (the
+      // spec's int32 truncation rule); unknown enums come through as-is
+      case "enum" | "int32" => readVarint().toInt
+      case "sint32" =>
+        val u = readVarint().toInt // low 32 bits, the 32-bit zigzag domain
+        (u >>> 1) ^ -(u & 1)
+      case "uint32" => readVarint() & 0xffffffffL
+      case "fixed64" | "sfixed64" => readLe(8)
+      case "fixed32" => readLe(4) // 4 LE bytes: already the unsigned value
+      case "sfixed32" => readLe(4).toInt
       case "double" => java.lang.Double.longBitsToDouble(readLe(8))
       case "float"  => java.lang.Float.intBitsToFloat(readLe(4).toInt)
     }
@@ -527,9 +574,10 @@ object ProtoCodec {
       len
     }
     def scalarWt(ptype: String): Int = ptype match {
-      case "int64" | "sint64" | "bool" | "enum" => 0
-      case "double" => 1
-      case "float"  => 5
+      case "int64" | "sint64" | "bool" | "enum" | "int32" | "sint32" |
+           "uint32" | "uint64" => 0
+      case "double" | "fixed64" | "sfixed64" => 1
+      case "float" | "fixed32" | "sfixed32"  => 5
     }
     while (pos < bytes.length) {
       val tag = readVarint()
@@ -595,11 +643,14 @@ object ProtoCodec {
         case Some((f, i)) =>
           clearMates(f, i)
           f.ptype match {
-          case "int64" | "sint64" | "bool" | "enum" =>
+          case "int64" | "sint64" | "bool" | "enum" | "int32" | "sint32" |
+               "uint32" | "uint64" =>
             require(wt == 0, s"field $number: wire type $wt, want varint"); slots(i) = readScalar(f.ptype)
-          case "double" => require(wt == 1, s"field $number: wire type $wt, want fixed64")
+          case "double" | "fixed64" | "sfixed64" =>
+            require(wt == 1, s"field $number: wire type $wt, want fixed64")
             slots(i) = readScalar(f.ptype)
-          case "float"  => require(wt == 5, s"field $number: wire type $wt, want fixed32")
+          case "float" | "fixed32" | "sfixed32" =>
+            require(wt == 5, s"field $number: wire type $wt, want fixed32")
             slots(i) = readScalar(f.ptype)
           case "string" =>
             require(wt == 2, s"field $number: wire type $wt, want length-delimited")

@@ -276,6 +276,62 @@ class ProtoCodecSpec extends AnyFunSuite {
       Seq(org.apache.spark.sql.Row("", 42L), null))
   }
 
+  test("completed scalar matrix: 32-bit varints, unsigned ranges, fixed-width family") {
+    // int32: negatives sign-extend to the 10-byte varint (spec rule),
+    // decode truncates back to the low 32 bits
+    assert(hex(encodeOne("1:a:int32", -2)).length === 2 * 11)
+    assert(ProtoCodec.decodeRecord(encodeOne("1:a:int32", -2),
+      ProtoCodec.parseSchema("1:a:int32")).toSeq === Seq(-2))
+    // sint32: 32-bit zigzag — -2 is ONE payload byte (0x03)
+    assert(hex(encodeOne("1:a:sint32", -2)) === "0803")
+    assert(ProtoCodec.decodeRecord(encodeOne("1:a:sint32", Int.MinValue),
+      ProtoCodec.parseSchema("1:a:sint32")).toSeq === Seq(Int.MinValue))
+    // uint32 rides a long column for its full unsigned range
+    assert(hex(encodeOne("1:a:uint32", 4294967295L)) === "08ffffffff0f")
+    assert(ProtoCodec.decodeRecord(encodeOne("1:a:uint32", 4294967295L),
+      ProtoCodec.parseSchema("1:a:uint32")).toSeq === Seq(4294967295L))
+    assert(intercept[IllegalArgumentException] {
+      encodeOne("1:a:uint32", 4294967296L)
+    }.getMessage.contains("out of range"))
+    // uint64 shares int64's wire bits: the column long REINTERPRETS
+    // as unsigned (-1L ⇔ 2^64-1, the 10-byte all-ones varint)
+    assert(hex(encodeOne("1:a:uint64", -1L)) === hex(encodeOne("1:a:int64", -1L)))
+    assert(ProtoCodec.decodeRecord(encodeOne("1:a:uint64", -1L),
+      ProtoCodec.parseSchema("1:a:uint64")).toSeq === Seq(-1L))
+    // fixed-width family: little-endian, wire types 1 and 5
+    assert(hex(encodeOne("1:a:fixed64", 1L)) === "090100000000000000")
+    assert(hex(encodeOne("1:a:sfixed64", -1L)) === "09ffffffffffffffff")
+    assert(hex(encodeOne("1:a:fixed32", 1L)) === "0d01000000")
+    assert(hex(encodeOne("1:a:sfixed32", -1)) === "0dffffffff")
+    assert(ProtoCodec.decodeRecord(encodeOne("1:a:fixed32", 4294967295L),
+      ProtoCodec.parseSchema("1:a:fixed32")).toSeq === Seq(4294967295L))
+    assert(ProtoCodec.decodeRecord(encodeOne("1:a:sfixed32", -7),
+      ProtoCodec.parseSchema("1:a:sfixed32")).toSeq === Seq(-7))
+    assert(ProtoCodec.decodeRecord(encodeOne("1:a:sfixed64", Long.MinValue),
+      ProtoCodec.parseSchema("1:a:sfixed64")).toSeq === Seq(Long.MinValue))
+    // defaults elide for every new kind; absent decodes to the default
+    val all = "1:a:int32,2:b:sint32,3:c:uint32,4:d:uint64," +
+      "5:e:fixed64,6:f:sfixed64,7:g:fixed32,8:h:sfixed32"
+    assert(encodeOne(all, 0, 0, 0L, 0L, 0L, 0L, 0L, 0).isEmpty)
+    assert(ProtoCodec.decodeRecord(Array.emptyByteArray,
+      ProtoCodec.parseSchema(all)).toSeq === Seq(0, 0, 0L, 0L, 0L, 0L, 0L, 0))
+    // packed repeated round trip across the family
+    val rep = "1:xs:sint32[],2:ys:fixed32[],3:zs:sfixed64[]"
+    val fields = ProtoCodec.parseSchema(rep)
+    val vals = Seq(Seq(-1, 0, 7), Seq(1L, 4294967295L), Seq(-2L, 9L))
+    val enc = {
+      val out = new java.io.ByteArrayOutputStream()
+      ProtoCodec.encodeRecord(out, fields, vals, -1); out.toByteArray
+    }
+    assert(ProtoCodec.decodeRecord(enc, fields).toSeq === vals)
+    // fixed64 works as a map key (any integral key is spec-legal) —
+    // the content-hash → metadata map real topics carry
+    val mk = ProtoCodec.parseSchema("1:m:map<fixed64,string>")
+    val out = new java.io.ByteArrayOutputStream()
+    ProtoCodec.encodeRecord(out, mk, Seq(Map(-1L -> "x")), -1)
+    assert(ProtoCodec.decodeRecord(out.toByteArray, mk)(0) === Map(-1L -> "x"))
+  }
+
   test("oneof + message-map DataFrame round trip, nullable columns") {
     import org.apache.spark.sql.Row
     val schema = "1:id:int64,2:email:string@c,3:phone:sint64@c," +
