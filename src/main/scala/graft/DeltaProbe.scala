@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions._
   *    re-keyed fresh (the transactional crawl shape), so the delta
   *    pays the appended lines' self-join + a semi-filtered prior scan
   *    instead of the corpus-wide order self-join.
+  *  - `copdel` (round 16): the takedown twin of `cop` — doomed order
+  *    batches staged before the base build, removed one per step; the
+  *    delete-maintained rebuild (subtract the touched orders' pairs,
+  *    fed by the cop_lines chunk sidecar) vs a full build of the
+  *    survivors.
+  *  - `mix` (round 16): the same-epoch crawl+takedown shape — each
+  *    step removes one pre-staged doomed batch AND appends a fresh
+  *    batch, routing pairs+knn through the remove∘delta composition.
   *
   * For each of `nAppends` batches (fresh ids offset past the corpus
   * max so they can never collide at any scale), times (a) the
@@ -130,6 +138,175 @@ object DeltaProbe {
       return
     }
 
+    if (mode == "copdel") {
+      // `copdel` (round 16): takedown-cost probe for the co-purchase
+      // substrate.  Doomed batches (deltaPct% of the base's orders,
+      // re-keyed fresh) are staged in BEFORE the base build — the
+      // compacted-base shape takedowns apply to; each step REMOVES one
+      // batch's files and times the delete-maintained rebuild vs a
+      // from-scratch full build of the survivors.
+      val liDir = s"$work/lineitem.parquet"
+      graft.sources.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).write.parquet(liDir)
+      val nOrders = spark.read.parquet(liDir)
+        .select(col("l_orderkey")).distinct().count()
+      val maxOk = spark.read.parquet(liDir)
+        .agg(max(col("l_orderkey"))).head.getLong(0)
+      val doomSrc = s"$work/doom_src_li"
+      val src = spark.read.parquet(liDir)
+      val picked = src.select(col("l_orderkey")).distinct()
+        .orderBy(col("l_orderkey"))
+        .limit(math.max(1L, nOrders * deltaPct / 100).toInt)
+      src.join(picked, Seq("l_orderkey"), "left_semi").write.parquet(doomSrc)
+      def stageDoom(k: Int): Unit = {
+        val st = s"$work/doom_li$k"
+        spark.read.parquet(doomSrc)
+          .select((col("l_orderkey") + (maxOk + 1) * k).as("l_orderkey"),
+            col("l_partkey"))
+          .write.parquet(st)
+        new java.io.File(st).listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            require(f.renameTo(new java.io.File(liDir,
+              s"part-doom$k-${f.getName.stripPrefix("part-")}")))
+          }
+      }
+      (1 to nAppends).foreach(stageDoom)
+      def removeBatch(k: Int): Unit =
+        new java.io.File(liDir).listFiles()
+          .filter(_.getName.startsWith(s"part-doom$k-"))
+          .foreach(f => require(f.delete(), s"could not remove $f"))
+      def timedC(body: => Any): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def freshCacheC(): String =
+        java.nio.file.Files.createTempDirectory("graft_delta_probe_cache").toString
+      def buildCop(): Double =
+        timedC(graft.operators.GraphOps.coPurchasePairs(spark, work).count())
+      spark.conf.set("spark.graft.cache.dir", freshCacheC())
+      buildCop() // warmup
+      val liveCache = freshCacheC()
+      spark.conf.set("spark.graft.cache.dir", liveCache)
+      val fb = buildCop()
+      val delSecs = Array.ofDim[Double](nAppends)
+      val fullSecs = Array.ofDim[Double](nAppends)
+      for (k <- 1 to nAppends) {
+        removeBatch(k)
+        spark.conf.set("spark.graft.cache.dir", liveCache)
+        delSecs(k - 1) = buildCop()
+        spark.conf.set("spark.graft.cache.dir", freshCacheC())
+        fullSecs(k - 1) = buildCop()
+      }
+      def r3c(x: Double) = math.rint(x * 1000) / 1000
+      def arrC(xs: Seq[Double]) = xs.map(r3c).mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"delete_materialize","mode":"copdel","sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""corpus_orders":$nOrders,"delta_pct":$deltaPct,"n_deletes":$nAppends,""" +
+        s""""cop":{"full_base_sec":${r3c(fb)},"delete_sec":${arrC(delSecs.toSeq)},""" +
+        s""""full_sec":${arrC(fullSecs.toSeq)}},""" +
+        s""""delete_builds":{"copurchase_pairs":${graft.sources.Materialize.deleteBuildCount("copurchase_pairs")}}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/probe_delta_materialize_copdel.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
+
+    if (mode == "mix") {
+      // `mix` (round 16): the same-epoch crawl+takedown probe — each
+      // step removes one pre-staged doomed batch AND appends one fresh
+      // batch in the same snapshot step, so the maintained substrates
+      // route through the remove∘delta composition; timed against a
+      // from-scratch full build of the same corpus state.
+      val docsDir = s"$work/documents.parquet"
+      val embDir = s"$work/embeddings.parquet"
+      graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .write.parquet(docsDir)
+      graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).write.parquet(embDir)
+      val nDocs = spark.read.parquet(docsDir).count()
+      val nEmb = spark.read.parquet(embDir).count()
+      val maxDocId = spark.read.parquet(docsDir).agg(max(col("doc_id"))).head.getLong(0)
+      val maxVecId = spark.read.parquet(embDir).agg(max(col("vec_id"))).head.getLong(0)
+      val nDelDocs = math.max(1L, nDocs * deltaPct / 100)
+      val nDelEmb = math.max(1L, nEmb * deltaPct / 100)
+      val mixSrcDocs = s"$work/mix_src_docs"
+      spark.read.parquet(docsDir).orderBy(col("doc_id")).limit(nDelDocs.toInt)
+        .select(col("doc_id"), col("text")).write.parquet(mixSrcDocs)
+      val mixSrcEmb = s"$work/mix_src_emb"
+      spark.read.parquet(embDir).orderBy(col("vec_id")).limit(nDelEmb.toInt)
+        .select(col("vec_id"), col("embedding")).write.parquet(mixSrcEmb)
+      def move(stage: String, destDir: String, tag: String): Unit =
+        new java.io.File(stage).listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            require(f.renameTo(new java.io.File(destDir,
+              s"part-$tag-${f.getName.stripPrefix("part-")}")))
+          }
+      def stageBatch(k: Int, tag: String): Unit = {
+        // doomed batches use offset k, appended batches offset 1000+k —
+        // fresh ids in both lanes, never colliding
+        val sd = s"$work/${tag}_docs$k"
+        spark.read.parquet(mixSrcDocs)
+          .select((col("doc_id") + (maxDocId + 1) * k).as("doc_id"),
+            concat(lit(s"$tag batch $k doc "), col("text")).as("text"))
+          .write.parquet(sd)
+        val se = s"$work/${tag}_emb$k"
+        spark.read.parquet(mixSrcEmb)
+          .select((col("vec_id") + (maxVecId + 1) * k).as("vec_id"), col("embedding"))
+          .write.parquet(se)
+        move(sd, docsDir, s"$tag$k"); move(se, embDir, s"$tag$k")
+      }
+      (1 to nAppends).foreach(k => stageBatch(k, "doom"))
+      def removeBatch(k: Int): Unit =
+        Seq(docsDir, embDir).foreach { d =>
+          new java.io.File(d).listFiles()
+            .filter(_.getName.startsWith(s"part-doom$k-"))
+            .foreach(f => require(f.delete(), s"could not remove $f"))
+        }
+      def timedM(body: => Any): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def freshCacheM(): String =
+        java.nio.file.Files.createTempDirectory("graft_delta_probe_cache").toString
+      def buildBothM(): (Double, Double) =
+        (timedM(graft.operators.Dedup.nearDupPairs(spark, work).count()),
+          timedM(graft.operators.Similarity.knnJoinEmbeddings(spark, work).count()))
+      spark.conf.set("spark.graft.cache.dir", freshCacheM())
+      buildBothM() // warmup
+      val liveCache = freshCacheM()
+      spark.conf.set("spark.graft.cache.dir", liveCache)
+      val (fbP, fbK) = buildBothM()
+      val mixSecs = Array.ofDim[(Double, Double)](nAppends)
+      val fullSecs = Array.ofDim[(Double, Double)](nAppends)
+      for (k <- 1 to nAppends) {
+        removeBatch(k)
+        stageBatch(1000 + k, "app")
+        spark.conf.set("spark.graft.cache.dir", liveCache)
+        mixSecs(k - 1) = buildBothM()
+        spark.conf.set("spark.graft.cache.dir", freshCacheM())
+        fullSecs(k - 1) = buildBothM()
+      }
+      val M = graft.sources.Materialize
+      def r3m(x: Double) = math.rint(x * 1000) / 1000
+      def arrM(xs: Seq[Double]) = xs.map(r3m).mkString("[", ",", "]")
+      def blockM(name: String, base: Double, d: Seq[Double], f: Seq[Double]) =
+        s""""$name":{"full_base_sec":${r3m(base)},"mixed_sec":${arrM(d)},"full_sec":${arrM(f)}}"""
+      val json =
+        s"""{"metric":"mixed_materialize","mode":"mix","sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""corpus_docs":$nDocs,"corpus_vecs":$nEmb,"delta_pct":$deltaPct,""" +
+        s""""n_steps":$nAppends,""" +
+        blockM("pairs", fbP, mixSecs.map(_._1).toSeq, fullSecs.map(_._1).toSeq) + "," +
+        blockM("knn", fbK, mixSecs.map(_._2).toSeq, fullSecs.map(_._2).toSeq) + "," +
+        s""""delta_builds":{"neardup_pairs":${M.deltaBuildCount("neardup_pairs")},""" +
+        s""""knn_edges":${M.deltaBuildCount("knn_edges")}},""" +
+        s""""delete_builds":{"neardup_pairs":${M.deleteBuildCount("neardup_pairs")},""" +
+        s""""knn_edges":${M.deleteBuildCount("knn_edges")}}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/probe_delta_materialize_mix.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
+
     if (mode == "del") {
       // `del` (round 15): takedown-cost probe for the two
       // delete-maintained substrates (neardup_pairs, knn_edges).  The
@@ -154,14 +331,25 @@ object DeltaProbe {
       val maxVecId = spark.read.parquet(embDir).agg(max(col("vec_id"))).head.getLong(0)
       val nDelDocs = math.max(1L, nDocs * deltaPct / 100)
       val nDelEmb = math.max(1L, nEmb * deltaPct / 100)
+      // snapshot the doomed-batch SOURCE rows once, from the pristine
+      // base, BEFORE any staging: deriving each batch from the live
+      // dirs would re-scan a growing directory per batch and lean on
+      // the implicit invariant that doomed ids (id + (max+1)*k) sort
+      // after every base id
+      val doomSrcDocs = s"$work/doom_src_docs"
+      spark.read.parquet(docsDir).orderBy(col("doc_id")).limit(nDelDocs.toInt)
+        .select(col("doc_id"), col("text")).write.parquet(doomSrcDocs)
+      val doomSrcEmb = s"$work/doom_src_emb"
+      spark.read.parquet(embDir).orderBy(col("vec_id")).limit(nDelEmb.toInt)
+        .select(col("vec_id"), col("embedding")).write.parquet(doomSrcEmb)
       def stageIn(k: Int): Unit = {
         val sd = s"$work/doom_docs$k"
-        spark.read.parquet(docsDir).orderBy(col("doc_id")).limit(nDelDocs.toInt)
+        spark.read.parquet(doomSrcDocs)
           .select((col("doc_id") + (maxDocId + 1) * k).as("doc_id"),
             concat(lit(s"doomed batch $k doc "), col("text")).as("text"))
           .write.parquet(sd)
         val se = s"$work/doom_emb$k"
-        spark.read.parquet(embDir).orderBy(col("vec_id")).limit(nDelEmb.toInt)
+        spark.read.parquet(doomSrcEmb)
           .select((col("vec_id") + (maxVecId + 1) * k).as("vec_id"), col("embedding"))
           .write.parquet(se)
         def move(stage: String, destDir: String): Unit =

@@ -259,6 +259,19 @@ object Dedup {
       cappedShingles(Tables.documents(s, dir), ShingleDfCap)
     }
 
+  /** [[nearDupIndex]] keyed to an EXPLICIT file set — signature-equal
+    * to the live-dir form whenever the listing matches, which is how
+    * the delete builder refreshes the index for the SURVIVING files
+    * only: under the mixed (remove∘delta) composition the appended
+    * files are already on disk, so the live-dir form would index them
+    * into the remove leg's state.
+    */
+  private def nearDupIndexFiles(s: SparkSession, files: Seq[String]): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "neardup_index", files, idxParams) {
+      cappedShingles(s.read.parquet(files: _*).select(col("doc_id"), col("text")),
+        ShingleDfCap)
+    }
+
   /** Pair generation from the materialized index — the same math as
     * [[ngramJaccardPairs]] (per-pair intersection count over the
     * shingle-keyed self-join, J = c/(n₁+n₂−c)), reading the index
@@ -295,8 +308,8 @@ object Dedup {
       val cur = graft.sources.Materialize.listFiles(s, s"$dir/documents.parquet")
       nearDupBaseDf(s, cur)
       pairsFromIndex(nearDupIndex(s, dir))
-    } { (_, prevFiles, deltaFiles) =>
-      nearDupPairsDelta(s, dir, prevFiles, deltaFiles)
+    } { (prevPairs, prevFiles, deltaFiles) =>
+      nearDupPairsDelta(s, dir, prevPairs, prevFiles, deltaFiles)
     } { (prevPairs, prevStats, removedFiles) =>
       nearDupPairsDelete(s, dir, prevPairs, prevStats, removedFiles)
     }
@@ -334,14 +347,21 @@ object Dedup {
     * (→ full build) when the base index or base pairs artifact is
     * missing.
     */
-  private def nearDupPairsDelta(s: SparkSession, dir: String,
+  private def nearDupPairsDelta(s: SparkSession, dir: String, prevPairs: DataFrame,
       prevFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
     val M = graft.sources.Materialize
     val prior = M.readPrior(s, "neardup_index", docInputs(dir), idxParams)
     if (prior.isEmpty) return null
     val (baseIdx, baseFiles) = prior.get
-    val basePairs = M.readIfFresh(s, "neardup_pairs", baseFiles, pairsParams)
-      .getOrElse(return null)
+    // when the index base IS the prev snapshot, the passed prev frame
+    // is the base pairs — and under the mixed (remove∘delta)
+    // composition it is an UNPUBLISHED intermediate, so the keyed
+    // lookup would miss; the lookup remains for the cumulative-append
+    // case where the base predates prev
+    val basePairs =
+      if (baseFiles.toSet == prevFiles.toSet) prevPairs
+      else M.readIfFresh(s, "neardup_pairs", baseFiles, pairsParams)
+        .getOrElse(return null)
     // everything appended since the base — possibly several batches
     val appended = ((prevFiles ++ deltaFiles).toSet -- baseFiles).toSeq.sorted
     require(appended.nonEmpty, "delta invoked with no appended files")
@@ -460,10 +480,14 @@ object Dedup {
     // paid here so (a) every consumer below reads a FileScan instead
     // of replaying a corpus explode, and (b) the NEXT maintenance
     // step — append delta or another takedown — finds its aligned
-    // base as a cache hit instead of declining to a full rebuild
-    val survivors = M.listFiles(s, s"$dir/documents.parquet")
+    // base as a cache hit instead of declining to a full rebuild.
+    // Survivors derive from prevStats − removed, NEVER the live
+    // listing: identical under the pure-delete shape, but under the
+    // mixed (remove∘delta) composition the appended files are already
+    // on disk and must not leak into this leg's state
+    val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
     val newDf = nearDupBaseDf(s, survivors)
-    val curIdx = nearDupIndex(s, dir)
+    val curIdx = nearDupIndexFiles(s, survivors)
     // cap flips under delete are over→under only (DF can only drop):
     // the re-admitted shingle's postings are IN the refreshed index
     val flipped = prevDf.filter(col("df") > ShingleDfCap).select(col("shingle"))
@@ -472,7 +496,7 @@ object Dedup {
     val dirty = curIdx.join(flipped, Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
     val fresh = pairsWithBEndpoint(curIdx, dirty)
-    val curIds = Tables.documents(s, dir).select(col("doc_id"))
+    val curIds = s.read.parquet(survivors: _*).select(col("doc_id"))
     val carried = prevPairs
       .join(curIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
       .join(curIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")

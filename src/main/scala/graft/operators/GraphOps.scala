@@ -424,11 +424,24 @@ object GraphOps {
     * [[Dedup.maxAppendFraction]] decline → full rebuild compacts.
     * Value identity vs full — including the cross-order case where an
     * append adds an item to an EXISTING order — is spec-pinned.
+    *
+    * Round 16 adds TAKEDOWN maintenance ([[coPurchaseDelete]]): the
+    * same order-partition algebra inverted to a subtraction, fed by
+    * the [[copLinesChunk]] line sidecar since removed files cannot be
+    * read back — a GDPR erasure of a user's orders costs the touched
+    * orders' pair recompute plus one linear sidecar refresh, never
+    * the corpus self-join.
     */
   private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialize.readOrBuildDelta(s, "copurchase_pairs",
+    graft.sources.Materialize.readOrBuildMaintained(s, "copurchase_pairs",
       inputs = Seq(s"$dir/lineitem.parquet"),
       params = Seq("ver" -> "1")) {
+      // a full (re)build compacts — pay the line sidecar chunk for the
+      // whole snapshot NOW (one linear distinct over two skinny
+      // columns), so a later takedown can recover the removed files'
+      // lines after the files themselves are gone
+      copLinesChunk(s,
+        graft.sources.Materialize.listFiles(s, s"$dir/lineitem.parquet"))
       val it = graft.sources.Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -442,6 +455,11 @@ object GraphOps {
       if (M.totalBytes(s, deltaFiles) >
           Dedup.maxAppendFraction(s) * M.totalBytes(s, prevFiles)) null
       else {
+        // the append's own line chunk — the LSM half of the sidecar:
+        // each batch covers only its own files, so the append path
+        // rewrites nothing corpus-sized and a takedown still finds
+        // every file's lines across the chunk set
+        copLinesChunk(s, deltaFiles)
         val newIt = s.read.parquet(deltaFiles: _*)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
@@ -468,7 +486,110 @@ object GraphOps {
           .groupBy(col("src"), col("dst"))
           .agg(sum(col("n_ab")).as("n_ab"))
       }
+    } { (prevPairs, prevStats, removedFiles) =>
+      coPurchaseDelete(s, prevPairs, prevStats, removedFiles)
     }
+
+  private def copLinesParams: Seq[(String, String)] = Seq("ver" -> "1")
+
+  /** Per-FILE distinct (order, part) line chunk — the sidecar that
+    * makes the co-purchase DELETE algebra computable after the removed
+    * files are GONE from disk.  Chunked LSM, zero corpus-sized rewrite
+    * on the append path: the full build writes one chunk covering the
+    * whole snapshot, each append delta writes one chunk covering only
+    * its batch, and a takedown gathers every chunk intersecting the
+    * prior snapshot via [[graft.sources.Materialize.readAllWithin]]
+    * (a partially-surviving chunk contributes its surviving files'
+    * rows).  Rows carry the file BASENAME — unique within one flat
+    * dataset directory, the corpus layout contract — so chunk rows
+    * compare stably across path requalification.
+    */
+  private def copLinesChunk(s: SparkSession, files: Seq[String]): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "cop_lines", files, copLinesParams) {
+      s.read.parquet(files: _*)
+        .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
+          col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+
+  /** Takedown maintenance for the co-purchase substrate — the cheapest
+    * delete algebra of the substrate family, because orders PARTITION
+    * the pair multiset (SURVEY §4): every pair lives inside exactly
+    * one order, so the additive append decomposition inverts to a
+    * SUBTRACTIVE one.  pairs(survivors) = pairs(prior) −
+    * [pairs(prior lines of TOUCHED orders) − pairs(surviving lines of
+    * touched orders)], where touched orders are those with ≥ 1 line in
+    * a removed file.  The removed files cannot be read, so their lines
+    * come from the [[copLinesChunk]] sidecar; the surviving lines of
+    * touched orders are one semi-filtered linear scan (the append
+    * delta's discipline); both pair recomputes self-join ONLY the
+    * touched orders' lines (volume Σ k² over touched orders, never
+    * the corpus); and the merge is one integer subtraction against
+    * the prior artifact, dropping pairs that hit zero.  A line whose
+    * (ok, pk) also survives in another file subtracts nothing — the
+    * prior/current sets are both DISTINCT line sets, so replay
+    * duplication cancels by construction.  The delete also refreshes
+    * the sidecar for the surviving snapshot (one linear chunk write),
+    * so sequential maintenance stays aligned even after a compliance
+    * purge ([[graft.sources.Materialize.purgeContaining]]) drops every
+    * chunk that referenced the removed files.
+    *
+    * Declines (→ full rebuild, which compacts): removed bytes exceed
+    * the [[Dedup.MaxAppendFraction]] fraction of the prior corpus (by
+    * the manifest's recorded lengths — removed files cannot be
+    * live-stat'ed), or the chunk set does not cover every removed
+    * file (e.g. chunks reaped by gc/purge before this takedown).
+    */
+  private def coPurchaseDelete(s: SparkSession, prevPairs: DataFrame,
+      prevStats: Map[String, String], removedFiles: Seq[String]): DataFrame = {
+    val M = graft.sources.Materialize
+    val removedBytes = removedFiles.map(f => M.statLen(prevStats(f))).sum
+    if (removedBytes >
+        Dedup.maxAppendFraction(s) * prevStats.values.map(M.statLen).sum)
+      return null
+    val chunks = M.readAllWithin(s, "cop_lines", prevStats, copLinesParams)
+    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    val removedNames = removedFiles.map(base).toSet
+    val covered = chunks.flatMap(_._2).map(base).toSet
+    if (!removedNames.subsetOf(covered)) return null
+    val removedLines = chunks.flatMap { case (df, valid) =>
+        val names = (valid.map(base).toSet & removedNames).toSeq.sorted
+        if (names.isEmpty) None
+        else Some(df.filter(col("file").isin(names: _*))
+          .select(col("ok"), col("pk")))
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+      .localCheckpoint(eager = false)
+    val touched = removedLines.select(col("ok")).distinct()
+    val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
+    // refresh the line sidecar FOR THE SURVIVORS (the eager-sidecar
+    // discipline; one linear distinct + skinny write)
+    copLinesChunk(s, survivors)
+    val curTouched = s.read.parquet(survivors: _*)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .join(touched, Seq("ok"), "left_semi")
+      .localCheckpoint(eager = false)
+    val priorTouched = curTouched.unionByName(removedLines).distinct()
+    def orderPairs(lines: DataFrame) =
+      lines.as("a").join(lines.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("n"))
+    // curTouched ⊆ priorTouched per order ⇒ every add key is a sub key
+    // with n_add ≤ n_sub, so a left join suffices and n_dec ≥ 0
+    val dec = orderPairs(priorTouched).withColumnRenamed("n", "n_sub")
+      .join(orderPairs(curTouched).withColumnRenamed("n", "n_add"),
+        Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        (col("n_sub") - coalesce(col("n_add"), lit(0L))).as("n_dec"))
+      .filter(col("n_dec") > 0)
+    prevPairs.join(dec, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        (col("n_ab") - coalesce(col("n_dec"), lit(0L))).as("n_ab"))
+      .filter(col("n_ab") > 0)
+  }
 
   /** k-core of an undirected edge list: the maximal subgraph where
     * every node keeps ≥ k neighbors — the standard "dense cohesive

@@ -214,12 +214,29 @@ object Similarity {
 
   /** Corpus row count for parameter derivation.  This IS a Spark job,
     * but a cheap one: a zero-column parquet scan reads row-group
-    * metadata only.  Deliberately NOT memoized — a path-keyed cache
-    * would return stale counts after the data under the path changes
-    * in a long-lived session, silently mis-sizing buckets/cells.
+    * metadata only.  Memoized per SNAPSHOT, not per path: the memo key
+    * is the same (path, len, mtime) stat signature the Materialize
+    * seam keys artifacts on (a driver-side file stat, no job), so a
+    * pure cache-hit read of a maintained artifact — knn_pagerank /
+    * knn_communities / label_noise_knn riding knn_edges — skips the
+    * count job entirely, while ANY change to the files under the path
+    * yields a new signature and a fresh count.  A plain path-keyed
+    * memo would return stale counts after the data changes in a
+    * long-lived session, silently mis-sizing buckets/cells — the
+    * stat-signature key removes that hazard by construction.
     */
-  private[graft] def corpusSize(s: SparkSession, dir: String): Long =
-    Tables.embeddings(s, dir).count()
+  private val corpusSizeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def corpusSize(s: SparkSession, dir: String): Long = {
+    val key = graft.sources.Materialize.signature(
+      s, Seq(s"$dir/embeddings.parquet"), Nil)
+    // bound the memo (a long-lived session touching many snapshots):
+    // entries are ~100 bytes, 4096 is plenty and a clear only costs a
+    // re-count
+    if (corpusSizeMemo.size > 4096) corpusSizeMemo.clear()
+    corpusSizeMemo.computeIfAbsent(key, _ => Tables.embeddings(s, dir).count())
+  }
 
   private def lshSearch(v: DataFrame, q0: DataFrame, k: Int, bits: Int): DataFrame = {
     def buckets(e: Column): Column = hyperplaneBuckets(e, bits)
@@ -377,7 +394,7 @@ object Similarity {
     } { (prevEdges, prevFiles, deltaFiles) =>
       knnEdgesDelta(s, dir, prevEdges, prevFiles, deltaFiles)
     } { (prevEdges, prevStats, removedFiles) =>
-      knnEdgesDelete(s, dir, prevEdges, prevStats, removedFiles)
+      knnEdgesDelete(s, bits, prevEdges, prevStats, removedFiles)
     }
   }
 
@@ -528,14 +545,21 @@ object Similarity {
     * builder at all: the bit width rides in the artifact params
     * (see [[knnJoinEmbeddings]]), so prior detection itself misses
     * and the full rebuild is structural.
+    *
+    * Everything derives from `prevStats − removed`, NEVER the live
+    * directory listing: under the pure-delete shape the two coincide,
+    * but under the round-16 MIXED composition (remove∘delta) the
+    * appended files are already on disk when this leg runs, and a
+    * live read would leak them into the survivor state.  `bits` comes
+    * from the caller for the same reason — it is the artifact's
+    * params value, shared by the prior and the snapshot under build.
     */
-  private def knnEdgesDelete(s: SparkSession, dir: String, prevEdges: DataFrame,
+  private def knnEdgesDelete(s: SparkSession, bits: Int, prevEdges: DataFrame,
       prevStats: Map[String, String], removedFiles: Seq[String]): DataFrame = {
     val M = graft.sources.Materialize
     val removedBytes = removedFiles.map(f => M.statLen(prevStats(f))).sum
     val prevBytes = prevStats.values.map(M.statLen).sum
     if (removedBytes > graft.operators.Dedup.maxAppendFraction(s) * prevBytes) return null
-    val bits = lshBitsFor(corpusSize(s, dir))
     // refresh the sidecar FOR THE SURVIVORS (one linear encode pass +
     // skinny write — the eager-sidecar discipline): it is this
     // delete's clean candidate table (no stale assignments for
@@ -543,9 +567,9 @@ object Similarity {
     // step (append delta or another takedown) gets as a cache hit —
     // without it, every second maintenance step would decline to a
     // full rebuild for want of an aligned sidecar
-    val survivors = M.listFiles(s, s"$dir/embeddings.parquet")
+    val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
     val curB = knnBaseBuckets(s, survivors, bits)
-    val emb = Tables.embeddings(s, dir)
+    val emb = s.read.parquet(survivors: _*)
     val curIds = emb.select(col("vec_id"))
     // one pass over the k·n prev rows: drop removed lids, split the
     // survivors into carried (every neighbor still present — rows

@@ -128,9 +128,21 @@ object Materialize {
     * `"len|mtime"` manifest stat — the removed files no longer exist
     * on disk, so their sizes (for cost-based declines) and identities
     * come from the prior manifest, never a live stat.  The callback
-    * may return null to DECLINE → full rebuild (which compacts).  A
-    * MIXED change (files both added and removed, or any rewrite)
-    * matches neither maintenance shape and takes the full path.
+    * may return null to DECLINE → full rebuild (which compacts).
+    *
+    * A MIXED change (round 16) — files both added and removed, every
+    * shared file stat-identical: the most common REAL corpus mutation
+    * (a day's crawl batched WITH the day's takedowns) — routes as the
+    * COMPOSITION remove∘delta of the two registered callbacks: the
+    * remove callback builds the surviving-prefix state from the prior
+    * artifact (its eager sidecar refreshes align the delta leg's base
+    * lookup), and the delta callback appends onto that UNPUBLISHED
+    * intermediate — which is why delete builders must derive their
+    * survivor set from `prevStats − removed`, never the live
+    * directory listing (the appended files are already on disk when
+    * the remove leg runs).  Declines if EITHER leg declines; counted
+    * as one delete build + one delta build.  Any rewrite (a shared
+    * path with a different stat) still takes the full path.
     * Correctness contract, mirroring the delta's: remove(prev, stats,
     * removed) must be value-identical to full on the surviving files
     * — spec-pinned for every registered delete builder.
@@ -161,14 +173,34 @@ object Materialize {
             Option(remove(s.read.parquet(prevDir.toString), prevStats, removed))
           case None => None
         }
-      val built = viaAppend.orElse(viaDelete)
+      // the MIXED shape composes remove∘delta over one unpublished
+      // intermediate; the lazy localCheckpoint keeps the delta leg's
+      // several reads of that intermediate from re-running the remove
+      // plan per consumer
+      val viaMixed =
+        if (viaAppend.isDefined || viaDelete.isDefined) None
+        else findPriorMixed(fs, root, name, dest, lines) match {
+          case Some((prevDir, prevStats)) =>
+            val curFiles = fileLines(lines)
+            val removed = (prevStats.keySet -- curFiles.keySet).toSeq.sorted
+            val appended = (curFiles.keySet -- prevStats.keySet).toSeq.sorted
+            val survivors = (prevStats.keySet & curFiles.keySet).toSeq.sorted
+            Option(remove(s.read.parquet(prevDir.toString), prevStats, removed))
+              .map(_.localCheckpoint(false))
+              .flatMap(mid => Option(delta(mid, survivors, appended)))
+          case None => None
+        }
+      val built = viaAppend.orElse(viaDelete).orElse(viaMixed)
       builds.merge(name, 1, (a, b) => a + b)
       publish(fs, root, dest, sig, lines, built.getOrElse(full))
       // count maintenance builds only once their artifact has
       // published — a failed publish must not skew the
-      // maintenance-costs-the-delta evidence counters
-      if (viaAppend.isDefined) deltaBuilds.merge(name, 1, (a, b) => a + b)
-      if (viaDelete.isDefined) deleteBuilds.merge(name, 1, (a, b) => a + b)
+      // maintenance-costs-the-delta evidence counters; the mixed
+      // composition attributes ONE delete + ONE delta build
+      if (viaAppend.isDefined || viaMixed.isDefined)
+        deltaBuilds.merge(name, 1, (a, b) => a + b)
+      if (viaDelete.isDefined || viaMixed.isDefined)
+        deleteBuilds.merge(name, 1, (a, b) => a + b)
     }
     s.read.parquet(dest.toString)
   }
@@ -262,6 +294,42 @@ object Materialize {
       .headOption
   }
 
+  /** The closest prior artifact for a MIXED change: same params, ≥ 1
+    * manifest file no longer present (removed), ≥ 1 current file the
+    * manifest lacks (appended), ≥ 1 shared file, and every SHARED path
+    * stat-identical — a shared path with a different stat is a
+    * rewrite, which no maintenance algebra covers, so such a prior is
+    * disqualified.  Closest = most surviving files (largest shared
+    * set), then fewest removals.  Returns the prior dir plus its full
+    * path → "len|mtime" stat map (the removed files' only surviving
+    * record, as in [[findPriorSuperset]]).
+    */
+  private def findPriorMixed(fs: FileSystem, root: Path, name: String, dest: Path,
+      curLines: Seq[String]): Option[(Path, Map[String, String])] = {
+    if (!fs.exists(root)) return None
+    val curFiles = fileLines(curLines)
+    val curParams = paramLines(curLines)
+    fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$name-") && p.getName != dest.getName &&
+        !p.getName.startsWith("."))
+      .flatMap { p =>
+        readSmallFile(fs, new Path(p, "_MANIFEST")).flatMap { m =>
+          val prevLines = m.linesIterator.toSeq
+          val prevFiles = fileLines(prevLines)
+          val shared = prevFiles.keySet & curFiles.keySet
+          val fits = paramLines(prevLines) == curParams && shared.nonEmpty &&
+            (prevFiles.keySet -- curFiles.keySet).nonEmpty &&
+            (curFiles.keySet -- prevFiles.keySet).nonEmpty &&
+            shared.forall(f => prevFiles(f) == curFiles(f))
+          if (fits) Some((p, prevFiles, shared.size)) else None
+        }
+      }
+      .sortBy { case (_, prevFiles, nShared) => (-nShared, prevFiles.size) }
+      .headOption
+      .map { case (p, prevFiles, _) => (p, prevFiles) }
+  }
+
   /** The largest artifact of `name` whose manifest files are a
     * sub-map of `within` (path and "len|mtime" stat both equal) under
     * the same params — how a DELETE builder locates the base-snapshot
@@ -293,6 +361,43 @@ object Materialize {
       .sortBy { case (_, files) => -files.size } // largest base wins
       .headOption
       .map { case (p, files) => (s.read.parquet(p.toString), files.keys.toSeq.sorted) }
+  }
+
+  /** Every artifact of `name` whose manifest params equal `params` and
+    * whose file list INTERSECTS `within` with matching "len|mtime"
+    * stats — the chunked-sidecar lookup (the co-purchase `cop_lines`
+    * LSM): a chunk keyed to a file set that only PARTIALLY survives
+    * still carries valid per-file rows for the surviving
+    * (stat-identical) subset, so it is returned with exactly that
+    * subset rather than discarded the way [[readWithin]]'s
+    * whole-manifest alignment would.  Files absent from `within` or
+    * recorded there with a different stat (rewritten) are excluded
+    * from the valid set — THE CALLER MUST FILTER ROWS to the valid
+    * files.  Returns (artifact DataFrame, valid file subset) per
+    * matching chunk; chunks with an empty valid subset are omitted.
+    */
+  private[graft] def readAllWithin(s: SparkSession, name: String,
+      within: Map[String, String],
+      params: Seq[(String, String)]): Seq[(DataFrame, Seq[String])] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(absolutize(cacheRoot(s)))
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val wantParams = params.sortBy(_._1).map { case (k, v) => s"param|$k|$v" }
+    fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$name-") && !p.getName.startsWith("."))
+      .flatMap { p =>
+        readSmallFile(fs, new Path(p, "_MANIFEST")).flatMap { m =>
+          val prevLines = m.linesIterator.toSeq
+          val valid = fileLines(prevLines).collect {
+            case (f, st) if within.get(f).contains(st) => f
+          }.toSeq.sorted
+          if (paramLines(prevLines) == wantParams && valid.nonEmpty)
+            Some((s.read.parquet(p.toString), valid))
+          else None
+        }
+      }
   }
 
   /** Byte length recorded in a manifest "len|mtime" stat value. */
@@ -472,6 +577,50 @@ object Materialize {
     * reaped as a crashed-writer orphan — far beyond any live build.
     */
   val OrphanGraceMs: Long = 24L * 60 * 60 * 1000
+
+  /** COMPLIANCE purge: delete every retained artifact whose manifest
+    * lists any of `removedFiles` as an input — the disk half of the
+    * takedown story.  A GDPR/license takedown must remove the
+    * documents' DERIVED data too (their pairs, edges, fingerprints
+    * inside superseded artifacts), not merely stop serving it; [[gc]]
+    * is age-based and would retain such an artifact for its whole TTL.
+    * Exactly the artifacts built WHILE the removed files were present
+    * match (their manifests list the files); artifacts of older
+    * snapshots that predate the removed files carry none of their
+    * data, don't match, and stay — so the emergent cheapest-prior
+    * behavior (a takedown of recent epochs resolving as a cache hit
+    * on the pre-append artifact) is compliant and survives the purge.
+    *
+    * ORDER CONTRACT: run the substrate refreshes FIRST (the delete
+    * builders read the retained prior artifact as their input — see
+    * [[graft.streaming.CorpusMaintain.takedownEpochPurge]] for the
+    * sequenced form), then purge; the refreshed artifact is keyed to
+    * the surviving snapshot, lists no removed file, and is untouched.
+    * Artifacts are immutable and signature-keyed, so the purge is
+    * always SAFE — worst case is a rebuild on next read.
+    *
+    * Paths are matched after the same qualification the manifests
+    * record (`fs.makeQualified` — removed files no longer exist, so
+    * they cannot be stat'ed).  Returns the deleted artifact names.
+    */
+  def purgeContaining(s: SparkSession, removedFiles: Seq[String]): Seq[String] = {
+    if (removedFiles.isEmpty) return Nil
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(absolutize(cacheRoot(s)))
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val doomed = removedFiles
+      .map(f => fs.makeQualified(new Path(absolutize(f))).toString).toSet
+    fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(p => !p.getName.startsWith("."))
+      .filter { p =>
+        readSmallFile(fs, new Path(p, "_MANIFEST")).exists { m =>
+          fileLines(m.linesIterator.toSeq).keys.exists(doomed.contains)
+        }
+      }
+      .map { p => fs.delete(p, true); p.getName }
+  }
 
   /** Scheme-less paths are local-filesystem relative: absolutize against
     * the JVM cwd so the Hadoop Path doesn't resolve against fs.defaultFS's

@@ -121,13 +121,47 @@ object CorpusMaintain {
     * replayed takedown finds no files and is a no-op.  Returns the
     * number of files removed.
     */
-  def takedownEpoch(corpusDir: String, dataset: String, epoch: Long): Int = {
+  def takedownEpoch(corpusDir: String, dataset: String, epoch: Long): Int =
+    takedownEpochFiles(corpusDir, dataset, epoch).length
+
+  private def takedownEpochFiles(corpusDir: String, dataset: String,
+      epoch: Long): Seq[java.io.File] = {
     val dest = new java.io.File(s"$corpusDir/$dataset")
     require(dest.isDirectory, s"corpus dataset dir missing: $dest")
     val doomed = Option(dest.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(s"part-epoch$epoch-"))
+      .filter(_.getName.startsWith(s"part-epoch$epoch-")).toSeq
     doomed.foreach(f => require(f.delete(), s"takedown could not remove $f"))
-    doomed.length
+    doomed
+  }
+
+  /** [[takedownEpoch]] plus the COMPLIANCE half of the delete story:
+    * after the epoch's files are removed, `refresh` runs the caller's
+    * substrate reads (e.g. `Dedup.nearDupPairs` /
+    * `Similarity.knnJoinEmbeddings` — each detects the pure-delete
+    * shape and runs its delete builder OFF THE RETAINED PRIOR
+    * artifact), and only THEN [[graft.sources.Materialize
+    * .purgeContaining]] drops every retained artifact whose manifest
+    * lists a removed file — so the removed docs' derived data (pairs,
+    * edges, fingerprints inside superseded artifacts) leaves the DISK,
+    * not just the served artifact.  The sequencing is the point: purge
+    * first and the delete algebra would lose its prior input and
+    * decline to a full rebuild; refresh first and the new artifact —
+    * keyed to the surviving snapshot, listing no removed file —
+    * survives the purge while every pre-purge artifact built with the
+    * removed files present is dropped.  Artifacts of snapshots that
+    * PREDATE the removed epoch carry none of its data and stay, so
+    * the emergent cheapest-prior shortcut cannot resurrect purged
+    * data by construction.  Idempotent like [[takedownEpoch]]: a
+    * replay removes nothing, refreshes a no-op, purges nothing.
+    * Returns (files removed, artifact names purged).
+    */
+  def takedownEpochPurge(s: SparkSession, corpusDir: String, dataset: String,
+      epoch: Long)(refresh: => Unit): (Int, Seq[String]) = {
+    val removed = takedownEpochFiles(corpusDir, dataset, epoch)
+    if (removed.nonEmpty) refresh
+    val purged = graft.sources.Materialize.purgeContaining(
+      s, removed.map(_.getPath))
+    (removed.length, purged)
   }
 
   /** Idempotent filesystem append: write the batch to a staging dir
@@ -157,9 +191,16 @@ object CorpusMaintain {
             s"part-epoch$epoch-$i-${f.getName.stripPrefix("part-")}")
           require(f.renameTo(to), s"epoch append move failed for $f")
         }
-    } finally {
-      Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
-      tmp.delete()
-    }
+    } finally rmTree(tmp)
+  }
+
+  /** Recursive delete for the staging dir's finally-cleanup: a write
+    * that fails midway can leave a non-empty `_temporary` subdirectory,
+    * on which a flat `listFiles().foreach(_.delete())` fails silently
+    * and leaks one dot-prefixed staging dir per failed epoch.
+    */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
   }
 }

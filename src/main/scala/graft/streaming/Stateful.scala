@@ -791,8 +791,22 @@ object Stateful {
     * millions of children) would funnel its child rows through one
     * stateful task, so the counts pre-reduce per input partition
     * first (the [[dqMonitor]] map-side-combine discipline): the keyed
-    * task sees ≤ numPartitions partials per key per epoch, never the
-    * row stream.
+    * task sees a bounded number of partials per key per epoch, never
+    * the row stream.
+    *
+    * The pre-reduce map itself is BOUNDED at
+    * [[FkPartialMaxKeysDefault]] entries (override:
+    * `spark.graft.fk.partialMaxKeys`): unlike [[dqMonitor]], whose
+    * key domain is |rules|, this map's domain is the DISTINCT PARENT
+    * KEYS seen by one input partition — unbounded on the
+    * backfill/AvailableNow epoch that replays history through few
+    * partitions, and a hand-rolled map cannot spill the way Spark's
+    * own hash aggregation can.  At the cap the accumulated partials
+    * FLUSH downstream and the map clears; the keyed reducer SUMS
+    * child counts and ORs parent presence, so multiple partials per
+    * key per partition are correctness-neutral (spec-pinned), and
+    * executor memory for the pre-reduce is O(cap), never O(distinct
+    * keys in the epoch).
     *
     * `children` and `parents` are streaming frames each exposing the
     * join key as a long column `key` (project before calling);
@@ -801,6 +815,18 @@ object Stateful {
     * parent set is handled by the caller turning it into a one-batch
     * stream (the StreamingSpec fixture idiom).
     */
+  /** Entry cap on [[fkMonitor]]'s per-partition pre-reduce map — at
+    * ~48 bytes/entry this bounds the hand-rolled (unspillable)
+    * accumulator near 100 MB per task.  Flush-on-cap, not a hard
+    * error: partials are additive, so the only cost of a full map is
+    * extra partial rows, never a wrong count.
+    */
+  private[graft] val FkPartialMaxKeysDefault: Int = 1 << 21
+
+  private[graft] def fkPartialMaxKeys(s: SparkSession): Int =
+    s.conf.get("spark.graft.fk.partialMaxKeys",
+      FkPartialMaxKeysDefault.toString).toInt
+
   def fkMonitor(spark: SparkSession, children: DataFrame,
       parents: DataFrame): Dataset[FkRow] = {
     import spark.implicits._
@@ -809,14 +835,34 @@ object Stateful {
       .unionByName(parents.select(col("key").cast("long").as("key"),
         lit(true).as("is_parent")))
       .as[(Long, Boolean)]
-    // per-partition pre-reduce: (key, child rows, parent present)
+    // per-partition pre-reduce: (key, child rows, parent present) —
+    // FLUSHED and cleared whenever the map reaches maxKeys entries
+    // (the knnDeltaBroadcastBytes budget idiom: bound the accepted
+    // worst-case input, don't trust the caller's epoch sizing), so a
+    // backfill epoch with tens of millions of distinct keys through
+    // one partition costs extra partials, not an executor OOM
+    val maxKeys = fkPartialMaxKeys(spark)
     val partials = tagged.mapPartitions { it =>
-      val acc = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
-      it.foreach { case (k, isP) =>
-        val (c, p) = acc.getOrElse(k, (0L, false))
-        acc(k) = (if (isP) c else c + 1, p || isP)
+      new Iterator[(Long, Long, Boolean)] {
+        private val acc = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+        private var out: Iterator[(Long, Long, Boolean)] = Iterator.empty
+        private def refill(): Unit =
+          while (!out.hasNext && it.hasNext) {
+            // consume at least one element per flush round, so even a
+            // degenerate cap can never spin without progress
+            var go = true
+            while (go) {
+              val (k, isP) = it.next()
+              val (c, p) = acc.getOrElse(k, (0L, false))
+              acc(k) = (if (isP) c else c + 1, p || isP)
+              go = it.hasNext && acc.size < maxKeys
+            }
+            out = acc.toArray.iterator.map { case (k, (c, p)) => (k, c, p) }
+            acc.clear()
+          }
+        def hasNext: Boolean = { refill(); out.hasNext }
+        def next(): (Long, Long, Boolean) = { refill(); out.next() }
       }
-      acc.iterator.map { case (k, (c, p)) => (k, c, p) }
     }
     partials.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Boolean), FkRow](

@@ -655,44 +655,362 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
-  test("maintained artifacts: a mixed add+remove change invokes neither maintenance path") {
+  test("copurchase delete: takedown subtracts touched orders' pairs through the line-chunk LSM, value-identical to full at every step") {
+    import spark.implicits._
+    // file A (the dir write): order 10 = {1,2}, order 20 = {4,5}
+    val keep = Seq((10L, 1L), (10L, 2L), (20L, 4L), (20L, 5L))
+    // file D (staged BEFORE the build, so it is part of the base):
+    // (10,3) — order 10 loses ONE of several lines on takedown;
+    // order 50 = {4,5} — the (4,5) support must decrement 2→1;
+    // order 60 = {6,7} — a pair dropping to zero; and a REPLAYED
+    // (20,4) whose (ok,pk) also survives in file A — must subtract
+    // nothing
+    val doomedD = Seq((10L, 3L), (50L, 4L), (50L, 5L), (60L, 6L), (60L, 7L),
+      (20L, 4L))
+    // file E (appended AFTER the build — the delta path writes its own
+    // line chunk): order 70 = {1,2} repeats a base pair, and (10,8)
+    // cross-pairs onto order 10
+    val appE = Seq((70L, 1L), (70L, 2L), (10L, 8L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cop_del").toString
+    val li = s"$dir/lineitem.parquet"
+    keep.toDF("l_orderkey", "l_partkey").repartition(1).write.parquet(li)
+    def stageIn(rows: Seq[(Long, Long)], tag: String): String = {
+      val st = java.nio.file.Files.createTempDirectory(s"graft_cop_del_$tag").toString + "/p"
+      rows.toDF("l_orderkey", "l_partkey").repartition(1).write.parquet(st)
+      val beforeNames = new java.io.File(li).listFiles().map(_.getName).toSet
+      appendParts(st, li)
+      val added = new java.io.File(li).listFiles().map(_.getName).filterNot(beforeNames)
+      assert(added.length === 1)
+      added.head
+    }
+    val fileD = stageIn(doomedD, "d")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).sortBy(_._1)
+    def rm(name: String): Unit = {
+      val f = new java.io.File(li, name)
+      assert(f.delete(), s"could not remove $f")
+    }
+    withAppendFraction("100") {
+      val cache = freshCacheDir()
+      val before = withCacheDir(cache) {
+        Materialize.resetBuildCount("copurchase_pairs")
+        pairsOf(GraphOps.coPurchasePairs(spark, dir))
+      }
+      assert(before.toMap === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L,
+        (4L, 5L) -> 2L, (6L, 7L) -> 1L))
+      val fileE = stageIn(appE, "e")
+      val afterApp = withCacheDir(cache) {
+        pairsOf(GraphOps.coPurchasePairs(spark, dir))
+      }
+      assert(Materialize.deltaBuildCount("copurchase_pairs") === 1)
+      assert(afterApp.toMap === Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L,
+        (4L, 5L) -> 2L, (6L, 7L) -> 1L, (1L, 8L) -> 1L, (2L, 8L) -> 1L,
+        (3L, 8L) -> 1L))
+      // takedown 1: remove base file D — lines recovered from the
+      // FULL build's chunk; survivors include the appended file E
+      rm(fileD)
+      val viaDelete = withCacheDir(cache) {
+        pairsOf(GraphOps.coPurchasePairs(spark, dir))
+      }
+      assert(Materialize.deleteBuildCount("copurchase_pairs") === 1,
+        "the takedown must maintain the co-purchase artifact incrementally")
+      val viaFull = withCacheDir(freshCacheDir()) {
+        pairsOf(GraphOps.coPurchasePairs(spark, dir))
+      }
+      assert(viaDelete === viaFull,
+        "delete-maintained co-purchase pairs must be value-identical to a full rebuild")
+      assert(viaDelete.toMap === Map((1L, 2L) -> 2L, (4L, 5L) -> 1L,
+        (1L, 8L) -> 1L, (2L, 8L) -> 1L),
+        "order 10 keeps its surviving pairs, (4,5) decrements 2→1, (6,7) hits zero, the replayed (20,4) subtracts nothing")
+      // takedown 2: remove the APPENDED file E — the original full
+      // chunk is now only PARTIALLY valid (file D left the snapshot),
+      // E's lines come from the delta's own chunk, and the sequential
+      // step aligns on the refresh chunk takedown 1 wrote
+      rm(fileE)
+      val viaDelete2 = withCacheDir(cache) {
+        pairsOf(GraphOps.coPurchasePairs(spark, dir))
+      }
+      assert(Materialize.deleteBuildCount("copurchase_pairs") === 2,
+        "a second sequential takedown must stay incremental")
+      val viaFull2 = withCacheDir(freshCacheDir()) {
+        pairsOf(GraphOps.coPurchasePairs(spark, dir))
+      }
+      assert(viaDelete2 === viaFull2)
+      assert(viaDelete2.toMap === Map((1L, 2L) -> 1L, (4L, 5L) -> 1L))
+    }
+  }
+
+  test("copurchase delete: oversized takedown and missing chunk coverage both decline to a compacting full rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cop_del_big").toString
+    val li = s"$dir/lineitem.parquet"
+    (1L to 200L).map(i => (i / 4, i)).toDF("l_orderkey", "l_partkey")
+      .repartition(1).write.parquet(li)
+    val origFile = new java.io.File(li).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).head
+    val st = java.nio.file.Files.createTempDirectory("graft_cop_del_big_s").toString + "/p"
+    (1000L to 1200L).map(i => (i / 4, i)).toDF("l_orderkey", "l_partkey")
+      .repartition(1).write.parquet(st)
+    appendParts(st, li)
+    val cache = freshCacheDir()
+    withCacheDir(cache) {
+      Materialize.resetBuildCount("copurchase_pairs")
+      GraphOps.coPurchasePairs(spark, dir).count()
+    }
+    // ~half the corpus bytes removed — past the compaction fraction
+    new java.io.File(li).listFiles()
+      .filter(_.getName.startsWith("part-append-"))
+      .foreach(f => assert(f.delete(), s"could not remove $f"))
+    withCacheDir(cache) { GraphOps.coPurchasePairs(spark, dir).count() }
+    assert(Materialize.deleteBuildCount("copurchase_pairs") === 0,
+      "an oversized takedown must decline to the full path")
+    assert(Materialize.buildCount("copurchase_pairs") === 2)
+    // chunk-coverage decline: reap every line chunk (gc/purge may
+    // legitimately have done so), stage + remove another slice — the
+    // delete path must decline instead of inventing the removed lines
+    val st2 = java.nio.file.Files.createTempDirectory("graft_cop_del_big_s2").toString + "/p"
+    (2000L to 2010L).map(i => (i / 4, i)).toDF("l_orderkey", "l_partkey")
+      .repartition(1).write.parquet(st2)
+    appendParts(st2, li)
+    withAppendFraction("100") {
+      withCacheDir(cache) { GraphOps.coPurchasePairs(spark, dir).count() }
+    }
+    new java.io.File(cache).listFiles()
+      .filter(_.getName.startsWith("cop_lines-"))
+      .foreach { d =>
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+        }
+        rmTree(d)
+      }
+    // remove the ORIGINAL base file: the surviving snapshot has never
+    // been built (removing the fresh append would just cache-hit the
+    // pre-append artifact — the emergent cheapest-prior shortcut)
+    assert(new java.io.File(li, origFile).delete())
+    withAppendFraction("100") {
+      withCacheDir(cache) { GraphOps.coPurchasePairs(spark, dir).count() }
+    }
+    assert(Materialize.deleteBuildCount("copurchase_pairs") === 0,
+      "a takedown with no chunk coverage must decline to the full path")
+  }
+
+  test("maintained artifacts: a mixed add+remove change composes remove∘delta, declining to full if either leg declines") {
     import spark.implicits._
     val cache = freshCacheDir()
     val dir = java.nio.file.Files.createTempDirectory("graft_mixed").toString + "/t.parquet"
     spark.range(10).repartition(1).write.parquet(dir)
-    val stage1 = java.nio.file.Files.createTempDirectory("graft_mixed_s1").toString + "/p"
-    spark.range(10, 20).repartition(1).write.parquet(stage1)
-    appendParts(stage1, dir)
+    def stageIn(from: Long, until: Long): Unit = {
+      val st = java.nio.file.Files.createTempDirectory("graft_mixed_s").toString + "/p"
+      spark.range(from, until).repartition(1).write.parquet(st)
+      appendParts(st, dir)
+    }
+    def rmAppended(): Unit = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-append-"))
+      .foreach(x => assert(x.delete()))
+    stageIn(10, 20)
     var deltaCalled = 0
     var removeCalled = 0
-    def get() = withCacheDir(cache) {
+    var declineRemove = false
+    var declineDelta = false
+    def get(): Set[Long] = withCacheDir(cache) {
       Materialize.readOrBuildMaintained(spark, "spec_mixed", Seq(dir),
-        Seq("ver" -> "1"))(spark.read.parquet(dir)) { (_, _, _) =>
-        deltaCalled += 1; null
-      } { (_, _, _) =>
-        removeCalled += 1; null
-      }.count()
+        Seq("ver" -> "1"))(spark.read.parquet(dir)) { (prev, _, appended) =>
+        deltaCalled += 1
+        if (declineDelta) null
+        else prev.unionByName(spark.read.parquet(appended: _*))
+      } { (_, prevStats, removed) =>
+        removeCalled += 1
+        if (declineRemove) null
+        else spark.read.parquet((prevStats.keySet -- removed).toSeq.sorted: _*)
+      }.as[Long].collect().toSet
     }
-    assert(get() === 20)
-    // mixed change: remove the appended file AND add a different one
-    new java.io.File(dir).listFiles()
+    Materialize.resetBuildCount("spec_mixed")
+    assert(get() === (0L until 20L).toSet)
+    assert(deltaCalled === 0 && removeCalled === 0)
+    // mixed 1: remove the appended file AND add a different one — the
+    // change routes as remove∘delta over the unpublished intermediate
+    rmAppended()
+    stageIn(50, 55)
+    assert(get() === ((0L until 10L) ++ (50L until 55L)).toSet,
+      "the composed remove∘delta result must equal full over the current snapshot")
+    assert(removeCalled === 1 && deltaCalled === 1,
+      "a mixed change must invoke BOTH legs, remove first")
+    assert(Materialize.deltaBuildCount("spec_mixed") === 1 &&
+      Materialize.deleteBuildCount("spec_mixed") === 1,
+      "the mixed composition attributes one delete + one delta build")
+    // mixed 2: the remove leg declines — the delta leg must not run
+    // and the full path takes over, with no maintenance counters
+    declineRemove = true
+    rmAppended()
+    stageIn(70, 73)
+    assert(get() === ((0L until 10L) ++ (70L until 73L)).toSet)
+    assert(removeCalled === 2 && deltaCalled === 1,
+      "a declined remove must short-circuit the delta leg")
+    assert(Materialize.deltaBuildCount("spec_mixed") === 1 &&
+      Materialize.deleteBuildCount("spec_mixed") === 1,
+      "a declined composition must not count as maintenance builds")
+    // mixed 3: remove succeeds but the delta leg declines — still full
+    declineRemove = false
+    declineDelta = true
+    rmAppended()
+    stageIn(80, 84)
+    assert(get() === ((0L until 10L) ++ (80L until 84L)).toSet)
+    assert(removeCalled === 3 && deltaCalled === 2)
+    assert(Materialize.deltaBuildCount("spec_mixed") === 1 &&
+      Materialize.deleteBuildCount("spec_mixed") === 1)
+    // pure delete still routes to the remove leg alone
+    declineDelta = false
+    rmAppended()
+    assert(get() === (0L until 10L).toSet)
+    assert(removeCalled === 4 && deltaCalled === 2)
+    assert(Materialize.deleteBuildCount("spec_mixed") === 2 &&
+      Materialize.deltaBuildCount("spec_mixed") === 1)
+  }
+
+  test("copurchase mixed: a same-epoch crawl+takedown composes remove∘delta, value-identical to full") {
+    import spark.implicits._
+    val keep = Seq((10L, 1L), (10L, 2L), (20L, 4L), (20L, 5L))
+    val doomed = Seq((10L, 3L), (50L, 4L), (50L, 5L))
+    val app = Seq((70L, 1L), (70L, 2L), (10L, 8L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cop_mixed").toString
+    val li = s"$dir/lineitem.parquet"
+    keep.toDF("l_orderkey", "l_partkey").repartition(1).write.parquet(li)
+    val st = java.nio.file.Files.createTempDirectory("graft_cop_mixed_d").toString + "/p"
+    doomed.toDF("l_orderkey", "l_partkey").repartition(1).write.parquet(st)
+    appendParts(st, li)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).sortBy(_._1)
+    withAppendFraction("100") {
+      val cache = freshCacheDir()
+      val before = withCacheDir(cache) {
+        Materialize.resetBuildCount("copurchase_pairs")
+        pairsOf(GraphOps.coPurchasePairs(spark, dir))
+      }
+      assert(before.toMap === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L,
+        (4L, 5L) -> 2L))
+      // the mixed mutation, one snapshot step: the takedown AND the
+      // day's crawl land together
+      new java.io.File(li).listFiles().filter(_.getName.startsWith("part-append-"))
+        .foreach(f => assert(f.delete()))
+      val st2 = java.nio.file.Files.createTempDirectory("graft_cop_mixed_a").toString + "/p"
+      app.toDF("l_orderkey", "l_partkey").repartition(1).write.parquet(st2)
+      appendParts(st2, li)
+      val viaMixed = withCacheDir(cache) {
+        pairsOf(GraphOps.coPurchasePairs(spark, dir))
+      }
+      assert(Materialize.deltaBuildCount("copurchase_pairs") === 1 &&
+        Materialize.deleteBuildCount("copurchase_pairs") === 1,
+        "the mixed snapshot must cost one delete + one delta build, not a full rebuild")
+      val viaFull = withCacheDir(freshCacheDir()) {
+        pairsOf(GraphOps.coPurchasePairs(spark, dir))
+      }
+      assert(viaMixed === viaFull,
+        "the composed remove∘delta must be value-identical to the full self-join")
+      assert(viaMixed.toMap === Map((1L, 2L) -> 2L, (4L, 5L) -> 1L,
+        (1L, 8L) -> 1L, (2L, 8L) -> 1L))
+    }
+  }
+
+  test("knn_edges mixed: a same-epoch crawl+takedown composes remove∘delta, value-identical to full") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7272)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 300L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_mixed").toString
+    base.toDF("vec_id", "embedding").repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    // doomed (part of the base): an exact copy of vec 42 — its removal
+    // must evict 42's top-1 and refill
+    val doomed = Seq((9001L, base(41)._2)) ++ (9002L to 9010L).map(i => (i, vec()))
+    val stD = java.nio.file.Files.createTempDirectory("graft_knn_mixed_d").toString + "/p"
+    doomed.toDF("vec_id", "embedding").repartition(1).write.parquet(stD)
+    appendParts(stD, s"$dir/embeddings.parquet")
+    def edgesOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    val cache = freshCacheDir()
+    val before = withCacheDir(cache) {
+      Materialize.resetBuildCount("knn_edges")
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(before.filter(_._1 == 42L).take(1).map(_._3).toSeq === Seq(9001L))
+    // the mixed step: the takedown of the doomed file + an appended
+    // batch that plants an exact copy of vec 57 (displaces 57's top-1
+    // through the DELTA leg, while the REMOVE leg refills 42)
+    new java.io.File(s"$dir/embeddings.parquet").listFiles()
       .filter(_.getName.startsWith("part-append-"))
-      .foreach(x => assert(x.delete()))
-    val stage2 = java.nio.file.Files.createTempDirectory("graft_mixed_s2").toString + "/p"
-    spark.range(50, 55).repartition(1).write.parquet(stage2)
-    appendParts(stage2, dir)
-    assert(get() === 15)
-    assert(deltaCalled === 0 && removeCalled === 0,
-      "a mixed add+remove matches neither maintenance shape")
-    // pure delete: remove the second append — now the REMOVE callback
-    // fires (and its null decline still falls back to full, correctly)
-    new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("part-append-"))
-      .foreach(x => assert(x.delete()))
-    assert(get() === 10)
-    assert(removeCalled === 1 && deltaCalled === 0)
-    assert(Materialize.deleteBuildCount("spec_mixed") === 0,
-      "a declined remove must not count as a delete build")
+      .foreach(f => assert(f.delete()))
+    val app = Seq((9501L, base(56)._2)) ++ (9502L to 9510L).map(i => (i, vec()))
+    val stA = java.nio.file.Files.createTempDirectory("graft_knn_mixed_a").toString + "/p"
+    app.toDF("vec_id", "embedding").repartition(1).write.parquet(stA)
+    appendParts(stA, s"$dir/embeddings.parquet")
+    val viaMixed = withCacheDir(cache) {
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(Materialize.deltaBuildCount("knn_edges") === 1 &&
+      Materialize.deleteBuildCount("knn_edges") === 1,
+      "the mixed snapshot must cost one delete + one delta build")
+    val viaFull = withCacheDir(freshCacheDir()) {
+      edgesOf(graft.operators.Similarity.knnJoinEmbeddings(spark, dir))
+    }
+    assert(viaMixed === viaFull,
+      "the composed remove∘delta kNN edges must be value-identical to a full rebuild")
+    assert(viaMixed.forall(t => !(t._1 >= 9001L && t._1 <= 9010L) &&
+      !(t._3 >= 9001L && t._3 <= 9010L)), "no removed id survives")
+    assert(viaMixed.filter(_._1 == 42L).take(1).map(_._3).toSeq !== Seq(9001L),
+      "42's evicted slot must refill from the survivors")
+    assert(viaMixed.filter(_._1 == 57L).take(1).map(t => (t._3, t._4)).toSeq
+      === Seq((9501L, 1.0)), "the appended exact-dup must displace 57's top-1")
+    assert(viaMixed.exists(_._1 == 9501L), "appended lids get their own edges")
+  }
+
+  test("neardup mixed: a same-epoch crawl+takedown composes remove∘delta, value-identical to full") {
+    import spark.implicits._
+    // base: (1,2) identical pair in the keep file; (3,4) identical
+    // pair with 4 in the doomed file.  Mixed step removes 4 and
+    // appends 7 (identical to 3): (1,2) carries, (3,4) dies with its
+    // witness, (3,7) appears through the delta leg.
+    val keepDocs = Seq((1L, "p1 p2 p3 p4 p5"), (2L, "p1 p2 p3 p4 p5"),
+      (3L, "q1 q2 q3 q4 q5")) ++ (1 to 40).map(i => (100L + i, s"f$i g$i h$i k$i"))
+    val doomedDocs = Seq((4L, "q1 q2 q3 q4 q5"))
+    val appDocs = Seq((7L, "q1 q2 q3 q4 q5"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_mixed").toString
+    keepDocs.toDF("doc_id", "text").repartition(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val stD = java.nio.file.Files.createTempDirectory("graft_nd_mixed_d").toString + "/p"
+    doomedDocs.toDF("doc_id", "text").repartition(1).write.parquet(stD)
+    appendParts(stD, s"$dir/documents.parquet")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    withAppendFraction("100") {
+      val cache = freshCacheDir()
+      val before = withCacheDir(cache) {
+        Materialize.resetBuildCount("neardup_pairs")
+        pairsOf(Dedup.nearDupPairs(spark, dir))
+      }
+      assert(before.map(t => (t._1, t._2)).toSet === Set((1L, 2L), (3L, 4L)))
+      new java.io.File(s"$dir/documents.parquet").listFiles()
+        .filter(_.getName.startsWith("part-append-"))
+        .foreach(f => assert(f.delete()))
+      val stA = java.nio.file.Files.createTempDirectory("graft_nd_mixed_a").toString + "/p"
+      appDocs.toDF("doc_id", "text").repartition(1).write.parquet(stA)
+      appendParts(stA, s"$dir/documents.parquet")
+      val viaMixed = withCacheDir(cache) {
+        pairsOf(Dedup.nearDupPairs(spark, dir))
+      }
+      assert(Materialize.deltaBuildCount("neardup_pairs") === 1 &&
+        Materialize.deleteBuildCount("neardup_pairs") === 1,
+        "the mixed snapshot must cost one delete + one delta build")
+      val viaFull = withCacheDir(freshCacheDir()) {
+        pairsOf(Dedup.nearDupPairs(spark, dir))
+      }
+      assert(viaMixed === viaFull,
+        "the composed remove∘delta pairs must be value-identical to a full rebuild")
+      assert(viaMixed.map(t => (t._1, t._2)).toSet === Set((1L, 2L), (3L, 7L)),
+        s"witness death + delta-appeared pair, got ${viaMixed.toSeq}")
+      // the carried pair is the same double, not a recompute artifact
+      assert(viaMixed.filter(_._1 == 1L).head._3 === before.filter(_._1 == 1L).head._3)
+    }
   }
 
   test("gc leaves young in-flight .tmp-* builds alone even past the artifact age bound") {

@@ -655,6 +655,49 @@ class StatefulSpec extends AnyFunSuite {
     assert(resolved.nonEmpty)
     resolved.foreach(k => assert(fin(k)._3 === 0L, s"key $k must resolve"))
   }
+
+  test("fkMonitor: pre-reduce flush-on-cap — a partition holding more distinct keys than the budget emits multiple partials per key, and they reduce exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // cap 1 = the adversarial setting: EVERY pre-reduce fill round
+    // flushes after one row, so every partition emits one partial per
+    // ROW (the maximal multiple-partials-per-key case) — the keyed
+    // reducer must still sum child counts and OR parent presence to
+    // the exact verdict.  This is the backfill-epoch hazard in
+    // miniature: far more distinct keys than the map may hold.
+    spark.conf.set("spark.graft.fk.partialMaxKeys", "1")
+    try {
+      val memC = MemoryStream[Long]
+      val memP = MemoryStream[Long]
+      val q = Stateful.fkMonitor(spark,
+          memC.toDF().select(col("value").as("key")),
+          memP.toDF().select(col("value").as("key")))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("fk_cap_stream").start()
+      val keys = (1L to 64L).toSeq
+      memC.addData(keys.flatMap(k => Seq(k, k, k)): _*)
+      memP.addData(keys.filter(_ % 2 == 0): _*)
+      q.processAllAvailable()
+      q.stop()
+      // the two addData calls may land as separate epochs, so per-key
+      // final state folds over every Update-mode emission: children is
+      // monotone (max), parent latches (exists)
+      val fin = spark.table("fk_cap_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues { rs =>
+          val parent = rs.exists(_._3)
+          val children = rs.map(_._2).max
+          (children, parent, if (parent) 0L else children)
+        }.toMap
+      assert(fin.keySet === keys.toSet)
+      keys.foreach { k =>
+        val (c, p, o) = fin(k)
+        assert(c === 3L, s"children_seen for $k must sum across flushed partials")
+        assert(p === (k % 2 == 0), s"parent_seen for $k must OR across partials")
+        assert(o === (if (k % 2 == 0) 0L else 3L), s"orphans for $k")
+      }
+    } finally spark.conf.unset("spark.graft.fk.partialMaxKeys")
+  }
 }
 
 /** MemoryStream row shape for the streaming-upsert parity spec. */

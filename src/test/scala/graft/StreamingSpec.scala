@@ -413,6 +413,87 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("takedown purge: after the delete-maintained refresh, no retained artifact references a removed file") {
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("graft-takedown-purge").toString
+    val rnd = new scala.util.Random(6161)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 200L).map(i => (i, vec()))
+    base.toDF("vec_id", "embedding").repartition(2)
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val cache = Files.createTempDirectory("graft-takedown-purge-cache").toString
+    spark.conf.set("spark.graft.cache.dir", cache)
+    spark.conf.set("spark.graft.delta.maxAppendFraction", "100")
+    def manifestsReferencing(needle: String): Seq[String] =
+      new java.io.File(cache).listFiles().filter(_.isDirectory).filter { d =>
+        val mf = new java.io.File(d, "_MANIFEST")
+        mf.exists() &&
+          new String(java.nio.file.Files.readAllBytes(mf.toPath)).contains(needle)
+      }.map(_.getName).toSeq
+    try {
+      graft.sources.Materialize.resetBuildCount("knn_edges")
+      graft.operators.Similarity.knnJoinEmbeddings(spark, corpus).count()
+      // epoch 0 (the retraction target) and epoch 1 (survivors), both
+      // delta-maintained — the epoch-0 snapshot's artifacts embed the
+      // removed vectors' derived edges, which is what the purge must
+      // remove from DISK
+      CorpusMaintain.appendEpoch(
+        Seq((9001L, base(6)._2), (9002L, vec())).toDF("vec_id", "embedding"),
+        s"$corpus/embeddings.parquet", 0L)
+      graft.operators.Similarity.knnJoinEmbeddings(spark, corpus).count()
+      CorpusMaintain.appendEpoch(
+        Seq((9901L, vec()), (9902L, vec())).toDF("vec_id", "embedding"),
+        s"$corpus/embeddings.parquet", 1L)
+      graft.operators.Similarity.knnJoinEmbeddings(spark, corpus).count()
+      assert(manifestsReferencing("part-epoch0-").nonEmpty,
+        "pre-purge, the epoch-0 snapshots' artifacts are retained")
+      // retention reap (keep newest) so the refresh exercises the
+      // DELETE path, not the emergent cheapest-prior cache hit
+      val arts = new java.io.File(cache).listFiles()
+        .filter(_.getName.startsWith("knn_edges-")).sortBy(_.lastModified)
+      arts.dropRight(1).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
+      val (removed, purged) = CorpusMaintain.takedownEpochPurge(
+        spark, corpus, "embeddings.parquet", 0L) {
+        graft.operators.Similarity.knnJoinEmbeddings(spark, corpus).count(); ()
+      }
+      assert(removed >= 1)
+      assert(graft.sources.Materialize.deleteBuildCount("knn_edges") === 1,
+        "the sequenced refresh must run BEFORE the purge, off the retained prior")
+      assert(purged.nonEmpty, "the pre-takedown artifact must be purged")
+      assert(manifestsReferencing("part-epoch0-").isEmpty,
+        "post-purge, NO retained artifact's manifest may reference a removed file")
+      // the refreshed survivor artifact is untouched: the next read is
+      // a pure cache hit and equals a from-scratch rebuild
+      val buildsBefore = graft.sources.Materialize.buildCount("knn_edges")
+      val served = graft.operators.Similarity.knnJoinEmbeddings(spark, corpus)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(graft.sources.Materialize.buildCount("knn_edges") === buildsBefore,
+        "the purge must not touch the surviving snapshot's artifact")
+      assert(served.forall(t => t._1 < 9000L || t._1 >= 9900L),
+        "no retracted id may survive")
+      spark.conf.set("spark.graft.cache.dir",
+        Files.createTempDirectory("graft-takedown-purge-cache2").toString)
+      val fresh = graft.operators.Similarity.knnJoinEmbeddings(spark, corpus)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(served === fresh)
+      // idempotent replay: nothing left to remove, nothing to purge
+      spark.conf.set("spark.graft.cache.dir", cache)
+      val (r2, p2) = CorpusMaintain.takedownEpochPurge(
+        spark, corpus, "embeddings.parquet", 0L) { fail("refresh must not run on a no-op replay") }
+      assert(r2 === 0 && p2.isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.cache.dir")
+      spark.conf.unset("spark.graft.delta.maxAppendFraction")
+    }
+  }
+
   test("corpus maintenance append is idempotent per epoch: a replayed epoch overwrites, never duplicates") {
     import spark.implicits._
     val corpus = Files.createTempDirectory("graft-maintain-idem").toString
