@@ -40,6 +40,9 @@ import org.apache.spark.sql.functions._
   *  - `mix` (round 16): the same-epoch crawl+takedown shape — each
   *    step removes one pre-staged doomed batch AND appends a fresh
   *    batch, routing pairs+knn through the remove∘delta composition.
+  *  - `flags` (round 16): append-cost probe for the curation flag
+  *    leaf (delta = row-local flags for the batch + subset
+  *    re-elections + composed-index decon maintenance).
   *
   * For each of `nAppends` batches (fresh ids offset past the corpus
   * max so they can never collide at any scale), times (a) the
@@ -302,6 +305,73 @@ object DeltaProbe {
         s""""knn_edges":${M.deleteBuildCount("knn_edges")}}}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/probe_delta_materialize_mix.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
+
+    if (mode == "flags") {
+      // `flags` (round 16): append-cost probe for the curation flag
+      // leaf — appended batches are perturbed copies of corpus docs
+      // (fresh ids, text prefix), the realistic crawl shape; each step
+      // times the delta-maintained flag rebuild (including its
+      // upstream pair/comp deltas) vs a from-scratch full build of the
+      // same corpus state.
+      val docsDir = s"$work/documents.parquet"
+      graft.sources.Tables.documents(spark, sfDir).write.parquet(docsDir)
+      val nDocs = spark.read.parquet(docsDir).count()
+      val maxDocId = spark.read.parquet(docsDir).agg(max(col("doc_id"))).head.getLong(0)
+      val nDelta = math.max(1L, nDocs * deltaPct / 100)
+      val srcDocs = s"$work/flags_src_docs"
+      val src0 = spark.read.parquet(docsDir)
+      src0.orderBy(col("doc_id")).limit(nDelta.toInt).write.parquet(srcDocs)
+      def stageF(k: Int): Unit = {
+        val st = s"$work/flags_stage$k"
+        val src = spark.read.parquet(srcDocs)
+        src.select((col("doc_id") + (maxDocId + 1) * k).as("doc_id") +:
+            concat(lit(s"appended batch $k doc "), col("text")).as("text") +:
+            src.columns.filterNot(c => c == "doc_id" || c == "text").map(col).toSeq: _*)
+          .write.parquet(st)
+        new java.io.File(st).listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            require(f.renameTo(new java.io.File(docsDir,
+              s"part-flags$k-${f.getName.stripPrefix("part-")}")))
+          }
+      }
+      def timedF(body: => Any): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def freshCacheF(): String =
+        java.nio.file.Files.createTempDirectory("graft_delta_probe_cache").toString
+      def buildFlags(): Double =
+        timedF(graft.operators.Pipeline.curationFlags(spark, work).count())
+      spark.conf.set("spark.graft.cache.dir", freshCacheF())
+      buildFlags() // warmup
+      val liveCache = freshCacheF()
+      spark.conf.set("spark.graft.cache.dir", liveCache)
+      val fb = buildFlags()
+      val deltaSecs = Array.ofDim[Double](nAppends)
+      val fullSecs = Array.ofDim[Double](nAppends)
+      for (k <- 1 to nAppends) {
+        stageF(k)
+        spark.conf.set("spark.graft.cache.dir", liveCache)
+        deltaSecs(k - 1) = buildFlags()
+        spark.conf.set("spark.graft.cache.dir", freshCacheF())
+        fullSecs(k - 1) = buildFlags()
+      }
+      val M = graft.sources.Materialize
+      def r3f(x: Double) = math.rint(x * 1000) / 1000
+      def arrF(xs: Seq[Double]) = xs.map(r3f).mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"delta_materialize","mode":"flags","sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""corpus_docs":$nDocs,"delta_pct":$deltaPct,"n_appends":$nAppends,""" +
+        s""""flags":{"full_base_sec":${r3f(fb)},"delta_sec":${arrF(deltaSecs.toSeq)},""" +
+        s""""full_sec":${arrF(fullSecs.toSeq)}},""" +
+        s""""delta_builds":{"curation_flags":${M.deltaBuildCount("curation_flags")},""" +
+        s""""neardup_pairs":${M.deltaBuildCount("neardup_pairs")},""" +
+        s""""neardup_comps":${M.deltaBuildCount("neardup_comps")}}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/probe_delta_materialize_flags.json"), json + "\n")
       spark.stop()
       println(json)
       return

@@ -684,7 +684,90 @@ object Analytics {
       .orderBy(col("check_name"), col("tbl"))
   }
 
+  /** Referential-integrity audit across the star schema's FK edges —
+    * the batch image of [[graft.streaming.Stateful.fkMonitor]]'s keyed
+    * state, and the first table a data engineer checks after a load:
+    * one row per FK edge with child-row count, orphan rows/keys
+    * (children whose parent is missing) and CHILDLESS parents
+    * (coverage in the opposite direction — e.g. customers who never
+    * ordered; on a clean load the orphan columns are structural
+    * zeros and the childless column is the coverage signal).
+    *
+    * Scale shape per edge: ONE keyed aggregate over child ∪ parent
+    * rows (the fkMonitor pre-reduce as a batch plan — per key, child
+    * count + parent presence, map-side combined), then a bounded
+    * second aggregate; no join, no distinct pass, nothing carried
+    * but (key, count, flag).  Five edges = five independent
+    * pipelines unioned into a 5-row report.
+    */
+  def fkOrphans(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val tagged = child.select(col(childKey).cast("long").as("k"), lit(1L).as("w"))
+        .unionByName(parent.select(col(parentKey).cast("long").as("k"), lit(0L).as("w")))
+      tagged.groupBy(col("k"))
+        .agg(sum(col("w")).as("nc"),
+          max(when(col("w") === 0, 1).otherwise(0)).as("hasp"))
+        .agg(
+          sum(col("nc")).as("n_child_rows"),
+          sum(when(col("hasp") === 0, col("nc")).otherwise(0L)).as("n_orphan_rows"),
+          sum(when(col("hasp") === 0 && col("nc") > 0, 1L).otherwise(0L)).as("n_orphan_keys"),
+          sum(when(col("hasp") === 1 && col("nc") === 0, 1L).otherwise(0L)).as("n_childless_parents"))
+        .select(lit(name).as("fk_name"), col("n_child_rows"),
+          col("n_orphan_rows"), col("n_orphan_keys"), col("n_childless_parents"))
+    }
+    edge("customer_nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey")
+      .unionByName(edge("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"))
+      .unionByName(edge("nation_region", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey"))
+      .unionByName(edge("orders_customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .unionByName(edge("supplier_nation", Tables.supplier(s, dir), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey"))
+      .orderBy(col("fk_name"))
+  }
+
+  /** Directed association rules over the co-purchase substrate —
+    * [[basketPairs]]' undirected top-support view upgraded to the
+    * recommender's actual ranking: for every ordered pair a→b with
+    * support ≥ 2, confidence = P(b|a) = n_ab/n_a and lift =
+    * n_ab·N/(n_a·n_b), top-20 by confidence (support, antecedent,
+    * consequent break ties totally, so the cut is deterministic).
+    *
+    * Rides the materialized `copurchase_pairs` artifact (the
+    * link_predict/graph_kcore substrate — one FileScan instead of the
+    * order-keyed self-join); supports and the order total are one
+    * independent scan-aggregate pair, the 1-row total broadcasts, and
+    * the cut is a TakeOrderedAndProject.  Confidence and lift are
+    * single IEEE divisions of exact integer products ⇒ engine-exact
+    * doubles.
+    */
+  def basketRules(s: SparkSession, dir: String): DataFrame = {
+    val pairs = GraphOps.coPurchasePairs(s, dir)
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint(eager = false)
+    val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_supp"))
+    val directed = pairs.select(col("src").as("a"), col("dst").as("b"), col("n_ab"))
+      .unionByName(pairs.select(col("dst").as("a"), col("src").as("b"), col("n_ab")))
+    directed.filter(col("n_ab") >= 2)
+      .join(supp.select(col("pk").as("a"), col("n_supp").as("n_a")), Seq("a"))
+      .join(supp.select(col("pk").as("b"), col("n_supp").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(items.agg(countDistinct(col("ok")).as("n_orders"))))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("n_ab").as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(desc("confidence"), desc("support"), col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fk_orphans" -> (fkOrphans _),
+    "basket_rules" -> (basketRules _),
     "dq_checks" -> (dqChecks _),
     "drift_report" -> (driftReport _),
     "skew_report" -> (skewReport _),
@@ -703,6 +786,74 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    // each FK edge replayed as NOT-EXISTS scans; orphan columns are
+    // structural zeros on clean TPC-H, childless parents carry signal
+    "fk_orphans" ->
+      """WITH e1 AS (SELECT 'customer_nation' AS fk_name,
+        |  CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_child_rows,
+        |  CAST((SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT) AS n_orphan_rows,
+        |  CAST((SELECT COUNT(DISTINCT c_nationkey) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT) AS n_orphan_keys,
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = p.k)) AS BIGINT) AS n_childless_parents),
+        |e2 AS (SELECT 'lineitem_orders',
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = p.k)) AS BIGINT)),
+        |e3 AS (SELECT 'nation_region',
+        |  CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+        |    (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT n_regionkey) FROM nation n WHERE NOT EXISTS
+        |    (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT r_regionkey AS k FROM region) p
+        |    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = p.k)) AS BIGINT)),
+        |e4 AS (SELECT 'orders_customer',
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.k)) AS BIGINT)),
+        |e5 AS (SELECT 'supplier_nation',
+        |  CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT s_nationkey) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = p.k)) AS BIGINT))
+        |SELECT * FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |  UNION ALL SELECT * FROM e5) ORDER BY fk_name""".stripMargin,
+    "basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |pairs AS (SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |directed AS (SELECT src AS a, dst AS b, n_ab FROM pairs
+        |  UNION ALL SELECT dst, src, n_ab FROM pairs),
+        |supp AS (SELECT pk, COUNT(*) AS n_supp FROM items GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items)
+        |SELECT d.a AS antecedent, d.b AS consequent,
+        |  CAST(d.n_ab AS BIGINT) AS support,
+        |  CAST(d.n_ab AS DOUBLE) / CAST(sa.n_supp AS DOUBLE) AS confidence,
+        |  CAST(d.n_ab * t.n_orders AS DOUBLE)
+        |    / CAST(sa.n_supp * sb.n_supp AS DOUBLE) AS lift
+        |FROM directed d
+        |JOIN supp sa ON d.a = sa.pk
+        |JOIN supp sb ON d.b = sb.pk
+        |CROSS JOIN tot t
+        |WHERE d.n_ab >= 2
+        |ORDER BY confidence DESC, support DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin,
     // every aggregate is an integer count; SUM over ints is HUGEINT in
     // DuckDB -> explicit BIGINT casts (the standard trap)
     "dq_checks" ->

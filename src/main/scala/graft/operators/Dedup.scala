@@ -945,6 +945,52 @@ object Dedup {
       .orderBy(col("test_id"))
   }
 
+  /** 5-gram sidecar params for the DECON substrate — the
+    * [[graft.operators.Pipeline.curationFlags]] delta's alignment
+    * keys (round 16): the decon verdict is the one flag stage whose
+    * evidence is corpus-wide (shared capped 5-grams across the
+    * parity split), so maintaining the flag leaf incrementally needs
+    * the same DF + capped-index sidecar pair the near-dup pair delta
+    * rides — at w = 5 instead of [[ShingleW]].
+    */
+  private[operators] def deconDfParams: Seq[(String, String)] =
+    Seq("w" -> "5", "ver" -> "1")
+
+  private[operators] def deconIdxParams: Seq[(String, String)] =
+    Seq("w" -> "5", "dfCap" -> ShingleDfCap.toString, "ver" -> "1")
+
+  /** Distinct word-5-gram explode — [[decontaminate]]'s substrate. */
+  private[operators] def exploded5(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), 5))).as("shingle"))
+
+  /** Uncapped corpus-wide 5-gram document frequencies for an explicit
+    * BASE file set — built once per base snapshot (the
+    * [[nearDupBaseDf]] discipline), so the flag delta can decide cap
+    * crossings without a corpus re-scan.
+    */
+  private[operators] def deconBaseDf(s: SparkSession, baseFiles: Seq[String]): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "decon_df", baseFiles, deconDfParams) {
+      exploded5(s.read.parquet(baseFiles: _*).select(col("doc_id"), col("text")))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    }
+
+  /** The capped 5-gram (doc_id, shingle) inverted index for an
+    * explicit file set — [[decontaminate]]'s exact shingle/cap
+    * pipeline (same explode, same [[ShingleDfCap]] over BOTH
+    * parities), materialized so the flag leaf's decon stage and its
+    * delta read a FileScan instead of replaying the corpus explode.
+    */
+  private[operators] def deconIndexFiles(s: SparkSession, files: Seq[String]): DataFrame =
+    graft.sources.Materialize.readOrBuild(s, "decon_index", files, deconIdxParams) {
+      val sh = exploded5(s.read.parquet(files: _*).select(col("doc_id"), col("text")))
+        .repartition(col("shingle"))
+      val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap)
+        .select(col("shingle"))
+      sh.hint("merge").join(keep.hint("merge"), Seq("shingle"), "left_semi")
+    }
+
   /** [[decontaminate]]'s 100 TB form: the benchmark/test side is SMALL
     * by contract (benchmarks are megabytes; the training corpus is the
     * 100 TB side), so instead of shuffling every training shingle into

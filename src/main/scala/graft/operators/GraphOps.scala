@@ -528,17 +528,23 @@ object GraphOps {
     * the prior artifact, dropping pairs that hit zero.  A line whose
     * (ok, pk) also survives in another file subtracts nothing — the
     * prior/current sets are both DISTINCT line sets, so replay
-    * duplication cancels by construction.  The delete also refreshes
-    * the sidecar for the surviving snapshot (one linear chunk write),
-    * so sequential maintenance stays aligned even after a compliance
-    * purge ([[graft.sources.Materialize.purgeContaining]]) drops every
-    * chunk that referenced the removed files.
+    * duplication cancels by construction.  Deliberately NO survivor
+    * sidecar refresh: [[graft.sources.Materialize.readAllWithin]]'s
+    * partial-validity semantics keep the existing chunks aligned for
+    * every later maintenance step (a removed file simply drops out of
+    * the valid subset), so unlike the knn/neardup deletes this path
+    * carries no corpus-sized linear term at all — the work is the
+    * chunk-union filter, the touched orders' scans and self-joins,
+    * and the artifact merge.
     *
-    * Declines (→ full rebuild, which compacts): removed bytes exceed
-    * the [[Dedup.MaxAppendFraction]] fraction of the prior corpus (by
-    * the manifest's recorded lengths — removed files cannot be
-    * live-stat'ed), or the chunk set does not cover every removed
-    * file (e.g. chunks reaped by gc/purge before this takedown).
+    * Declines (→ full rebuild, which compacts — re-seeding the chunk
+    * LSM): removed bytes exceed the [[Dedup.MaxAppendFraction]]
+    * fraction of the prior corpus (by the manifest's recorded lengths
+    * — removed files cannot be live-stat'ed), or the chunk set does
+    * not cover every removed file (chunks reaped by gc, or by a
+    * compliance purge — [[graft.sources.Materialize.purgeContaining]]
+    * drops any chunk that listed a removed file, so the takedown
+    * AFTER a purge full-builds once and is incremental again).
     */
   private def coPurchaseDelete(s: SparkSession, prevPairs: DataFrame,
       prevStats: Map[String, String], removedFiles: Seq[String]): DataFrame = {
@@ -563,13 +569,15 @@ object GraphOps {
       .localCheckpoint(eager = false)
     val touched = removedLines.select(col("ok")).distinct()
     val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
-    // refresh the line sidecar FOR THE SURVIVORS (the eager-sidecar
-    // discipline; one linear distinct + skinny write)
-    copLinesChunk(s, survivors)
+    // surviving lines of the touched orders: SEMI-FILTER BEFORE the
+    // distinct, so the scan stays linear and the dedup exchange
+    // carries only the touched orders' lines — a distinct-then-filter
+    // order would shuffle the whole corpus and cost the full build's
+    // first stage (measured: delete ≈ full at sf1 before this)
     val curTouched = s.read.parquet(survivors: _*)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
       .join(touched, Seq("ok"), "left_semi")
+      .distinct()
       .localCheckpoint(eager = false)
     val priorTouched = curTouched.unionByName(removedLines).distinct()
     def orderPairs(lines: DataFrame) =
@@ -689,12 +697,29 @@ object GraphOps {
       .orderBy(col("bucket"))
   }
 
+  /** Support distribution of the co-purchase graph in power-of-two
+    * buckets — [[graphDegreeHist]]'s twin over EDGE WEIGHT instead of
+    * node degree: how heavy is the co-occurrence tail, and is there a
+    * staple pair whose support dwarfs the rest (the skew signal for
+    * any support-floored consumer like link_predict).  Bucket =
+    * ⌊log₂ n_ab⌋ via the exact `bin()` length; rides the materialized
+    * pair substrate — one FileScan, one ≤64-bucket aggregate, nothing
+    * corpus-sized at all.
+    */
+  def pairSupportHist(s: SparkSession, dir: String): DataFrame =
+    coPurchasePairs(s, dir)
+      .groupBy((length(bin(col("n_ab"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_ab")).as("sum_support"),
+        min(col("n_ab")).as("min_support"), max(col("n_ab")).as("max_support"))
+      .orderBy(col("bucket"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_pagerank" -> (knnPagerank _),
     "knn_communities" -> (knnCommunities _),
     "link_predict" -> (linkPredictParts _),
     "graph_kcore" -> (graphKcore _),
     "graph_degree_hist" -> (graphDegreeHist _),
+    "pair_support_hist" -> (pairSupportHist _),
     "graph_triangles" -> (graphTriangles _))
 
   /** graph_kcore oracle: the synchronous peel UNROLLED to a fixed
@@ -738,6 +763,17 @@ object GraphOps {
     */
   def oracleSql: Map[String, String] = Map(
     "graph_kcore" -> kcoreOracle(64, 16),
+    // support histogram over the same DISTINCT-line pair relation;
+    // bin() is exact on both engines (the graph_degree_hist trap note)
+    "pair_support_hist" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS n_ab
+        |      FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+        |SELECT CAST(length(bin(n_ab)) - 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_pairs, CAST(SUM(n_ab) AS BIGINT) AS sum_support,
+        |  CAST(MIN(n_ab) AS BIGINT) AS min_support,
+        |  CAST(MAX(n_ab) AS BIGINT) AS max_support
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // degree = neighbor count over the same DISTINCT-line pair graph;
     // bin() is exact on both engines, so the log2 bucket is integer
     "graph_degree_hist" ->

@@ -572,27 +572,67 @@ object Pipeline {
     * oracles are unchanged by construction.
     */
   private[graft] def curationFlags(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialize.readOrBuild(s, "curation_flags",
+    graft.sources.Materialize.readOrBuildDelta(s, "curation_flags",
       inputs = Seq(s"$dir/documents.parquet"),
-      params = Seq("ver" -> "1"))(curationFlagsBuild(s, dir))
+      params = Seq("ver" -> "1"))(curationFlagsBuild(s, dir)) {
+      (prevFlags, prevFiles, deltaFiles) =>
+        curationFlagsDelta(s, dir, prevFlags, prevFiles, deltaFiles)
+    }
+
+  /** The flag leaf's column contract — full build and delta both end
+    * on this exact order, so delta-built and full-built artifacts are
+    * interchangeable to every consumer.
+    */
+  private val FlagCols = Seq("doc_id", "source", "n_toks", "fp", "comp",
+    "decon", "g_keep", "c_keep", "k1", "k2", "a2", "k3", "k4", "k5", "h")
+
+  /** The ROW-LOCAL flag columns — everything derivable from one doc's
+    * own text (token count, fingerprint, Gopher/C4 keeps, the split
+    * hash).  The delta computes these for APPENDED docs only; an old
+    * doc's row-locals are immutable and carry from the prior artifact.
+    */
+  private def rowLocalFlags(docs: DataFrame): DataFrame = {
+    val gk = TextOps.qualityGopherFlags(docs).select(col("doc_id"), col("keep").as("g_keep"))
+    val ck = TextOps.qualityC4Flags(docs).select(col("doc_id"), col("keep").as("c_keep"))
+    docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .join(gk, Seq("doc_id")).join(ck, Seq("doc_id"))
+      .withColumn("h", concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4)))
+  }
+
+  /** Decon verdicts from the capped 5-gram index: test-side (even
+    * doc_id) docs sharing ≥ 1 capped shingle with a train (odd) doc —
+    * the exact verdict set of [[Dedup.decontaminate]] (same explode,
+    * same cap, existence instead of counts), read from the
+    * materialized index so the flag delta can maintain it without a
+    * corpus re-scan.
+    */
+  private def deconFlagsFrom(idx5: DataFrame): DataFrame =
+    idx5.filter(col("doc_id") % 2 === 0)
+      .join(idx5.filter(col("doc_id") % 2 === 1).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("decon", lit(true))
 
   private def curationFlagsBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a full (re)build compacts: pay the 5-gram DF + capped-index
+    // sidecars for the whole snapshot NOW (the eager-sidecar
+    // discipline — the explode runs once and the first append's delta
+    // then reads both as cache hits); the decon stage reads the index
+    // FileScan, value-identical to the inline Dedup.decontaminate set
+    val files = graft.sources.Materialize.listFiles(s, s"$dir/documents.parquet")
+    Dedup.deconBaseDf(s, files)
+    val decon = deconFlagsFrom(Dedup.deconIndexFiles(s, files))
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
     val comp = Dedup.nearDupComponentLabels(s, dir)
       .select(col("id").as("doc_id"), col("comp"))
-    val decon = Dedup.decontaminate(s, dir)
-      .select(col("test_id").as("doc_id"), lit(true).as("decon"))
-    val gk = TextOps.qualityGopherFlags(docs).select(col("doc_id"), col("keep").as("g_keep"))
-    val ck = TextOps.qualityC4Flags(docs).select(col("doc_id"), col("keep").as("c_keep"))
-    val base = docs.select(col("doc_id"), col("source"),
-        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"),
-        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val base = rowLocalFlags(docs)
       .join(comp, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("doc_id")))
       .join(decon, Seq("doc_id"), "left")
       .withColumn("decon", coalesce(col("decon"), lit(false)))
-      .join(gk, Seq("doc_id")).join(ck, Seq("doc_id"))
     // flag columns materialize ONCE (parquet artifact, via the seam
     // above): the |sources|-row rate aggregates and the consumer
     // funnel/matrix aggregates all read this skinny leaf instead of
@@ -606,7 +646,142 @@ object Pipeline {
       .withColumn("k3", col("k2") && !col("decon"))
       .withColumn("k4", col("k3") && col("g_keep"))
       .withColumn("k5", col("k4") && col("c_keep"))
-      .withColumn("h", concat(lit("0"), substring(md5(col("doc_id").cast("string")), 1, 4)))
+      .select(FlagCols.map(col): _*)
+  }
+
+  /** Append maintenance for the flag leaf (round 16) — previously the
+    * last full-rebuild-per-snapshot substrate.  An append changes:
+    *
+    *  - the APPENDED docs' rows — row-local stages computed fresh;
+    *  - `comp` — read from the (upstream delta-maintained) label
+    *    artifact, joined corpus-wide exactly as the full build does;
+    *  - `decon` — recomputed ONLY for the dirty evens: evens sharing a
+    *    still-capped 5-gram with an appended ODD doc (new train
+    *    evidence), evens holding a shingle the append pushed OVER the
+    *    DF cap (lost evidence — under append, flips are under→over
+    *    only), and the appended docs themselves — over the
+    *    lazily-composed index (base FileScan ∪ appended explode,
+    *    merged-DF cap: the [[Dedup]] pair-delta LSM shape);
+    *  - `k1` — re-elected only inside fp groups the append touched;
+    *  - `k2` — re-elected only inside comp groups holding an appended
+    *    doc, a comp-changed doc, or a k1-changed doc;
+    *  - `a2`/`k3..k5` — pure projections over the merged columns.
+    *
+    * Everything else carries from the prior artifact bit-identically.
+    * Election re-runs are SUBSET windows (semi-join the touched group
+    * keys, window the subset, union the untouched rows back) — no
+    * corpus-wide fp/comp shuffle; the touched-key joins are un-hinted
+    * so AQE sizes them from measurement (the knnCollisionHits
+    * discipline, since MaxAppendFraction admits huge absolute appends
+    * at large corpora).  Saved vs full: the corpus text re-scan
+    * (tokenize + Gopher + C4 + fingerprint over every old doc), the
+    * decon explode + bipartite join, and both corpus-wide election
+    * windows; the floor is the artifact rewrite plus one linear pass
+    * over the composed 5-gram index.
+    *
+    * Declines (→ full rebuild, which compacts): appended bytes past
+    * [[Dedup.maxAppendFraction]]; the decon sidecars or the
+    * base-aligned flags artifact missing.
+    */
+  private def curationFlagsDelta(s: SparkSession, dir: String, prevFlags: DataFrame,
+      prevFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = graft.sources.Materialize
+    if (M.totalBytes(s, deltaFiles) >
+        Dedup.maxAppendFraction(s) * M.totalBytes(s, prevFiles)) return null
+    // alignment at the BASE snapshot (the one whose decon index
+    // exists) — appends accumulate against one base until a full
+    // rebuild compacts
+    val prior = M.readPrior(s, "decon_index",
+      Seq(s"$dir/documents.parquet"), Dedup.deconIdxParams)
+    if (prior.isEmpty) return null
+    val (baseIdx5, baseFiles) = prior.get
+    val appended = ((prevFiles ++ deltaFiles).toSet -- baseFiles).toSeq.sorted
+    if (appended.isEmpty) return null
+    val baseFlags =
+      if (baseFiles.toSet == prevFiles.toSet) prevFlags
+      else M.readIfFresh(s, "curation_flags", baseFiles, Seq("ver" -> "1"))
+        .getOrElse(return null)
+    val appendedDocs = s.read.parquet(appended: _*)
+      .select(col("doc_id"), col("text"), col("source"))
+    // ---- decon maintenance over the composed capped index ----
+    val appSh5 = Dedup.exploded5(appendedDocs)
+    val totalDf5 = Dedup.deconBaseDf(s, baseFiles)
+      .unionByName(appSh5.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+      .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+    val keep5 = totalDf5.filter(col("df") <= Dedup.ShingleDfCap).select(col("shingle"))
+    val composed5 = baseIdx5.unionByName(appSh5)
+      .join(keep5, Seq("shingle"), "left_semi")
+      .repartition(col("shingle"))
+      .localCheckpoint(eager = false)
+    val flipped = baseIdx5.select(col("shingle")).distinct()
+      .join(keep5, Seq("shingle"), "left_anti")
+    val appOddSh = appSh5.filter(col("doc_id") % 2 === 1)
+      .join(keep5, Seq("shingle"), "left_semi")
+      .select(col("shingle")).distinct()
+    val dirtyDecon = composed5.filter(col("doc_id") % 2 === 0)
+        .join(appOddSh, Seq("shingle"), "left_semi").select(col("doc_id"))
+      .unionByName(baseIdx5.join(flipped, Seq("shingle"), "left_semi")
+        .filter(col("doc_id") % 2 === 0).select(col("doc_id")))
+      .unionByName(appendedDocs.select(col("doc_id")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deconNew = composed5.filter(col("doc_id") % 2 === 0)
+      .join(dirtyDecon, Seq("doc_id"), "left_semi")
+      .join(composed5.filter(col("doc_id") % 2 === 1).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("dnew", lit(true))
+    // ---- assemble: carried row-locals + fresh rows, then comp ----
+    val carried = baseFlags.select(col("doc_id"), col("source"), col("n_toks"),
+      col("fp"), col("g_keep"), col("c_keep"), col("h"),
+      col("comp").as("comp_old"), col("decon").as("decon_old"),
+      col("k1").as("k1_old"), col("k2").as("k2_old"))
+    val fresh = rowLocalFlags(appendedDocs)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("fp"), col("g_keep"), col("c_keep"), col("h"),
+        lit(null).cast("long").as("comp_old"),
+        lit(null).cast("boolean").as("decon_old"),
+        lit(null).cast("boolean").as("k1_old"),
+        lit(null).cast("boolean").as("k2_old"))
+    val labels = Dedup.nearDupComponentLabels(s, dir)
+      .select(col("id").as("doc_id"), col("comp"))
+    val withComp = carried.unionByName(fresh)
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val withDecon = withComp
+      .join(dirtyDecon.withColumn("ddirty", lit(true)), Seq("doc_id"), "left")
+      .join(deconNew, Seq("doc_id"), "left")
+      .withColumn("decon", when(col("ddirty").isNotNull,
+        coalesce(col("dnew"), lit(false)))
+        .otherwise(coalesce(col("decon_old"), lit(false))))
+      .drop("ddirty", "dnew")
+      .localCheckpoint(eager = false)
+    // ---- k1: re-elect only fp groups the append touched ----
+    val touchedFps = fresh.select(col("fp")).distinct()
+    val withK1 = withDecon.join(touchedFps, Seq("fp"), "left_semi")
+      .withColumn("k1", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .unionByName(withDecon.join(touchedFps, Seq("fp"), "left_anti")
+        .withColumn("k1", col("k1_old")))
+      .localCheckpoint(eager = false)
+    // ---- k2: re-elect comps holding any appended / comp-changed /
+    // k1-changed doc ----
+    val touchedComps = withK1.filter(col("comp_old").isNull ||
+        col("comp") =!= col("comp_old") || col("k1_old").isNull ||
+        col("k1") =!= col("k1_old"))
+      .select(col("comp")).distinct()
+    val withK2 = withK1.join(touchedComps, Seq("comp"), "left_semi")
+      .withColumn("k2", col("k1") && col("doc_id") ===
+        min(when(col("k1"), col("doc_id"))).over(Window.partitionBy(col("comp"))))
+      .unionByName(withK1.join(touchedComps, Seq("comp"), "left_anti")
+        .withColumn("k2", col("k2_old")))
+    withK2
+      .withColumn("a2", col("doc_id") === col("comp"))
+      .withColumn("k3", col("k2") && !col("decon"))
+      .withColumn("k4", col("k3") && col("g_keep"))
+      .withColumn("k5", col("k4") && col("c_keep"))
+      .select(FlagCols.map(col): _*)
   }
 
   def curationReport(s: SparkSession, dir: String): DataFrame = {

@@ -780,7 +780,33 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
 
+  /** Per-brand return-rate report — the product-quality dashboard a
+    * merchandiser reads off the lineitem flags (which brand's goods
+    * come back).  Aggregate-BEFORE-join: lineitem first reduces to one
+    * (partkey, line count, returned count) row per part — a map-side
+    * combined keyed aggregate — and only that |parts|-sized relation
+    * joins the part dimension, so the join input is the part count,
+    * never the 100 TB fact table (joining first and aggregating after
+    * would shuffle every lineitem row against part).  The ppm rate is
+    * long-lane floor division — engine-exact.
+    */
+  def partReturnRate(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("nl"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"))
+    perPart
+      .join(Tables.part(s, dir).select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), Seq("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("nl")).as("n_lines"), sum(col("nr")).as("n_returned"))
+      .select(col("p_brand"), col("n_lines"), col("n_returned"),
+        expr("(n_returned * 1000000) div n_lines").as("return_ppm"))
+      .orderBy(col("p_brand"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "part_return_rate" -> (partReturnRate _),
     "q1_pricing" -> (q1Pricing _),
     "q3_toporders" -> (q3TopOrders _),
     "q5_regionrev" -> (q5RegionRevenue _),
@@ -818,6 +844,14 @@ object Relational {
     * are engine-specific → rows-only check).
     */
   def oracleSql: Map[String, String] = Map(
+    "part_return_rate" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returned,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS return_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q2_mincost" ->
       s"""WITH $PartsuppCte,
         |en AS (SELECT n_nationkey, n_name FROM nation

@@ -143,6 +143,94 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("fk_orphans equals the set-algebra replay on the clean star schema") {
+    // dimension keys are int32 in the parquet — cast to the long lane
+    // the operator itself uses
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long")).collect().map(_.getLong(0))
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nat = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sup = Tables.supplier(spark, sf)
+      .select(col("s_nationkey").cast("long")).collect().map(_.getLong(0))
+    val reg = Tables.region(spark, sf)
+      .select(col("r_regionkey").cast("long")).collect().map(_.getLong(0))
+    def replay(name: String, children: Seq[Long], parents: Seq[Long]) = {
+      val pset = parents.toSet
+      val cset = children.toSet
+      (name, children.length.toLong,
+        children.count(k => !pset.contains(k)).toLong,
+        cset.count(k => !pset.contains(k)).toLong,
+        pset.count(k => !cset.contains(k)).toLong)
+    }
+    val want = Seq(
+      replay("customer_nation", cust.map(_._2).toSeq, nat.map(_._1).toSeq),
+      replay("lineitem_orders", li.toSeq, ord.map(_._1).toSeq),
+      replay("nation_region", nat.map(_._2).toSeq, reg.toSeq),
+      replay("orders_customer", ord.map(_._2).toSeq, cust.map(_._1).toSeq),
+      replay("supplier_nation", sup.toSeq, nat.map(_._1).toSeq)).sortBy(_._1)
+    val got = Analytics.fkOrphans(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    assert(got.forall(_._3 === 0L), "clean star schema: no orphan rows")
+    assert(got.forall(_._2 > 0L), "every edge audits a nonempty child table")
+    assert(got.map(_._1) === got.map(_._1).sorted, "deterministic edge order")
+  }
+
+  test("fk_orphans: planted orphans and childless parents are counted per edge") {
+    import spark.implicits._
+    // engineered star: nation 1..3; customers referencing nation 1, 2
+    // and a DANGLING nation 9 (two rows on key 9 — orphan rows vs
+    // orphan keys differ); nation 3 has no customers (childless)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fk_orphans").toString
+    Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("n_nationkey", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((10L, 1L), (11L, 2L), (12L, 9L), (13L, 9L))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((0L, "r")).toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((20L, 1L)).toDF("s_suppkey", "s_nationkey").write.parquet(s"$dir/supplier.parquet")
+    Seq((30L, 10L)).toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    Seq((30L, 1L)).toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = Analytics.fkOrphans(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(t => t._1 -> t).toMap
+    assert(got("customer_nation") === (("customer_nation", 4L, 2L, 1L, 1L)),
+      "two orphan rows on one dangling key; nation 3 childless")
+    assert(got("orders_customer") === (("orders_customer", 1L, 0L, 0L, 3L)),
+      "three customers never ordered")
+    assert(got("supplier_nation")._5 === 2L, "nations 2 and 3 have no supplier")
+  }
+
+  test("basket_rules equals the sequential directed-rule replay") {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val supp = items.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairCnt = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length if ps(i) != ps(j))
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val directed = pairCnt.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val want = directed.filter(_._3 >= 2L).map { case (a, b, n) =>
+      (a, b, n, n.toDouble / supp(a).toDouble,
+        (n * nOrders).toDouble / (supp(a) * supp(b)).toDouble)
+    }.sortBy { case (a, b, n, conf, _) => (-conf, -n, a, b) }.take(20)
+    val got = Analytics.basketRules(spark, sf).collect()
+      .map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"),
+        r.getAs[Long]("support"), r.getAs[Double]("confidence"),
+        r.getAs[Double]("lift"))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.forall(t => t._4 > 0.0 && t._4 <= 1.0))
+  }
+
   test("contingency_chi2 cells replay exactly and margins conserve") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_linestatus")).collect()

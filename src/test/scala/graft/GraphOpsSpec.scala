@@ -308,4 +308,20 @@ class GraphOpsSpec extends AnyFunSuite {
     }
     assert(hist.map(_._1).toSeq === hist.map(_._1).toSeq.sorted)
   }
+
+  test("pair_support_hist: buckets partition the support domain and conserve the pair mass") {
+    import org.apache.spark.sql.functions._
+    val hist = GraphOps.pairSupportHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(hist.nonEmpty)
+    val supports = GraphOps.coPurchasePairs(spark, sf)
+      .select(col("n_ab")).collect().map(_.getLong(0))
+    assert(hist.map(_._2).sum === supports.length.toLong, "every pair lands in one bucket")
+    assert(hist.map(_._3).sum === supports.sum, "total support mass conserves")
+    // exact-log2 replay: bucket of n = 63 - nlz(n), the bin()-length form
+    val want = supports.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, xs) => (b.toLong, xs.length.toLong, xs.sum, xs.min, xs.max) }
+      .toSeq.sortBy(_._1)
+    assert(hist.toSeq === want)
+  }
 }

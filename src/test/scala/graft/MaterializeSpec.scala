@@ -724,8 +724,9 @@ class MaterializeSpec extends AnyFunSuite {
         "order 10 keeps its surviving pairs, (4,5) decrements 2→1, (6,7) hits zero, the replayed (20,4) subtracts nothing")
       // takedown 2: remove the APPENDED file E — the original full
       // chunk is now only PARTIALLY valid (file D left the snapshot),
-      // E's lines come from the delta's own chunk, and the sequential
-      // step aligns on the refresh chunk takedown 1 wrote
+      // and E's lines come from the delta's own chunk: sequential
+      // takedowns stay incremental purely on readAllWithin's
+      // partial-validity semantics, no refresh chunk needed
       rm(fileE)
       val viaDelete2 = withCacheDir(cache) {
         pairsOf(GraphOps.coPurchasePairs(spark, dir))
@@ -1010,6 +1011,133 @@ class MaterializeSpec extends AnyFunSuite {
         s"witness death + delta-appeared pair, got ${viaMixed.toSeq}")
       // the carried pair is the same double, not a recompute artifact
       assert(viaMixed.filter(_._1 == 1L).head._3 === before.filter(_._1 == 1L).head._3)
+    }
+  }
+
+  test("curation_flags delta: append re-elects touched groups and maintains decon through cap flips, value-identical to full") {
+    import spark.implicits._
+    // base corpus, engineered so the append exercises every delta leg:
+    //  - docs 10/12: identical texts (fp group; 10 wins k1) — the
+    //    append adds doc 8 with the SAME text and a SMALLER id, so k1
+    //    must re-elect inside the touched fp group (10 loses);
+    //  - docs 14/16 and 18/20: two identical-text near-dup components
+    //    — the append adds doc 15 pairing with BOTH (a doc whose text
+    //    matches neither exactly... here: same text as 14 and 18 is
+    //    impossible, so 15 duplicates 14's text and 17 duplicates
+    //    18's, while 15/17 share their own text? keep it simple: the
+    //    append adds doc 22 with 14's text so comp {14,16,22} gains a
+    //    member (touched comp, k2 re-election path);
+    //  - doc 2 (even): shares the 5-gram "alpha beta gamma delta
+    //    epsilon" with NO base odd doc — the appended ODD doc 21
+    //    carries it, flipping decon(2) false→true;
+    //  - doc 4 (even) and doc 5 (odd): share the hot 5-gram
+    //    "c1 c2 c3 c4 c5" also carried by 126 base fillers (df = 128,
+    //    exactly AT the cap → kept; decon(4) = true) — the appended
+    //    doc 30 carries it too, pushing df to 129 > cap: the shingle
+    //    flips OUT and decon(4) must recompute to false.
+    val hot = "c1 c2 c3 c4 c5"
+    val baseDocs =
+      Seq(
+        (2L, "alpha beta gamma delta epsilon zeta", "a"),
+        (4L, s"$hot only4", "a"),
+        (5L, s"$hot only5", "a"),
+        (10L, "dup one text x1 x2 x3", "a"),
+        (12L, "dup one text x1 x2 x3", "a"),
+        (14L, "pair a text y1 y2 y3", "b"),
+        (16L, "pair a text y1 y2 y3", "b"),
+        (18L, "pair b text z1 z2 z3", "b"),
+        (20L, "pair b text z1 z2 z3", "b")) ++
+        (1 to 126).map(i => (100L + i, s"$hot u$i", if (i % 2 == 0) "a" else "b"))
+    val appDocs = Seq(
+      (8L, "dup one text x1 x2 x3", "a"),    // smaller id wins k1
+      (21L, "alpha beta gamma delta epsilon other", "b"), // odd: new train evidence for 2
+      (22L, "pair a text y1 y2 y3", "b"),    // joins comp {14,16}
+      (30L, s"$hot over", "a"))              // pushes the hot 5-gram over the cap
+    val dir = java.nio.file.Files.createTempDirectory("graft_flags_delta").toString
+    baseDocs.toDF("doc_id", "text", "source").repartition(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_flags_delta_s").toString + "/p"
+    appDocs.toDF("doc_id", "text", "source").repartition(1).write.parquet(stage)
+    def flagsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_toks"), r.getAs[String]("fp"), r.getAs[Long]("comp"),
+        r.getAs[Boolean]("decon"), r.getAs[Boolean]("g_keep"),
+        r.getAs[Boolean]("c_keep"), r.getAs[Boolean]("k1"), r.getAs[Boolean]("k2"),
+        r.getAs[Boolean]("a2"), r.getAs[Boolean]("k3"), r.getAs[Boolean]("k4"),
+        r.getAs[Boolean]("k5"), r.getAs[String]("h")))
+      .sortBy(_._1)
+    withAppendFraction("100") {
+      val cache = freshCacheDir()
+      val before = withCacheDir(cache) {
+        Materialize.resetBuildCount("curation_flags")
+        flagsOf(Pipeline.curationFlags(spark, dir))
+      }
+      val bBy = before.map(t => t._1 -> t).toMap
+      assert(bBy(10L)._9 === true && bBy(12L)._9 === false, "pre-append k1: 10 wins its fp group")
+      assert(bBy(2L)._6 === false, "pre-append decon(2): no odd partner yet")
+      assert(bBy(4L)._6 === true, "pre-append decon(4): the hot 5-gram is at the cap and shared with odd 5")
+      appendParts(stage, s"$dir/documents.parquet")
+      val viaDelta = withCacheDir(cache) {
+        flagsOf(Pipeline.curationFlags(spark, dir))
+      }
+      assert(Materialize.deltaBuildCount("curation_flags") === 1,
+        "the append must maintain the flag leaf incrementally")
+      val viaFull = withCacheDir(freshCacheDir()) {
+        flagsOf(Pipeline.curationFlags(spark, dir))
+      }
+      assert(viaDelta === viaFull,
+        "delta-maintained flags must be value-identical to a full rebuild")
+      val dBy = viaDelta.map(t => t._1 -> t).toMap
+      assert(dBy(8L)._9 === true && dBy(10L)._9 === false,
+        "the appended smaller id must win the touched fp group's k1 election")
+      assert(dBy(2L)._6 === true,
+        "decon(2) must flip true: the appended odd doc brings the shared 5-gram")
+      assert(dBy(4L)._6 === false,
+        "decon(4) must flip false: the append pushed its only shared 5-gram over the cap")
+      assert(dBy(22L)._5 === dBy(14L)._5 && dBy(22L)._5 === dBy(16L)._5,
+        "the appended near-dup must join the existing component")
+      // the cap-out cascades to every even filler that relied on the
+      // hot 5-gram for its decon verdict — the dirty set is postings
+      // of the flipped shingle, not just the doc that motivated it
+      assert(bBy(102L)._6 === true && dBy(102L)._6 === false,
+        "even fillers lose their decon evidence with the capped-out shingle")
+      // genuinely untouched rows carry bit-identically
+      Seq(18L, 20L).foreach(i => assert(dBy(i) === bBy(i), s"doc $i must carry unchanged"))
+    }
+  }
+
+  test("curation_flags delta on the real corpus: funnel consumers read identical values from delta-built and full-built leaves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_flags_sf").toString
+    graft.sources.Tables.documents(spark, sf).write.parquet(s"$dir/documents.parquet")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // appended batch: copies of real docs under fresh ids (touched fp
+    // groups + near-dup components + cross-parity 5-gram overlap — the
+    // realistic crawl shape), one per 25 docs
+    val stage = java.nio.file.Files.createTempDirectory("graft_flags_sf_s").toString + "/p"
+    docs.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + maxId + 1)
+      .repartition(1).write.parquet(stage)
+    withAppendFraction("100") {
+      val cache = freshCacheDir()
+      withCacheDir(cache) {
+        Materialize.resetBuildCount("curation_flags")
+        Pipeline.curationFlags(spark, dir).count()
+      }
+      appendParts(stage, s"$dir/documents.parquet")
+      def reportOf() = Pipeline.curationReport(spark, dir).collect()
+        .map(_.toSeq).toSeq
+      def matrixOf() = Pipeline.curationBySource(spark, dir).collect()
+        .map(_.toSeq).toSeq
+      val (repDelta, matDelta) = withCacheDir(cache) { (reportOf(), matrixOf()) }
+      assert(Materialize.deltaBuildCount("curation_flags") === 1,
+        "the real-corpus append must take the flag delta path")
+      val (repFull, matFull) = withCacheDir(freshCacheDir()) { (reportOf(), matrixOf()) }
+      assert(repDelta === repFull,
+        "curation_report must be identical over delta-built and full-built leaves")
+      assert(matDelta === matFull,
+        "curation_by_source must be identical over delta-built and full-built leaves")
     }
   }
 

@@ -14,6 +14,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("count_order")).sum > 0)
   }
 
+  test("part_return_rate equals the sequential per-brand replay") {
+    import org.apache.spark.sql.functions.col
+    val brand = graft.sources.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lines = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_returnflag")).collect()
+      .map(r => (brand(r.getLong(0)), r.getString(1)))
+    val want = lines.groupBy(_._1).map { case (b, xs) =>
+      val nl = xs.length.toLong
+      val nr = xs.count(_._2 == "R").toLong
+      (b, nl, nr, nr * 1000000L / nl)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.partReturnRate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.exists(_._3 > 0), "some brand has returns")
+  }
+
   test("q5 plan broadcasts the dimension tables") {
     val plan = Relational.q5RegionRevenue(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
