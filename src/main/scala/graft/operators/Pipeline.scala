@@ -784,6 +784,25 @@ object Pipeline {
       .select(FlagCols.map(col): _*)
   }
 
+  /** Per-feed eval-contamination matrix — the decon verdict grouped by
+    * source over the TEST side (even doc_ids): which feed's documents
+    * overlap the eval split, and how badly (ppm).  The question a
+    * curator asks before blaming a benchmark jump on a crawl.  Pure
+    * FileScan consumer of the materialized flag leaf (the decon
+    * column is maintained there through the round-16 delta — this
+    * query pays one |sources|-row aggregate, never the 5-gram join);
+    * ppm is long-lane floor division, oracle-EXACT.
+    */
+  def deconBySource(s: SparkSession, dir: String): DataFrame =
+    curationFlags(s, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test_docs"),
+        sum(when(col("decon"), 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("source"), col("n_test_docs"), col("n_contaminated"),
+        expr("(n_contaminated * 1000000) div n_test_docs").as("contaminated_ppm"))
+      .orderBy(col("source"))
+
   def curationReport(s: SparkSession, dir: String): DataFrame = {
     val flagged = curationFlags(s, dir)
     // stages 7–8, the SELECTION half of the pipeline: source_mix's
@@ -1159,6 +1178,7 @@ object Pipeline {
     "layout_prune" -> (layoutPrune _),
     "curation_report" -> (curationReport _),
     "curation_by_source" -> (curationBySource _),
+    "decon_by_source" -> (deconBySource _),
     "pack_stats" -> (packStats _))
 
   def oracleSql: Map[String, String] = Map(
@@ -1176,6 +1196,26 @@ object Pipeline {
     // attrition report; every value is an exact integer
     // the curation_report CTE chain through fl3 (stages 1-6), grouped
     // by source instead of stacked into the global funnel
+    // the curation oracle's 5-gram decon CTE, grouped by source over
+    // the even (test) side — contamination ppm is long-lane floor div
+    "decon_by_source" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |dsh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+        |          for i in generate_series(1, len(tk)-4)]
+        |    ELSE [] END) AS shingle FROM t),
+        |dsh AS (SELECT * FROM dsh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |dec AS (SELECT DISTINCT te.doc_id FROM dsh te JOIN dsh tr
+        |        ON te.shingle = tr.shingle AND te.doc_id % 2 = 0 AND tr.doc_id % 2 = 1)
+        |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+        |  CAST(SUM(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(SUM(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS contaminated_ppm
+        |FROM t LEFT JOIN dec ON t.doc_id = dec.doc_id
+        |WHERE t.doc_id % 2 = 0
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
     "curation_by_source" ->
       """WITH RECURSIVE t AS (SELECT doc_id, text, source,
         |  string_split_regex(trim(text), '\s+') AS tk,

@@ -264,6 +264,25 @@ class DedupSpec extends AnyFunSuite {
       "the √-temperature mixture keeps the largest source fully")
   }
 
+  test("decon_by_source conserves the test split and replays the flag leaf's decon column") {
+    import org.apache.spark.sql.functions._
+    val flags = graft.operators.Pipeline.curationFlags(spark, sf)
+      .select(col("doc_id"), col("source"), col("decon")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val evens = flags.filter(_._1 % 2 == 0)
+    val want = evens.groupBy(_._2).map { case (src, xs) =>
+      val n = xs.length.toLong
+      val c = xs.count(_._3).toLong
+      (src, n, c, c * 1000000L / n)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Pipeline.deconBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum === evens.length.toLong,
+      "every test-side doc lands in exactly one source row")
+    assert(got.nonEmpty && got.exists(_._3 > 0), "the synthetic corpus has real contamination")
+  }
+
   test("curation_by_source sums to the global funnel at every shared stage") {
     val funnel = graft.operators.Pipeline.curationReport(spark, sf).collect()
       .map(r => r.getAs[String]("stage") ->

@@ -115,6 +115,7 @@ class MaterializeSpec extends AnyFunSuite {
       Materialize.resetBuildCount("curation_flags")
       Pipeline.curationReport(spark, sf).collect()
       Pipeline.curationBySource(spark, sf).collect()
+      Pipeline.deconBySource(spark, sf).collect()
       assert(Materialize.buildCount("curation_flags") === 1,
         "the stage-1–6 flag pipeline must execute once for the whole suite")
     }
