@@ -10,7 +10,8 @@ object Bench {
     * full-suite run is single-pass by design — its role is the
     * suite-wide linearity anchor, not a medians file).
     */
-  private val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+  private val Runs =
+    math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
 
   /** Per-stage GC and task-time accumulator: with per-run snapshots
     * (bus drained around each), every query carries its own measured

@@ -711,7 +711,13 @@ object Analytics {
         .agg(
           sum(col("nc")).as("n_child_rows"),
           sum(when(col("hasp") === 0, col("nc")).otherwise(0L)).as("n_orphan_rows"),
-          sum(when(col("hasp") === 0 && col("nc") > 0, 1L).otherwise(0L)).as("n_orphan_keys"),
+          // NULL child FKs: they ARE orphan rows (NOT EXISTS is true
+          // for a NULL key on both engines) but COUNT(DISTINCT key)
+          // ignores NULLs in SQL — exclude the null group from the key
+          // count so operator and oracle agree by construction on
+          // nullable-FK data, not just on non-null TPC-H.
+          sum(when(col("hasp") === 0 && col("nc") > 0 && col("k").isNotNull, 1L)
+            .otherwise(0L)).as("n_orphan_keys"),
           sum(when(col("hasp") === 1 && col("nc") === 0, 1L).otherwise(0L)).as("n_childless_parents"))
         .select(lit(name).as("fk_name"), col("n_child_rows"),
           col("n_orphan_rows"), col("n_orphan_keys"), col("n_childless_parents"))

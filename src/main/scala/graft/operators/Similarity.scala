@@ -235,7 +235,16 @@ object Similarity {
     // entries are ~100 bytes, 4096 is plenty and a clear only costs a
     // re-count
     if (corpusSizeMemo.size > 4096) corpusSizeMemo.clear()
-    corpusSizeMemo.computeIfAbsent(key, _ => Tables.embeddings(s, dir).count())
+    // count OUTSIDE the map's bin lock: computeIfAbsent would hold the
+    // bin for the whole Spark job, serializing unrelated keys that hash
+    // to the same bin (and a re-entrant memo call inside the mapping
+    // function throws).  A racing duplicate count is idempotent and
+    // cheap (metadata-only scan), so putIfAbsent is the right trade.
+    Option(corpusSizeMemo.get(key)).map(_.longValue()).getOrElse {
+      val n = Tables.embeddings(s, dir).count()
+      corpusSizeMemo.putIfAbsent(key, n)
+      n
+    }
   }
 
   private def lshSearch(v: DataFrame, q0: DataFrame, k: Int, bits: Int): DataFrame = {
@@ -652,8 +661,17 @@ object Similarity {
     * the price of cell counts past the codegen literal budget).
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
+    // rides the materialized IVF-Flat index (see the tier block below
+    // encodeForIndex): train + assign are paid once per snapshot via
+    // the Materialize seam, a query pays probe-pruned FileScan +
+    // broadcast probe join + exact in-cell scoring only.  Cold-build
+    // results are bit-identical to the per-run [[ivfSearch]] (the
+    // parity spec pins it).
+    val (codes, _, centsOpt, _) = annIndexed(s, dir, "ivf")
+    if (codes == null) return emptyTopK(s)
     val v = vecs(s, dir)
-    ivfSearch(v, queryVecs(v), 10, corpusSize(s, dir))
+    val q0 = queryVecs(v).localCheckpoint(eager = true)
+    ivfFlatSearchOn(codes, centsOpt.get, q0, 10)
   }
 
   /** Public IVF entry for a user query set ([[MaxQueries]] contract,
@@ -791,8 +809,14 @@ object Similarity {
     * the spec pins recall@10 vs brute force.
     */
   def annPq(s: SparkSession, dir: String): DataFrame = {
+    // rides the materialized PQ index: codebook training + the corpus
+    // encode are paid once per snapshot; a query pays the 16 B/row ADC
+    // FileScan + shortlist re-rank only.  Bit-identical to the per-run
+    // [[pqSearch]] on a cold snapshot (parity spec).
+    val (codes, books, _, _) = annIndexed(s, dir, "pq")
+    if (codes == null || books.isEmpty) return emptyTopK(s)
     val v = vecs(s, dir)
-    pqSearch(v, queryVecs(v), 10, corpusSize(s, dir))
+    pqSearchOn(codes, books, v, queryVecs(v), 10)
   }
 
   /** Public PQ entry for a user query set ([[MaxQueries]] contract,
@@ -1106,10 +1130,8 @@ object Similarity {
     * [[LiteralCells]] and the broadcast-relation argmax beyond it.
     * Approximate by construction → rows-only oracle.
     */
-  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
-    ivfPqSearch(v, queryVecs(v), 10, corpusSize(s, dir))
-  }
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    annIvfPqIndexed(s, dir, "ivfpq")
 
   /** Public IVF-PQ entry for a user query set ([[MaxQueries]]
     * contract, asserted).  Same plan-build-time action contract as
@@ -1134,9 +1156,25 @@ object Similarity {
     * rows-only oracle; the spec pins recall@10 at-or-above the
     * raw-vector path's floor.
     */
-  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame =
+    annIvfPqIndexed(s, dir, "ivfpqr")
+
+  /** Shared indexed IVF-PQ driver path (raw + residual variants):
+    * train + encode ride the Materialize seam, a query pays the
+    * probe-pruned 16 B/row ADC FileScan + shortlist re-rank.
+    * Bit-identical to the per-run [[ivfPqSearch]] on a cold snapshot
+    * (parity spec).
+    */
+  private def annIvfPqIndexed(s: SparkSession, dir: String, variant: String): DataFrame = {
+    val (codes, books, centsOpt, residual) = annIndexed(s, dir, variant)
+    if (codes == null || books.isEmpty) return emptyTopK(s)
+    val cents = centsOpt.get
     val v = vecs(s, dir)
-    ivfPqSearch(v, queryVecs(v), 10, corpusSize(s, dir), residual = true)
+    val q0 = queryVecs(v).localCheckpoint(eager = true)
+    val nprobe = math.max(4, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val pruned = probePrune(codes,
+      queryProbes(q0, cents, nprobe).localCheckpoint(eager = true))
+    ivfPqSearchOn(pruned, books, cents, nprobe, residual, v, q0, 10)
   }
 
   /** Per-cell residuals of the training sample (driver-local, same
@@ -1380,6 +1418,17 @@ object Similarity {
     require(books.nonEmpty,
       "appendToIndex: index has no trained model (empty-corpus build) — " +
         "rebuild with buildPqIndex/buildIvfPqIndex instead")
+    encodeWithModel(books, centsOpt, residual, newVectors)
+  }
+
+  /** The single encode implementation behind [[encodeForIndex]] and the
+    * materialized codes artifacts — one body, so appendToIndex parity
+    * (append(build(A), B).codes ≡ build(A∪B) codes under one model)
+    * and the artifact-vs-per-run parity pin the same arithmetic.
+    */
+  private def encodeWithModel(books: Array[Array[Array[Double]]],
+      centsOpt: Option[Array[Array[Double]]], residual: Boolean,
+      newVectors: DataFrame): DataFrame = {
     val v = prep(newVectors)
     val sub = books(0)(0).length
     centsOpt match {
@@ -1396,6 +1445,226 @@ object Similarity {
       case None =>
         v.select(col("vec_id"), pqCodesCol(books, sub, col("e"), col("nrm")).as("codes"))
     }
+  }
+
+  // ──────────────────── materialized ANN index tier ────────────────────
+  //
+  // The round-16 sf10 bench priced per-run index construction at
+  // 2,183 s of the 5,125 s suite (ann_ivf slower than brute force —
+  // the index that exists to prune the scan cost more than the scan
+  // because its build was paid per query).  This tier applies the
+  // repo's own Materialize discipline — build once per corpus
+  // snapshot, maintain by delta, consume as a plain FileScan — to the
+  // trained quantizer paths, as TWO artifacts per variant:
+  //
+  //   annix_model_<v>  the O(1) model relation (PQ books, coarse
+  //                    centroids, flags + a training-base-bytes
+  //                    rider).  Append/delete CARRY it verbatim (the
+  //                    FAISS discipline: the quantizer is model state,
+  //                    retrained only at compaction) until cumulative
+  //                    growth/shrink beyond the TRAINED base crosses
+  //                    MaxAppendFraction, when the callback declines
+  //                    and the full rebuild retrains.
+  //   annix_codes_<v>  the corpus-sized code relation, always encoded
+  //                    under the artifact model: append = encode ONLY
+  //                    the batch ([[appendToIndex]]'s algebra) + the
+  //                    linear rewrite floor; takedown = survivor
+  //                    semi-join ([[deleteFromIndex]]'s); mixed rides
+  //                    the seam's remove∘delta composition.  The model
+  //                    FINGERPRINT rides in the codes params, so codes
+  //                    can never pair with a model they were not
+  //                    encoded under — a retrain structurally
+  //                    invalidates every prior codes artifact (the
+  //                    round-15 derived-params discipline).
+  //
+  // Unlike the pair/edge substrates there is NO delta≡full value
+  // identity here — an appended index deliberately keeps the base
+  // quantizer, which a full rebuild would retrain (exactly FAISS's
+  // add-after-train semantics).  The artifact contract is instead:
+  // codes ≡ what [[appendToIndex]]/[[deleteFromIndex]] would produce
+  // (spec-pinned bit-identically), and search recall stays pinned by
+  // the recall specs.  Cold builds on one snapshot ARE bit-identical
+  // to the per-run entries (same deterministic training sample), so
+  // re-pointing the driver queries changed no gate output.
+
+  private[graft] val AnnIndexVer = "1"
+
+  /** Train the variant's model for the CURRENT snapshot — the same
+    * deterministic sample + training the per-run entries use, so a
+    * cold artifact reproduces their results bit-for-bit.  The extra
+    * ("meta", 2) row records the training base's total bytes: the
+    * carry callbacks measure cumulative growth/shrink against the
+    * TRAINED base, not the previous snapshot (the carried model
+    * re-publishes under every snapshot's signature).
+    */
+  private def annTrainModel(s: SparkSession, dir: String, variant: String): DataFrame = {
+    val v = vecs(s, dir)
+    val n = corpusSize(s, dir)
+    val units = trainingSample(v, n)
+    val base = variant match {
+      case "ivf" =>
+        if (units.isEmpty) modelToDf(s, Array.empty, None, residual = false, ivf = true)
+        else {
+          val cells = math.min(math.max(16,
+            math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt)), units.length)
+          modelToDf(s, Array.empty, Some(sphericalKMeans(units, cells, 5)), residual = false)
+        }
+      case "pq" =>
+        if (units.isEmpty) modelToDf(s, Array.empty, None, residual = false)
+        else modelToDf(s,
+          pqBooks(units, PqSubspaces, math.min(PqCodes, units.length)), None, residual = false)
+      case other =>
+        val residual = other == "ivfpqr"
+        if (units.isEmpty) modelToDf(s, Array.empty, None, residual, ivf = true)
+        else {
+          // ivfPqBuild's codes relation is lazy — only the training
+          // half runs here, and it is the SAME training the per-run
+          // entry would do (zero drift by construction)
+          val (books, cents, _) = ivfPqBuild(v, units, None, residual, n)
+          modelToDf(s, books, Some(cents), residual)
+        }
+    }
+    import s.implicits._
+    base.unionByName(Seq(("meta", 2, 0,
+      Seq(graft.sources.Materialize.totalBytes(s,
+        graft.sources.Materialize.listFiles(s, s"$dir/embeddings.parquet")).toDouble)))
+      .toDF("kind", "grp", "idx", "vec"))
+  }
+
+  /** The variant's model artifact for `dir`'s snapshot: trained once,
+    * carried verbatim across appends and takedowns, retrained
+    * (decline → full) when the snapshot drifts past MaxAppendFraction
+    * of the trained base in either direction.
+    */
+  private def annModelDf(s: SparkSession, dir: String, variant: String): DataFrame = {
+    val M = graft.sources.Materialize
+    def trainedBytes(prev: DataFrame): Option[Double] =
+      prev.filter(col("kind") === "meta" && col("grp") === 2)
+        .select(col("vec")).collect().headOption.map(_.getSeq[Double](0).head)
+    M.readOrBuildMaintained(s, s"annix_model_$variant",
+      Seq(s"$dir/embeddings.parquet"),
+      Seq("variant" -> variant, "ver" -> AnnIndexVer))(
+      annTrainModel(s, dir, variant)) { (prev, prevFiles, deltaFiles) =>
+      val cur = M.totalBytes(s, prevFiles ++ deltaFiles).toDouble
+      if (trainedBytes(prev).exists(b =>
+          cur > (1.0 + graft.operators.Dedup.maxAppendFraction(s)) * b)) null
+      else prev
+    } { (prev, prevStats, removedFiles) =>
+      val survivorBytes =
+        (prevStats -- removedFiles).values.map(M.statLen).sum.toDouble
+      if (trainedBytes(prev).exists(b =>
+          survivorBytes < (1.0 - graft.operators.Dedup.maxAppendFraction(s)) * b)) null
+      else prev
+    }
+  }
+
+  /** Canonical model fingerprint (books ++ cents ++ residual over the
+    * doubles' exact bit patterns).  Rides the codes artifact's PARAMS:
+    * prior-artifact detection requires param equality, so any model
+    * change — retrain after drift, version bump — structurally
+    * invalidates every prior codes artifact and forces a re-encode;
+    * mixed-model code relations are impossible by construction.
+    */
+  private def modelFingerprint(books: Array[Array[Array[Double]]],
+      cents: Option[Array[Array[Double]]], residual: Boolean): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    def put(d: Double): Unit = {
+      bb.clear(); bb.putDouble(d); md.update(bb.array())
+    }
+    books.foreach(_.foreach(_.foreach(put)))
+    cents.foreach(_.foreach(_.foreach(put)))
+    md.update(if (residual) 1.toByte else 0.toByte)
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** The variant's codes artifact, always encoded under the
+    * fingerprinted model.  IVF variants get the cid-range file layout
+    * at full build and takedown (each output file covers a narrow
+    * contiguous cell range, so the search-side probe prune skips
+    * whole files); an append leaves the base files' layout intact and
+    * adds the batch as an unsorted LSM tail — no corpus shuffle per
+    * append, and the next compacting full build re-sorts everything
+    * (the cop_lines discipline).  Takedown semi-joins survivors
+    * derived from prevStats − removed (NEVER the live listing — under
+    * mixed composition the appended files are already on disk); the
+    * join already shuffles, so re-applying the layout there is one
+    * exchange, not an extra pass.
+    */
+  private def annCodesDf(s: SparkSession, dir: String, variant: String,
+      books: Array[Array[Array[Double]]], centsOpt: Option[Array[Array[Double]]],
+      residual: Boolean, fp: String): DataFrame = {
+    val M = graft.sources.Materialize
+    def encode(raw: DataFrame): DataFrame = variant match {
+      // IVF-Flat stores the vectors themselves cell-assigned (the
+      // FAISS IVFFlat layout): search then needs NO corpus join at all
+      case "ivf" =>
+        assignCells(prep(raw), centsOpt.get)
+          .select(col("vec_id"), col("cid"), col("e"), col("nrm"))
+      case _ => encodeWithModel(books, centsOpt, residual, raw)
+    }
+    def layout(codes: DataFrame): DataFrame =
+      if (centsOpt.isDefined)
+        codes.repartitionByRange(col("cid"), col("vec_id"))
+          .sortWithinPartitions(col("cid"), col("vec_id"))
+      else codes
+    M.readOrBuildMaintained(s, s"annix_codes_$variant",
+      Seq(s"$dir/embeddings.parquet"),
+      Seq("variant" -> variant, "model" -> fp, "ver" -> AnnIndexVer))(
+      layout(encode(Tables.embeddings(s, dir)))) { (prevCodes, _, deltaFiles) =>
+      prevCodes.unionByName(encode(
+        s.read.parquet(deltaFiles: _*).select(col("vec_id"), col("embedding"))))
+    } { (prevCodes, prevStats, removedFiles) =>
+      val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
+      layout(prevCodes.join(
+        s.read.parquet(survivors: _*).select(col("vec_id")),
+        Seq("vec_id"), "left_semi"))
+    }
+  }
+
+  /** The materialized index for `dir`'s embeddings snapshot:
+    * (codes FileScan, books, cents, residual).  `codes` is null only
+    * for an empty corpus (no trained model → nothing to encode) —
+    * callers early-out to [[emptyTopK]].  Per invocation this costs
+    * the model artifact's stat check + one O(1) model collect; the
+    * corpus-sized work (train + encode) is paid once per snapshot.
+    */
+  private[graft] def annIndexed(s: SparkSession, dir: String, variant: String):
+      (DataFrame, Array[Array[Array[Double]]], Option[Array[Array[Double]]], Boolean) = {
+    val model = annModelDf(s, dir, variant)
+    val (books, centsOpt, residual) = modelFromDf(model)
+    if (books.isEmpty && centsOpt.isEmpty) return (null, books, centsOpt, residual)
+    val fp = modelFingerprint(books, centsOpt, residual)
+    (annCodesDf(s, dir, variant, books, centsOpt, residual, fp),
+      books, centsOpt, residual)
+  }
+
+  /** Probed-cells prefilter: ONE bounded collect (≤ |Q|·nprobe ints —
+    * both contract-bounded) turns the probe set into an In(cid)
+    * literal the FileScan can push down; with the cid-range layout,
+    * unprobed cells' files never leave disk.  Semantically a no-op
+    * (the probe join's equality subsumes it) — pure scan pruning.
+    */
+  private def probePrune(codes: DataFrame, probes: DataFrame): DataFrame = {
+    val cids = probes.select(col("probe")).distinct().collect().map(_.getInt(0))
+    codes.filter(col("cid").isin(cids.toSeq: _*))
+  }
+
+  /** Search the IVF-Flat codes artifact: probe prune, broadcast probe
+    * join, exact in-cell cosine, map-side top-k.  Bit-identical to
+    * [[ivfSearch]] on the same snapshot (same deterministic training,
+    * same probes, same dot arithmetic — parquet round-trips doubles
+    * exactly).
+    */
+  private def ivfFlatSearchOn(codes: DataFrame, cents: Array[Array[Double]],
+      q0: DataFrame, k: Int): DataFrame = {
+    val nprobe = math.max(4, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val probes = queryProbes(q0, cents, nprobe).localCheckpoint(eager = true)
+    val scored = probePrune(codes, probes).join(broadcast(probes),
+        col("cid") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** kNN label vote — similarity search applied: each fixture query
@@ -2027,10 +2296,17 @@ object Similarity {
     // path-side countDistinct would inflate recall exactly when a
     // path drops queries, the failure the audit exists to expose)
     val nq = bf.agg(countDistinct(col("q_id")).as("n_queries"))
+    // the compressed legs ride the materialized index tier — each is a
+    // search-only FileScan once the snapshot's artifacts exist, so the
+    // audit's marginal cost is |Q|-bounded per leg, not a re-train
     val paths: Seq[(String, DataFrame)] = Seq(
       "lsh" -> annLsh(s, dir),
       "pca16" -> annPca(s, dir),
-      "sq8" -> annSq8(s, dir))
+      "sq8" -> annSq8(s, dir),
+      "ivf" -> annIvf(s, dir),
+      "pq" -> annPq(s, dir),
+      "ivfpq" -> annIvfPq(s, dir),
+      "ivfpqr" -> annIvfPqResidual(s, dir))
     paths.map { case (nm, df) =>
       df.select(col("q_id"), col("vec_id"))
         .join(bf, Seq("q_id", "vec_id"), "left_semi")

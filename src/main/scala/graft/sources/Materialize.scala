@@ -85,7 +85,17 @@ object Materialize {
     * the contract that makes read-back and recompute interchangeable.
     */
   def readOrBuild(s: SparkSession, name: String, inputs: Seq[String],
-      params: Seq[(String, String)])(build: => DataFrame): DataFrame = {
+      params: Seq[(String, String)])(build: => DataFrame): DataFrame =
+    readOrBuildAttempt(s, name, inputs, params, PurgeRetries)(build)
+
+  /** Attempts bound for a build whose publish is vetoed by a purge
+    * tombstone (each retry re-stats the inputs, so it only recurs if
+    * ANOTHER takedown landed mid-rebuild — twice is already a storm).
+    */
+  private val PurgeRetries = 3
+
+  private def readOrBuildAttempt(s: SparkSession, name: String, inputs: Seq[String],
+      params: Seq[(String, String)], attempts: Int)(build: => DataFrame): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
     val lines = statLines(s, inputs, params)
     val sig = sha256(lines)
@@ -94,7 +104,12 @@ object Materialize {
     val dest = new Path(root, s"$name-${sig.take(16)}")
     if (!isFresh(fs, dest, sig)) {
       builds.merge(name, 1, (a, b) => a + b)
-      publish(fs, root, dest, sig, lines, build)
+      if (!publish(fs, root, dest, sig, lines, build)) {
+        // a takedown purged one of our inputs while we built: re-stat
+        // (the removed files are gone → new signature) and rebuild
+        require(attempts > 1, s"$name: purge veto persisted across rebuilds")
+        return readOrBuildAttempt(s, name, inputs, params, attempts - 1)(build)
+      }
     }
     s.read.parquet(dest.toString)
   }
@@ -150,6 +165,13 @@ object Materialize {
   def readOrBuildMaintained(s: SparkSession, name: String, inputs: Seq[String],
       params: Seq[(String, String)])(full: => DataFrame)(
       delta: (DataFrame, Seq[String], Seq[String]) => DataFrame)(
+      remove: (DataFrame, Map[String, String], Seq[String]) => DataFrame): DataFrame =
+    readOrBuildMaintainedAttempt(s, name, inputs, params, PurgeRetries)(full)(delta)(remove)
+
+  private def readOrBuildMaintainedAttempt(s: SparkSession, name: String,
+      inputs: Seq[String], params: Seq[(String, String)], attempts: Int)(
+      full: => DataFrame)(
+      delta: (DataFrame, Seq[String], Seq[String]) => DataFrame)(
       remove: (DataFrame, Map[String, String], Seq[String]) => DataFrame): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
     val lines = statLines(s, inputs, params)
@@ -192,7 +214,15 @@ object Materialize {
         }
       val built = viaAppend.orElse(viaDelete).orElse(viaMixed)
       builds.merge(name, 1, (a, b) => a + b)
-      publish(fs, root, dest, sig, lines, built.getOrElse(full))
+      if (!publish(fs, root, dest, sig, lines, built.getOrElse(full))) {
+        // purge-tombstone veto: re-stat (removed files gone → new
+        // signature) and re-run the whole maintenance resolution —
+        // the purge may also have deleted the prior artifact the
+        // maintenance legs would have read
+        require(attempts > 1, s"$name: purge veto persisted across rebuilds")
+        return readOrBuildMaintainedAttempt(
+          s, name, inputs, params, attempts - 1)(full)(delta)(remove)
+      }
       // count maintenance builds only once their artifact has
       // published — a failed publish must not skew the
       // maintenance-costs-the-delta evidence counters; the mixed
@@ -430,8 +460,16 @@ object Materialize {
     * input manifest (the stat lines) riding inside the artifact — the
     * manifest is what makes a later snapshot's append detectable.
     */
+  /** Returns true iff a fresh artifact is committed at `dest` (ours or
+    * a racing identical build's); false iff the artifact was DROPPED
+    * because its manifest intersects the purge tombstone ledger — a
+    * takedown ran while this build was in flight, so the artifact
+    * carries removed documents' derived data and must not survive.
+    * On false the caller re-stats its inputs (the removed files are
+    * gone from disk → new signature → a compliant rebuild).
+    */
   private def publish(fs: FileSystem, root: Path, dest: Path, sig: String,
-      lines: Seq[String], df: DataFrame): Unit = {
+      lines: Seq[String], df: DataFrame): Boolean = {
     val tmp = new Path(root, s".${dest.getName}.tmp-${java.util.UUID.randomUUID}")
     df.write.mode("overwrite").parquet(tmp.toString)
     val out = fs.create(new Path(tmp, "_SIG"))
@@ -445,11 +483,13 @@ object Materialize {
     if (fs.exists(dest)) {
       fs.delete(tmp, true)
       require(isFresh(fs, dest, sig), s"materialize race left no fresh artifact at $dest")
+      true
     } else if (!fs.rename(tmp, dest)) {
       // the race lost between the exists check and the rename; the
       // winner's bytes carry the same signature-keyed name
       fs.delete(tmp, true)
       require(isFresh(fs, dest, sig), s"materialize race left no fresh artifact at $dest")
+      true
     } else {
       // rename semantics vary across Hadoop FS impls — a move-into-
       // existing-directory fallback can leave the whole tmp dir as a
@@ -458,6 +498,18 @@ object Materialize {
       fs.listStatus(dest)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("."))
         .foreach(h => fs.delete(h.getPath, true))
+      // Purge-tombstone re-check, AFTER the rename: a concurrent
+      // [[purgeContaining]] writes its ledger before scanning the root,
+      // so either its scan sees this artifact (and deletes it) or this
+      // check sees its ledger (and drops the artifact) — the in-flight-
+      // build-publishes-after-purge compliance window is closed in both
+      // interleavings.
+      val purged = purgedSet(fs, root)
+      if (purged.nonEmpty && fileLines(lines).exists { case (p, st) =>
+            purged.get(p).exists(statMtime(st) <= _) }) {
+        fs.delete(dest, true)
+        false
+      } else true
     }
   }
 
@@ -602,6 +654,14 @@ object Materialize {
     * Paths are matched after the same qualification the manifests
     * record (`fs.makeQualified` — removed files no longer exist, so
     * they cannot be stat'ed).  Returns the deleted artifact names.
+    *
+    * CONCURRENCY: a build in flight during the purge is invisible to
+    * the scan (its `.tmp-*` dir has no committed manifest), so the
+    * purge also writes a timestamped tombstone ledger ([[PurgeLedger]])
+    * BEFORE scanning; [[publish]] re-checks that ledger after its
+    * rename and drops any artifact whose manifest lists a purged path
+    * at a pre-purge mtime — between the two orderings no offending
+    * artifact survives, without assuming a single writer.
     */
   def purgeContaining(s: SparkSession, removedFiles: Seq[String]): Seq[String] = {
     if (removedFiles.isEmpty) return Nil
@@ -611,6 +671,19 @@ object Materialize {
     if (!fs.exists(root)) return Nil
     val doomed = removedFiles
       .map(f => fs.makeQualified(new Path(absolutize(f))).toString).toSet
+    // Tombstone ledger FIRST, scan second: a build in flight during
+    // this purge publishes its artifact only after re-checking the
+    // ledger (see [[publish]]) — writing the ledger before the scan
+    // means one of the two sides always sees the other, so no artifact
+    // listing a purged input can survive either interleaving.  The
+    // ledger is a union-on-write text file: concurrent purges are
+    // last-writer-wins on the FILE but each writer unions the prior
+    // contents, so a lost entry requires two purges racing within one
+    // read-modify-write — and even then the loser's scan already
+    // deleted every matching artifact on disk.
+    val now = System.currentTimeMillis()
+    writePurgeLedger(fs, root,
+      purgedSet(fs, root) ++ doomed.map(_ -> now).toMap)
     fs.listStatus(root).toSeq
       .map(_.getPath)
       .filter(p => !p.getName.startsWith("."))
@@ -621,6 +694,37 @@ object Materialize {
       }
       .map { p => fs.delete(p, true); p.getName }
   }
+
+  /** Purge tombstone ledger: `qualifiedPath|purgeEpochMs` per line
+    * under the cache root, read by [[publish]]'s post-rename
+    * compliance check.  The timestamp scopes the tombstone: an
+    * artifact is doomed only if its manifest records the path with an
+    * mtime ≤ the purge time — a later re-crawl that legitimately
+    * re-creates the same filename produces manifests with a NEWER
+    * mtime, which publish correctly lets through (a bare path
+    * tombstone would doom every future snapshot of that file).
+    */
+  private val PurgeLedger = "_PURGED"
+
+  private def purgedSet(fs: FileSystem, root: Path): Map[String, Long] =
+    readSmallFile(fs, new Path(root, PurgeLedger))
+      .map(_.linesIterator.filter(_.nonEmpty).map { l =>
+        val cut = l.lastIndexOf('|')
+        (l.substring(0, cut), l.substring(cut + 1).toLong)
+      }.toList.groupMapReduce(_._1)(_._2)(math.max))
+      .getOrElse(Map.empty)
+
+  private def writePurgeLedger(fs: FileSystem, root: Path,
+      entries: Map[String, Long]): Unit = {
+    val out = fs.create(new Path(root, PurgeLedger), true)
+    try out.write(entries.toSeq.sorted.map { case (p, t) => s"$p|$t" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** mtime component of a manifest "len|mtime" stat. */
+  private def statMtime(st: String): Long =
+    st.substring(st.indexOf('|') + 1).toLong
 
   /** Scheme-less paths are local-filesystem relative: absolutize against
     * the JVM cwd so the Hadoop Path doesn't resolve against fs.defaultFS's

@@ -1181,4 +1181,182 @@ class MaterializeSpec extends AnyFunSuite {
       assert(get().count() === 50)
     }
   }
+
+  test("purge tombstone: a build over purged inputs cannot publish; a re-created path can") {
+    val cache = freshCacheDir()
+    val in = java.nio.file.Files.createTempDirectory("graft_purge_ts").toString + "/t.parquet"
+    spark.range(20).write.parquet(in)
+    val parts = new java.io.File(in).listFiles().filter(_.getName.startsWith("part-"))
+    withCacheDir(cache) {
+      Materialize.readOrBuild(spark, "spec_ts", Seq(in), Seq("ver" -> "1"))(
+        spark.read.parquet(in)).count()
+      // takedown: the input files leave disk, the purge reaps the
+      // artifact AND writes the timestamped tombstone ledger
+      val partPaths = parts.map(_.getAbsolutePath).toSeq
+      val bytes = parts.map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath))
+      parts.foreach(f => assert(f.delete()))
+      assert(Materialize.purgeContaining(spark, partPaths).nonEmpty)
+      // a build whose manifest lists a purged path at a PRE-purge
+      // mtime is vetoed at publish — repeatedly, so the bounded retry
+      // fails loudly instead of resurrecting removed documents'
+      // derived data (the in-flight-build compliance window)
+      bytes.foreach { case (nm, bs) =>
+        val f = new java.io.File(in, nm)
+        java.nio.file.Files.write(f.toPath, bs)
+        assert(f.setLastModified(System.currentTimeMillis() - 60000))
+      }
+      val e = intercept[IllegalArgumentException] {
+        Materialize.readOrBuild(spark, "spec_ts", Seq(in), Seq("ver" -> "2"))(
+          spark.read.parquet(in)).count()
+      }
+      assert(e.getMessage.contains("purge veto"))
+      // but a legitimately RE-CREATED file (same path, post-purge
+      // mtime — tomorrow's crawl re-emitting the filename) publishes:
+      // the tombstone is scoped by time, not forever-by-path
+      new java.io.File(in).listFiles().filter(_.getName.startsWith("part-"))
+        .foreach(f => assert(f.setLastModified(System.currentTimeMillis() + 2000)))
+      assert(Materialize.readOrBuild(spark, "spec_ts", Seq(in), Seq("ver" -> "3"))(
+        spark.read.parquet(in)).count() === 20L)
+    }
+  }
+
+  // ───────────────── materialized ANN index tier (round 17) ─────────────────
+
+  test("ann index tier: cold artifacts reproduce the per-run entries bit-for-bit, one build each") {
+    val S = graft.operators.Similarity
+    val v = S.normalizedVecs(spark, sf)
+    val n = S.corpusSize(spark, sf)
+    def strs(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    withCacheDir(freshCacheDir()) {
+      Seq("ivf", "pq", "ivfpq", "ivfpqr").foreach { vnt =>
+        Materialize.resetBuildCount(s"annix_model_$vnt")
+        Materialize.resetBuildCount(s"annix_codes_$vnt")
+      }
+      // the per-run reference paths re-train/re-encode inline — the
+      // indexed driver entries must emit EXACTLY their rows (same
+      // deterministic sample, same arithmetic, parquet round-trip
+      // exact on doubles and ints)
+      assert(strs(S.annIvf(spark, sf)) === strs(S.ivfSearch(v, S.queryVecs(v), 10, n)))
+      assert(strs(S.annPq(spark, sf)) === strs(S.pqSearch(v, S.queryVecs(v), 10, n)))
+      assert(strs(S.annIvfPq(spark, sf)) === strs(S.ivfPqSearch(v, S.queryVecs(v), 10, n)))
+      assert(strs(S.annIvfPqResidual(spark, sf)) ===
+        strs(S.ivfPqSearch(v, S.queryVecs(v), 10, n, residual = true)))
+      // second invocation: pure cache hit — search-only, zero rebuilds
+      S.annIvfPq(spark, sf).count()
+      Seq("ivf", "pq", "ivfpq", "ivfpqr").foreach { vnt =>
+        assert(Materialize.buildCount(s"annix_model_$vnt") === 1, s"model $vnt")
+        assert(Materialize.buildCount(s"annix_codes_$vnt") === 1, s"codes $vnt")
+      }
+    }
+  }
+
+  /** Read a tier artifact's parquet straight from the cache root (the
+    * driver queries' own leaf) — newest publication wins.
+    */
+  private def annArtifact(cache: String, name: String): org.apache.spark.sql.DataFrame = {
+    val dirs = new java.io.File(cache).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$name-"))
+    assert(dirs.nonEmpty, s"no $name artifact in $cache")
+    spark.read.parquet(dirs.maxBy(_.lastModified()).toString)
+  }
+
+  test("ann index append: model carried verbatim, codes delta equals appendToIndex's algebra") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val rnd = new scala.util.Random(8642)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 240L).map(i => (i, vec()))
+    val batch = (9001L to 9040L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annix_app").toString
+    base.toDF("vec_id", "embedding").repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_annix_app_stage").toString + "/p"
+    batch.toDF("vec_id", "embedding").repartition(1).write.parquet(stage)
+    val cache = freshCacheDir()
+    def codesOf(name: String) = annArtifact(cache, name)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .sortBy(_._1).toSeq
+    val (baseCodes, baseModel) = withCacheDir(cache) {
+      Materialize.resetBuildCount("annix_model_ivfpq")
+      Materialize.resetBuildCount("annix_codes_ivfpq")
+      S.annIvfPq(spark, dir).count()
+      (codesOf("annix_codes_ivfpq"),
+        annArtifact(cache, "annix_model_ivfpq").collect().map(_.toString).sorted.toSeq)
+    }
+    appendParts(stage, s"$dir/embeddings.parquet")
+    withAppendFraction("1000") {
+      withCacheDir(cache) { S.annIvfPq(spark, dir).count() }
+    }
+    assert(Materialize.deltaBuildCount("annix_model_ivfpq") === 1, "model must carry, not retrain")
+    assert(Materialize.deltaBuildCount("annix_codes_ivfpq") === 1, "codes must delta, not re-encode")
+    // the carried model is bit-identical (training-base rider included)
+    assert(annArtifact(cache, "annix_model_ivfpq").collect().map(_.toString).sorted.toSeq
+      === baseModel)
+    // codes ≡ the public appendToIndex algebra on the same base —
+    // encode ONLY the batch under the base-trained model, union
+    val expected = S.appendToIndex(
+      S.buildIvfPqIndex(base.toDF("vec_id", "embedding")),
+      batch.toDF("vec_id", "embedding")).codes
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .sortBy(_._1).toSeq
+    assert(codesOf("annix_codes_ivfpq") === expected)
+    // base rows' cells + codes carried bit-identically inside that
+    assert(codesOf("annix_codes_ivfpq").filter(_._1 <= 240L) === baseCodes)
+  }
+
+  test("ann index takedown: codes return to the base state exactly; oversized drift retrains") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val rnd = new scala.util.Random(9753)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 200L).map(i => (i, vec()))
+    val batch = (9001L to 9030L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annix_del").toString
+    base.toDF("vec_id", "embedding").repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_annix_del_stage").toString + "/p"
+    batch.toDF("vec_id", "embedding").repartition(1).write.parquet(stage)
+    val cache = freshCacheDir()
+    def codesOf() = annArtifact(cache, "annix_codes_ivf")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val baseCodes = withCacheDir(cache) {
+      Materialize.resetBuildCount("annix_model_ivf")
+      Materialize.resetBuildCount("annix_codes_ivf")
+      S.annIvf(spark, dir).count()
+      codesOf()
+    }
+    val baseArtifacts = new java.io.File(cache).listFiles().map(_.getName).toSet
+    val appended = new java.io.File(s"$dir/embeddings.parquet").listFiles()
+      .filter(_.getName.startsWith("part-append-"))
+    appendParts(stage, s"$dir/embeddings.parquet")
+    withAppendFraction("1000") { withCacheDir(cache) { S.annIvf(spark, dir).count() } }
+    assert(Materialize.deltaBuildCount("annix_codes_ivf") === 1)
+    // reap the base-snapshot artifacts so the takedown can't resolve
+    // as the emergent cheapest-prior cache hit — force the delete path
+    new java.io.File(cache).listFiles()
+      .filter(f => baseArtifacts.contains(f.getName))
+      .foreach(f => { def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); () }; rm(f) })
+    new java.io.File(s"$dir/embeddings.parquet").listFiles()
+      .filter(_.getName.startsWith("part-append-")).foreach(f => assert(f.delete()))
+    assert(appended != null) // silence unused warning paths
+    withAppendFraction("1000") { withCacheDir(cache) { S.annIvf(spark, dir).count() } }
+    assert(Materialize.deleteBuildCount("annix_model_ivf") === 1, "model carried through takedown")
+    assert(Materialize.deleteBuildCount("annix_codes_ivf") === 1, "codes must semi-join survivors")
+    // append∘delete of the same file is the identity on the codes —
+    // bit-for-bit back to the base state (carried model ⇒ same cells)
+    assert(codesOf() === baseCodes)
+    // drift retrain: an append far past MaxAppendFraction of the
+    // TRAINED base declines the carry — model full-retrains and the
+    // fingerprint change forces a codes re-encode (never mixed models)
+    val big = (20001L to 20600L).map(i => (i, vec()))
+    val stage2 = java.nio.file.Files.createTempDirectory("graft_annix_del_s2").toString + "/p"
+    big.toDF("vec_id", "embedding").repartition(1).write.parquet(stage2)
+    appendParts(stage2, s"$dir/embeddings.parquet")
+    val modelBuilds = Materialize.buildCount("annix_model_ivf")
+    val modelDeltas = Materialize.deltaBuildCount("annix_model_ivf")
+    withCacheDir(cache) { S.annIvf(spark, dir).count() }
+    assert(Materialize.buildCount("annix_model_ivf") === modelBuilds + 1)
+    assert(Materialize.deltaBuildCount("annix_model_ivf") === modelDeltas, "decline, not carry")
+    val n = S.corpusSize(spark, dir)
+    assert(annArtifact(cache, "annix_codes_ivf").count() === n)
+  }
 }

@@ -97,14 +97,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.2, s"avg recall@10 = $avg")
   }
 
-  test("ivfpq scans codes via an equi broadcast join on cid (no nested-loop, checkpoint leaf)") {
+  test("ivfpq scans codes via an equi broadcast join on cid (no nested-loop, artifact leaf)") {
     val p = Similarity.annIvfPq(spark, sf).queryExecution.executedPlan.toString
     // cell pruning = equi join; PQ's all-pairs BNLJ must NOT appear
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(15).mkString("\n"))
     assert(!p.contains("BroadcastNestedLoopJoin"), "ivfpq must not scan all (q, v) pairs")
-    // the ADC side reads the materialized code relation, not a re-encode
-    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"),
-      "code relation must be a materialized leaf")
+    // round 17: the ADC side reads the materialized annix_codes
+    // artifact as a parquet FileScan — never a per-run re-encode
+    assert(p.contains("annix_codes_ivfpq"),
+      "code relation must be the materialized index artifact")
+    // and the probe prune reaches the scan as a pushed In(cid) filter,
+    // so unprobed cells' files are skipped physically
+    assert(p.contains("In(cid") || p.contains("cid IN") || p.contains("in(cid"),
+      "probe prune must reach the codes scan:\n" +
+        p.linesIterator.filter(_.contains("annix")).mkString("\n"))
   }
 
   test("ivf is deterministic across runs") {
@@ -831,7 +837,11 @@ class SimilaritySpec extends AnyFunSuite {
     val reference = Map(
       "lsh" -> topSets(Similarity.annLsh(spark, sf).collect()),
       "pca16" -> topSets(Similarity.annPca(spark, sf).collect()),
-      "sq8" -> topSets(Similarity.annSq8(spark, sf).collect()))
+      "sq8" -> topSets(Similarity.annSq8(spark, sf).collect()),
+      "ivf" -> topSets(Similarity.annIvf(spark, sf).collect()),
+      "pq" -> topSets(Similarity.annPq(spark, sf).collect()),
+      "ivfpq" -> topSets(Similarity.annIvfPq(spark, sf).collect()),
+      "ivfpqr" -> topSets(Similarity.annIvfPqResidual(spark, sf).collect()))
     val got = Similarity.annRecallReport(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("n_queries"),
         r.getAs[Long]("hits"), r.getAs[Long]("recall_ppm"))).toMap
@@ -850,6 +860,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got("sq8")._3 >= 800000L)
     assert(got("pca16")._3 >= 200000L)
     assert(got("lsh")._3 >= 150000L)
+    // the indexed quantizer legs (round 17) — same floors their
+    // per-path specs pin
+    assert(got("ivf")._3 >= 300000L)
+    assert(got("pq")._3 >= 300000L)
+    assert(got("ivfpq")._3 >= 300000L)
+    assert(got("ivfpqr")._3 >= 300000L)
   }
 
   test("embed_audit matches a sequential fold replay; corpus is uniform-dim and zero-free") {
