@@ -43,6 +43,9 @@ import org.apache.spark.sql.functions._
   *  - `flags` (round 16): append-cost probe for the curation flag
   *    leaf (delta = row-local flags for the batch + subset
   *    re-elections + composed-index decon maintenance).
+  *  - `flagsdel` (round 17): takedown-cost probe for the flag leaf
+  *    (delete = survivor sidecar refresh + surgical two-direction
+  *    decon + subset re-elections vs the full survivor rebuild).
   *
   * For each of `nAppends` batches (fresh ids offset past the corpus
   * max so they can never collide at any scale), times (a) the
@@ -372,6 +375,72 @@ object DeltaProbe {
         s""""neardup_comps":${M.deltaBuildCount("neardup_comps")}}}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/probe_delta_materialize_flags.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
+
+    if (mode == "flagsdel") {
+      // `flagsdel` (round 17): takedown-cost probe for the curation
+      // flag leaf — the corpus is staged as a core file plus
+      // `nAppends` removable slice files of ~deltaPct% each (ALL part
+      // of the compacted base, the GDPR-on-old-data shape); each step
+      // removes one slice and times the delete-maintained rebuild
+      // (survivor sidecar refresh + surgical decon + subset
+      // re-elections) vs a from-scratch full build of the survivors.
+      val docsDir = s"$work/documents.parquet"
+      val all = graft.sources.Tables.documents(spark, sfDir)
+      val nDocs = all.count()
+      val nDelta = math.max(1L, nDocs * deltaPct / 100)
+      val ids = all.select(col("doc_id")).orderBy(col("doc_id"))
+        .limit((nDelta * nAppends).toInt).collect().map(_.getLong(0))
+      val core = all.filter(col("doc_id") > ids.last)
+      core.write.parquet(docsDir)
+      for (k <- 1 to nAppends) {
+        val lo = ids(((k - 1) * nDelta).toInt)
+        val hi = ids((k * nDelta - 1).toInt)
+        val st = s"$work/flagsdel_stage$k"
+        all.filter(col("doc_id") >= lo && col("doc_id") <= hi).write.parquet(st)
+        new java.io.File(st).listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            require(f.renameTo(new java.io.File(docsDir,
+              s"part-slice$k-${f.getName.stripPrefix("part-")}")))
+          }
+      }
+      def timedF(body: => Any): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def freshCacheF(): String =
+        java.nio.file.Files.createTempDirectory("graft_delta_probe_cache").toString
+      def buildFlags(): Double =
+        timedF(graft.operators.Pipeline.curationFlags(spark, work).count())
+      spark.conf.set("spark.graft.cache.dir", freshCacheF())
+      buildFlags() // warmup
+      val liveCache = freshCacheF()
+      spark.conf.set("spark.graft.cache.dir", liveCache)
+      val fb = buildFlags()
+      val deleteSecs = Array.ofDim[Double](nAppends)
+      val fullSecs = Array.ofDim[Double](nAppends)
+      for (k <- 1 to nAppends) {
+        new java.io.File(docsDir).listFiles()
+          .filter(_.getName.startsWith(s"part-slice$k-"))
+          .foreach(f => require(f.delete()))
+        spark.conf.set("spark.graft.cache.dir", liveCache)
+        deleteSecs(k - 1) = buildFlags()
+        spark.conf.set("spark.graft.cache.dir", freshCacheF())
+        fullSecs(k - 1) = buildFlags()
+      }
+      val M = graft.sources.Materialize
+      def r3f(x: Double) = math.rint(x * 1000) / 1000
+      def arrF(xs: Seq[Double]) = xs.map(r3f).mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"delete_materialize","mode":"flagsdel","sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""corpus_docs":$nDocs,"delta_pct":$deltaPct,"n_removals":$nAppends,""" +
+        s""""flags":{"full_base_sec":${r3f(fb)},"delete_sec":${arrF(deleteSecs.toSeq)},""" +
+        s""""full_sec":${arrF(fullSecs.toSeq)}},""" +
+        s""""delete_builds":{"curation_flags":${M.deleteBuildCount("curation_flags")}}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/probe_delta_materialize_flagsdel.json"), json + "\n")
       spark.stop()
       println(json)
       return

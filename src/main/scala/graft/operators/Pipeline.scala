@@ -572,11 +572,13 @@ object Pipeline {
     * oracles are unchanged by construction.
     */
   private[graft] def curationFlags(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialize.readOrBuildDelta(s, "curation_flags",
+    graft.sources.Materialize.readOrBuildMaintained(s, "curation_flags",
       inputs = Seq(s"$dir/documents.parquet"),
       params = Seq("ver" -> "1"))(curationFlagsBuild(s, dir)) {
       (prevFlags, prevFiles, deltaFiles) =>
         curationFlagsDelta(s, dir, prevFlags, prevFiles, deltaFiles)
+    } { (prevFlags, prevStats, removedFiles) =>
+      curationFlagsDelete(s, dir, prevFlags, prevStats, removedFiles)
     }
 
   /** The flag leaf's column contract — full build and delta both end
@@ -771,6 +773,153 @@ object Pipeline {
         col("comp") =!= col("comp_old") || col("k1_old").isNull ||
         col("k1") =!= col("k1_old"))
       .select(col("comp")).distinct()
+    val withK2 = withK1.join(touchedComps, Seq("comp"), "left_semi")
+      .withColumn("k2", col("k1") && col("doc_id") ===
+        min(when(col("k1"), col("doc_id"))).over(Window.partitionBy(col("comp"))))
+      .unionByName(withK1.join(touchedComps, Seq("comp"), "left_anti")
+        .withColumn("k2", col("k2_old")))
+    withK2
+      .withColumn("a2", col("doc_id") === col("comp"))
+      .withColumn("k3", col("k2") && !col("decon"))
+      .withColumn("k4", col("k3") && col("g_keep"))
+      .withColumn("k5", col("k4") && col("c_keep"))
+      .select(FlagCols.map(col): _*)
+  }
+
+  /** Takedown maintenance for the flag leaf (round 17) — the symmetric
+    * twin of [[curationFlagsDelta]], closing the last full-rebuild
+    * mutation path (r16 left the leaf append-delta only, so a GDPR
+    * takedown forced the ~98.6 s-at-sf10 full rebuild).  A delete
+    * changes:
+    *
+    *  - removed docs' rows — dropped (survivor semi-join);
+    *  - row-locals of survivors — immutable, carried bit-identically;
+    *  - `comp` — re-joined corpus-wide from the upstream
+    *    delete-maintained label artifact (a removed bridge doc can
+    *    split components; `comp_old` is kept for dirty detection);
+    *  - `decon` — recomputed ONLY for dirty evens, in BOTH flip
+    *    directions: evidence LEAVES with a removed odd's shingles
+    *    (true→false — postings from the base index; an over-cap
+    *    shingle never carried evidence, so capped postings suffice),
+    *    and evidence RETURNS when the removals drop a capped-out
+    *    shingle's df back under [[Dedup.ShingleDfCap]] (false→true —
+    *    under delete df only falls, so cap flips are re-admissions
+    *    only, detected by base-vs-survivor df compare);
+    *  - `k1` — re-elected only inside fp groups that LOST a member
+    *    (the removed docs' fps — inheritance: the next-smallest id
+    *    takes the election);
+    *  - `k2` — re-elected inside comps that lost a member (the
+    *    removed docs' PREV comp ids), changed label, or changed k1;
+    *  - `a2`/`k3..k5` — pure projections, as everywhere.
+    *
+    * The delete REFRESHES the decon sidecars for the survivors (one
+    * linear explode pass each — the knn eager-sidecar discipline):
+    * they are this delete's exact evidence (survivor df for the
+    * re-admission compare, survivor postings for the recompute) AND
+    * the aligned base the NEXT maintenance step — including the MIXED
+    * remove∘delta composition, whose delta leg looks the refreshed
+    * index up via readPrior — hits as a cache read.  Saved vs full:
+    * rowLocalFlags' four text passes (tokenize, fingerprint, Gopher,
+    * C4) and both corpus-wide election windows; the floor is the two
+    * sidecar explodes + the artifact rewrite.
+    *
+    * Declines (→ full rebuild, which compacts): removed bytes past
+    * [[Dedup.maxAppendFraction]] of the prev corpus; base-aligned
+    * sidecars missing; a removed file OUTSIDE the sidecars' base (an
+    * un-compacted append — its text is gone and its shingles were
+    * never materialized, so its evidence is unrecoverable; in
+    * practice a takedown of recent epochs resolves as the emergent
+    * cheapest-prior cache hit before ever reaching this builder).
+    */
+  private def curationFlagsDelete(s: SparkSession, dir: String, prevFlags: DataFrame,
+      prevStats: Map[String, String], removedFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = graft.sources.Materialize
+    val removedBytes = removedFiles.map(f => M.statLen(prevStats(f))).sum
+    if (removedBytes >
+        Dedup.maxAppendFraction(s) * prevStats.values.map(M.statLen).sum) return null
+    // base-aligned sidecars valid for the PREV snapshot — removed
+    // files included, their postings are the witness-loss dirty set
+    val baseIdx = M.readWithin(s, "decon_index", prevStats, Dedup.deconIdxParams)
+    val baseDfA = M.readWithin(s, "decon_df", prevStats, Dedup.deconDfParams)
+    if (baseIdx.isEmpty || baseDfA.isEmpty) return null
+    val (baseIdx5, baseFiles) = baseIdx.get
+    if (baseDfA.get._2.toSet != baseFiles.toSet) return null // sidecars must share one base
+    if (!removedFiles.forall(baseFiles.contains)) return null
+    val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
+    // appends retained since the base compaction (on disk, not removed
+    // — removed ⊆ base was just checked): their shingle counts compose
+    // the PREV snapshot's df for the re-admission compare, exactly the
+    // delta's lazy-composition trick
+    val appendsRetained = (prevStats.keySet -- baseFiles).toSeq.sorted
+    // eager sidecar refresh for the survivors (see scaladoc)
+    val survDf = Dedup.deconBaseDf(s, survivors)
+    val survIdx = Dedup.deconIndexFiles(s, survivors)
+    val survIds = s.read.parquet(survivors: _*).select(col("doc_id"))
+    val removedIds = prevFlags.select(col("doc_id"))
+      .join(survIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
+    // ---- decon dirty set: witness loss ∪ cap re-admission ----
+    val removedOddSh = baseIdx5
+      .join(removedIds.filter(col("doc_id") % 2 === 1), Seq("doc_id"), "left_semi")
+      .select(col("shingle")).distinct()
+    val prevDf =
+      if (appendsRetained.isEmpty) baseDfA.get._1
+      else baseDfA.get._1.unionByName(
+        Dedup.exploded5(s.read.parquet(appendsRetained: _*)
+            .select(col("doc_id"), col("text")))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+        .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+    val readmitted = prevDf
+      .filter(col("df") > Dedup.ShingleDfCap).select(col("shingle"))
+      .join(survDf.filter(col("df") <= Dedup.ShingleDfCap).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+    val dirtyEvens = survIdx.filter(col("doc_id") % 2 === 0)
+      .join(removedOddSh.unionByName(readmitted).distinct(), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .localCheckpoint(eager = false)
+    val deconNew = survIdx.filter(col("doc_id") % 2 === 0)
+      .join(dirtyEvens, Seq("doc_id"), "left_semi")
+      .join(survIdx.filter(col("doc_id") % 2 === 1).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("dnew", lit(true))
+    // ---- assemble: survivor carry + fresh comp + surgical decon ----
+    val carried = prevFlags.join(survIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("fp"), col("g_keep"), col("c_keep"), col("h"),
+        col("comp").as("comp_old"), col("decon").as("decon_old"),
+        col("k1").as("k1_old"), col("k2").as("k2_old"))
+    val labels = Dedup.nearDupComponentLabels(s, dir)
+      .select(col("id").as("doc_id"), col("comp"))
+    val withComp = carried
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val withDecon = withComp
+      .join(dirtyEvens.withColumn("ddirty", lit(true)), Seq("doc_id"), "left")
+      .join(deconNew, Seq("doc_id"), "left")
+      .withColumn("decon", when(col("ddirty").isNotNull,
+        coalesce(col("dnew"), lit(false)))
+        .otherwise(coalesce(col("decon_old"), lit(false))))
+      .drop("ddirty", "dnew")
+      .localCheckpoint(eager = false)
+    // ---- k1: re-elect only fp groups that lost a member ----
+    val touchedFps = prevFlags.join(removedIds, Seq("doc_id"), "left_semi")
+      .select(col("fp")).distinct()
+    val withK1 = withDecon.join(touchedFps, Seq("fp"), "left_semi")
+      .withColumn("k1", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .unionByName(withDecon.join(touchedFps, Seq("fp"), "left_anti")
+        .withColumn("k1", col("k1_old")))
+      .localCheckpoint(eager = false)
+    // ---- k2: comps that lost a member / changed label / changed k1 ----
+    val removedComps = prevFlags.join(removedIds, Seq("doc_id"), "left_semi")
+      .select(col("comp")).distinct()
+    val touchedComps = withK1.filter(col("comp") =!= col("comp_old") ||
+        col("k1") =!= col("k1_old"))
+      .select(col("comp")).distinct()
+      .unionByName(removedComps)
+      .distinct()
     val withK2 = withK1.join(touchedComps, Seq("comp"), "left_semi")
       .withColumn("k2", col("k1") && col("doc_id") ===
         min(when(col("k1"), col("doc_id"))).over(Window.partitionBy(col("comp"))))

@@ -107,6 +107,33 @@ object CorpusMaintain {
       }
       .start()
 
+  /** The curation-funnel twin — keeps the stage-1–6 FLAG LEAF live
+    * against a document stream (round 17: the last delta-maintained
+    * substrate gains its epoch-wise streaming form).  Each micro-batch
+    * appends to `corpusDir/documents.parquet` under the same
+    * epoch-idempotent naming, then the flag artifact refreshes through
+    * [[graft.operators.Pipeline.curationFlags]]'s maintenance — the
+    * round-16 append delta (row-local flags for the batch only,
+    * subset-window re-elections, decon over the composed 5-gram
+    * sidecars) — so curation_report / curation_by_source /
+    * decon_by_source read funnel numbers that are value-identical to
+    * a batch full build at every epoch.  Takedowns ride
+    * [[takedownEpoch]] unchanged: the next refresh detects the
+    * pure-delete shape and runs the round-17 flag delete builder.
+    */
+  def maintainFlags(s: SparkSession, corpusDir: String, docStream: DataFrame,
+      checkpoint: String,
+      onEpoch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        if (!batch.isEmpty) {
+          appendEpoch(batch.toDF(), s"$corpusDir/documents.parquet", epoch)
+          onEpoch(graft.operators.Pipeline.curationFlags(s, corpusDir), epoch)
+        }
+      }
+      .start()
+
   /** TAKEDOWN: remove one ingested epoch's files from a corpus
     * dataset — the retraction a GDPR/license request forces on a
     * crawl pipeline, at the same file granularity the stream ingests

@@ -1107,6 +1107,130 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  /** Shared fixture for the flag-leaf takedown tests: a base corpus of
+    * TWO files where the removable one carries (a) the k1 winner of an
+    * fp group (inheritance on delete), (b) the only odd witness of
+    * even doc 2's 5-gram (decon true→false), and (c) the 129th holder
+    * of the hot 5-gram, whose removal drops its df back to the 128 cap
+    * (decon false→true re-admission for doc 4 and the even fillers).
+    */
+  private def stageFlagsDeleteCorpus(): String = {
+    import spark.implicits._
+    val hot = "c1 c2 c3 c4 c5"
+    val mainDocs =
+      Seq(
+        (2L, "alpha beta gamma delta epsilon zeta", "a"),
+        (4L, s"$hot only4", "a"),
+        (5L, s"$hot only5", "a"),
+        (10L, "dup one text x1 x2 x3", "a"),
+        (12L, "dup one text x1 x2 x3", "a"),
+        (18L, "pair b text z1 z2 z3", "b"),
+        (20L, "pair b text z1 z2 z3", "b")) ++
+        (1 to 126).map(i => (100L + i, s"$hot u$i", if (i % 2 == 0) "a" else "b"))
+    val removableDocs = Seq(
+      (8L, "dup one text x1 x2 x3", "a"),   // k1 winner — its loss re-elects 10
+      (21L, "alpha beta gamma delta epsilon other", "b"), // doc 2's only odd witness
+      (301L, s"$hot u301", "b"))            // 129th hot holder — removal re-admits
+    val dir = java.nio.file.Files.createTempDirectory("graft_flags_del").toString
+    mainDocs.toDF("doc_id", "text", "source").repartition(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_flags_del_s").toString + "/p"
+    removableDocs.toDF("doc_id", "text", "source").repartition(1).write.parquet(stage)
+    appendParts(stage, s"$dir/documents.parquet") // BEFORE the first build: both files are base
+    dir
+  }
+
+  private def flagTuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+      r.getAs[Long]("n_toks"), r.getAs[String]("fp"), r.getAs[Long]("comp"),
+      r.getAs[Boolean]("decon"), r.getAs[Boolean]("g_keep"),
+      r.getAs[Boolean]("c_keep"), r.getAs[Boolean]("k1"), r.getAs[Boolean]("k2"),
+      r.getAs[Boolean]("a2"), r.getAs[Boolean]("k3"), r.getAs[Boolean]("k4"),
+      r.getAs[Boolean]("k5"), r.getAs[String]("h")))
+    .sortBy(_._1)
+
+  test("curation_flags delete: k1 inheritance, decon witness loss AND cap re-admission, value-identical to full") {
+    val dir = stageFlagsDeleteCorpus()
+    withAppendFraction("100") {
+      val cache = freshCacheDir()
+      val before = withCacheDir(cache) {
+        Materialize.resetBuildCount("curation_flags")
+        flagTuples(Pipeline.curationFlags(spark, dir))
+      }
+      val bBy = before.map(t => t._1 -> t).toMap
+      assert(bBy(8L)._9 === true && bBy(10L)._9 === false, "pre-delete k1: 8 wins the fp group")
+      assert(bBy(2L)._6 === true, "pre-delete decon(2): odd 21 is the witness")
+      assert(bBy(4L)._6 === false, "pre-delete decon(4): the hot 5-gram is OVER the cap (129)")
+      assert(bBy(102L)._6 === false, "pre-delete: even fillers carry no evidence either")
+      // takedown: the removable file leaves disk
+      new java.io.File(s"$dir/documents.parquet").listFiles()
+        .filter(_.getName.startsWith("part-append-")).foreach(f => assert(f.delete()))
+      val viaDelete = withCacheDir(cache) {
+        flagTuples(Pipeline.curationFlags(spark, dir))
+      }
+      assert(Materialize.deleteBuildCount("curation_flags") === 1,
+        "the takedown must maintain the flag leaf incrementally")
+      val viaFull = withCacheDir(freshCacheDir()) {
+        flagTuples(Pipeline.curationFlags(spark, dir))
+      }
+      assert(viaDelete === viaFull,
+        "delete-maintained flags must be value-identical to a full rebuild")
+      val dBy = viaDelete.map(t => t._1 -> t).toMap
+      assert(!dBy.contains(8L) && !dBy.contains(21L) && !dBy.contains(301L),
+        "removed docs' rows must leave the leaf")
+      assert(dBy(10L)._9 === true && dBy(12L)._9 === false,
+        "k1 inheritance: the next-smallest id takes the lost election")
+      assert(dBy(2L)._6 === false,
+        "decon(2) must flip false: its only odd witness was removed")
+      assert(dBy(4L)._6 === true,
+        "decon(4) must flip true: the removal dropped the hot 5-gram back under the cap")
+      assert(dBy(102L)._6 === true,
+        "re-admission reaches every even holder of the capped-back shingle")
+      Seq(18L, 20L).foreach(i => assert(dBy(i) === bBy(i), s"doc $i must carry unchanged"))
+    }
+  }
+
+  test("curation_flags mixed: same-epoch takedown + crawl composes remove∘delta, value-identical to full") {
+    import spark.implicits._
+    val dir = stageFlagsDeleteCorpus()
+    withAppendFraction("100") {
+      val cache = freshCacheDir()
+      withCacheDir(cache) {
+        Materialize.resetBuildCount("curation_flags")
+        Pipeline.curationFlags(spark, dir).count()
+      }
+      // one snapshot change: the removable file leaves AND a crawl
+      // batch lands — doc 9 re-contests the fp group 8 vacated (the
+      // composed election must pick 9, not 10), doc 23 brings doc 2's
+      // witness 5-gram back on the odd side (decon(2) stays true
+      // through loss + replacement)
+      new java.io.File(s"$dir/documents.parquet").listFiles()
+        .filter(_.getName.startsWith("part-append-")).foreach(f => assert(f.delete()))
+      val stage2 = java.nio.file.Files.createTempDirectory("graft_flags_mix_s").toString + "/p"
+      Seq((9L, "dup one text x1 x2 x3", "a"),
+          (23L, "alpha beta gamma delta epsilon anew", "b"))
+        .toDF("doc_id", "text", "source").repartition(1).write.parquet(stage2)
+      appendParts(stage2, s"$dir/documents.parquet")
+      val viaMixed = withCacheDir(cache) {
+        flagTuples(Pipeline.curationFlags(spark, dir))
+      }
+      assert(Materialize.deleteBuildCount("curation_flags") === 1 &&
+        Materialize.deltaBuildCount("curation_flags") === 1,
+        "the mixed change must compose one remove + one delta build")
+      val viaFull = withCacheDir(freshCacheDir()) {
+        flagTuples(Pipeline.curationFlags(spark, dir))
+      }
+      assert(viaMixed === viaFull,
+        "mixed-maintained flags must be value-identical to a full rebuild")
+      val mBy = viaMixed.map(t => t._1 -> t).toMap
+      assert(mBy(9L)._9 === true && mBy(10L)._9 === false,
+        "the appended smaller id must win the election the takedown vacated")
+      assert(mBy(2L)._6 === true,
+        "decon(2) must stay true: the crawl replaced the removed witness")
+      assert(mBy(4L)._6 === true, "the re-admission still lands under composition")
+    }
+  }
+
   test("curation_flags delta on the real corpus: funnel consumers read identical values from delta-built and full-built leaves") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_flags_sf").toString

@@ -494,6 +494,81 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("flag-leaf maintenance stream: epoch appends delta-maintain the funnel; a base takedown rides the delete builder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Files.createTempDirectory("graft-flags-stream").toString
+    // seed corpus in TWO files: the removable one carries the fp-group
+    // k1 winner (6) and even doc 2's only odd witness (7) — its later
+    // takedown must re-elect AND flip decon, with the streamed epochs
+    // retained on disk (the relaxed removed⊆base delete shape)
+    Seq((2L, "alpha beta gamma delta epsilon zeta", "a"),
+        (10L, "dup one text x1 x2 x3", "a"),
+        (12L, "dup one text x1 x2 x3", "a"))
+      .toDF("doc_id", "text", "source").repartition(1)
+      .write.parquet(s"$corpus/documents.parquet")
+    val stage = Files.createTempDirectory("graft-flags-stream-s").toString + "/p"
+    Seq((6L, "dup one text x1 x2 x3", "a"),
+        (7L, "alpha beta gamma delta epsilon seven", "b"))
+      .toDF("doc_id", "text", "source").repartition(1).write.parquet(stage)
+    new java.io.File(stage).listFiles().filter(_.getName.startsWith("part-"))
+      .foreach { f =>
+        val to = new java.io.File(s"$corpus/documents.parquet", s"part-seedb-${f.getName.stripPrefix("part-")}")
+        assert(f.renameTo(to))
+      }
+    val cache = Files.createTempDirectory("graft-flags-stream-cache").toString
+    spark.conf.set("spark.graft.cache.dir", cache)
+    spark.conf.set("spark.graft.delta.maxAppendFraction", "100")
+    def flagsNow() = graft.operators.Pipeline.curationFlags(spark, corpus)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("decon"),
+        r.getAs[Boolean]("k1"), r.getAs[Boolean]("k2"), r.getAs[Long]("comp")))
+      .sortBy(_._1)
+    try {
+      graft.sources.Materialize.resetBuildCount("curation_flags")
+      val base = flagsNow().map(t => t._1 -> t).toMap
+      assert(base(6L)._3 === true && base(10L)._3 === false, "seed k1: 6 wins")
+      assert(base(2L)._2 === true, "seed decon(2): odd 7 is the witness")
+      val mem = MemoryStream[(Long, String, String)]
+      val src = mem.toDF().toDF("doc_id", "text", "source")
+      val ckpt = Files.createTempDirectory("graft-flags-stream-ckpt").toString
+      val epochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = CorpusMaintain.maintainFlags(spark, corpus, src, ckpt,
+        (_, e) => { epochs.add(e); () })
+      // epoch: 8 contests the fp group (6 still wins); epoch 2: fresh doc
+      mem.addData((8L, "dup one text x1 x2 x3", "a")); q.processAllAvailable()
+      mem.addData((30L, "fresh six seven eight nine ten", "a")); q.processAllAvailable()
+      q.stop()
+      assert(epochs.size === 2)
+      assert(graft.sources.Materialize.deltaBuildCount("curation_flags") === 2,
+        "each micro-batch append must take the flag delta path")
+      // stream-final ≡ batch-full
+      val streamed = flagsNow()
+      spark.conf.set("spark.graft.cache.dir",
+        Files.createTempDirectory("graft-flags-stream-c2").toString)
+      val batchFull = flagsNow()
+      spark.conf.set("spark.graft.cache.dir", cache)
+      assert(streamed === batchFull, "stream-final flags must equal a batch full build")
+      // GDPR takedown of the removable SEED file, streamed epochs
+      // retained — the round-17 delete builder, not a cache hit
+      new java.io.File(s"$corpus/documents.parquet").listFiles()
+        .filter(_.getName.startsWith("part-seedb-")).foreach(f => assert(f.delete()))
+      val after = flagsNow().map(t => t._1 -> t).toMap
+      assert(graft.sources.Materialize.deleteBuildCount("curation_flags") === 1,
+        "the base-file takedown must run the flag delete builder")
+      assert(!after.contains(6L) && !after.contains(7L))
+      assert(after(8L)._3 === true && after(10L)._3 === false,
+        "k1 inheritance: the streamed 8 takes the election 6 vacated")
+      assert(after(2L)._2 === false, "decon(2) flips: its only witness left with the takedown")
+      spark.conf.set("spark.graft.cache.dir",
+        Files.createTempDirectory("graft-flags-stream-c3").toString)
+      val afterFull = flagsNow().map(t => t._1 -> t).toMap
+      assert(after === afterFull, "post-takedown flags must equal a batch full build on survivors")
+    } finally {
+      spark.conf.unset("spark.graft.cache.dir")
+      spark.conf.unset("spark.graft.delta.maxAppendFraction")
+    }
+  }
+
   test("corpus maintenance append is idempotent per epoch: a replayed epoch overwrites, never duplicates") {
     import spark.implicits._
     val corpus = Files.createTempDirectory("graft-maintain-idem").toString
