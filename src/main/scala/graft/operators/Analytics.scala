@@ -771,7 +771,54 @@ object Analytics {
       .limit(20)
   }
 
+  /** Customer-value deciles: customers ranked by lifetime revenue
+    * (exact cents), split into 10 equal-depth tiles (decile 10 = the
+    * top spenders), each reporting its customer count, order count
+    * and exact revenue — the LTV segmentation a marketing team reads
+    * next to [[rfmSegments]] and [[giniTopshare]].
+    *
+    * Exactness: revenue is an exact integer cents sum; the tile
+    * assignment replays NTILE's base/big arithmetic on an exact
+    * global position, tie-broken (rev, custkey) — a total order, so
+    * both engines assign identical tiles.
+    *
+    * Scale shape: the [[equidepthHist]] staircase — NO corpus-wide
+    * row_number: the cumulative window runs over |distinct revenue
+    * values| staircase rows and the per-row position is a PER-VALUE
+    * row_number (keyed window) added to the staircase offset; the
+    * per-customer aggregate is the only corpus-sized exchange.
+    */
+  def customerValueDeciles(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val rev = Tables.orders(s, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("v"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("v")).as("rev_cents"), count(lit(1)).as("n_orders"))
+      .localCheckpoint(eager = false) // feeds staircase, total, and join
+    val vc = rev.groupBy(col("rev_cents")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("rev_cents")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = vc.select(col("rev_cents"),
+      coalesce(sum(col("cnt")).over(wCum), lit(0L)).as("lo"))
+    val tot = rev.agg(count(lit(1)).as("n"))
+    val wIn = Window.partitionBy(col("rev_cents")).orderBy(col("o_custkey"))
+    rev.join(cum, Seq("rev_cents"))
+      .withColumn("pos", col("lo") + row_number().over(wIn) - lit(1))
+      .crossJoin(broadcast(tot))
+      .select(col("rev_cents"), col("n_orders"), col("pos"),
+        expr(s"n div $k").as("base"), (col("n") % k).as("big"))
+      .withColumn("decile",
+        when(col("pos") < col("big") * (col("base") + 1),
+          expr("pos div (base + 1)"))
+          .otherwise(col("big") + expr("(pos - big * (base + 1)) div base"))
+          .cast("int") + lit(1))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_cents")).as("rev_cents"))
+      .orderBy(col("decile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "customer_value_deciles" -> (customerValueDeciles _),
     "fk_orphans" -> (fkOrphans _),
     "basket_rules" -> (basketRules _),
     "dq_checks" -> (dqChecks _),
@@ -792,6 +839,21 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB's NTILE implements exactly the base/big arithmetic the
+    // Spark side replays on the staircase position (total tie order
+    // (rev, custkey)); revenue is the exact integer cents lane
+    "customer_value_deciles" ->
+      """WITH r AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1),
+        |t AS (SELECT rev_cents, n_orders,
+        |  NTILE(10) OVER (ORDER BY rev_cents, o_custkey) AS decile FROM r)
+        |SELECT CAST(decile AS INT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |  CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // each FK edge replayed as NOT-EXISTS scans; orphan columns are
     // structural zeros on clean TPC-H, childless parents carry signal
     "fk_orphans" ->

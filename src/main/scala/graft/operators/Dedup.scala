@@ -296,7 +296,7 @@ object Dedup {
       "thresh" -> JaccardThreshold.toString, "ver" -> "2")
 
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialize.readOrBuildMaintained(s, "neardup_pairs",
+    graft.sources.Materialize.readOrBuildMaintainedFused(s, "neardup_pairs",
       docInputs(dir), pairsParams) {
       // a full (re)build compacts — the current snapshot becomes the
       // new base — so pay the base DF sidecar NOW (one linear
@@ -312,6 +312,8 @@ object Dedup {
       nearDupPairsDelta(s, dir, prevPairs, prevFiles, deltaFiles)
     } { (prevPairs, prevStats, removedFiles) =>
       nearDupPairsDelete(s, dir, prevPairs, prevStats, removedFiles)
+    } { (prevPairs, prevStats, removedFiles, appendedFiles) =>
+      nearDupPairsMixed(s, prevPairs, prevStats, removedFiles, appendedFiles)
     }
 
   /** Cumulative-append byte fraction past which a delta builder
@@ -502,6 +504,97 @@ object Dedup {
       .join(curIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
       .join(dirty.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
       .join(dirty.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+    carried.select(col("d1"), col("d2"), col("jaccard")).unionByName(fresh)
+  }
+
+  /** FUSED single-pass MIXED maintenance (round 17) — the same-epoch
+    * crawl+takedown handled in one builder instead of the generic
+    * remove∘delta composition, which pays both legs' linear floors
+    * (an intermediate pair-relation checkpoint, two carry scans, two
+    * dirty recomputes) and measured AT PAR with a full rebuild for
+    * this substrate at sf10.  Texts never change under either
+    * mutation, so a surviving doc's capped-shingle set changes iff it
+    * holds a shingle whose capped-status changed between the PREV and
+    * FINAL corpus — ONE dirty definition covering both legs:
+    *
+    *  - flip detection compares prevDf (base sidecar + retained
+    *    appends' counts, the delete leg's reconstruction) against
+    *    finalDf (refreshed survivor sidecar + appended batch counts,
+    *    the delta leg's composition), in BOTH directions at once —
+    *    removals re-admit (df drops under the cap), appends cap out
+    *    (df crosses over);
+    *  - both directions' postings live in the refreshed SURVIVOR
+    *    index: over-crossed ⇒ prev ≤ cap ∧ surv ≤ prev; re-admitted ⇒
+    *    final ≤ cap ∧ surv ≤ final (df is monotone in the file set),
+    *    so no posting outside it is ever needed;
+    *  - dirty = survivor holders of any flipped shingle ∪ the
+    *    appended docs; ONE [[pairsWithBEndpoint]] recompute over the
+    *    lazily-composed final index, ONE carry scan of the prev pairs
+    *    (removed endpoints drop, dirty endpoints excluded), no
+    *    checkpointed intermediate.
+    *
+    * Sidecars refresh for the SURVIVORS exactly as the delete leg
+    * would (eager-sidecar discipline — the next maintenance step's
+    * aligned base); the appended batch composes lazily on top (the
+    * delta shape), so the final index is value-identical to the full
+    * build's by the same argument as the append delta's, with
+    * base = survivors.  Declines (→ the composition, which then
+    * declines to full on the same conditions): base DF sidecar
+    * missing, a removed file outside the base, removed bytes or
+    * appended bytes past [[MaxAppendFraction]].
+    */
+  private def nearDupPairsMixed(s: SparkSession, prevPairs: DataFrame,
+      prevStats: Map[String, String], removedFiles: Seq[String],
+      appendedFiles: Seq[String]): DataFrame = {
+    val M = graft.sources.Materialize
+    val removedBytes = removedFiles.map(f => M.statLen(prevStats(f))).sum
+    if (removedBytes > maxAppendFraction(s) * prevStats.values.map(M.statLen).sum)
+      return null
+    val prior = M.readWithin(s, "neardup_df", prevStats, dfParams)
+    if (prior.isEmpty) return null
+    val (baseDf, baseFiles) = prior.get
+    if (!removedFiles.forall(baseFiles.contains)) return null
+    val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
+    if (M.totalBytes(s, appendedFiles) >
+        maxAppendFraction(s) * M.totalBytes(s, survivors)) return null
+    // PREV-corpus DF: base sidecar + appends retained since the base
+    // (all survive — removed ⊆ base was just checked)
+    val earlier = (prevStats.keySet -- baseFiles).toSeq.sorted
+    val prevDf =
+      if (earlier.isEmpty) baseDf
+      else baseDf.unionByName(
+          explodedShingles(s.read.parquet(earlier: _*)
+            .select(col("doc_id"), col("text")))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+        .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+    // survivor sidecar refresh + lazy final composition
+    val survDf = nearDupBaseDf(s, survivors)
+    val survIdx = nearDupIndexFiles(s, survivors)
+    val appendedDocs = s.read.parquet(appendedFiles: _*)
+      .select(col("doc_id"), col("text"))
+    val shD = explodedShingles(appendedDocs)
+    val finalDf = survDf
+      .unionByName(shD.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+      .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+      .localCheckpoint(eager = false)
+    val finalCapped = finalDf.filter(col("df") <= ShingleDfCap).select(col("shingle"))
+    val finalIdx = survIdx.unionByName(shD)
+      .join(finalCapped, Seq("shingle"), "left_semi")
+      .repartition(col("shingle"))
+    // both flip directions in one symmetric difference
+    val prevCapped = prevDf.filter(col("df") <= ShingleDfCap).select(col("shingle"))
+    val flipped = prevCapped.join(finalCapped, Seq("shingle"), "left_anti")
+      .unionByName(finalCapped.join(prevCapped, Seq("shingle"), "left_anti"))
+    val dirty = survIdx.join(flipped, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val bIds = dirty.unionByName(appendedDocs.select(col("doc_id"))).distinct()
+    val fresh = pairsWithBEndpoint(finalIdx, bIds)
+    val curIds = s.read.parquet(survivors: _*).select(col("doc_id"))
+    val carried = prevPairs
+      .join(curIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(curIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+      .join(bIds.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+      .join(bIds.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
     carried.select(col("d1"), col("d2"), col("jaccard")).unionByName(fresh)
   }
 

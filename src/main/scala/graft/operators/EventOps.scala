@@ -627,7 +627,47 @@ object EventOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Per-type message-size percentiles: exact counting p50/p95/p99 of
+    * the payload length per event_type, with totals — the
+    * capacity/quota dashboard a message-bus operator reads (which
+    * topic's payloads are fattening, where does the p99 sit against
+    * the broker's max-message size).
+    *
+    * Exactness: COUNTING percentiles over the integer size histogram
+    * (the skew_report convention — never an interpolated quantile,
+    * which is not hash-stable cross-engine); all lanes exact longs.
+    *
+    * Scale shape: one map-side-combined (type, size) histogram
+    * aggregate; the cumulative window is PER-KEY (partitioned by
+    * event_type) over |distinct sizes| rows — no global window, no
+    * corpus-sized shuffle beyond the histogram's own exchange; the
+    * |types|-row totals broadcast back.
+    */
+  def msgSizePercentiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(s, dir)
+      .select(col("event_type"), length(col("props")).cast("long").as("sz"))
+      .groupBy(col("event_type"), col("sz")).agg(count(lit(1)).as("nk"))
+      .localCheckpoint(eager = false) // shared by cum + totals
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sz"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("hi", sum(col("nk")).over(w))
+    val tot = hist.groupBy(col("event_type"))
+      .agg(sum(col("nk")).as("n_msgs"),
+        sum(col("sz") * col("nk")).as("total_chars"),
+        max(col("sz")).as("max_chars"))
+    cum.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_msgs"), col("total_chars"), col("max_chars"))
+      .agg(
+        min(when(col("hi") * 2 >= col("n_msgs"), col("sz"))).as("p50_chars"),
+        min(when(col("hi") * 20 >= col("n_msgs") * 19, col("sz"))).as("p95_chars"),
+        min(when(col("hi") * 100 >= col("n_msgs") * 99, col("sz"))).as("p99_chars"))
+      .select(col("event_type"), col("n_msgs"), col("total_chars"), col("max_chars"),
+        col("p50_chars"), col("p95_chars"), col("p99_chars"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "msg_size_percentiles" -> (msgSizePercentiles _),
     "event_spike" -> (eventSpike _),
     "event_retention" -> (eventRetention _),
     "event_transitions" -> (eventTransitions _),
@@ -651,6 +691,22 @@ object EventOps {
     "sample_stratified" -> (sampleStratified _))
 
   def oracleSql: Map[String, String] = Map(
+    // counting percentiles over the integer size histogram — the
+    // skew_report convention, exact on both engines
+    "msg_size_percentiles" ->
+      """WITH h AS (SELECT event_type, CAST(length(props) AS BIGINT) AS sz,
+        |  CAST(COUNT(*) AS BIGINT) AS nk FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, sz, nk, SUM(nk) OVER (PARTITION BY event_type
+        |  ORDER BY sz ROWS UNBOUNDED PRECEDING) AS hi FROM h),
+        |t AS (SELECT event_type, CAST(SUM(nk) AS BIGINT) AS n_msgs,
+        |  CAST(SUM(sz * nk) AS BIGINT) AS total_chars,
+        |  CAST(MAX(sz) AS BIGINT) AS max_chars FROM h GROUP BY 1)
+        |SELECT c.event_type, n_msgs, total_chars, max_chars,
+        |  CAST(MIN(CASE WHEN hi * 2 >= n_msgs THEN sz END) AS BIGINT) AS p50_chars,
+        |  CAST(MIN(CASE WHEN hi * 20 >= n_msgs * 19 THEN sz END) AS BIGINT) AS p95_chars,
+        |  CAST(MIN(CASE WHEN hi * 100 >= n_msgs * 99 THEN sz END) AS BIGINT) AS p99_chars
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     // the mean/var/z formula is replayed token-for-token from integer
     // aggregates: correctly-rounded double ops ⇒ bit-identical values
     "event_spike" ->

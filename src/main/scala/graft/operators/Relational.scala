@@ -805,7 +805,42 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Order-to-ship lag distribution: how many days after the order do
+    * lines actually ship — the fulfillment-latency histogram an ops
+    * dashboard tracks, with each lag day's exact line count and ppm
+    * share.  (The synthetic lineitem carries no receipt/commit dates,
+    * so order→ship is the one real lag in the data.)
+    *
+    * Exactness: lag = difference of exact integer epoch-days (the
+    * active_users/order_gaps convention — no engine datediff
+    * semantics in play); counts and the ppm integer division are
+    * exact-integer-lane.
+    *
+    * Scale shape: both sides project to two columns before the one
+    * orderkey equi-join (the natural TPC-H co-partition key; AQE
+    * handles skew), then a map-side-combined aggregate over ≤ a few
+    * hundred distinct lag days and a 1-row broadcast total.  The join
+    * IS the honest cost — the lag needs the parent's date per line.
+    */
+  def shipLagHist(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TimeFunctions.epochSec
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), epochSec(col("l_shipdate")).as("ship_sec"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), epochSec(col("o_orderdate")).as("ord_sec"))
+    val hist = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((expr("ship_sec div 86400") - expr("ord_sec div 86400")).as("lag_days"))
+      .groupBy(col("lag_days")).agg(count(lit(1)).as("n_lines"))
+      .localCheckpoint(eager = false) // feeds the total AND the share rows
+    val total = hist.agg(sum(col("n_lines")).as("total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("lag_days"), col("n_lines"),
+        expr("n_lines * 1000000 div total").as("share_ppm"))
+      .orderBy(col("lag_days"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ship_lag_hist" -> (shipLagHist _),
     "part_return_rate" -> (partReturnRate _),
     "q1_pricing" -> (q1Pricing _),
     "q3_toporders" -> (q3TopOrders _),
@@ -844,6 +879,18 @@ object Relational {
     * are engine-specific → rows-only check).
     */
   def oracleSql: Map[String, String] = Map(
+    // lag = exact integer epoch-day difference (the active_users
+    // floor-division convention); ppm = BIGINT floor division
+    "ship_lag_hist" ->
+      """WITH lg AS (SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)
+        |    - CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |      FROM lg GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS total FROM h)
+        |SELECT lag_days, n_lines,
+        |  CAST(n_lines * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM h, t ORDER BY lag_days""".stripMargin,
     "part_return_rate" ->
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)

@@ -641,7 +641,34 @@ object Temporal {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Monthly seasonality index of order volume — the demand-shape
+    * number a capacity planner reads before staffing a quarter:
+    * per calendar month, its order count and count·12/total (1.0 =
+    * perfectly flat; the classic ratio-to-moving-average seasonal
+    * index with the full-period mean as the base).
+    *
+    * Exactness: month() is calendar-exact on both engines, counts are
+    * exact longs, and the index is ONE IEEE division of the exact
+    * integer count·12 by the exact total — bit-equal cross-engine.
+    *
+    * Scale shape: one map-side-combined 12-key aggregate over the
+    * orders scan (only the month ordinal leaves the scan), the 1-row
+    * total broadcast back over 12 rows.  Nothing else moves.
+    */
+  def seasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .select(month(col("o_orderdate")).cast("long").as("mon"))
+      .groupBy(col("mon")).agg(count(lit(1)).as("n_orders"))
+      .localCheckpoint(eager = false) // feeds the total AND the index rows
+    val total = m.agg(sum(col("n_orders")).as("total"))
+    m.crossJoin(broadcast(total))
+      .select(col("mon"), col("n_orders"),
+        ((col("n_orders") * 12).cast("double") / col("total")).as("seasonal_index"))
+      .orderBy(col("mon"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seasonal_index" -> (seasonalIndex _),
     "anomaly_mad" -> (anomalyMad _),
     "ts_decompose" -> (tsDecompose _),
     "interval_merge" -> (intervalMerge _),
@@ -660,6 +687,15 @@ object Temporal {
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    // month() is calendar-exact on both engines; the index is one IEEE
+    // division of exact integers
+    "seasonal_index" ->
+      """WITH m AS (SELECT month(o_orderdate) AS mon,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM m)
+        |SELECT mon, n_orders,
+        |  CAST(n_orders * 12 AS DOUBLE) / total AS seasonal_index
+        |FROM m, t ORDER BY mon""".stripMargin,
     // the interval-coalesce + delta-sweep WAU, replayed verbatim;
     // epoch() seconds are < 2^53 so floor-division is exact
     "active_users" ->

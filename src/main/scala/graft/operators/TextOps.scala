@@ -158,25 +158,55 @@ object TextOps {
   def langId(s: SparkSession, dir: String): DataFrame =
     langIdOn(Tables.documents(s, dir))
 
-  private[graft] def langIdOn(docs: DataFrame): DataFrame = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
-      "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on"),
-      "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un"),
-      "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une"),
-      "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "you", "ta"))
-    val toks = tokens(col("text"))
-    val scored: Column = array(profiles.map { case (lang, words) =>
+  /** The stop-word language profiles and their argmax scorer — shared
+    * by [[langId]] (per-doc verdicts) and [[langBySource]] (the
+    * per-feed mix).  Ties break by the struct's (score, lang)
+    * comparison, identical on both engines.
+    */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "you", "ta"))
+
+  private def langBest(text: Column): Column = {
+    val toks = tokens(text)
+    array_max(array(LangProfiles.map { case (lang, words) =>
       struct(
         (graft.functions.CountInSet.countInSet(toks, words) / size(toks)).as("score"),
         lit(lang).as("lang"))
-    }: _*)
+    }: _*))
+  }
+
+  private[graft] def langIdOn(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      array_max(scored).getField("lang").as("lang_pred"),
-      array_max(scored).getField("score").as("lang_score"),
+      langBest(col("text")).getField("lang").as("lang_pred"),
+      langBest(col("text")).getField("score").as("lang_score"),
       col("lang").as("lang_label"))
       .orderBy(col("doc_id"))
+
+  /** Per-feed language mix: the [[langId]] verdict aggregated to a
+    * (source, predicted language) matrix with exact ppm shares — the
+    * "which crawl feed is drifting non-English" dashboard a curator
+    * reads before adjusting mixture weights.
+    *
+    * Scale shape: one scan-project (the scorer is a codegen'd array
+    * argmax riding the scan), one map-side-combined
+    * |sources|×|langs|-key aggregate, the |sources|-row totals
+    * broadcast back.  Shares are ppm integer division — exact.
+    */
+  def langBySource(s: SparkSession, dir: String): DataFrame = {
+    val byCell = Tables.documents(s, dir)
+      .select(col("source"), langBest(col("text")).getField("lang").as("lang_pred"))
+      .groupBy(col("source"), col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = false) // shared by the per-source totals
+    val bySrc = byCell.groupBy(col("source")).agg(sum(col("n_docs")).as("n_src"))
+    byCell.join(broadcast(bySrc), Seq("source"))
+      .select(col("source"), col("lang_pred"), col("n_docs"),
+        expr("n_docs * 1000000 div n_src").as("share_ppm"))
+      .orderBy(col("source"), col("lang_pred"))
   }
 
   /** Character-n-gram language profiles (the TextCat family's public
@@ -956,6 +986,7 @@ object TextOps {
     "vocab_coverage" -> (vocabCoverage _),
     "token_diversity" -> (tokenDiversity _),
     "lang_id" -> (langId _),
+    "lang_by_source" -> (langBySource _),
     "lang_id_ngram" -> (langIdNgram _),
     "top_terms" -> (topTerms _),
     "text_commonness" -> (textCommonness _),
@@ -1248,6 +1279,22 @@ object TextOps {
     // argmax over (score, lang) structs: both engines compare structs
     // field-lexicographically and the scores are exact int/int IEEE
     // quotients, so the prediction is engine-identical
+    "lang_by_source" ->
+      """WITH t AS (SELECT source,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT source, list_max([
+        |  {'score': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) / len(toks), 'lang': 'de'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','on'], x))) / len(toks), 'lang': 'en'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un'], x))) / len(toks), 'lang': 'es'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','est','une'], x))) / len(toks), 'lang': 'fr'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['de','shi','bu','le','ren','wo','you','ta'], x))) / len(toks), 'lang': 'zh'}
+        |  ]).lang AS lang_pred FROM t),
+        |c AS (SELECT source, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM s GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src FROM c GROUP BY 1)
+        |SELECT c.source, lang_pred, n_docs,
+        |  CAST(n_docs * 1000000 // n_src AS BIGINT) AS share_ppm
+        |FROM c JOIN n USING (source) ORDER BY source, lang_pred""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS lang_label,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents),

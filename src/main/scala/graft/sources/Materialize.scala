@@ -56,7 +56,8 @@ object Materialize {
   }
 
   private[graft] def resetBuildCount(name: String): Unit = {
-    builds.remove(name); deltaBuilds.remove(name); deleteBuilds.remove(name); ()
+    builds.remove(name); deltaBuilds.remove(name); deleteBuilds.remove(name)
+    mixedFusedBuilds.remove(name); ()
   }
 
   /** Delta builds executed in this JVM per artifact name — the
@@ -74,6 +75,15 @@ object Materialize {
 
   private[graft] def deleteBuildCount(name: String): Int =
     deleteBuilds.getOrDefault(name, 0)
+
+  /** FUSED mixed builds (round 17) — pins that a same-epoch
+    * add+remove ran the registered single-pass builder, not the
+    * remove∘delta composition.
+    */
+  private val mixedFusedBuilds = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[graft] def mixedFusedBuildCount(name: String): Int =
+    mixedFusedBuilds.getOrDefault(name, 0)
 
   def cacheRoot(s: SparkSession): String =
     s.conf.get("spark.graft.cache.dir", "target/graft_cache")
@@ -166,13 +176,34 @@ object Materialize {
       params: Seq[(String, String)])(full: => DataFrame)(
       delta: (DataFrame, Seq[String], Seq[String]) => DataFrame)(
       remove: (DataFrame, Map[String, String], Seq[String]) => DataFrame): DataFrame =
-    readOrBuildMaintainedAttempt(s, name, inputs, params, PurgeRetries)(full)(delta)(remove)
+    readOrBuildMaintainedFused(s, name, inputs, params)(full)(delta)(remove)(
+      (_, _, _, _) => null)
+
+  /** [[readOrBuildMaintained]] plus an optional FUSED mixed builder
+    * (round 17): `mixed(prevArtifact, prevStats, removedFiles,
+    * appendedFiles)` handles a same-epoch add+remove in ONE pass —
+    * one dirty set, one carry scan, no checkpointed intermediate —
+    * where the generic remove∘delta composition pays both legs'
+    * linear floors (measured at par with a full rebuild for the pair
+    * substrate at sf10).  Returning null falls back to the
+    * composition, whose correctness contract is unchanged; a fused
+    * build is counted as one delta + one delete (the composition's
+    * accounting) plus the [[mixedFusedBuildCount]] pin.
+    */
+  def readOrBuildMaintainedFused(s: SparkSession, name: String, inputs: Seq[String],
+      params: Seq[(String, String)])(full: => DataFrame)(
+      delta: (DataFrame, Seq[String], Seq[String]) => DataFrame)(
+      remove: (DataFrame, Map[String, String], Seq[String]) => DataFrame)(
+      mixed: (DataFrame, Map[String, String], Seq[String], Seq[String]) => DataFrame): DataFrame =
+    readOrBuildMaintainedAttempt(s, name, inputs, params, PurgeRetries)(
+      full)(delta)(remove)(mixed)
 
   private def readOrBuildMaintainedAttempt(s: SparkSession, name: String,
       inputs: Seq[String], params: Seq[(String, String)], attempts: Int)(
       full: => DataFrame)(
       delta: (DataFrame, Seq[String], Seq[String]) => DataFrame)(
-      remove: (DataFrame, Map[String, String], Seq[String]) => DataFrame): DataFrame = {
+      remove: (DataFrame, Map[String, String], Seq[String]) => DataFrame)(
+      mixed: (DataFrame, Map[String, String], Seq[String], Seq[String]) => DataFrame): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
     val lines = statLines(s, inputs, params)
     val sig = sha256(lines)
@@ -199,6 +230,7 @@ object Materialize {
       // intermediate; the lazy localCheckpoint keeps the delta leg's
       // several reads of that intermediate from re-running the remove
       // plan per consumer
+      var mixedFused = false
       val viaMixed =
         if (viaAppend.isDefined || viaDelete.isDefined) None
         else findPriorMixed(fs, root, name, dest, lines) match {
@@ -207,9 +239,17 @@ object Materialize {
             val removed = (prevStats.keySet -- curFiles.keySet).toSeq.sorted
             val appended = (curFiles.keySet -- prevStats.keySet).toSeq.sorted
             val survivors = (prevStats.keySet & curFiles.keySet).toSeq.sorted
-            Option(remove(s.read.parquet(prevDir.toString), prevStats, removed))
-              .map(_.localCheckpoint(false))
-              .flatMap(mid => Option(delta(mid, survivors, appended)))
+            val prev = s.read.parquet(prevDir.toString)
+            // the registered FUSED builder first (one pass, no
+            // intermediate); null → the generic remove∘delta
+            // composition over the two registered callbacks
+            Option(mixed(prev, prevStats, removed, appended)) match {
+              case some @ Some(_) => mixedFused = true; some
+              case None =>
+                Option(remove(prev, prevStats, removed))
+                  .map(_.localCheckpoint(false))
+                  .flatMap(mid => Option(delta(mid, survivors, appended)))
+            }
           case None => None
         }
       val built = viaAppend.orElse(viaDelete).orElse(viaMixed)
@@ -221,16 +261,18 @@ object Materialize {
         // maintenance legs would have read
         require(attempts > 1, s"$name: purge veto persisted across rebuilds")
         return readOrBuildMaintainedAttempt(
-          s, name, inputs, params, attempts - 1)(full)(delta)(remove)
+          s, name, inputs, params, attempts - 1)(full)(delta)(remove)(mixed)
       }
       // count maintenance builds only once their artifact has
       // published — a failed publish must not skew the
-      // maintenance-costs-the-delta evidence counters; the mixed
-      // composition attributes ONE delete + ONE delta build
+      // maintenance-costs-the-delta evidence counters; a mixed build
+      // (fused or composed) attributes ONE delete + ONE delta build
       if (viaAppend.isDefined || viaMixed.isDefined)
         deltaBuilds.merge(name, 1, (a, b) => a + b)
       if (viaDelete.isDefined || viaMixed.isDefined)
         deleteBuilds.merge(name, 1, (a, b) => a + b)
+      if (mixedFused)
+        mixedFusedBuilds.merge(name, 1, (a, b) => a + b)
     }
     s.read.parquet(dest.toString)
   }

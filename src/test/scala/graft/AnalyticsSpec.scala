@@ -497,4 +497,34 @@ class AnalyticsSpec extends AnyFunSuite {
     val names = Analytics.dqChecks(spark, sf).collect().map(r => (r.getString(0), r.getString(1)))
     assert(names.toSeq === names.toSeq.sorted)
   }
+
+  test("customer_value_deciles equals an exact NTILE replay; depths differ by at most one") {
+    import org.apache.spark.sql.functions.col
+    val perCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100).toLong))
+      .groupBy(_._1).view.mapValues(v => (v.map(_._2).sum, v.length.toLong)).toMap
+      .toSeq.map { case (ck, (rev, n)) => (rev, ck, n) }
+      .sortBy(t => (t._1, t._2)) // the total (rev, custkey) tie order
+    val n = perCust.length
+    val base = n / 10; val big = n % 10
+    def tile(pos: Int): Int =
+      (if (pos < big * (base + 1)) pos / (base + 1)
+       else big + (pos - big * (base + 1)) / base) + 1
+    val want = perCust.zipWithIndex
+      .groupBy { case (_, pos) => tile(pos) }.view
+      .mapValues { g => (g.length.toLong, g.map(_._1._3).sum, g.map(_._1._1).sum) }
+      .toMap
+    val got = Analytics.customerValueDeciles(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === want)
+    // equal-depth: tile sizes differ by at most one, all 10 present
+    val depths = got.values.map(_._1)
+    assert(got.keySet === (1 to 10).toSet)
+    assert(depths.max - depths.min <= 1)
+    // ascending tiles ⇒ per-customer average revenue is monotone
+    val avg = (1 to 10).map(d => got(d)._3.toDouble / got(d)._1)
+    assert(avg.sliding(2).forall(p => p(0) <= p(1)))
+  }
 }

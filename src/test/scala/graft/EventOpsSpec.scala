@@ -306,4 +306,28 @@ class EventOpsSpec extends AnyFunSuite {
       .count()
     assert(nEmpty > 0, "fixture must exercise the presence-at-default case")
   }
+
+  test("msg_size_percentiles equals a JVM counting-percentile replay per type") {
+    import org.apache.spark.sql.functions.{col, length}
+    val sizes = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), length(col("props")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pct(xs: Array[Long], num: Long, den: Long): Long = {
+      // counting percentile: smallest value whose cumulative count
+      // clears num/den of the total — the operator's min-when replay
+      val n = xs.length.toLong
+      xs.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1).toLong * den >= n * num => v
+      }.get
+    }
+    val got = graft.operators.EventOps.msgSizePercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet === sizes.keySet)
+    sizes.foreach { case (tpe, xs) =>
+      assert(got(tpe) === ((xs.length.toLong, xs.sum, xs.max,
+        pct(xs, 1, 2), pct(xs, 19, 20), pct(xs, 99, 100))), tpe)
+    }
+  }
 }

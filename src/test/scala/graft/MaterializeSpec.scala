@@ -965,7 +965,7 @@ class MaterializeSpec extends AnyFunSuite {
     assert(viaMixed.exists(_._1 == 9501L), "appended lids get their own edges")
   }
 
-  test("neardup mixed: a same-epoch crawl+takedown composes remove∘delta, value-identical to full") {
+  test("neardup mixed: a same-epoch crawl+takedown runs the FUSED single-pass builder, value-identical to full") {
     import spark.implicits._
     // base: (1,2) identical pair in the keep file; (3,4) identical
     // pair with 4 in the doomed file.  Mixed step removes 4 and
@@ -1003,11 +1003,13 @@ class MaterializeSpec extends AnyFunSuite {
       assert(Materialize.deltaBuildCount("neardup_pairs") === 1 &&
         Materialize.deleteBuildCount("neardup_pairs") === 1,
         "the mixed snapshot must cost one delete + one delta build")
+      assert(Materialize.mixedFusedBuildCount("neardup_pairs") === 1,
+        "round 17: the pair substrate's mixed path must be the FUSED builder, not the composition")
       val viaFull = withCacheDir(freshCacheDir()) {
         pairsOf(Dedup.nearDupPairs(spark, dir))
       }
       assert(viaMixed === viaFull,
-        "the composed remove∘delta pairs must be value-identical to a full rebuild")
+        "the fused mixed pairs must be value-identical to a full rebuild")
       assert(viaMixed.map(t => (t._1, t._2)).toSet === Set((1L, 2L), (3L, 7L)),
         s"witness death + delta-appeared pair, got ${viaMixed.toSeq}")
       // the carried pair is the same double, not a recompute artifact

@@ -511,6 +511,18 @@ class PlanShapeSpec extends AnyFunSuite {
       p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("customer_value_deciles: the tiling row_number is value-partitioned, never corpus-wide") {
+    val df = Analytics.customerValueDeciles(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the equidepth staircase: the per-customer row_number is keyed by
+    // the revenue value; the only unpartitioned window is the
+    // |distinct values| cumulative staircase
+    assert(p.contains("row_number()") &&
+      p.contains("windowspecdefinition(rev_cents"),
+      p.linesIterator.take(20).mkString("\n"))
+  }
+
   test("sentence_stats is a zero-shuffle scan-project (one presentation sort only)") {
     val p = plan(TextOps.sentenceStats(spark, sf))
     // higher-order array ops stay in the row: the only exchange is the
@@ -594,6 +606,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countIn(p, "Window") === 1)
     assert(p.contains("struct<doc_id:bigint,n_chars:bigint>"), "n_chars-pruned doc scan")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("decon_by_source is a pure FileScan consumer of the flag-leaf artifact") {
+    // the r16 query's evidence-kit plan pin (VERDICT r16 missing #3):
+    // the decon column is maintained IN the materialized leaf, so the
+    // per-feed matrix must read the curation_flags parquet and
+    // aggregate — never re-run the 5-gram explode/join
+    graft.operators.Pipeline.curationFlags(spark, sf).count() // ensure built
+    val p = plan(graft.operators.Pipeline.deconBySource(spark, sf))
+    assert(p.contains("curation_flags-"),
+      "decon_by_source must scan the materialized flag artifact:\n" +
+        p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("posexplode") && !p.contains("shingle"),
+      "the 5-gram machinery must not appear in the consumer plan")
+    assert(countIn(p, "Exchange") <= 2, "one aggregate + one presentation sort at most")
+  }
+
+  test("ann_ivf searches the materialized IVF-Flat artifact with the probe prune pushed down") {
+    val p = plan(Similarity.annIvf(spark, sf))
+    assert(p.contains("annix_codes_ivf-"), "search must scan the codes artifact")
+    assert(p.contains("In(cid") || p.contains("cid IN") || p.contains("in(cid"),
+      "the probe prune must reach the codes FileScan")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("label_noise_centroid broadcasts the centroid relation; no corpus-sized shuffle join") {

@@ -211,4 +211,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(byOp("in_both").intersect(byOp.getOrElse("only_orders", Set())).isEmpty)
     assert(byOp("in_both").intersect(byOp.getOrElse("only_rich", Set())).isEmpty)
   }
+
+  test("ship_lag_hist equals a JVM replay of the epoch-day lag histogram") {
+    import org.apache.spark.sql.functions.col
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        graft.functions.TimeFunctions.epochSec(col("o_orderdate")).as("s"))
+      .collect().map(r => r.getLong(0) -> Math.floorDiv(r.getLong(1), 86400L)).toMap
+    val lags = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"),
+        graft.functions.TimeFunctions.epochSec(col("l_shipdate")).as("s"))
+      .collect().map(r => Math.floorDiv(r.getLong(1), 86400L) - ord(r.getLong(0)))
+    val want = lags.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = lags.length.toLong
+    val got = graft.operators.Relational.shipLagHist(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (lag, n) =>
+      assert(got(lag) === ((n, n * 1000000L / total)), s"lag $lag")
+    }
+    assert(got.values.map(_._1).sum === total, "every line lands in exactly one bucket")
+  }
 }

@@ -391,4 +391,23 @@ class TemporalSpec extends AnyFunSuite {
     // WAU >= DAU everywhere (a day's actives are in their own window)
     got.values.foreach { case (dau, wau, _) => assert(wau >= dau) }
   }
+
+  test("seasonal_index equals a JVM replay; indices average to 1 over the 12 months") {
+    val months = spark.read.parquet(s"$sf/orders.parquet")
+      .select(org.apache.spark.sql.functions.month(
+        org.apache.spark.sql.functions.col("o_orderdate")).cast("long"))
+      .collect().map(_.getLong(0))
+    val want = months.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = months.length.toLong
+    val got = graft.operators.Temporal.seasonalIndex(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (mon, n) =>
+      assert(got(mon)._1 === n)
+      assert(got(mon)._2 === (n * 12).toDouble / total, s"month $mon")
+    }
+    // conservation: counts telescope to the total, the mean index is 1
+    assert(got.values.map(_._1).sum === total)
+    assert(math.abs(got.values.map(_._2).sum / got.size - (12.0 / got.size)) < 1e-9)
+  }
 }

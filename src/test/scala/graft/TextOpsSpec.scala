@@ -1012,4 +1012,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(4L).getBoolean(6) && !got(4L).getBoolean(7), "lorem ipsum kills the doc")
     assert(!got(5L).getBoolean(7) && got(5L).getLong(4) === 2L, "sentence floor is 3")
   }
+
+  test("lang_by_source equals the per-doc lang_id verdicts grouped by the docs' sources") {
+    import org.apache.spark.sql.functions.col
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val verdicts = graft.operators.TextOps.langId(spark, sf).collect()
+      .map(r => (srcOf(r.getLong(0)), r.getString(1)))
+    val want = verdicts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bySrc = verdicts.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = graft.operators.TextOps.langBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (cell, n) =>
+      assert(got(cell) === ((n, n * 1000000L / bySrc(cell._1))), cell.toString)
+    }
+    // conservation: every doc lands in exactly one (source, lang) cell
+    assert(got.values.map(_._1).sum === srcOf.size.toLong)
+  }
 }
