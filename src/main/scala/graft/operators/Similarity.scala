@@ -1603,9 +1603,17 @@ object Similarity {
           .select(col("vec_id"), col("cid"), col("e"), col("nrm"))
       case _ => encodeWithModel(books, centsOpt, residual, raw)
     }
+    // MATERIALIZE the encode result before the range layout:
+    // repartitionByRange SAMPLES its child to pick boundaries, which
+    // would execute the expensive encode plan TWICE (measured on the
+    // r17 cold sf10 pass: ann_ivf build 800 s vs the 640 s per-run
+    // encode — the sampling pass re-ran the broadcast-argmax assign).
+    // The eager checkpoint pays one bounded write (≤ code-relation
+    // size); both the sampling and the shuffle then read it back.
     def layout(codes: DataFrame): DataFrame =
       if (centsOpt.isDefined)
-        codes.repartitionByRange(col("cid"), col("vec_id"))
+        codes.localCheckpoint(eager = true)
+          .repartitionByRange(col("cid"), col("vec_id"))
           .sortWithinPartitions(col("cid"), col("vec_id"))
       else codes
     M.readOrBuildMaintained(s, s"annix_codes_$variant",
