@@ -1703,7 +1703,34 @@ object Dedup {
       docs.filter(col("doc_id") % 2 === 0), 0.8)
   }
 
+  /** Near-dup cluster-size distribution: how big do duplicate
+    * clusters get — the histogram a dedup policy is tuned against
+    * (a heavy tail says template boilerplate, a flat 2-spike says
+    * mirror pairs).  Singletons (docs in no pair) are the size-1 row,
+    * counted by subtraction so no corpus-sized relation is touched
+    * beyond one count.
+    *
+    * Scale shape: pure FileScan consumer of the delta-maintained
+    * comps label artifact — one |labels|-key aggregate (comp →
+    * size), one ≤|distinct sizes|-key aggregate, two 1-row counts.
+    */
+  def dupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val labels = nearDupComponentLabels(s, dir).select(col("id"), col("comp"))
+      .localCheckpoint(eager = false) // feeds sizes + the labeled count
+    val hist = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      .crossJoin(labels.agg(count(lit(1)).as("nl")))
+      .select(lit(1L).as("cluster_size"), (col("n") - col("nl")).as("n_clusters"))
+    hist.unionByName(singles)
+      .groupBy(col("cluster_size")).agg(sum(col("n_clusters")).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dup_cluster_sizes" -> (dupClusterSizes _),
     "dedup_incremental" -> (dedupIncrementalEntry _),
     "dedup_exact" -> (dedupExact _),
     "dedup_report" -> (dedupReport _),
@@ -1934,6 +1961,33 @@ object Dedup {
         |SELECT test_id, COUNT(DISTINCT train_id) AS n_train_docs, COUNT(*) AS n_shared_shingles
         |FROM te JOIN tr USING (shingle)
         |GROUP BY test_id ORDER BY test_id""".stripMargin,
+    // the dedup_components CC replay, aggregated to a size histogram;
+    // singletons counted by subtraction exactly as the engine does
+    "dup_cluster_sizes" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)]
+        |    ELSE [] END) AS shingle FROM t),
+        |sh AS (SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 128),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |p AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |      WHERE c / (s1.n + s2.n - c) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |      UNION
+        |      SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |cmp AS (SELECT id AS doc_id, LEAST(id, MIN(reach)) AS rep FROM r GROUP BY id),
+        |cs AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cmp GROUP BY rep),
+        |h AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM cs GROUP BY 1),
+        |alls AS (SELECT cluster_size, n_clusters FROM h
+        |  UNION ALL SELECT CAST(1 AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cmp) AS BIGINT))
+        |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * SUM(n_clusters) AS BIGINT) AS n_docs
+        |FROM alls GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3

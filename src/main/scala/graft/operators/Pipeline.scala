@@ -952,6 +952,25 @@ object Pipeline {
         expr("(n_contaminated * 1000000) div n_test_docs").as("contaminated_ppm"))
       .orderBy(col("source"))
 
+  /** Per-feed token budget: each source's doc count, exact token
+    * total and ppm share of the corpus — the raw-weight table a
+    * mixture plan starts from (mixture_plan then √-tempers it).
+    * Pure FileScan consumer of the maintained flag leaf (n_toks is a
+    * carried row-local); one |sources|-key aggregate + a 1-row
+    * broadcast total, never a text re-scan.
+    */
+  def tokenShareBySource(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = curationFlags(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .localCheckpoint(eager = false) // feeds the total AND the shares
+    val tot = bySrc.agg(sum(col("n_tokens")).as("total_tokens"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div total_tokens").as("token_share_ppm"))
+      .orderBy(col("source"))
+  }
+
   def curationReport(s: SparkSession, dir: String): DataFrame = {
     val flagged = curationFlags(s, dir)
     // stages 7–8, the SELECTION half of the pipeline: source_mix's
@@ -1328,9 +1347,23 @@ object Pipeline {
     "curation_report" -> (curationReport _),
     "curation_by_source" -> (curationBySource _),
     "decon_by_source" -> (deconBySource _),
+    "token_share_by_source" -> (tokenShareBySource _),
     "pack_stats" -> (packStats _))
 
   def oracleSql: Map[String, String] = Map(
+    // the flag leaf's n_toks is the whitespace token count — replayed
+    // as the curation CTE's exact expression; shares are ppm floor
+    // division in the BIGINT lane
+    "token_share_by_source" ->
+      """WITH d AS (SELECT source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |      CAST(SUM(tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM b)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens * 1000000 // total_tokens AS BIGINT) AS token_share_ppm
+        |FROM b, t ORDER BY source""".stripMargin,
     // (file, line) distinctness ≡ (source, text) distinctness under
     // the one-file-per-source layout; 64- and 128-bit lanes both
     // resolve to distinct texts absent hash collisions (~n²/2⁶⁵)

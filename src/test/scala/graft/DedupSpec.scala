@@ -1226,4 +1226,39 @@ class DedupSpec extends AnyFunSuite {
     // the rollup key is unique (no split cells)
     assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length)
   }
+
+  test("token_share_by_source equals the flag leaf's carried token counts, shares telescope") {
+    import org.apache.spark.sql.functions.col
+    val leaf = graft.operators.Pipeline.curationFlags(spark, sf)
+      .select(col("source"), col("n_toks")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = leaf.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val total = leaf.map(_._2).sum
+    val got = graft.operators.Pipeline.tokenShareBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, (nd, nt)) =>
+      assert(got(src) === ((nd, nt, nt * 1000000L / total)), src)
+    }
+    // ppm shares telescope to 1e6 within the floor-division slack
+    val shareSum = got.values.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - got.size)
+  }
+
+  test("dup_cluster_sizes equals the component labels' size histogram plus singletons") {
+    val comps = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep")))
+    val want0 = comps.groupBy(_._2).values.map(_.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val singles = nDocs - comps.length
+    val want = want0 + (1L -> (want0.getOrElse(1L, 0L) + singles))
+    val got = Dedup.dupClusterSizes(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.view.mapValues(_._1).toMap === want)
+    got.foreach { case (size, (nc, nd)) => assert(nd === size * nc) }
+    // conservation: every doc lands in exactly one cluster
+    assert(got.values.map(_._2).sum === nDocs)
+  }
 }

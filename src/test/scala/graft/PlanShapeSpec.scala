@@ -623,6 +623,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countIn(p, "Exchange") <= 2, "one aggregate + one presentation sort at most")
   }
 
+  test("token_share_by_source and dup_cluster_sizes are pure artifact-FileScan consumers") {
+    // the queries' own executed plans end on their shared-aggregate
+    // checkpoint leaves; the artifact-FileScan pin belongs on the
+    // relations that FEED those leaves
+    val leaf = plan(graft.operators.Pipeline.curationFlags(spark, sf))
+    assert(leaf.contains("curation_flags-"), "the flag leaf is the materialized artifact")
+    val p1 = plan(graft.operators.Pipeline.tokenShareBySource(spark, sf))
+    assert(!p1.contains("posexplode") && !p1.contains("tokenCount") &&
+      !p1.contains("text"),
+      "the token counting must not re-run — n_toks is a carried row-local")
+    val labels = plan(Dedup.dedupComponents(spark, sf))
+    assert(labels.contains("neardup_comps-"), "labels read the comps artifact:\n" +
+      labels.linesIterator.take(10).mkString("\n"))
+    val p2 = plan(Dedup.dupClusterSizes(spark, sf))
+    assert(!p2.contains("shingle"), "the pair pipeline must not re-run")
+  }
+
   test("ann_ivf searches the materialized IVF-Flat artifact with the probe prune pushed down") {
     val p = plan(Similarity.annIvf(spark, sf))
     assert(p.contains("annix_codes_ivf-"), "search must scan the codes artifact")
