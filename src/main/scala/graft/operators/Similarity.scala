@@ -110,11 +110,63 @@ object Similarity {
         round(col("t.score"), 6).as("cos6"))
       .orderBy(col("q_id"), col("rk"))
 
+  /** Corpus rows scored against the queries when deriving a τ sample —
+    * bounded (a LocalLimit reads only the first partitions, never the
+    * whole corpus) and independent of corpus size.  Selectivity of the
+    * resulting prune is ≈ kk/[[TauSampleRows]] of the candidate
+    * stream, so 4096 turns a top-10 scan's aggregate input down ~400×.
+    */
+  private[graft] val TauSampleRows = 4096
+
+  /** Sampled admission threshold (τ-prune) for the broadcast-query
+    * scored-scan family: compute each query's kk-th best score over a
+    * bounded corpus sample, then drop scored pairs below it BEFORE the
+    * top-k aggregate.
+    *
+    * Why: the scoring scan (join + score expression) runs inside
+    * whole-stage codegen, but [[TopKScoredAgg]] is a
+    * TypedImperativeAggregate whose update path evaluates per row in
+    * interpreted mode — at |Q|·|corpus| candidate pairs that
+    * interpreted tail dominates the query (measured: most of ann_pq's
+    * sf10 cost).  A codegen'd `cos ≥ τ` filter in the scan stage cuts
+    * the aggregate's input to roughly kk/|sample| of the stream.
+    *
+    * Why it is EXACT: for any sample S ⊆ candidates, the kk-th best
+    * score in S is ≤ the kk-th best in the full stream, so `cos ≥ τ`
+    * keeps a superset of every row that can place in the top kk —
+    * including all ties at the admission boundary.  The aggregate's
+    * result is bit-identical; only its input size changes.  Queries
+    * with fewer than kk sampled candidates (small corpus, or a
+    * filtered scan whose predicate misses the sample) get τ = −∞, i.e.
+    * no pruning — the prune degrades to the old plan, never past it.
+    *
+    * `score` must map a corpus subset to (q_id, vec_id, cos) — it is
+    * applied twice, once to the bounded sample and once to the full
+    * corpus; both plans share the same broadcast query relation.
+    */
+  private def tauPrune(score: DataFrame => DataFrame, corpus: DataFrame,
+      kk: Int): DataFrame = {
+    val noTau = lit(-1e300)
+    // collect_list+sort_array, not TopKScoredAgg: the sample aggregate
+    // is itself interpreted-update, and an append is ~free per row
+    // where a heap insert is not; |sample|·|Q| doubles is ≤ 32 MB
+    val tau = score(corpus.limit(TauSampleRows))
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(col("cos")), asc = false).as("ss"))
+      .select(col("q_id"),
+        when(size(col("ss")) >= kk, element_at(col("ss"), kk))
+          .otherwise(noTau).as("tau"))
+    score(corpus)
+      .join(broadcast(tau), Seq("q_id"), "left_outer")
+      .filter(col("cos") >= coalesce(col("tau"), noTau))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+  }
+
   private def bruteforce(v: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    def score(c: DataFrame) = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(scored, k)
+    topKPerQuery(tauPrune(score, v, k), k)
   }
 
   /** Exact cosine top-10 per fixture query.  The query side is
@@ -1025,10 +1077,12 @@ object Similarity {
     val sub = books(0)(0).length
     val qt = q0.select(col("q_id"),
       pqTabsCol(books, sub, col("qe"), col("qnrm")).as("qtabs"))
-    val cand = codes.join(broadcast(qt), col("vec_id") =!= col("q_id"))
+    def score(c: DataFrame) = c.join(broadcast(qt), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         graft.functions.AdcScore.adcScore(col("codes"), col("qtabs")).as("cos"))
-    adcShortlistRerank(v, q0, cand, k)
+    // τ at the SHORTLIST width (refine·k): the prune must keep every
+    // row that can reach the shortlist, not just the final top-k
+    adcShortlistRerank(v, q0, tauPrune(score, codes, PqRefine * k), k)
   }
 
   /** Model relation behind the persisted index paths: one row per PQ
@@ -1987,11 +2041,13 @@ object Similarity {
       .orderBy(col("vec_id")).limit(QueryCap)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("e").as("qe"), col("nrm").as("qnrm"))
-    val scored = v.join(broadcast(q),
+    def score(c: DataFrame) = c.join(broadcast(q),
         col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(scored, 10)
+    // τ-pruned like the unfiltered scan; a label absent from the first
+    // [[TauSampleRows]] rows simply yields τ = −∞ for its queries
+    topKPerQuery(tauPrune(score, v, 10), 10)
   }
 
   /** ANN in PCA-reduced space: the composition [[pcaTrain]] exists

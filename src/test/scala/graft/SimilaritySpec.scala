@@ -1013,4 +1013,52 @@ class SimilaritySpec extends AnyFunSuite {
       assert(n >= 1 && share >= 0 && math.abs(skew) < 1000000L)
     }
   }
+
+  test("tau-pruned top-k is identical to a window reference, ties at the admission boundary") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{dot, l2Norm, toDouble}
+    val dim = 8
+    def vec(seed: Long): Seq[Double] = {
+      val r = new scala.util.Random(seed); Seq.fill(dim)(r.nextDouble() - 0.5)
+    }
+    // corpus > TauSampleRows so the sampled-τ prune actually engages;
+    // 64 exact duplicates plant equal-score pairs throughout the
+    // ranking, and 20 copies of one vector put the matching query's
+    // ENTIRE admission boundary inside a tie block (ranks 1–20 all
+    // score 1.0 — top-10 must be the 10 smallest ids of the block)
+    val corpus = ((0L until 6000L).map(i => (i, vec(i))) ++
+      (0L until 64L).map(i => (100000L + i, vec(i))) ++
+      (0L until 20L).map(i => (300000L + i, vec(9999L)))).toDF("vec_id", "embedding")
+    val queries = ((0L until 8L).map(i => (200000L + i, vec(777L + i))) :+
+      (210000L, vec(9999L))).toDF("vec_id", "embedding")
+    assert(corpus.count() > Similarity.TauSampleRows)
+    val got = Similarity.annBruteforceFor(corpus, queries, 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos6"))).toSet
+    // unpruned reference with the SAME score expressions and the same
+    // (score desc, id asc) total order — bit-equal doubles by
+    // construction, so set equality is exact, not tolerance-based
+    val cv = corpus.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", l2Norm(col("e"))).filter(col("nrm") > 0)
+    val qv = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qe"))
+      .withColumn("qnrm", l2Norm(col("qe"))).filter(col("qnrm") > 0)
+    val scored = cv.crossJoin(qv).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val want = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos6"))
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos6"))).toSet
+    assert(got === want)
+    // the tie-block query really resolved by id: ranks 1–10 are the 10
+    // smallest ids of the 20-copy block, all at cos 1.0
+    val block = got.filter(_._1 == 210000L).toSeq.sortBy(_._2)
+    assert(block.map(_._3) === (0L until 10L).map(300000L + _))
+    assert(block.forall(_._4 == 1.0))
+  }
 }
