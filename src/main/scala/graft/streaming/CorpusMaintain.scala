@@ -134,6 +134,38 @@ object CorpusMaintain {
       }
       .start()
 
+  /** The materialized-ANN twin — the annix index tier's epoch-wise
+    * streaming form (its batch algebra is the round-17 Materialize
+    * seam wiring).  Each micro-batch (schema-compatible with the
+    * embeddings table) appends to `corpusDir/embeddings.parquet` under
+    * the same epoch-idempotent naming, then the per-snapshot index
+    * artifacts refresh through
+    * [[graft.operators.Similarity.annIndexed]]'s maintenance: the
+    * MODEL relation carries verbatim across appends (the FAISS
+    * add-after-train discipline — retrain only past the drift bound),
+    * the CODES relation encodes ONLY the batch ([[graft.operators
+    * .Similarity.appendToIndex]]'s algebra) as an unsorted LSM tail.
+    * A query stream served off the artifact ([[AnnServe]]) therefore
+    * reads an index that tracks ingest at batch-encode cost, never a
+    * per-epoch retrain/re-encode.  Takedowns ride [[takedownEpoch]]
+    * unchanged (survivor semi-join on the codes, carried model).
+    * `onEpoch` receives the refreshed codes relation.
+    */
+  def maintainAnnIndex(s: SparkSession, corpusDir: String, embStream: DataFrame,
+      checkpoint: String, variant: String = "ivfpq",
+      onEpoch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    embStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        if (!batch.isEmpty) {
+          appendEpoch(batch.toDF(), s"$corpusDir/embeddings.parquet", epoch)
+          val (codes, _, _, _) =
+            graft.operators.Similarity.annIndexed(s, corpusDir, variant)
+          onEpoch(codes, epoch)
+        }
+      }
+      .start()
+
   /** TAKEDOWN: remove one ingested epoch's files from a corpus
     * dataset — the retraction a GDPR/license request forces on a
     * crawl pipeline, at the same file granularity the stream ingests

@@ -341,6 +341,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ann index maintenance: streamed embeddings append-encode the annix tier, model carried, codes equal appendToIndex") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val S = graft.operators.Similarity
+    val corpus = Files.createTempDirectory("graft-maintain-annix").toString
+    val rnd = new scala.util.Random(4242)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (1L to 240L).map(i => (i, vec()))
+    val b1 = (9001L to 9020L).map(i => (i, vec()))
+    val b2 = (9101L to 9120L).map(i => (i, vec()))
+    base.toDF("vec_id", "embedding").repartition(2)
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val cache = Files.createTempDirectory("graft-maintain-annix-cache").toString
+    spark.conf.set("spark.graft.cache.dir", cache)
+    spark.conf.set("spark.graft.delta.maxAppendFraction", "100")
+    try {
+      graft.sources.Materialize.resetBuildCount("annix_model_ivfpq")
+      graft.sources.Materialize.resetBuildCount("annix_codes_ivfpq")
+      // base index built BEFORE the stream starts — ingest maintains
+      // an existing serving index, it does not cold-build per epoch
+      val (c0, books0, cents0, _) = S.annIndexed(spark, corpus, "ivfpq")
+      c0.count()
+      val mem = MemoryStream[(Long, Array[Double])]
+      val src = mem.toDF().toDF("vec_id", "embedding")
+      val epochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val ckpt = Files.createTempDirectory("graft-maintain-annix-ckpt").toString
+      val q = CorpusMaintain.maintainAnnIndex(spark, corpus, src, ckpt, "ivfpq",
+        (codes, e) => { codes.count(); epochs.add(e); () })
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      assert(epochs.size === 2, s"expected 2 maintenance epochs, saw $epochs")
+      assert(graft.sources.Materialize.deltaBuildCount("annix_model_ivfpq") === 2,
+        "the model must CARRY per epoch, never retrain")
+      assert(graft.sources.Materialize.deltaBuildCount("annix_codes_ivfpq") === 2,
+        "codes must encode the batch per epoch, never re-encode the corpus")
+      // stream-final: model bit-identical to the base-trained one …
+      val (cf, booksF, centsF, _) = S.annIndexed(spark, corpus, "ivfpq")
+      assert(booksF.map(_.map(_.toSeq).toSeq).toSeq
+        === books0.map(_.map(_.toSeq).toSeq).toSeq, "carried codebooks")
+      assert(centsF.map(_.map(_.toSeq).toSeq) === cents0.map(_.map(_.toSeq).toSeq),
+        "carried coarse centroids")
+      // … and codes ≡ the PUBLIC appendToIndex algebra applied per epoch
+      val got = cf.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+      val expected = S.appendToIndex(S.appendToIndex(
+          S.buildIvfPqIndex(base.toDF("vec_id", "embedding")),
+          b1.toDF("vec_id", "embedding")),
+          b2.toDF("vec_id", "embedding")).codes
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+      assert(got === expected)
+    } finally {
+      spark.conf.unset("spark.graft.cache.dir")
+      spark.conf.unset("spark.graft.delta.maxAppendFraction")
+    }
+  }
+
   test("takedown: removing an ingested epoch delete-maintains the substrate, batch-over-survivors identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
