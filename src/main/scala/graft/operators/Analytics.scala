@@ -817,7 +817,68 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  /** Repeat-purchase rate per market segment — the loyalty KPI next to
+    * [[rfmSegments]]: how many buyers a segment has, how many came
+    * back (≥2 orders), the repeat rate and orders-per-buyer.
+    *
+    * Exactness: pure count lane; the two rates are one IEEE division
+    * of exact longs each.
+    *
+    * Scale shape: aggregate-before-join — orders collapses to one row
+    * per customer BEFORE meeting the customer dim on its natural key,
+    * then a ≤|segments|-key aggregate.  The fact table never reaches
+    * the join.
+    */
+  def repeatPurchase(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+    perCust
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("n_ord") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        sum(col("n_ord")).as("n_orders"))
+      .select(col("c_mktsegment"), col("n_buyers"), col("n_repeat"),
+        col("n_orders"),
+        (col("n_repeat").cast("double") / col("n_buyers")).as("repeat_rate"),
+        (col("n_orders").cast("double") / col("n_buyers")).as("orders_per_buyer"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Customer segment-migration matrix — cohort movement between the
+    * first and second half of the order timeline (cut 1998-01-01):
+    * each customer gets an activity tier per period from exact order
+    * counts (none / low 1–2 / mid 3–5 / high 6+), and the matrix
+    * counts customers per (before, after) tier pair — the churn /
+    * upgrade dashboard [[rfmSegments]]' single-snapshot view cannot
+    * show.
+    *
+    * Exactness: tiers are CASE thresholds on exact longs; the matrix
+    * is a count.  Nothing floats.
+    *
+    * Scale shape: one orders scan with two conditional counts per
+    * customer (map-side combined), tiering map-side on the ≤|custs|
+    * aggregate, then a ≤16-key matrix aggregate.  No join at all.
+    */
+  def segmentMigration(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    def tier(c: Column) = when(c === 0L, "none").when(c <= 2L, "low")
+      .when(c <= 5L, "mid").otherwise("high")
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n2"))
+      .select(tier(col("n1")).as("seg_before"), tier(col("n2")).as("seg_after"))
+      .groupBy(col("seg_before"), col("seg_after"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("seg_before"), col("seg_after"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repeat_purchase" -> (repeatPurchase _),
+    "segment_migration" -> (segmentMigration _),
     "customer_value_deciles" -> (customerValueDeciles _),
     "fk_orphans" -> (fkOrphans _),
     "basket_rules" -> (basketRules _),
@@ -839,6 +900,34 @@ object Analytics {
     "quality_mad" -> (qualityMad _))
 
   def oracleSql: Map[String, String] = Map(
+    // pure count lane; rates are one IEEE division of exact longs
+    "repeat_purchase" ->
+      """WITH pc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_buyers,
+        |  CAST(SUM(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+        |  CAST(SUM(n_ord) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS repeat_rate,
+        |  CAST(SUM(n_ord) AS DOUBLE) / COUNT(*) AS orders_per_buyer
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CASE tiers on exact longs; the matrix is a count — nothing floats
+    "segment_migration" ->
+      """WITH pc AS (SELECT o_custkey,
+        |  CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT
+        |  CASE WHEN n1 = 0 THEN 'none' WHEN n1 <= 2 THEN 'low'
+        |       WHEN n1 <= 5 THEN 'mid' ELSE 'high' END AS seg_before,
+        |  CASE WHEN n2 = 0 THEN 'none' WHEN n2 <= 2 THEN 'low'
+        |       WHEN n2 <= 5 THEN 'mid' ELSE 'high' END AS seg_after
+        |  FROM pc)
+        |SELECT seg_before, seg_after, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DuckDB's NTILE implements exactly the base/big arithmetic the
     // Spark side replays on the staircase position (total tie order
     // (rev, custkey)); revenue is the exact integer cents lane

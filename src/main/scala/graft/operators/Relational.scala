@@ -839,7 +839,58 @@ object Relational {
       .orderBy(col("lag_days"))
   }
 
+  /** Revenue bridge — the year-over-year price/volume decomposition a
+    * finance review opens with: per supplier nation, 1996 vs 1997
+    * revenue and quantity, and ΔRev split into a price effect
+    * ((p₂−p₁)·v₂) and a volume effect (p₁·(v₂−v₁)) where p = rev/qty —
+    * the standard bridge identity (the two effects sum to ΔRev up to
+    * IEEE rounding, priced at new volume / old price respectively).
+    *
+    * Exactness: revenue and quantity aggregate in the exact decimal
+    * lane (the q1 discipline) and cast to double once at the
+    * presentation boundary; the effects are the same IEEE expression
+    * tree on both engines over those identical doubles.
+    *
+    * Scale shape: aggregate-before-join — lineitem collapses to ≤2
+    * rows per supplier BEFORE meeting the supplier dim, nation is a
+    * broadcast, and the final frame is ≤|nations| rows.  The 100 TB
+    * fact table never reaches a join.
+    */
+  def revenueBridge(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_suppkey"), year(col("l_shipdate")).as("y"),
+        col("l_quantity").cast(D182).as("qty_l"), discPrice.as("rev_l"))
+      .groupBy(col("l_suppkey"), col("y"))
+      .agg(sum(col("qty_l")).as("qty_s"), sum(col("rev_l")).as("rev_s"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val pn = perSupp.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(when(col("y") === 1996, col("qty_s"))).as("qty1_d"),
+        sum(when(col("y") === 1997, col("qty_s"))).as("qty2_d"),
+        sum(when(col("y") === 1996, col("rev_s"))).as("rev1_d"),
+        sum(when(col("y") === 1997, col("rev_s"))).as("rev2_d"))
+      .filter(col("qty1_d").isNotNull && col("qty2_d").isNotNull)
+      .select(col("n_name"),
+        col("rev1_d").cast("double").as("rev_1996"),
+        col("rev2_d").cast("double").as("rev_1997"),
+        col("qty1_d").cast("double").as("qty_1996"),
+        col("qty2_d").cast("double").as("qty_1997"))
+    pn.select(col("n_name"), col("rev_1996"), col("rev_1997"),
+        col("qty_1996"), col("qty_1997"),
+        (col("rev_1997") - col("rev_1996")).as("delta_rev"),
+        ((col("rev_1997") / col("qty_1997") - col("rev_1996") / col("qty_1996"))
+          * col("qty_1997")).as("price_effect"),
+        ((col("rev_1996") / col("qty_1996"))
+          * (col("qty_1997") - col("qty_1996"))).as("volume_effect"))
+      .orderBy(col("n_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_bridge" -> (revenueBridge _),
     "ship_lag_hist" -> (shipLagHist _),
     "part_return_rate" -> (partReturnRate _),
     "q1_pricing" -> (q1Pricing _),
@@ -881,6 +932,31 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     // lag = exact integer epoch-day difference (the active_users
     // floor-division convention); ppm = BIGINT floor division
+    // decimal lane → one double cast at the boundary (q1 discipline);
+    // the bridge effects are the same IEEE tree on both engines
+    "revenue_bridge" ->
+      """WITH ps AS (SELECT l_suppkey, year(l_shipdate) AS y,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_s,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS rev_s
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |pn AS (SELECT n_name,
+        |  CAST(SUM(CASE WHEN y = 1996 THEN qty_s END) AS DOUBLE) AS qty_1996,
+        |  CAST(SUM(CASE WHEN y = 1997 THEN qty_s END) AS DOUBLE) AS qty_1997,
+        |  CAST(SUM(CASE WHEN y = 1996 THEN rev_s END) AS DOUBLE) AS rev_1996,
+        |  CAST(SUM(CASE WHEN y = 1997 THEN rev_s END) AS DOUBLE) AS rev_1997
+        |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, rev_1996, rev_1997, qty_1996, qty_1997,
+        |  rev_1997 - rev_1996 AS delta_rev,
+        |  (rev_1997 / qty_1997 - rev_1996 / qty_1996) * qty_1997 AS price_effect,
+        |  (rev_1996 / qty_1996) * (qty_1997 - qty_1996) AS volume_effect
+        |FROM pn WHERE qty_1996 IS NOT NULL AND qty_1997 IS NOT NULL
+        |ORDER BY n_name""".stripMargin,
     "ship_lag_hist" ->
       """WITH lg AS (SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)
         |    - CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS lag_days

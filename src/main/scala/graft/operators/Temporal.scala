@@ -667,7 +667,36 @@ object Temporal {
       .orderBy(col("mon"))
   }
 
+  /** Weekday activity profile — the day-of-week shape of the event
+    * stream per type: for each (event_type, weekday), its event count
+    * and share of the type's total.  The operations dashboard that
+    * separates weekday-driven load (logins, purchases) from flat
+    * background traffic before capacity is planned per day-of-week.
+    *
+    * Exactness: the weekday is pure integer arithmetic on the epoch
+    * day ((day + 3) mod 7, 0 = Monday — epoch day 0, 1970-01-01, was
+    * a Thursday), NOT an engine calendar function with
+    * locale-dependent week starts; counts are exact longs and the
+    * share is one IEEE division of exact integers.
+    *
+    * Scale shape: one map-side-combined ≤(|types|·7)-key aggregate
+    * over the events scan; the per-type totals window runs over those
+    * bounded rows, never the scan.
+    */
+  def weekdayProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("event_type"), epochUs(col("ts")).as("us"))
+      .select(col("event_type"), expr("(us div 86400000000 + 3) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    d.withColumn("share",
+        col("n_events").cast("double") / sum(col("n_events")).over(w))
+      .select(col("event_type"), col("dow"), col("n_events"), col("share"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weekday_profile" -> (weekdayProfile _),
     "seasonal_index" -> (seasonalIndex _),
     "anomaly_mad" -> (anomalyMad _),
     "ts_decompose" -> (tsDecompose _),
@@ -687,6 +716,19 @@ object Temporal {
     "event_attribution" -> (eventAttribution _))
 
   def oracleSql: Map[String, String] = Map(
+    // weekday = integer arithmetic on the epoch day (no calendar
+    // function: engines disagree on week starts); share = one IEEE
+    // division of exact longs.  SUM() OVER returns HUGEINT in DuckDB —
+    // the division is DOUBLE/HUGEINT, value-identical
+    "weekday_profile" ->
+      """WITH d AS (SELECT event_type,
+        |  (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 AS dow,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, dow, n_events,
+        |  CAST(n_events AS DOUBLE) /
+        |    SUM(n_events) OVER (PARTITION BY event_type) AS share
+        |FROM d ORDER BY event_type, dow""".stripMargin,
     // month() is calendar-exact on both engines; the index is one IEEE
     // division of exact integers
     "seasonal_index" ->

@@ -960,7 +960,50 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Per-feed readability profile — the Flesch-style reading-ease
+    * score a curation pipeline uses to separate prose feeds from
+    * boilerplate/code-heavy ones before mixing.  Per source: document
+    * and token counts plus words-per-sentence, syllables-per-word
+    * (vowel-group proxy — the standard dictionary-free approximation)
+    * and the composed score 206.835 − 1.015·wps − 84.6·spw.
+    *
+    * Exactness: all three counters are explicit-class regex run
+    * counts ([^ \t\n\r]+ words, [.!?]+ sentence ends, vowel groups) —
+    * explicit classes because Java's \S and RE2's \S disagree on
+    * vertical tab; counts are exact longs, and the two ratios + score
+    * are the same IEEE expression tree on both engines (literals
+    * correctly round to identical doubles).  Non-Latin text scores 0
+    * syllables — deterministic, and exactly why the per-SOURCE view
+    * is read next to [[langBySource]].
+    *
+    * Scale shape: scan-project (regex counts are map-side) into a
+    * ≤|sources|-key aggregate; nothing corpus-sized shuffles.
+    */
+  def readabilityBySource(s: SparkSession, dir: String): DataFrame = {
+    val wps = col("n_words").cast("double") /
+      greatest(col("n_sentences"), lit(1L))
+    val spw = col("n_syllables").cast("double") /
+      greatest(col("n_words"), lit(1L))
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[^ \\t\\n\\r]+"), lit(0)))
+          .cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long").as("sn"),
+        size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0)))
+          .cast("long").as("sy"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("sn")).as("n_sentences"), sum(col("sy")).as("n_syllables"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        wps.as("words_per_sentence"), spw.as("syllables_per_word"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "readability_by_source" -> (readabilityBySource _),
     "distinct_sketch" -> (distinctSketch _),
     "collocations" -> (collocations _),
     "sentence_stats" -> (sentenceStats _),
@@ -993,6 +1036,25 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _))
 
   def oracleSql: Map[String, String] = Map(
+    // explicit regex classes (Java \S vs RE2 \S disagree on \x0B);
+    // counts exact longs, ratios/score one shared IEEE expression tree
+    "readability_by_source" ->
+      """WITH d AS (SELECT source,
+        |  len(regexp_extract_all(text, '[^ \t\n\r]+')) AS w,
+        |  len(regexp_extract_all(text, '[.!?]+')) AS sn,
+        |  len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS sy
+        |  FROM documents),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(SUM(sn) AS BIGINT) AS n_sentences,
+        |  CAST(SUM(sy) AS BIGINT) AS n_syllables
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, n_words, n_sentences, n_syllables,
+        |  CAST(n_words AS DOUBLE) / GREATEST(n_sentences, 1) AS words_per_sentence,
+        |  CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1) AS syllables_per_word,
+        |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / GREATEST(n_sentences, 1))
+        |          - 84.6 * (CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1)) AS flesch
+        |FROM g ORDER BY source""".stripMargin,
     // GENERATED from the same CharNgramProfiles constant the engine
     // reads, so profile and oracle can never diverge; the
     // length-difference-of-replace occurrence count and the struct

@@ -527,4 +527,48 @@ class AnalyticsSpec extends AnyFunSuite {
     val avg = (1 to 10).map(d => got(d)._3.toDouble / got(d)._1)
     assert(avg.sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("repeat_purchase equals a JVM replay of the per-segment loyalty counts") {
+    import org.apache.spark.sql.functions.col
+    val ordersPer = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val seg = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySeg = ordersPer.toSeq.groupBy { case (ck, _) => seg(ck) }
+    val got = graft.operators.Analytics.repeatPurchase(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet === bySeg.keySet)
+    bySeg.foreach { case (sg, cs) =>
+      val buyers = cs.length.toLong
+      val rep = cs.count(_._2 >= 2L).toLong
+      val nOrd = cs.map(_._2).sum
+      assert(got(sg) === ((buyers, rep, nOrd,
+        rep.toDouble / buyers, nOrd.toDouble / buyers)), sg)
+    }
+    // conservation: buyers partition the ordering customers
+    assert(got.values.map(_._1).sum === ordersPer.size.toLong)
+  }
+
+  test("segment_migration equals a JVM replay; cells partition the buyers") {
+    import org.apache.spark.sql.functions.col
+    val cut = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val per = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).isBefore(cut)))
+      .groupBy(_._1).view.mapValues { os =>
+        (os.count(_._2).toLong, os.count(!_._2).toLong)
+      }.toMap
+    def tier(n: Long) =
+      if (n == 0) "none" else if (n <= 2) "low" else if (n <= 5) "mid" else "high"
+    val want = per.values.toSeq.map { case (n1, n2) => (tier(n1), tier(n2)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = graft.operators.Analytics.segmentMigration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.values.sum === per.size.toLong, "cells partition the buyers")
+  }
 }

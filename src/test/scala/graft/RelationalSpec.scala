@@ -232,4 +232,31 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(got.values.map(_._1).sum === total, "every line lands in exactly one bucket")
   }
+
+  test("revenue_bridge: effects decompose the YoY delta; nations conserve the window's revenue") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Relational.revenueBridge(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (rev1, rev2) = (r.getDouble(1), r.getDouble(2))
+      val (q1, q2) = (r.getDouble(3), r.getDouble(4))
+      val (dr, pe, ve) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(q1 > 0 && q2 > 0, r.getString(0))
+      assert(dr === rev2 - rev1, r.getString(0))
+      // the bridge identity (p2−p1)·v2 + p1·(v2−v1) = rev2 − rev1 holds
+      // in real arithmetic; IEEE evaluation leaves rounding residue only
+      assert(math.abs(pe + ve - dr) <=
+        1e-9 * math.max(math.abs(rev1), math.abs(rev2)), r.getString(0))
+    }
+    // conservation: per-nation window revenue sums to the window total
+    // (every supplier has a nation) — double-lane recomputation, tolerant
+    val tot = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .collect()(0).getDouble(0)
+    val bridged = got.map(r => r.getDouble(1) + r.getDouble(2)).sum
+    assert(math.abs(bridged - tot) <= 1e-6 * tot,
+      s"nations carry the window total: $bridged vs $tot")
+  }
 }

@@ -410,4 +410,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum === total)
     assert(math.abs(got.values.map(_._2).sum / got.size - (12.0 / got.size)) < 1e-9)
   }
+
+  test("weekday_profile equals a JVM replay; shares telescope to 1 per type") {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        graft.functions.TimeFunctions.epochUs(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getString(0),
+        (Math.floorDiv(r.getLong(1), 86400000000L) + 3) % 7))
+    val want = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = graft.operators.Temporal.weekdayProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, n) =>
+      assert(got(k)._1 === n, k)
+      assert(got(k)._2 === n.toDouble / totals(k._1), k)
+    }
+    got.keys.foreach { case (_, dow) => assert(dow >= 0 && dow <= 6) }
+    got.groupBy(_._1._1).foreach { case (t, m) =>
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12, t)
+    }
+  }
 }

@@ -1031,4 +1031,27 @@ class TextOpsSpec extends AnyFunSuite {
     // conservation: every doc lands in exactly one (source, lang) cell
     assert(got.values.map(_._1).sum === srcOf.size.toLong)
   }
+
+  test("readability_by_source equals a JVM regex replay, score tree included") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def cnt(t: String, re: String): Long = re.r.findAllIn(t).length.toLong
+    val got = graft.operators.TextOps.readabilityBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val w = ds.map(d => cnt(d._2, "[^ \\t\\n\\r]+")).sum
+      val sn = ds.map(d => cnt(d._2, "[.!?]+")).sum
+      val sy = ds.map(d => cnt(d._2, "[aeiouyAEIOUY]+")).sum
+      val wps = w.toDouble / math.max(sn, 1L)
+      val spw = sy.toDouble / math.max(w, 1L)
+      // the SAME IEEE expression tree the engine (and oracle) evaluate
+      val flesch = 206.835 - 1.015 * wps - 84.6 * spw
+      assert(got(src) === ((ds.length.toLong, w, sn, sy, wps, spw, flesch)), src)
+    }
+  }
 }
