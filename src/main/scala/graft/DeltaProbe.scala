@@ -46,6 +46,10 @@ import org.apache.spark.sql.functions._
   *  - `flagsdel` (round 17): takedown-cost probe for the flag leaf
   *    (delete = survivor sidecar refresh + surgical two-direction
   *    decon + subset re-elections vs the full survivor rebuild).
+  *  - `annix` (round 17, late session): append + takedown cost probe
+  *    for the materialized ANN index tier (ivfpq variant) — delta =
+  *    carried model + batch-only encode, delete = survivor semi-join
+  *    under the carried model, each vs the full re-train + re-encode.
   *
   * For each of `nAppends` batches (fresh ids offset past the corpus
   * max so they can never collide at any scale), times (a) the
@@ -441,6 +445,94 @@ object DeltaProbe {
         s""""delete_builds":{"curation_flags":${M.deleteBuildCount("curation_flags")}}}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/probe_delta_materialize_flagsdel.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
+
+    if (mode == "annix") {
+      // `annix` (round 17, late session): maintenance-cost probe for
+      // the materialized ANN index tier — each append step stages a
+      // fresh-id batch (deltaPct% of the corpus) and times the
+      // delta-maintained refresh (model CARRIED, codes batch-encode +
+      // LSM tail) vs a from-scratch full build (re-train + full
+      // re-encode) of the same corpus state; a takedown phase then
+      // removes the staged batches newest-first and times the delete
+      // path (survivor semi-join under the carried model) vs a full
+      // survivor rebuild.  Probes the ivfpq variant (the driver's
+      // richest: coarse quantizer + codebooks + cid-range layout).
+      val embDir = s"$work/embeddings.parquet"
+      graft.sources.Tables.embeddings(spark, sfDir).write.parquet(embDir)
+      val nVec = spark.read.parquet(embDir).count()
+      val maxId = spark.read.parquet(embDir).agg(max(col("vec_id"))).head.getLong(0)
+      val nDelta = math.max(1L, nVec * deltaPct / 100)
+      val srcVecs = s"$work/annix_src"
+      val src0 = spark.read.parquet(embDir)
+      src0.orderBy(col("vec_id")).limit(nDelta.toInt).write.parquet(srcVecs)
+      def stageA(k: Int): Unit = {
+        val st = s"$work/annix_stage$k"
+        val src = spark.read.parquet(srcVecs)
+        src.select((col("vec_id") + (maxId + 1) * k).as("vec_id") +:
+            src.columns.filterNot(_ == "vec_id").map(col).toSeq: _*)
+          .write.parquet(st)
+        new java.io.File(st).listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            require(f.renameTo(new java.io.File(embDir,
+              s"part-annix$k-${f.getName.stripPrefix("part-")}")))
+          }
+      }
+      def timedA(body: => Any): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def freshCacheA(): String =
+        java.nio.file.Files.createTempDirectory("graft_delta_probe_cache").toString
+      def buildIx(): Double = timedA {
+        val (codes, _, _, _) =
+          graft.operators.Similarity.annIndexed(spark, work, "ivfpq")
+        codes.count()
+      }
+      spark.conf.set("spark.graft.cache.dir", freshCacheA())
+      buildIx() // warmup
+      val liveCache = freshCacheA()
+      spark.conf.set("spark.graft.cache.dir", liveCache)
+      val fb = buildIx()
+      val deltaSecs = Array.ofDim[Double](nAppends)
+      val fullSecs = Array.ofDim[Double](nAppends)
+      for (k <- 1 to nAppends) {
+        stageA(k)
+        spark.conf.set("spark.graft.cache.dir", liveCache)
+        deltaSecs(k - 1) = buildIx()
+        spark.conf.set("spark.graft.cache.dir", freshCacheA())
+        fullSecs(k - 1) = buildIx()
+      }
+      // takedown phase: remove the staged batches newest-first — each
+      // removal is the pure-delete shape the codes delete builder keys on
+      val delSecs = Array.ofDim[Double](nAppends)
+      val delFullSecs = Array.ofDim[Double](nAppends)
+      for (k <- nAppends to 1 by -1) {
+        new java.io.File(embDir).listFiles()
+          .filter(_.getName.startsWith(s"part-annix$k-"))
+          .foreach(f => require(f.delete()))
+        spark.conf.set("spark.graft.cache.dir", liveCache)
+        delSecs(nAppends - k) = buildIx()
+        spark.conf.set("spark.graft.cache.dir", freshCacheA())
+        delFullSecs(nAppends - k) = buildIx()
+      }
+      val M = graft.sources.Materialize
+      def r3a(x: Double) = math.rint(x * 1000) / 1000
+      def arrA(xs: Seq[Double]) = xs.map(r3a).mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"annix_maintenance","mode":"annix","sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""corpus_vecs":$nVec,"delta_pct":$deltaPct,"n_steps":$nAppends,""" +
+        s""""annix_ivfpq":{"full_base_sec":${r3a(fb)},"delta_sec":${arrA(deltaSecs.toSeq)},""" +
+        s""""full_sec":${arrA(fullSecs.toSeq)},"delete_sec":${arrA(delSecs.toSeq)},""" +
+        s""""delete_full_sec":${arrA(delFullSecs.toSeq)}},""" +
+        s""""delta_builds":{"annix_model_ivfpq":${M.deltaBuildCount("annix_model_ivfpq")},""" +
+        s""""annix_codes_ivfpq":${M.deltaBuildCount("annix_codes_ivfpq")}},""" +
+        s""""delete_builds":{"annix_model_ivfpq":${M.deleteBuildCount("annix_model_ivfpq")},""" +
+        s""""annix_codes_ivfpq":${M.deleteBuildCount("annix_codes_ivfpq")}}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/probe_delta_materialize_annix.json"), json + "\n")
       spark.stop()
       println(json)
       return

@@ -118,6 +118,16 @@ object Similarity {
     */
   private[graft] val TauSampleRows = 4096
 
+  /** τ-prune engages only when the corpus meaningfully exceeds the
+    * sample: below this the sample IS (most of) the corpus, so the
+    * probe pass roughly doubles the scan for no aggregate savings —
+    * measured on the sf0.1 gate (~2k vectors): ann_bruteforce
+    * 0.46→1.03 s WITH an ungated prune, vs the 2× WIN at sf1's 20k
+    * (5.2→2.4 s) and the growing win beyond.  4×sample splits those
+    * measured decades.
+    */
+  private[graft] val TauPruneMinRows = 4L * TauSampleRows
+
   /** Sampled admission threshold (τ-prune) for the broadcast-query
     * scored-scan family: compute each query's kk-th best score over a
     * bounded corpus sample, then drop scored pairs below it BEFORE the
@@ -143,9 +153,15 @@ object Similarity {
     * `score` must map a corpus subset to (q_id, vec_id, cos) — it is
     * applied twice, once to the bounded sample and once to the full
     * corpus; both plans share the same broadcast query relation.
+    *
+    * `n` gates the prune ([[TauPruneMinRows]]): None (callers without
+    * a known corpus size — the `...For` public entries keep their
+    * zero-extra-action contract) or a small corpus fall through to
+    * the plain scan.
     */
   private def tauPrune(score: DataFrame => DataFrame, corpus: DataFrame,
-      kk: Int): DataFrame = {
+      kk: Int, n: Option[Long]): DataFrame = {
+    if (!n.exists(_ >= TauPruneMinRows)) return score(corpus)
     val noTau = lit(-1e300)
     // collect_list+sort_array, not TopKScoredAgg: the sample aggregate
     // is itself interpreted-update, and an append is ~free per row
@@ -162,11 +178,12 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"))
   }
 
-  private def bruteforce(v: DataFrame, q: DataFrame, k: Int): DataFrame = {
+  private def bruteforce(v: DataFrame, q: DataFrame, k: Int,
+      n: Option[Long] = None): DataFrame = {
     def score(c: DataFrame) = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(tauPrune(score, v, k), k)
+    topKPerQuery(tauPrune(score, v, k, n), k)
   }
 
   /** Exact cosine top-10 per fixture query.  The query side is
@@ -178,16 +195,20 @@ object Similarity {
     */
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    bruteforce(v, queryVecs(v), 10)
+    bruteforce(v, queryVecs(v), 10, Some(corpusSize(s, dir)))
   }
 
   /** Public exact-top-k entry for a user query set.  Both frames carry
     * (vec_id, embedding); `queries` must respect [[MaxQueries]]
     * (asserted).  Work is |Q|·|corpus| exact scoring — the right tool
-    * for a bounded query set against any corpus size.
+    * for a bounded query set against any corpus size.  Same
+    * plan-build-time action contract as [[annIvfFor]] (one
+    * `corpus.count()`, so `corpus` should be a materialized table) —
+    * the count feeds the [[TauPruneMinRows]] gate on the sampled
+    * admission threshold.
     */
   def annBruteforceFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
-    bruteforce(prep(corpus), asQueries(queries), k)
+    bruteforce(prep(corpus), asQueries(queries), k, Some(corpus.count()))
 
   private def rangeSearch(v: DataFrame, q: DataFrame, tau: Double): DataFrame =
     v.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -868,7 +889,7 @@ object Similarity {
     val (codes, books, _, _) = annIndexed(s, dir, "pq")
     if (codes == null || books.isEmpty) return emptyTopK(s)
     val v = vecs(s, dir)
-    pqSearchOn(codes, books, v, queryVecs(v), 10)
+    pqSearchOn(codes, books, v, queryVecs(v), 10, Some(corpusSize(s, dir)))
   }
 
   /** Public PQ entry for a user query set ([[MaxQueries]] contract,
@@ -1057,7 +1078,7 @@ object Similarity {
     val enc = v.select(col("vec_id"),
       pqCodesCol(books, units(0).length / PqSubspaces, col("e"), col("nrm")).as("codes"))
       .localCheckpoint(eager = true)
-    pqSearchOn(enc, books, v, q0, k)
+    pqSearchOn(enc, books, v, q0, k, Some(n))
   }
 
   /** Search an already-encoded PQ code relation: qtabs ride a |Q|-row
@@ -1073,7 +1094,7 @@ object Similarity {
     * re-reads the fat embeddings.
     */
   private def pqSearchOn(codes: DataFrame, books: Array[Array[Array[Double]]],
-      v: DataFrame, q0: DataFrame, k: Int): DataFrame = {
+      v: DataFrame, q0: DataFrame, k: Int, n: Option[Long] = None): DataFrame = {
     val sub = books(0)(0).length
     val qt = q0.select(col("q_id"),
       pqTabsCol(books, sub, col("qe"), col("qnrm")).as("qtabs"))
@@ -1082,7 +1103,7 @@ object Similarity {
         graft.functions.AdcScore.adcScore(col("codes"), col("qtabs")).as("cos"))
     // τ at the SHORTLIST width (refine·k): the prune must keep every
     // row that can reach the shortlist, not just the final top-k
-    adcShortlistRerank(v, q0, tauPrune(score, codes, PqRefine * k), k)
+    adcShortlistRerank(v, q0, tauPrune(score, codes, PqRefine * k, n), k)
   }
 
   /** Model relation behind the persisted index paths: one row per PQ
@@ -2047,7 +2068,7 @@ object Similarity {
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
     // τ-pruned like the unfiltered scan; a label absent from the first
     // [[TauSampleRows]] rows simply yields τ = −∞ for its queries
-    topKPerQuery(tauPrune(score, v, 10), 10)
+    topKPerQuery(tauPrune(score, v, 10, Some(corpusSize(s, dir))), 10)
   }
 
   /** ANN in PCA-reduced space: the composition [[pcaTrain]] exists
@@ -2108,7 +2129,7 @@ object Similarity {
     val pv = v.select(col("vec_id"), recon.as("e"))
       .withColumn("nrm", l2Norm(col("e")))
       .filter(col("nrm") > 0)
-    bruteforce(pv, queryVecs(v), 10)
+    bruteforce(pv, queryVecs(v), 10, Some(corpusSize(s, dir)))
   }
 
   private[graft] def annPcaP(s: SparkSession, dir: String, p: Int): DataFrame = {
@@ -2118,7 +2139,7 @@ object Similarity {
       .select(col("vec_id"), col("proj").as("e"))
       .withColumn("nrm", l2Norm(col("e")))
       .filter(col("nrm") > 0)
-    bruteforce(pv, queryVecs(pv), 10)
+    bruteforce(pv, queryVecs(pv), 10, Some(corpusSize(s, dir)))
   }
 
   /** PCA basis over the embedding corpus, trained on the deterministic

@@ -1024,17 +1024,18 @@ class SimilaritySpec extends AnyFunSuite {
     def vec(seed: Long): Seq[Double] = {
       val r = new scala.util.Random(seed); Seq.fill(dim)(r.nextDouble() - 0.5)
     }
-    // corpus > TauSampleRows so the sampled-τ prune actually engages;
-    // 64 exact duplicates plant equal-score pairs throughout the
-    // ranking, and 20 copies of one vector put the matching query's
-    // ENTIRE admission boundary inside a tie block (ranks 1–20 all
-    // score 1.0 — top-10 must be the 10 smallest ids of the block)
-    val corpus = ((0L until 6000L).map(i => (i, vec(i))) ++
+    // corpus > TauPruneMinRows so the sampled-τ prune actually
+    // engages (annBruteforceFor counts the corpus and feeds the
+    // gate); 64 exact duplicates plant equal-score pairs throughout
+    // the ranking, and 20 copies of one vector put the matching
+    // query's ENTIRE admission boundary inside a tie block (ranks
+    // 1–20 all score 1.0 — top-10 must be the 10 smallest ids)
+    val corpus = ((0L until 17000L).map(i => (i, vec(i))) ++
       (0L until 64L).map(i => (100000L + i, vec(i))) ++
-      (0L until 20L).map(i => (300000L + i, vec(9999L)))).toDF("vec_id", "embedding")
+      (0L until 20L).map(i => (300000L + i, vec(888888L)))).toDF("vec_id", "embedding")
     val queries = ((0L until 8L).map(i => (200000L + i, vec(777L + i))) :+
-      (210000L, vec(9999L))).toDF("vec_id", "embedding")
-    assert(corpus.count() > Similarity.TauSampleRows)
+      (210000L, vec(888888L))).toDF("vec_id", "embedding")
+    assert(corpus.count() > Similarity.TauPruneMinRows)
     val got = Similarity.annBruteforceFor(corpus, queries, 10).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
         r.getAs[Long]("vec_id"), r.getAs[Double]("cos6"))).toSet
