@@ -461,11 +461,32 @@ object DeltaProbe {
       // path (survivor semi-join under the carried model) vs a full
       // survivor rebuild.  Probes the ivfpq variant (the driver's
       // richest: coarse quantizer + codebooks + cid-range layout).
+      // base = core file + nAppends removable SLICE files (each
+      // ~deltaPct%), all part of the trained base — removing a slice
+      // is the GDPR-on-old-data shape: a pure delete against the
+      // LATEST artifact with no earlier snapshot to cache-hit (pulling
+      // appended batches back out would just rediscover the pre-append
+      // artifact — the emergent cheapest-prior shortcut, not the
+      // delete algebra this probe prices)
       val embDir = s"$work/embeddings.parquet"
-      graft.sources.Tables.embeddings(spark, sfDir).write.parquet(embDir)
-      val nVec = spark.read.parquet(embDir).count()
-      val maxId = spark.read.parquet(embDir).agg(max(col("vec_id"))).head.getLong(0)
+      val all = graft.sources.Tables.embeddings(spark, sfDir)
+      val nVec = all.count()
+      val maxId = all.agg(max(col("vec_id"))).head.getLong(0)
       val nDelta = math.max(1L, nVec * deltaPct / 100)
+      val sliceIds = all.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit((nDelta * nAppends).toInt).collect().map(_.getLong(0))
+      all.filter(col("vec_id") > sliceIds.last).write.parquet(embDir)
+      for (k <- 1 to nAppends) {
+        val lo = sliceIds(((k - 1) * nDelta).toInt)
+        val hi = sliceIds((k * nDelta - 1).toInt)
+        val st = s"$work/annix_slice$k"
+        all.filter(col("vec_id") >= lo && col("vec_id") <= hi).write.parquet(st)
+        new java.io.File(st).listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            require(f.renameTo(new java.io.File(embDir,
+              s"part-slice$k-${f.getName.stripPrefix("part-")}")))
+          }
+      }
       val srcVecs = s"$work/annix_src"
       val src0 = spark.read.parquet(embDir)
       src0.orderBy(col("vec_id")).limit(nDelta.toInt).write.parquet(srcVecs)
@@ -505,18 +526,20 @@ object DeltaProbe {
         spark.conf.set("spark.graft.cache.dir", freshCacheA())
         fullSecs(k - 1) = buildIx()
       }
-      // takedown phase: remove the staged batches newest-first — each
-      // removal is the pure-delete shape the codes delete builder keys on
+      // takedown phase: remove the BASE slices one by one — each
+      // removal is the pure-delete shape the codes delete builder keys
+      // on (survivors include the appended batches, so no earlier
+      // published snapshot matches)
       val delSecs = Array.ofDim[Double](nAppends)
       val delFullSecs = Array.ofDim[Double](nAppends)
-      for (k <- nAppends to 1 by -1) {
+      for (k <- 1 to nAppends) {
         new java.io.File(embDir).listFiles()
-          .filter(_.getName.startsWith(s"part-annix$k-"))
+          .filter(_.getName.startsWith(s"part-slice$k-"))
           .foreach(f => require(f.delete()))
         spark.conf.set("spark.graft.cache.dir", liveCache)
-        delSecs(nAppends - k) = buildIx()
+        delSecs(k - 1) = buildIx()
         spark.conf.set("spark.graft.cache.dir", freshCacheA())
-        delFullSecs(nAppends - k) = buildIx()
+        delFullSecs(k - 1) = buildIx()
       }
       val M = graft.sources.Materialize
       def r3a(x: Double) = math.rint(x * 1000) / 1000
