@@ -473,12 +473,21 @@ object DeltaProbe {
       val nVec = all.count()
       val maxId = all.agg(max(col("vec_id"))).head.getLong(0)
       val nDelta = math.max(1L, nVec * deltaPct / 100)
+      // the base must keep at least one row after carving out the
+      // slices: deltaPct·nAppends ≥ 100 would make limit() return
+      // fewer rows than sliceIds() indexes (AIOOBE three lines down)
+      // — fail with the parameter error, not the symptom.  toIntExact
+      // (not .toInt) so a corpus past 2³¹ slices aborts instead of
+      // silently truncating the carve.
+      require(nDelta * nAppends < nVec,
+        s"deltaPct=$deltaPct x nAppends=$nAppends carves >= the whole " +
+          s"corpus ($nVec rows) — lower one of them")
       val sliceIds = all.select(col("vec_id")).orderBy(col("vec_id"))
-        .limit((nDelta * nAppends).toInt).collect().map(_.getLong(0))
+        .limit(Math.toIntExact(nDelta * nAppends)).collect().map(_.getLong(0))
       all.filter(col("vec_id") > sliceIds.last).write.parquet(embDir)
       for (k <- 1 to nAppends) {
-        val lo = sliceIds(((k - 1) * nDelta).toInt)
-        val hi = sliceIds((k * nDelta - 1).toInt)
+        val lo = sliceIds(Math.toIntExact((k - 1) * nDelta))
+        val hi = sliceIds(Math.toIntExact(k * nDelta - 1))
         val st = s"$work/annix_slice$k"
         all.filter(col("vec_id") >= lo && col("vec_id") <= hi).write.parquet(st)
         new java.io.File(st).listFiles().filter(_.getName.startsWith("part-"))
@@ -489,7 +498,7 @@ object DeltaProbe {
       }
       val srcVecs = s"$work/annix_src"
       val src0 = spark.read.parquet(embDir)
-      src0.orderBy(col("vec_id")).limit(nDelta.toInt).write.parquet(srcVecs)
+      src0.orderBy(col("vec_id")).limit(Math.toIntExact(nDelta)).write.parquet(srcVecs)
       def stageA(k: Int): Unit = {
         val st = s"$work/annix_stage$k"
         val src = spark.read.parquet(srcVecs)
@@ -556,6 +565,104 @@ object DeltaProbe {
         s""""annix_codes_ivfpq":${M.deleteBuildCount("annix_codes_ivfpq")}}}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/probe_delta_materialize_annix.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
+
+    if (mode == "annixmix") {
+      // `annixmix` (round 18): the mixed (same-epoch crawl+takedown)
+      // composition priced for the materialized ANN index tier — the
+      // one maintained family whose append and delete paths were
+      // probed separately (r17: `annix`) but never composed.  Setup
+      // mirrors `annix`: the ivfpq model trains over base + doomed
+      // slices (so a removal is a true takedown against the TRAINED
+      // base, no earlier snapshot to cache-hit); each step then
+      // removes one doomed slice AND appends one fresh-id batch in
+      // the same snapshot step, routing the codes artifact through
+      // the seam's remove∘delta composition (expected cost ≈ the
+      // probed delete + append deltas; attribution 1 delta + 1 delete
+      // per step, model carried verbatim).
+      val embDir = s"$work/embeddings.parquet"
+      val all = graft.sources.Tables.embeddings(spark, sfDir)
+      val nVec = all.count()
+      val maxId = all.agg(max(col("vec_id"))).head.getLong(0)
+      val nDelta = math.max(1L, nVec * deltaPct / 100)
+      require(nDelta * nAppends < nVec,
+        s"deltaPct=$deltaPct x nAppends=$nAppends carves >= the whole " +
+          s"corpus ($nVec rows) — lower one of them")
+      val sliceIds = all.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(Math.toIntExact(nDelta * nAppends)).collect().map(_.getLong(0))
+      all.filter(col("vec_id") > sliceIds.last).write.parquet(embDir)
+      for (k <- 1 to nAppends) {
+        val lo = sliceIds(Math.toIntExact((k - 1) * nDelta))
+        val hi = sliceIds(Math.toIntExact(k * nDelta - 1))
+        val st = s"$work/annixmix_slice$k"
+        all.filter(col("vec_id") >= lo && col("vec_id") <= hi).write.parquet(st)
+        new java.io.File(st).listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            require(f.renameTo(new java.io.File(embDir,
+              s"part-doom$k-${f.getName.stripPrefix("part-")}")))
+          }
+      }
+      val srcVecs = s"$work/annixmix_src"
+      val src0 = spark.read.parquet(embDir)
+      src0.orderBy(col("vec_id")).limit(Math.toIntExact(nDelta)).write.parquet(srcVecs)
+      def stageApp(k: Int): Unit = {
+        val st = s"$work/annixmix_app$k"
+        val src = spark.read.parquet(srcVecs)
+        src.select((col("vec_id") + (maxId + 1) * k).as("vec_id") +:
+            src.columns.filterNot(_ == "vec_id").map(col).toSeq: _*)
+          .write.parquet(st)
+        new java.io.File(st).listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            require(f.renameTo(new java.io.File(embDir,
+              s"part-app$k-${f.getName.stripPrefix("part-")}")))
+          }
+      }
+      def removeDoom(k: Int): Unit =
+        new java.io.File(embDir).listFiles()
+          .filter(_.getName.startsWith(s"part-doom$k-"))
+          .foreach(f => require(f.delete(), s"could not remove $f"))
+      def timedX(body: => Any): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def freshCacheX(): String =
+        java.nio.file.Files.createTempDirectory("graft_delta_probe_cache").toString
+      def buildIxX(): Double = timedX {
+        val (codes, _, _, _) =
+          graft.operators.Similarity.annIndexed(spark, work, "ivfpq")
+        codes.count()
+      }
+      spark.conf.set("spark.graft.cache.dir", freshCacheX())
+      buildIxX() // warmup
+      val liveCache = freshCacheX()
+      spark.conf.set("spark.graft.cache.dir", liveCache)
+      val fb = buildIxX()
+      val mixSecs = Array.ofDim[Double](nAppends)
+      val fullSecs = Array.ofDim[Double](nAppends)
+      for (k <- 1 to nAppends) {
+        removeDoom(k)
+        stageApp(k)
+        spark.conf.set("spark.graft.cache.dir", liveCache)
+        mixSecs(k - 1) = buildIxX()
+        spark.conf.set("spark.graft.cache.dir", freshCacheX())
+        fullSecs(k - 1) = buildIxX()
+      }
+      val M = graft.sources.Materialize
+      def r3x(x: Double) = math.rint(x * 1000) / 1000
+      def arrX(xs: Seq[Double]) = xs.map(r3x).mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"annix_mixed","mode":"annixmix","sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""corpus_vecs":$nVec,"delta_pct":$deltaPct,"n_steps":$nAppends,""" +
+        s""""annix_ivfpq":{"full_base_sec":${r3x(fb)},"mixed_sec":${arrX(mixSecs.toSeq)},""" +
+        s""""full_sec":${arrX(fullSecs.toSeq)}},""" +
+        s""""delta_builds":{"annix_model_ivfpq":${M.deltaBuildCount("annix_model_ivfpq")},""" +
+        s""""annix_codes_ivfpq":${M.deltaBuildCount("annix_codes_ivfpq")}},""" +
+        s""""delete_builds":{"annix_model_ivfpq":${M.deleteBuildCount("annix_model_ivfpq")},""" +
+        s""""annix_codes_ivfpq":${M.deleteBuildCount("annix_codes_ivfpq")}}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/probe_delta_materialize_annixmix.json"), json + "\n")
       spark.stop()
       println(json)
       return

@@ -103,20 +103,53 @@ object Similarity {
     * and |Q|×k).
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    present(topKRows(scored, k))
+
+  /** The top-k aggregate WITHOUT the presentation projection: (q_id,
+    * rk, vec_id, cos) with cos at FULL precision.  Split out so the
+    * [[annExactDf]] artifact can store exact doubles — rounding
+    * before storage would make the maintained-merge's admission
+    * filter and the bit-identity contract both lossy — while the
+    * query surface keeps emitting the rounded presentation form.
+    */
+  private def topKRows(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(TopKScoredAgg.topKScored(col("cos"), col("vec_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).as("rk"), col("t.id").as("vec_id"),
-        round(col("t.score"), 6).as("cos6"))
+        col("t.score").as("cos"))
+
+  private def present(rows: DataFrame): DataFrame =
+    rows.select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos6"))
       .orderBy(col("q_id"), col("rk"))
 
-  /** Corpus rows scored against the queries when deriving a τ sample —
-    * bounded (a LocalLimit reads only the first partitions, never the
-    * whole corpus) and independent of corpus size.  Selectivity of the
-    * resulting prune is ≈ kk/[[TauSampleRows]] of the candidate
-    * stream, so 4096 turns a top-10 scan's aggregate input down ~400×.
+  /** Target corpus rows scored against the queries when deriving a τ
+    * sample.  Selectivity of the resulting prune is ≈
+    * kk/[[TauSampleRows]] of the candidate stream, so 4096 turns a
+    * top-10 scan's aggregate input down ~400×.
     */
   private[graft] val TauSampleRows = 4096
+
+  /** Bounded LAYOUT-INDEPENDENT corpus sample for the τ probe:
+    * id-hash striding admits ≈ [[TauSampleRows]]..2× rows spread
+    * uniformly over the corpus regardless of file order.  The r17
+    * `limit(TauSampleRows)` read only the FIRST partitions — cheaper
+    * (no full pass) but adversarial to layout: a corpus
+    * range-partitioned or sorted by anything correlated with
+    * similarity puts the 4096 WORST candidates first, and the sampled
+    * kk-th score collapses to far below the true admission bound,
+    * silently degrading the prune to ~no-op (exact either way — the
+    * τ proof is per-subset — just slow exactly when the corpus is
+    * curated).  xxhash64(vec_id) decorrelates the sample from both
+    * file order and id assignment; the probe leg becomes one extra
+    * codegen'd hash-filter scan, which at sf10 is single-digit
+    * seconds against the ~150 s the prune saves per scan query.
+    */
+  private[graft] def tauSample(corpus: DataFrame, n: Long): DataFrame = {
+    val stride = math.max(1L, n / TauSampleRows)
+    corpus.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+  }
 
   /** τ-prune engages only when the corpus meaningfully exceeds the
     * sample: below this the sample IS (most of) the corpus, so the
@@ -154,46 +187,84 @@ object Similarity {
     * applied twice, once to the bounded sample and once to the full
     * corpus; both plans share the same broadcast query relation.
     *
-    * `n` gates the prune ([[TauPruneMinRows]]): None (callers without
-    * a known corpus size — the `...For` public entries keep their
-    * zero-extra-action contract) or a small corpus fall through to
-    * the plain scan.
+    * `n` gates the prune ([[TauPruneMinRows]]): None (a caller
+    * without a known corpus size) or a small corpus fall through to
+    * the plain scan.  Note the `...For` public entries DO pay one
+    * `corpus.count()` action at plan-build time to supply `n` — the
+    * documented one-count contract those entries share with the
+    * trained-path `...For`s ("corpus should be a materialized
+    * table"); a non-materialized corpus pipeline re-executes under
+    * the count, and a STREAMING frame throws on it (streaming corpora
+    * are unsupported across this family — the top-k aggregate and
+    * presentation sort are batch-only regardless).
     */
   private def tauPrune(score: DataFrame => DataFrame, corpus: DataFrame,
       kk: Int, n: Option[Long]): DataFrame = {
     if (!n.exists(_ >= TauPruneMinRows)) return score(corpus)
     val noTau = lit(-1e300)
-    // collect_list+sort_array, not TopKScoredAgg: the sample aggregate
-    // is itself interpreted-update, and an append is ~free per row
-    // where a heap insert is not; |sample|·|Q| doubles is ≤ 32 MB
-    val tau = score(corpus.limit(TauSampleRows))
-      .groupBy(col("q_id"))
-      .agg(sort_array(collect_list(col("cos")), asc = false).as("ss"))
-      .select(col("q_id"),
-        when(size(col("ss")) >= kk, element_at(col("ss"), kk))
-          .otherwise(noTau).as("tau"))
+    val tau = tauThresholds(score, corpus, kk, n.get)
     score(corpus)
       .join(broadcast(tau), Seq("q_id"), "left_outer")
       .filter(col("cos") >= coalesce(col("tau"), noTau))
       .select(col("q_id"), col("vec_id"), col("cos"))
   }
 
-  private def bruteforce(v: DataFrame, q: DataFrame, k: Int,
-      n: Option[Long] = None): DataFrame = {
+  /** Per-query sampled admission thresholds: the kk-th best score
+    * over the [[tauSample]] spread, −∞ for a query with fewer than kk
+    * sampled candidates.  Split out of [[tauPrune]] so the layout-
+    * robustness spec can observe the thresholds (and the implied
+    * selectivity) directly.  collect_list+sort_array, not
+    * TopKScoredAgg: the sample aggregate is itself interpreted-
+    * update, and an append is ~free per row where a heap insert is
+    * not; |sample|·|Q| doubles is ≤ 32 MB.
+    */
+  private[graft] def tauThresholds(score: DataFrame => DataFrame, corpus: DataFrame,
+      kk: Int, n: Long): DataFrame = {
+    val noTau = lit(-1e300)
+    score(tauSample(corpus, n))
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(col("cos")), asc = false).as("ss"))
+      .select(col("q_id"),
+        when(size(col("ss")) >= kk, element_at(col("ss"), kk))
+          .otherwise(noTau).as("tau"))
+  }
+
+  private def bruteforceRows(v: DataFrame, q: DataFrame, k: Int,
+      n: Option[Long]): DataFrame = {
     def score(c: DataFrame) = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
-    topKPerQuery(tauPrune(score, v, k, n), k)
+    topKRows(tauPrune(score, v, k, n), k)
   }
 
-  /** Exact cosine top-10 per fixture query.  The query side is
-    * broadcast (bounded by [[QueryCap]]), so the corpus is scanned once
-    * with no shuffle of corpus rows; the aggregator keeps the top-k
-    * map-side.  Exact all-pairs against the FULL corpus is still
-    * |Q|·n scoring work — the reference form the approximate paths are
-    * judged against, priced for bounded |Q|.
+  private def bruteforce(v: DataFrame, q: DataFrame, k: Int,
+      n: Option[Long] = None): DataFrame =
+    present(bruteforceRows(v, q, k, n))
+
+  /** Exact cosine top-10 per fixture query.  Since round 18 the
+    * result rides the [[annExactDf]] artifact — build-once per corpus
+    * snapshot through the Materialize seam, exactly like the trained
+    * annix tier — so a warm invocation is a FileScan of |Q|·k rows
+    * plus a trivial re-rank, not a |Q|·n corpus scan (the r17 warm
+    * sf10 bench priced that scan at 189 s here plus 484 s re-paid
+    * inside ann_recall_report).  The cold build is [[
+    * annBruteforceInline]], so the artifact is bit-identical to the
+    * inline scan by construction; the maintained append/delete paths
+    * are VALUE-identical to a full rebuild (spec-pinned) — exact
+    * search has no model state to carry, unlike the trained tier.
     */
-  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+  def annBruteforce(s: SparkSession, dir: String): DataFrame =
+    present(topKRows(
+      annExactDf(s, dir).select(col("q_id"), col("vec_id"), col("cos")), 10))
+
+  /** The pre-artifact inline form (cold-build body of [[annExactDf]],
+    * and the spec's reference): query side broadcast (bounded by
+    * [[QueryCap]]), corpus scanned once with no shuffle of corpus
+    * rows, τ-pruned, top-k map-side.  Exact all-pairs against the
+    * FULL corpus is |Q|·n scoring work — the reference form the
+    * approximate paths are judged against, priced for bounded |Q|.
+    */
+  private[graft] def annBruteforceInline(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
     bruteforce(v, queryVecs(v), 10, Some(corpusSize(s, dir)))
   }
@@ -1722,6 +1793,118 @@ object Similarity {
       books, centsOpt, residual)
   }
 
+  private[graft] val AnnExactVer = "1"
+
+  /** Materialized EXACT top-10 baseline (`annix_exact`) — the fifth
+    * index artifact, closing the r17 `weak`: the exact brute-force
+    * leg was the one ANN result still recomputed per invocation
+    * (|Q|·n scoring inside [[annBruteforce]], re-paid inline by
+    * ann_recall_report and knn_label_vote — 189 s + 484 s + 183 s of
+    * the r17 warm sf10 suite for three restatements of the same
+    * |Q|·k rows).  Schema (q_id, vec_id, cos) at FULL double
+    * precision: exactly the top-k winner set, no rank (the consumers
+    * re-derive rk + the rounded presentation through the same
+    * [[topKRows]] aggregate, whose (score desc, id asc) total order
+    * makes re-aggregation of the stored winners reproduce the inline
+    * result bit-for-bit).
+    *
+    * Unlike the trained tier there is NO carried model, so the
+    * maintenance contract is the STRONG one (delta/delete ≡ full
+    * rebuild by VALUE, the neardup_pairs discipline, spec-pinned):
+    *
+    *  - append: new vectors can only displace incumbents, never
+    *    resurrect non-winners, so new top-k ⊆ prev winners ∪ batch;
+    *    the batch is scored against the (unchanged) query fixture —
+    *    |batch|·|Q| work, the append fraction of a full build — and
+    *    each prev row's k-th score is a PERFECT admission τ for its
+    *    query (any batch row that places must beat it; `>=` keeps
+    *    boundary ties).  Fixture stability is checked first: a batch
+    *    candidate (vec_id ≡ 0 mod 100) that would enter the
+    *    first-[[QueryCap]] window changes the query set itself →
+    *    decline to full.  Fixture vectors are point-looked-up from
+    *    the PRIOR files under `vec_id <= qmax` (row-group pruning on
+    *    the id-sorted layout), never a corpus scan.
+    *  - takedown: the artifact is invariant under removal of any
+    *    vector it does not reference (not a query, not a winner —
+    *    all candidates ≤ qmax ARE fixture members, so a removal can
+    *    only promote a new fixture member by removing a referenced
+    *    one).  The check is one broadcast-semi-join of the ≤|Q|·(k+1)
+    *    referenced ids against the survivors' id column — map-side,
+    *    no corpus shuffle; any dangling reference → decline to full
+    *    (the k-th slot's replacement is unknowable from the artifact).
+    *  - mixed rides the seam's remove∘delta composition of the two.
+    */
+  private[graft] def annExactDf(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.sources.Materialize
+    val k = 10
+    M.readOrBuildMaintained(s, "annix_exact",
+      Seq(s"$dir/embeddings.parquet"),
+      Seq("k" -> k.toString, "qcap" -> QueryCap.toString, "ver" -> AnnExactVer))({
+      val v = vecs(s, dir)
+      bruteforceRows(v, queryVecs(v), k, Some(corpusSize(s, dir)))
+        .select(col("q_id"), col("vec_id"), col("cos"))
+    }) { (prev, prevFiles, deltaFiles) =>
+      val batch = prep(s.read.parquet(deltaFiles: _*)
+        .select(col("vec_id"), col("embedding")))
+      // bounded actions (≤ QueryCap + 1 rows): the fixture-stability
+      // gate.  A fixture below capacity absorbs ANY new candidate; a
+      // full fixture absorbs a candidate below its max — either way
+      // the query set itself changes and the artifact's rows answer
+      // the wrong questions → decline.
+      val qIds = prev.select(col("q_id")).distinct().collect().map(_.getLong(0))
+      val qmax = if (qIds.isEmpty) Long.MinValue else qIds.max
+      val candMin = batch.filter(col("vec_id") % 100 === 0)
+        .agg(min(col("vec_id"))).head
+      val fixtureChanges = !candMin.isNullAt(0) &&
+        (qIds.length < QueryCap || candMin.getLong(0) < qmax)
+      if (fixtureChanges) null
+      else if (qIds.isEmpty) prev // no queries: artifact stays empty
+      else {
+        // fixture = ALL candidates ≤ qmax (it holds the smallest
+        // QueryCap candidates, so nothing below its max is outside
+        // it); the <= qmax predicate row-group-prunes the id-sorted
+        // snapshot down to a point lookup
+        val qsrc = prep(s.read.parquet(prevFiles: _*)
+            .select(col("vec_id"), col("embedding")))
+          .filter(col("vec_id") <= qmax && col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"),
+            col("nrm").as("qnrm"))
+        // per-query admission τ from the incumbents: the stored k-th
+        // (= min over exactly-k stored rows) bounds every possible
+        // entrant; a query holding < k rows admits everything
+        val ptau = prev.groupBy(col("q_id"))
+          .agg(min(col("cos")).as("kmin"), count(lit(1)).as("cnt"))
+          .select(col("q_id"),
+            when(col("cnt") >= k, col("kmin")).otherwise(lit(-1e300)).as("ptau"))
+        val scored = batch.join(broadcast(qsrc), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+          .join(broadcast(ptau), Seq("q_id"), "left_outer")
+          .filter(col("cos") >= coalesce(col("ptau"), lit(-1e300)))
+          .select(col("q_id"), col("vec_id"), col("cos"))
+        topKRows(prev.unionByName(scored), k)
+          .select(col("q_id"), col("vec_id"), col("cos"))
+      }
+    } { (prev, prevStats, removedFiles) =>
+      val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
+      if (survivors.isEmpty) null
+      else {
+        // every id the artifact references (its queries + winners,
+        // ≤ |Q|·(k+1) values) must still exist; the check broadcasts
+        // the small reference set against the survivors' id column —
+        // map-side semi-join, no corpus shuffle, two bounded actions
+        val ref = prev.select(col("q_id").as("id"))
+          .unionByName(prev.select(col("vec_id").as("id"))).distinct()
+          .localCheckpoint(eager = true)
+        val refN = ref.count()
+        val present = s.read.parquet(survivors: _*)
+          .select(col("vec_id").as("id"))
+          .join(broadcast(ref), Seq("id"), "left_semi").distinct().count()
+        if (present < refN) null else prev
+      }
+    }
+  }
+
   /** Probed-cells prefilter: ONE bounded collect (≤ |Q|·nprobe ints —
     * both contract-bounded) turns the probe set into an In(cid)
     * literal the FileScan can push down; with the cid-range layout,
@@ -1753,14 +1936,16 @@ object Similarity {
   /** kNN label vote — similarity search applied: each fixture query
     * takes the majority label of its exact top-10 neighbors (ties →
     * smaller label), alongside its own label for accuracy auditing.
-    * The vote consumes [[annBruteforce]]'s (small) result: label
-    * lookups broadcast the |Q|·k winner set into two narrow scans of
-    * the corpus labels, and the vote window runs over |Q|·#labels
-    * rows — nothing corpus-sized ever shuffles.
+    * The vote consumes the [[annExactDf]] artifact (the |Q|·k winner
+    * set as a FileScan — r18; the r17 form re-ran the exact corpus
+    * scan inline, 183 s of the warm sf10 suite): label lookups
+    * broadcast the winner set into two narrow scans of the corpus
+    * labels, and the vote window runs over |Q|·#labels rows —
+    * nothing corpus-sized ever shuffles.
     */
   def knnLabelVote(s: SparkSession, dir: String): DataFrame = {
     val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
-    val top = annBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+    val top = annExactDf(s, dir).select(col("q_id"), col("vec_id"))
     val votes = labels.join(broadcast(top), "vec_id")
       .groupBy(col("q_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
@@ -2368,13 +2553,15 @@ object Similarity {
     *
     * Pure plan builder: per path ONE left-semi join of its (q_id,
     * vec_id) pairs against the brute-force pairs + 1-row aggregates,
-    * unioned; the brute-force frame is lazily checkpointed so three
-    * consumers share one scoring pass.  Upstream paths are trained/
-    * hashed (no SQL image) ⇒ rows-only.
+    * unioned.  The brute-force reference is the [[annExactDf]]
+    * artifact — a |Q|·k-row FileScan, so the audit's marginal cost is
+    * the seven approximate legs alone (r17's `weak`: the report
+    * re-paid the exact |Q|·n scan inline per invocation, 484 s of
+    * the warm sf10 suite).  Upstream paths are trained/hashed (no
+    * SQL image) ⇒ rows-only.
     */
   def annRecallReport(s: SparkSession, dir: String): DataFrame = {
-    val bf = annBruteforce(s, dir).select(col("q_id"), col("vec_id"))
-      .localCheckpoint(eager = false)
+    val bf = annExactDf(s, dir).select(col("q_id"), col("vec_id"))
     // denominator = the FIXTURE's query count, from the brute-force
     // frame — a path that returns nothing for a query scores 0 hits
     // over the same denominator, not a silently shrunken one (a

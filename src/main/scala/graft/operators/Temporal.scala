@@ -677,7 +677,13 @@ object Temporal {
     * day ((day + 3) mod 7, 0 = Monday — epoch day 0, 1970-01-01, was
     * a Thursday), NOT an engine calendar function with
     * locale-dependent week starts; counts are exact longs and the
-    * share is one IEEE division of exact integers.
+    * share is one IEEE division of exact integers.  The epoch day is
+    * a FLOOR division (`us − pmod(us, D)` is floor-aligned, so the
+    * `div` is exact) — `div` alone truncates toward zero, which for
+    * pre-1970 timestamps lands one day late and, through the `% 7`,
+    * would surface as a wrong weekday against the oracle's
+    * `floor(epoch/86400)`; post-floor, the `% 7` itself matches the
+    * oracle's dividend-sign `%` on both engines.
     *
     * Scale shape: one map-side-combined ≤(|types|·7)-key aggregate
     * over the events scan; the per-type totals window runs over those
@@ -686,7 +692,8 @@ object Temporal {
   def weekdayProfile(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.events(s, dir)
       .select(col("event_type"), epochUs(col("ts")).as("us"))
-      .select(col("event_type"), expr("(us div 86400000000 + 3) % 7").as("dow"))
+      .select(col("event_type"),
+        expr("((us - pmod(us, 86400000000)) div 86400000000 + 3) % 7").as("dow"))
       .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col("event_type"))
     d.withColumn("share",

@@ -1485,4 +1485,169 @@ class MaterializeSpec extends AnyFunSuite {
     val n = S.corpusSize(spark, dir)
     assert(annArtifact(cache, "annix_codes_ivf").count() === n)
   }
+
+  // ───────────── materialized exact top-k (annix_exact, round 18) ─────────────
+
+  test("annix_exact: artifact-backed ann_bruteforce is bit-identical to the inline scan, one build") {
+    val S = graft.operators.Similarity
+    withCacheDir(freshCacheDir()) {
+      Materialize.resetBuildCount("annix_exact")
+      val got = S.annBruteforce(spark, sf).collect().map(_.toString).toSeq
+      val want = S.annBruteforceInline(spark, sf).collect().map(_.toString).toSeq
+      assert(got === want)
+      // further consumers (the re-rank entry + the label vote) ride
+      // the same artifact — still exactly one build
+      S.annBruteforce(spark, sf).count()
+      S.knnLabelVote(spark, sf).count()
+      assert(Materialize.buildCount("annix_exact") === 1)
+    }
+  }
+
+  /** Engineered 4-dim exact-search corpus: fixture queries q100 = e1
+    * and q200 = e2 sit in the base file; each axis cluster's members
+    * score ≈1 against its query and ~0 against the other, so top-10
+    * membership is determined by construction with a wide margin (no
+    * accidental entrants, no boundary ties).
+    */
+  private def axisVec(axis: Int, i: Long, eps: Double): Array[Double] = {
+    val v = Array.fill(4)(0.0); v(axis) = 1.0; v((axis + 1) % 4) = eps * i; v
+  }
+
+  private def writeExactCorpus(dir: String): Unit = {
+    import spark.implicits._
+    val base = Seq((100L, axisVec(0, 0, 0)), (200L, axisVec(1, 0, 0))) ++
+      (21L to 90L).map(i => (i, axisVec(2, i, 1e-4)))
+    base.toDF("vec_id", "embedding").repartition(1)
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
+  private def stageExactParts(dir: String, rows: Seq[(Long, Array[Double])]): Set[String] = {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_annx_stage").toString + "/p"
+    rows.toDF("vec_id", "embedding").repartition(1).write.parquet(stage)
+    val before = new java.io.File(s"$dir/embeddings.parquet").listFiles().map(_.getName).toSet
+    appendParts(stage, s"$dir/embeddings.parquet")
+    new java.io.File(s"$dir/embeddings.parquet").listFiles().map(_.getName).toSet -- before
+  }
+
+  private def freshFullExact(dir: String): Seq[String] =
+    withCacheDir(freshCacheDir()) {
+      graft.operators.Similarity.annBruteforce(spark, dir)
+        .collect().map(_.toString).toSeq
+    }
+
+  test("annix_exact append: delta merge with real displacement is value-identical to full") {
+    val S = graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_annx_app").toString
+    writeExactCorpus(dir)
+    // winners: ids 1..10 ≈ e1 (q100's top-10), 11..20 ≈ e2 (q200's)
+    stageExactParts(dir, (1L to 10L).map(i => (i, axisVec(0, i, 1e-4))) ++
+      (11L to 20L).map(i => (i, axisVec(1, i, 1e-4))))
+    val cache = freshCacheDir()
+    withCacheDir(cache) {
+      Materialize.resetBuildCount("annix_exact")
+      S.annBruteforce(spark, dir).count()
+      assert(Materialize.buildCount("annix_exact") === 1)
+    }
+    // batch: tighter clusters (eps 1e-6 ⇒ cos closer to 1) — the
+    // entrants DISPLACE incumbents through the stored-k-th admission
+    // filter; no candidate ids (nothing ≡ 0 mod 100) ⇒ fixture stable
+    stageExactParts(dir, (9001L to 9005L).map(i => (i, axisVec(0, i - 9000, 1e-6))) ++
+      (9011L to 9015L).map(i => (i, axisVec(1, i - 9010, 1e-6))))
+    val got = withCacheDir(cache) {
+      S.annBruteforce(spark, dir).collect().map(_.toString).toSeq
+    }
+    assert(Materialize.deltaBuildCount("annix_exact") === 1, "must ride the delta path")
+    assert(Materialize.buildCount("annix_exact") === 2)
+    val want = freshFullExact(dir)
+    assert(got === want)
+    // displacement really happened: the new e1-cluster ids lead q100's list
+    assert(got.count(r => r.startsWith("[100,") &&
+      (9001L to 9005L).exists(i => r.contains(s",$i,"))) === 5)
+  }
+
+  test("annix_exact append that shifts the query fixture declines to a full rebuild") {
+    val S = graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_annx_fix").toString
+    writeExactCorpus(dir)
+    val cache = freshCacheDir()
+    withCacheDir(cache) {
+      Materialize.resetBuildCount("annix_exact")
+      S.annBruteforce(spark, dir).count()
+    }
+    // id 9100 ≡ 0 mod 100 and the fixture (2 queries) is below
+    // QueryCap — the batch changes the query set itself
+    stageExactParts(dir, Seq((9100L, axisVec(0, 7, 1e-5))) ++
+      (9001L to 9003L).map(i => (i, axisVec(2, i, 1e-4))))
+    val got = withCacheDir(cache) {
+      S.annBruteforce(spark, dir).collect().map(_.toString).toSeq
+    }
+    assert(Materialize.deltaBuildCount("annix_exact") === 0, "fixture shift must decline")
+    assert(Materialize.buildCount("annix_exact") === 2)
+    assert(got === freshFullExact(dir))
+    assert(got.exists(_.startsWith("[9100,")), "new candidate must BE a query after rebuild")
+  }
+
+  test("annix_exact takedown: unreferenced removal carries; referenced removal declines to full") {
+    val S = graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_annx_del").toString
+    writeExactCorpus(dir)
+    val winners = stageExactParts(dir, (1L to 10L).map(i => (i, axisVec(0, i, 1e-4))) ++
+      (11L to 20L).map(i => (i, axisVec(1, i, 1e-4))))
+    // doomed: ids 401..420 ≈ e4 — ~0 against both queries, never
+    // referenced (421 ≢ 0 mod 100 anywhere, so no fixture impact)
+    val doomed = stageExactParts(dir, (401L to 420L).map(i => (i, axisVec(3, i, 1e-4))))
+    val cache = freshCacheDir()
+    val before = withCacheDir(cache) {
+      Materialize.resetBuildCount("annix_exact")
+      S.annBruteforce(spark, dir).collect().map(_.toString).toSeq
+    }
+    doomed.foreach(nm => assert(new java.io.File(s"$dir/embeddings.parquet", nm).delete()))
+    val afterUnref = withCacheDir(cache) {
+      S.annBruteforce(spark, dir).collect().map(_.toString).toSeq
+    }
+    assert(Materialize.deleteBuildCount("annix_exact") === 1, "unreferenced removal must carry")
+    assert(Materialize.buildCount("annix_exact") === 2)
+    assert(afterUnref === before, "top-k invariant under unreferenced removal")
+    assert(afterUnref === freshFullExact(dir))
+    // now remove the winners file: every row is referenced — the k-th
+    // slot's replacements are unknowable from the artifact → full
+    // (counters relative from here: the freshFullExact reference
+    // builds above also tick the global per-name build counter)
+    val b0 = Materialize.buildCount("annix_exact")
+    winners.foreach(nm => assert(new java.io.File(s"$dir/embeddings.parquet", nm).delete()))
+    val afterRef = withCacheDir(cache) {
+      S.annBruteforce(spark, dir).collect().map(_.toString).toSeq
+    }
+    assert(Materialize.deleteBuildCount("annix_exact") === 1, "referenced removal must DECLINE")
+    assert(Materialize.buildCount("annix_exact") === b0 + 1)
+    assert(afterRef === freshFullExact(dir))
+    // vec_id is field 2 of "[q_id,rk,vec_id,cos6]" (a bare contains
+    // would also match the rk field)
+    assert(!afterRef.exists(r =>
+      (1L to 20L).contains(r.stripPrefix("[").split(",")(2).toLong)))
+  }
+
+  test("annix_exact mixed (same-epoch takedown + crawl) composes remove then delta") {
+    val S = graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_annx_mix").toString
+    writeExactCorpus(dir)
+    stageExactParts(dir, (1L to 10L).map(i => (i, axisVec(0, i, 1e-4))) ++
+      (11L to 20L).map(i => (i, axisVec(1, i, 1e-4))))
+    val doomed = stageExactParts(dir, (401L to 420L).map(i => (i, axisVec(3, i, 1e-4))))
+    val cache = freshCacheDir()
+    withCacheDir(cache) {
+      Materialize.resetBuildCount("annix_exact")
+      S.annBruteforce(spark, dir).count()
+    }
+    doomed.foreach(nm => assert(new java.io.File(s"$dir/embeddings.parquet", nm).delete()))
+    stageExactParts(dir, (9001L to 9005L).map(i => (i, axisVec(0, i - 9000, 1e-6))))
+    val got = withCacheDir(cache) {
+      S.annBruteforce(spark, dir).collect().map(_.toString).toSeq
+    }
+    assert(Materialize.deleteBuildCount("annix_exact") === 1)
+    assert(Materialize.deltaBuildCount("annix_exact") === 1)
+    assert(Materialize.buildCount("annix_exact") === 2)
+    assert(got === freshFullExact(dir))
+  }
 }

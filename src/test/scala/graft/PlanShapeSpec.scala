@@ -77,10 +77,20 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cache.dir")
   }
 
-  test("ann_bruteforce broadcasts the query side (no corpus shuffle before top-k)") {
+  test("ann_bruteforce rides the annix_exact FileScan; inline body broadcasts the query side") {
+    // r18: the driver entry consumes the materialized exact top-k —
+    // no corpus scan, no broadcast join, just the |Q|·k artifact leaf
+    // plus the deterministic re-rank aggregate
     val p = plan(Similarity.annBruteforce(spark, sf))
-    assert(p.contains("BroadcastExchange"))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("annix_exact"),
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert(!p.contains("embeddings.parquet"),
+      "artifact consumer must not rescan the corpus")
+    // the cold-build body keeps the r17 shape: query side broadcast,
+    // corpus scanned once, no corpus shuffle before the top-k
+    val pi = plan(Similarity.annBruteforceInline(spark, sf))
+    assert(pi.contains("BroadcastExchange"))
+    assert(pi.contains("BroadcastNestedLoopJoin") || pi.contains("BroadcastHashJoin"))
   }
 
   test("text_commonness broadcasts the vocabulary") {

@@ -1062,4 +1062,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(block.map(_._3) === (0L until 10L).map(300000L + _))
     assert(block.forall(_._4 == 1.0))
   }
+
+  test("tau sample is layout-independent: worst-first-sorted corpus keeps prune selectivity") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{dot, l2Norm, toDouble}
+    // Adversarial layout: ONE file whose row order is WORST-first —
+    // row at position p scores t = p/(n−1) against the query axis, so
+    // the first [[Similarity.TauSampleRows]] rows are exactly the
+    // 4096 worst candidates.  The r17 head sample (limit) would
+    // derive τ ≈ 0.205 here, admitting ~80% of the corpus (prune ≈
+    // no-op); the id-hash-strided sample must recover a near-true
+    // admission bound.  A curated corpus sorted by quality/centrality
+    // is this shape, not an exotic one.
+    val n = 20000
+    val corpus = (0 until n).map { p =>
+      val t = p.toDouble / (n - 1)
+      (p + 1L, Seq(t, math.sqrt(1.0 - t * t), 0.0, 0.0))
+    }.toDF("vec_id", "embedding")
+      .coalesce(1).sortWithinPartitions(col("vec_id"))
+    val dirBase = java.nio.file.Files.createTempDirectory("graft_tau_layout").toString
+    corpus.write.parquet(s"$dirBase/c.parquet")
+    val cv = spark.read.parquet(s"$dirBase/c.parquet")
+    assert(cv.count() > Similarity.TauPruneMinRows)
+    val queries = Seq((50001L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    // end-to-end through the REAL pruned path: exact top-10 = the 10
+    // largest t, ids descending from n
+    val got = Similarity.annBruteforceFor(cv, queries, 10).collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("vec_id"))).toSeq.sortBy(_._1)
+    assert(got.map(_._2) === (0 until 10).map(i => n.toLong - i))
+    // observe the threshold itself: τ from the spread sample must sit
+    // near the true admission bound (true 10th-best t ≈ 0.99955);
+    // selectivity = rows at or above τ — the aggregate's actual input
+    val prepped = cv.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", l2Norm(col("e"))).filter(col("nrm") > 0)
+    def score(c: org.apache.spark.sql.DataFrame) = {
+      val q = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qe"))
+        .withColumn("qnrm", l2Norm(col("qe")))
+      c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    }
+    val tau = Similarity.tauThresholds(score, prepped, 10, n.toLong)
+      .collect().head.getAs[Double]("tau")
+    assert(tau > 0.99, s"spread-sample tau collapsed to $tau (head-sample-grade)")
+    val admitted = score(prepped).filter(col("cos") >= tau).count()
+    assert(admitted <= 500L,
+      s"prune admitted $admitted of $n rows on the adversarial layout")
+  }
 }
