@@ -71,7 +71,27 @@ object Bench {
     // mechanical — the first consumer's run-1 carries the build and the
     // committed builds file names it, instead of a prose claim
     val buildsByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // nop drift sentinel (round 18): a FIXED workload — 64M-row codegen
+    // hash-count, no IO, no library code — sampled at suite start, every
+    // 64 queries, and suite end.  Its calibrated cost is a few hundred
+    // ms at 32 threads and INDEPENDENT of the suite, so a driver
+    // reading where nop_sec is several× the committed value
+    // adjudicates itself as environment drift (co-tenancy/GC pressure)
+    // without a builder-side probe session — the gap that cost r17 a
+    // separate isolation pass for decontaminate/graph_kcore.
+    val nopSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def nopOnce(): Unit = {
+      try {
+        val t0 = System.nanoTime()
+        spark.range(64L * 1000 * 1000).select(xxhash64(col("id")).as("h"))
+          .agg(count(col("h"))).collect()
+        nopSamples += (System.nanoTime() - t0) / 1e9
+        ()
+      } catch { case _: Throwable => }
+    }
+    nopOnce()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi % 64 == 63) nopOnce()
       // a full GC between queries keeps one query's garbage from
       // surfacing as another's pause: with 70+ queries × 3 runs in one
       // JVM, byte-identical queries have moved 2–8× run-to-run on
@@ -100,6 +120,7 @@ object Bench {
       // CONSISTENT (wall, gc, task) observation, not a mix of runs
       name -> (if (runs.exists(_._1 < 0)) Seq((-1.0, 0.0, 0.0)) else runs.sortBy(_._1))
     }
+    nopOnce()
     // precision budget: the driver keeps only the last ~2000 chars of
     // output, and 85 full-precision doubles push the final JSON line
     // past that window (rounds 1–5 all came back unparsed).  The
@@ -129,8 +150,31 @@ object Bench {
     // SF — a hardcoded sf0.1 pointer next to a dynamic sf field sent
     // readers of any other-SF run to the wrong committed evidence
     val mediansFile = s"bench_medians_$sfName.json"
+    // median nop sample: ONE scalar the driver reads next to gc_sec —
+    // the all-samples list rides the committed telemetry file
+    val nopSec =
+      if (nopSamples.isEmpty) -1.0
+      else ms(nopSamples.sorted.apply(nopSamples.length / 2))
+    // in-line adjudication block: the top movers by median wall, each
+    // with its own (gc, task, artifact builds) — the three facts that
+    // separate "plan regression" from "paid a cold build" from
+    // "environment drift", ON the machine-read line itself.  6 entries
+    // ≈ 500 chars, reserved BEFORE the queries map packs the rest of
+    // the window (an adjudicable top-6 beats 25 more 0.1 s-precision
+    // tail entries).
+    val adj = {
+      val byCost = results.filter(_._2.head._1 >= 0)
+        .sortBy { case (_, t) => -t(t.length / 2)._1 }.take(6)
+      byCost.map { case (k, t) =>
+        val m = t(t.length / 2)
+        val as = buildsByQuery.getOrElse(k, Nil)
+        val shown = as.take(3).map("\"" + _ + "\"") ++
+          (if (as.length > 3) Seq("\"+" + (as.length - 3) + "\"") else Nil)
+        s"\"" + k + s"""\":{"w":${ds(m._1)},"g":${ds(m._2)},"t":${ds(m._3)},"b":[${shown.mkString(",")}]}"""
+      }.mkString("{", ",", "}")
+    }
     def lineWith(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gc_sec":$gcTotal,"task_sec":$taskTotal,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gc_sec":$gcTotal,"task_sec":$taskTotal,"nop_sec":$nopSec,"adj":$adj,"queries":$qs,"sf":"$sfName"}"""
     // self-healing precision, guarded on the ASSEMBLED line (the map
     // alone once under-counted the fixed fields' share of the window):
     // 10 ms per-query values, then 100 ms (the run-to-run spread
@@ -206,10 +250,11 @@ object Bench {
       // needs.  Committed by gate.sh next to medians/spread.
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_telemetry.json"),
-        results.collect { case (k, t) if t.head._1 >= 0 =>
+        (results.collect { case (k, t) if t.head._1 >= 0 =>
           val m = t(t.length / 2)
           s"\"" + k + s"""\":{"wall":${ms(m._1)},"gc":${ms(m._2)},"task":${ms(m._3)}}"""
-        }.mkString("{", ",", "}") + "\n")
+        } :+ s""""_nop":${nopSamples.map(ms).mkString("[", ",", "]")}""")
+          .mkString("{", ",", "}") + "\n")
       // build attribution: empty map = fully warm run (evidence that a
       // bench hid every build cost is itself committed)
       java.nio.file.Files.writeString(

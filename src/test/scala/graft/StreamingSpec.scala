@@ -289,6 +289,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("copurchase takedown: retracting an ingested epoch delete-maintains the pair graph") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Files.createTempDirectory("graft-cop-takedown").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 4L), (20L, 5L))
+      .toDF("l_orderkey", "l_partkey").repartition(1)
+      .write.parquet(s"$corpus/lineitem.parquet")
+    val cache = Files.createTempDirectory("graft-cop-takedown-cache").toString
+    spark.conf.set("spark.graft.cache.dir", cache)
+    spark.conf.set("spark.graft.delta.maxAppendFraction", "100")
+    try {
+      graft.sources.Materialize.resetBuildCount("copurchase_pairs")
+      graft.operators.GraphOps.coPurchasePairs(spark, corpus).count()
+      val mem = MemoryStream[(Long, Long)]
+      val src = mem.toDF().toDF("l_orderkey", "l_partkey")
+      val ckpt = Files.createTempDirectory("graft-cop-takedown-ckpt").toString
+      val q = CorpusMaintain.maintainCoPurchase(spark, corpus, src, ckpt)
+      // epoch 0 (the one to retract): item 3 joins EXISTING order 10,
+      // and a wholly-new order 77 contributes (8,9)
+      mem.addData((10L, 3L), (77L, 8L), (77L, 9L)); q.processAllAvailable()
+      // epoch 1: unrelated survivor order — so the post-takedown
+      // snapshot (base + epoch 1) matches NO prior artifact and the
+      // delete path, not a cache hit, must produce it
+      mem.addData((88L, 5L), (88L, 6L)); q.processAllAvailable()
+      q.stop()
+      // retention reap: keep only the newest pair artifact (with the
+      // full chain retained the takedown would resolve as a cheaper
+      // append over the base prefix — the knn takedown discipline);
+      // cop_lines chunks stay, they ARE the delete algebra's memory
+      // of the removed files' lines
+      val arts = new java.io.File(cache).listFiles()
+        .filter(_.getName.startsWith("copurchase_pairs-")).sortBy(_.lastModified)
+      arts.dropRight(1).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
+      val removed = CorpusMaintain.takedownEpoch(corpus, "lineitem.parquet", 0L)
+      assert(removed >= 1, "the takedown must remove the epoch's files")
+      def pairsOf() = graft.operators.GraphOps.coPurchasePairs(spark, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).sortBy(_._1)
+      val after = pairsOf()
+      assert(graft.sources.Materialize.deleteBuildCount("copurchase_pairs") === 1,
+        "the retraction must take the delete-maintenance path, not a full rebuild")
+      val m = after.toMap
+      assert(!m.contains((1L, 3L)) && !m.contains((2L, 3L)),
+        "the retracted item's cross pairs must vanish")
+      assert(!m.contains((8L, 9L)), "the retracted order's pairs must vanish")
+      assert(m((5L, 6L)) === 1L, "epoch 1's survivor order keeps its pair")
+      assert(m((4L, 5L)) === 1L, "base pairs untouched")
+      // batch-over-survivors identity
+      spark.conf.set("spark.graft.cache.dir",
+        Files.createTempDirectory("graft-cop-takedown-cache2").toString)
+      assert(after === pairsOf(),
+        "takedown-maintained pairs must equal the batch build over the survivors")
+      // a replayed takedown is a no-op (idempotent retraction)
+      assert(CorpusMaintain.takedownEpoch(corpus, "lineitem.parquet", 0L) === 0)
+    } finally {
+      spark.conf.unset("spark.graft.cache.dir")
+      spark.conf.unset("spark.graft.delta.maxAppendFraction")
+    }
+  }
+
   test("knn maintenance: streamed embeddings keep the edge graph live, stream-final equals batch-full") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1069,6 +1133,88 @@ class StreamingSpec extends AnyFunSuite {
     // drained whatever the topics held without error; the envelope
     // mapping and ack path ran against a real broker
     assert(n.get() >= 0L)
+  }
+
+  // ───────── consumer-group semantics (the CI-pinnable half of the
+  // frafka transport contract; the wire leg stays env-gated above) ─────────
+
+  test("consumer group: two members split the partitions disjointly and cover the topic") {
+    val log = new GroupLog(4)
+    (0 until 40).foreach(i => log.append(s"k$i", Array(i.toByte)))
+    val coord = new GroupCoordinator(log)
+    val a = new GroupMember(coord, "a")
+    val b = new GroupMember(coord, "b")
+    val pa = coord.assignment("a").toSet
+    val pb = coord.assignment("b").toSet
+    assert((pa & pb).isEmpty, s"owners overlap: $pa vs $pb")
+    assert((pa | pb) === (0 until 4).toSet, "every partition must have an owner")
+    // each member's poll sees ONLY its partitions, and together they
+    // drain the whole topic exactly once
+    val ra = a.poll(spark).collect().map(r => (r.getInt(3), r.getLong(4)))
+    val rb = b.poll(spark).collect().map(r => (r.getInt(3), r.getLong(4)))
+    assert(ra.forall(t => pa.contains(t._1)) && rb.forall(t => pb.contains(t._1)))
+    assert(ra.length + rb.length === 40)
+    assert((ra ++ rb).distinct.length === 40, "no message may deliver to both members")
+    // per-partition delivery order is offset order
+    (ra ++ rb).groupBy(_._1).foreach { case (p, ms) =>
+      assert(ms.map(_._2).toSeq === ms.map(_._2).sorted.toSeq, s"partition $p out of order")
+    }
+    a.close(); b.close()
+  }
+
+  test("consumer group rebalance: handoff resumes from committed offsets, acked never redelivered") {
+    val log = new GroupLog(2)
+    // keys pinned to known partitions so the scenario is deterministic
+    val keyFor = (p: Int) => Iterator.from(0).map("m" + _)
+      .find(k => math.floorMod(k.hashCode, 2) == p).get
+    val k0 = keyFor(0); val k1 = keyFor(1)
+    (0 until 6).foreach(_ => log.append(k0, Array[Byte](0)))
+    (0 until 6).foreach(_ => log.append(k1, Array[Byte](1)))
+    val coord = new GroupCoordinator(log)
+    val a = new GroupMember(coord, "a")
+    val b = new GroupMember(coord, "b")
+    // a owns p0, b owns p1 (range over sorted {a,b})
+    assert(coord.assignment("a") === Seq(0) && coord.assignment("b") === Seq(1))
+    assert(a.poll(spark).count() === 6)
+    a.ack(0, 3L) // offsets 0..3 committed; 4..5 delivered but UNACKED
+    assert(b.poll(spark).count() === 6)
+    b.ack(1, 5L)
+    // a crashes/leaves → rebalance: b inherits p0 at the COMMITTED
+    // watermark — the unacked tail redelivers (at-least-once), the
+    // acked prefix never does
+    a.close()
+    val handed = b.poll(spark).collect()
+      .map(r => (r.getInt(3), r.getLong(4))).sortBy(_._2)
+    assert(handed.forall(_._1 == 0), "only the inherited partition has pending data")
+    assert(handed.map(_._2).toSeq === Seq(4L, 5L),
+      s"handoff must resume at the committed offset: $handed")
+    // b's OWN partition does not re-deliver acked messages either
+    // (positions reset to committed, and committed == end)
+    assert(!handed.exists(_._1 == 1))
+    b.ack(0, 5L)
+    assert(b.poll(spark).count() === 0, "everything acked: the group is drained")
+    b.close()
+  }
+
+  test("consumer group fencing: a stale-generation ack throws instead of double-committing") {
+    val log = new GroupLog(2)
+    (0 until 4).foreach(i => log.append(s"k$i", Array(i.toByte)))
+    val coord = new GroupCoordinator(log)
+    val a = new GroupMember(coord, "a")
+    a.poll(spark).count()
+    val genBefore = a.generation
+    // membership change a has not observed yet
+    val c = new GroupMember(coord, "c")
+    val e = intercept[IllegalArgumentException] { a.ack(0, 0L) }
+    assert(e.getMessage.contains("stale generation"))
+    assert(coord.committedOffset(0) === 0L, "the fenced commit must not move the offset")
+    assert(a.generation === genBefore, "fencing happens server-side, before any refresh")
+    // after re-polling (the rebalance callback image) the SAME ack is
+    // legal iff a still owns the partition in the new generation
+    a.poll(spark).count()
+    if (coord.assignment("a").contains(0)) { a.ack(0, 0L); assert(coord.committedOffset(0) === 1L) }
+    else intercept[IllegalArgumentException] { a.ack(0, 0L) }
+    a.close(); c.close()
   }
 
   test("kafka config plumbing maps frafka env vars") {
