@@ -176,6 +176,44 @@ object Sinks {
     */
   def idempotentParquet(base: String): (DataFrame, String, Long) => Unit =
     (df, dest, epoch) => df.write.mode("overwrite").parquet(s"$base/$dest/epoch=$epoch")
+
+  /** Per-MESSAGE delivery-report surface — frafka's producer emits a
+    * delivery success/failure event per message (librdkafka's
+    * delivery-report channel); [[Frizzle.runRouted]]'s epoch ack is
+    * coarser (one failed destination fails the whole epoch).
+    * Wrapping a sink with this decorator restores the per-message
+    * surface: after each destination's write, one report row per
+    * message — (msg_id[, key], dest, ok, error) — reaches `onReport`,
+    * and a FAILED destination reports ok = false with the error for
+    * exactly ITS messages while the failure is CONTAINED: the epoch
+    * proceeds, siblings unaffected (frizzle's Fail(msg) semantics —
+    * the report handler owns what happens next, e.g. writing failed
+    * reports under a directory a [[Frizzle.retryDlq]] loop re-sources).
+    *
+    * Deliberate trade-off vs the bare sink: containment means the
+    * stream's own epoch replay will NOT redeliver the failed
+    * messages — at-least-once for them moves to the report handler.
+    * Use the un-wrapped sink when fail-the-epoch-and-replay is the
+    * desired failure mode; this wrapper is the image of frafka users
+    * who consume the delivery-report channel and Fail() individual
+    * messages instead of crashing the consumer.
+    */
+  def withDeliveryReports(inner: (DataFrame, String, Long) => Unit)(
+      onReport: (DataFrame, String, Long) => Unit): (DataFrame, String, Long) => Unit =
+    (df, dest, epoch) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val failure =
+        try { inner(df, dest, epoch); None }
+        catch { case scala.util.control.NonFatal(e) => Some(e) }
+      val idCols = Seq(col("msg_id")) ++
+        (if (df.columns.contains("key")) Seq(col("key")) else Nil)
+      val reports = df.select(idCols: _*)
+        .withColumn("dest", lit(dest))
+        .withColumn("ok", lit(failure.isEmpty))
+        .withColumn("error",
+          lit(failure.map(e => s"${e.getClass.getSimpleName}: ${e.getMessage}").orNull))
+      onReport(reports, dest, epoch)
+    }
 }
 
 object Frizzle {

@@ -1135,6 +1135,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(n.get() >= 0L)
   }
 
+  test("delivery reports: a failed destination reports per-message failure and is contained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val src = new MsgSource {
+      def receive(s: org.apache.spark.sql.SparkSession): DataFrame =
+        mem.toDF().toDF("msg_id", "key", "dest")
+    }
+    mem.addData(("m1", "k1", "good"), ("m2", "k2", "evil"),
+      ("m3", "k3", "good"), ("m4", "k4", "evil"))
+    val ckpt = Files.createTempDirectory("graft-ckpt-dlvr").toString
+    val written = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String, String, Boolean, Option[String])]()
+    val inner: (DataFrame, String, Long) => Unit = (df, dest, _) => {
+      if (dest == "evil") throw new IllegalStateException("broker rejected batch")
+      written.merge(dest, df.count(), (a, b) => a + b); ()
+    }
+    val sink = Sinks.withDeliveryReports(inner) { (rep, _, _) =>
+      rep.collect().foreach(r => reports.add((r.getString(0), r.getString(1),
+        r.getAs[String]("dest"), r.getAs[Boolean]("ok"),
+        Option(r.getAs[String]("error")))))
+      ()
+    }
+    val stats = new FrizzleStats
+    val q = Frizzle.runRouted(spark, src, Frizzle.Route(identity, col("msg_id").isNotNull),
+      col("dest"), sink, ckpt, stats = stats)
+    q.awaitTermination(120000)
+    // containment: the failed destination did not fail the epoch —
+    // siblings wrote, the epoch committed (acks drained)
+    assert(written.get("good") === 2L)
+    assert(stats.unAcked === 0, "the epoch must commit despite the failed destination")
+    // per-message reports: exactly one per message, ok keyed by its
+    // destination's outcome, the error carried verbatim on failures
+    val byMsg = reports.toArray(Array.empty[(String, String, String, Boolean, Option[String])])
+      .map(t => t._1 -> t).toMap
+    assert(byMsg.keySet === Set("m1", "m2", "m3", "m4"))
+    assert(byMsg("m1")._4 && byMsg("m3")._4 && byMsg("m1")._5.isEmpty)
+    assert(!byMsg("m2")._4 && !byMsg("m4")._4)
+    assert(byMsg("m2")._3 === "evil" && byMsg("m2")._2 === "k2")
+    assert(byMsg("m2")._5.exists(_.contains("broker rejected batch")))
+  }
+
   // ───────── consumer-group semantics (the CI-pinnable half of the
   // frafka transport contract; the wire leg stays env-gated above) ─────────
 
