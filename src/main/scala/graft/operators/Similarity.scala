@@ -198,9 +198,31 @@ object Similarity {
     * are unsupported across this family — the top-k aggregate and
     * presentation sort are batch-only regardless).
     */
-  private def tauPrune(score: DataFrame => DataFrame, corpus: DataFrame,
+  /** Compute-bound broadcast scans are only as parallel as the scan's
+    * partitioning: a compact corpus — ONE parquet row group, the shape
+    * a single-writer export or the sf10 testdata produces — collapses
+    * the |Q|·n scoring loop onto ONE task, and no amount of τ-pruning
+    * or codegen recovers the other 31 cores (caught live on the r18
+    * sf10 cold pass: one executor thread 500+ s inside DotProduct,
+    * machine load ~1).  Widen a narrow input to the scheduler's width
+    * before scoring — a bounded shuffle of the corpus' projected
+    * columns, trivial next to the scoring work it parallelizes.  A
+    * corpus already at least as wide as the cluster keeps its layout:
+    * at 100 TB the input is thousands of partitions and this guard is
+    * a structural no-op (and crucially it never REDUCES partitioning).
+    */
+  private def widen(v: DataFrame): DataFrame = {
+    val target = v.sparkSession.sparkContext.defaultParallelism
+    if (v.rdd.getNumPartitions >= target) v else v.repartition(target)
+  }
+
+  private def tauPrune(score: DataFrame => DataFrame, corpusIn: DataFrame,
       kk: Int, n: Option[Long]): DataFrame = {
-    if (!n.exists(_ >= TauPruneMinRows)) return score(corpus)
+    // below the prune gate the corpus is small enough that one task is
+    // sub-second — widening there would add a shuffle to every tiny
+    // query; the gated paths are exactly the compute-bound ones
+    if (!n.exists(_ >= TauPruneMinRows)) return score(corpusIn)
+    val corpus = widen(corpusIn)
     val noTau = lit(-1e300)
     val tau = tauThresholds(score, corpus, kk, n.get)
     score(corpus)
@@ -281,8 +303,10 @@ object Similarity {
   def annBruteforceFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     bruteforce(prep(corpus), asQueries(queries), k, Some(corpus.count()))
 
-  private def rangeSearch(v: DataFrame, q: DataFrame, tau: Double): DataFrame =
-    v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+  // same |Q|·n scoring shape as the τ-pruned family → same narrow-
+  // input widening (the predicate is cheap but the dot is not)
+  private def rangeSearch(vIn: DataFrame, q: DataFrame, tau: Double): DataFrame =
+    widen(vIn).join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
       .filter(col("cos") >= tau)
