@@ -1598,8 +1598,8 @@ object Similarity {
     */
   private def encodeWithModel(books: Array[Array[Array[Double]]],
       centsOpt: Option[Array[Array[Double]]], residual: Boolean,
-      newVectors: DataFrame): DataFrame = {
-    val v = prep(newVectors)
+      newVectors: DataFrame, wide: Boolean = false): DataFrame = {
+    val v = { val p = prep(newVectors); if (wide) widen(p) else p }
     val sub = books(0)(0).length
     centsOpt match {
       case Some(cents) =>
@@ -1765,13 +1765,19 @@ object Similarity {
       books: Array[Array[Array[Double]]], centsOpt: Option[Array[Array[Double]]],
       residual: Boolean, fp: String): DataFrame = {
     val M = graft.sources.Materialize
+    // the encode (cell argmax / PQ code argmin per row) is the same
+    // compute-bound-scan shape as the τ-pruned scoring family — widen
+    // a narrow input before it (r18; the r17 cold sf10 builds paid
+    // 600–800 s/variant single-task on the one-row-group corpus).
+    // Values are per-row deterministic, so partitioning never changes
+    // the artifact's rows (the cold-bit-identity spec stays exact).
     def encode(raw: DataFrame): DataFrame = variant match {
       // IVF-Flat stores the vectors themselves cell-assigned (the
       // FAISS IVFFlat layout): search then needs NO corpus join at all
       case "ivf" =>
-        assignCells(prep(raw), centsOpt.get)
+        assignCells(widen(prep(raw)), centsOpt.get)
           .select(col("vec_id"), col("cid"), col("e"), col("nrm"))
-      case _ => encodeWithModel(books, centsOpt, residual, raw)
+      case _ => encodeWithModel(books, centsOpt, residual, raw, wide = true)
     }
     // MATERIALIZE the encode result before the range layout:
     // repartitionByRange SAMPLES its child to pick boundaries, which
