@@ -304,14 +304,19 @@ object Similarity {
     bruteforce(prep(corpus), asQueries(queries), k, Some(corpus.count()))
 
   // same |Q|·n scoring shape as the τ-pruned family → same narrow-
-  // input widening (the predicate is cheap but the dot is not)
-  private def rangeSearch(vIn: DataFrame, q: DataFrame, tau: Double): DataFrame =
-    widen(vIn).join(broadcast(q), col("vec_id") =!= col("q_id"))
+  // input widening (the predicate is cheap but the dot is not), under
+  // the same size gate: below it one task is sub-second and the
+  // shuffle would be pure overhead (sf0.1 A/B: 0.21→0.40 s ungated)
+  private def rangeSearch(vIn: DataFrame, q: DataFrame, tau: Double,
+      n: Option[Long] = None): DataFrame = {
+    val v = if (n.exists(_ >= TauPruneMinRows)) widen(vIn) else vIn
+    v.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
       .filter(col("cos") >= tau)
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos6"))
       .orderBy(col("q_id"), col("vec_id"))
+  }
 
   /** Radius (range) search: ALL neighbors with cosine ≥ τ per fixture
     * query, not a fixed k — the retrieval primitive when the question
@@ -324,15 +329,16 @@ object Similarity {
     */
   def annRange(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    rangeSearch(v, queryVecs(v), 0.2)
+    rangeSearch(v, queryVecs(v), 0.2, Some(corpusSize(s, dir)))
   }
 
   /** Public radius-search entry for a user query set, under the same
     * [[MaxQueries]] broadcast contract (and the same one-action
-    * materialization of `queries`) as [[annBruteforceFor]].
+    * materialization of `queries`) as [[annBruteforceFor]] — including
+    * its one-`corpus.count()` contract (r18: feeds the widen gate).
     */
   def annRangeFor(corpus: DataFrame, queries: DataFrame, tau: Double): DataFrame =
-    rangeSearch(prep(corpus), asQueries(queries), tau)
+    rangeSearch(prep(corpus), asQueries(queries), tau, Some(corpus.count()))
 
   /** Shared random-hyperplane machinery: 8 tables × b sign bits from a
     * fixed seeded gaussian matrix compiled into the plan as literals.
@@ -2138,7 +2144,12 @@ object Similarity {
     // seed collect reveals dim.
     require(k > 0 && k <= 65536,
       s"kmeansTrain: k=$k outside (0, 65536] — the per-iteration driver collect is k·dim rows")
-    val v = prep(corpus)
+    // widen (r18): every Lloyd pass is a compute-bound assignment scan,
+    // single-task on a one-row-group corpus (sf10 warm: kmeans_embed
+    // 84.5 s at task ≈ wall).  Training is DESIGNED partitioning-
+    // independent (decimal sums, deterministic hash-ordered seeds), so
+    // the widen is value-neutral by the operator's own contract.
+    val v = widen(prep(corpus))
     val seeds = v
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(k)
