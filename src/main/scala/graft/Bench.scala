@@ -81,13 +81,19 @@ object Bench {
     // separate isolation pass for decontaminate/graph_kcore.
     val nopSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     def nopOnce(): Unit = {
+      // NonFatal only, and a FAILED probe records -1 rather than
+      // vanishing (r19 ADVICE): a sentinel that dies under exactly the
+      // drift it exists to detect must stay visible in the telemetry,
+      // not let nop_sec be computed from the surviving benign samples;
+      // OOM/interrupts propagate — a bench that can't run the sentinel
+      // can't certify anything it measures either.
       try {
         val t0 = System.nanoTime()
         spark.range(64L * 1000 * 1000).select(xxhash64(col("id")).as("h"))
           .agg(count(col("h"))).collect()
         nopSamples += (System.nanoTime() - t0) / 1e9
         ()
-      } catch { case _: Throwable => }
+      } catch { case scala.util.control.NonFatal(_) => nopSamples += -1.0 }
     }
     nopOnce()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
@@ -152,9 +158,13 @@ object Bench {
     val mediansFile = s"bench_medians_$sfName.json"
     // median nop sample: ONE scalar the driver reads next to gc_sec —
     // the all-samples list rides the committed telemetry file
+    // failed probes (-1 markers) are excluded from the median but stay
+    // in the committed all-samples list; an all-failed sentinel reads
+    // as -1, the same "no signal" value as a sentinel that never ran
+    val nopOk = nopSamples.filter(_ >= 0)
     val nopSec =
-      if (nopSamples.isEmpty) -1.0
-      else ms(nopSamples.sorted.apply(nopSamples.length / 2))
+      if (nopOk.isEmpty) -1.0
+      else ms(nopOk.sorted.apply(nopOk.length / 2))
     // in-line adjudication block: the top movers by median wall, each
     // with its own (gc, task, artifact builds) — the three facts that
     // separate "plan regression" from "paid a cold build" from

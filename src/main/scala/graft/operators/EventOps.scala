@@ -666,7 +666,147 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Consumer-group REBALANCE drill through the REAL
+    * [[graft.streaming.GroupCoordinator]] machinery, driven through the
+    * oracle gate (the ingest_text128 precedent: the CI-pinned runtime
+    * path gets a driver query whose arithmetic DuckDB can replay).
+    * Scenario: a 4-partition topic, member `a` consumes one bounded
+    * poll across all partitions and acks only a PREFIX of it, member
+    * `b` then joins — range assignment splits the partitions 2/2, both
+    * members' fetch positions drop to the GROUP-committed offsets (the
+    * rebalance-callback image), and the unacked suffix of `a`'s first
+    * poll is REDELIVERED under at-least-once before both members drain
+    * to the end, acking as they go.
+    *
+    * Oracle-expressible by construction: keys are the single-char
+    * strings "0".."3" of `event_id % 4`, whose Java hashCodes are the
+    * consecutive codepoints 48..51, so [[graft.streaming.GroupLog]]'s
+    * `floorMod(key.hashCode, 4)` routing IS `event_id % 4` (pinned by
+    * StreamingSpec); appends happen in global event_id order, so a
+    * partition's offset is `row_number() over (partition by event_id%4
+    * order by event_id) - 1` — and the redelivered set is exactly the
+    * offsets in [AckTo+1, Poll1-1] that exist.  Per event type the
+    * audit reports distinct messages, total deliveries, and the
+    * redelivery overlap; the payload round-trips the event type, so a
+    * mis-routed or mis-ordered envelope shows up as a wrong per-type
+    * count, not just a wrong total.
+    *
+    * Driver state is the point, and it is bounded: the feed is the
+    * first [[GroupFeedCap]] events (ordered limit), the coordinator is
+    * the CI-pinned in-heap image (there is no broker in this
+    * container), and each poll returns ≤ Poll1·4 rows.  This is a
+    * SEMANTICS diagnostic of the consumer-group envelope — the
+    * distributed analytics run on the frames it yields.
+    */
+  private val GroupFeedCap = 20000
+  private val GroupPoll1 = 1500
+  private val GroupAckTo = 599L
+
+  def groupRebalance(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{GroupCoordinator, GroupLog, GroupMember}
+    val feed = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id")).limit(GroupFeedCap)
+      .collect()
+    val log = new GroupLog(4)
+    feed.foreach { r =>
+      log.append((r.getLong(0) % 4).toString,
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val coord = new GroupCoordinator(log)
+    // ack everything delivered in `d`, per partition, capped at `upTo`
+    def ackDelivered(m: GroupMember, d: DataFrame, upTo: Long = Long.MaxValue): Unit =
+      d.groupBy(col("partition")).agg(max(col("offset")).as("mo")).collect()
+        .foreach(r => m.ack(r.getInt(0), math.min(upTo, r.getLong(1))))
+    val a = new GroupMember(coord, "a")
+    val d1 = a.poll(s, GroupPoll1) // gen 1: a owns all 4 partitions
+    ackDelivered(a, d1, GroupAckTo) // ack only the prefix
+    val b = new GroupMember(coord, "b") // rebalance: a→{0,1}, b→{2,3}
+    def drain(m: GroupMember): Seq[DataFrame] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var d = m.poll(s, GroupPoll1)
+      while (!d.isEmpty) { ackDelivered(m, d); out += d; d = m.poll(s, GroupPoll1) }
+      out.toSeq
+    }
+    (Seq(d1) ++ drain(a) ++ drain(b)).reduce(_ union _)
+      .select(col("msg_id"), decode(col("payload"), "UTF-8").as("event_type"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("msg_id")).as("n_messages"),
+        count(lit(1)).as("n_deliveries"),
+        (count(lit(1)) - countDistinct(col("msg_id"))).as("n_redelivered"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-message delivery-report audit through the REAL streaming
+    * pipeline: [[graft.streaming.Frizzle.runRouted]] over a file
+    * transport of the events table, destinations routed off the
+    * decoded payload exactly like [[msgRoute]]/[[deadLetterSplit]],
+    * with ONE destination ("events.error") wired to a failing sink —
+    * [[graft.streaming.Sinks.withDeliveryReports]] then emits one
+    * report row per message, ok=false with the error for exactly the
+    * broken destination's messages while the epoch proceeds
+    * (containment; siblings unaffected).  The audit aggregates the
+    * REPORT rows (not the input), so what the oracle checks is the
+    * delivery-report channel end to end: per destination the message
+    * count, distinct msg ids (exactly-one-report-per-message — a
+    * replayed or double-reported message breaks n_msgs =
+    * n_distinct_msgs), and the error count.
+    *
+    * Deterministic: AvailableNow over a fixed directory; reports land
+    * via the idempotent per-(dest, epoch) parquet sink, so even an
+    * epoch replay cannot double-count.  Side effects are a per-run
+    * temp dir (the ingest_text128 precedent), with the source file
+    * symlinked, not copied.  Scale shape: the report frame is a
+    * projection of the routed batch — distributed end to end; the
+    * only driver state is the bounded destination list runRouted
+    * already holds.
+    */
+  def deliveryReportAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.{FileMsgSource, Frizzle, Sinks}
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delivery_" + new java.io.File(dir).getName)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles; if (kids != null) kids.foreach(rm); f.delete(); ()
+    }
+    rm(base)
+    val srcDir = new java.io.File(base, "topic"); srcDir.mkdirs()
+    java.nio.file.Files.createSymbolicLink(
+      new java.io.File(srcDir, "events.parquet").toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("props", StringType)))
+    val toMsg = (df: DataFrame) => df.select(
+      col("event_id").cast("string").as("msg_id"),
+      col("user_id").cast("string").as("key"),
+      encode(col("props"), "UTF-8").as("payload"),
+      concat(lit("events."), col("event_type")).as("dest"),
+      lit(0L).cast("timestamp").as("ts"))
+    val source = FileMsgSource(srcDir.getAbsolutePath, raw, toMsg)
+    val k = regexp_extract(col("payload").cast("string"), "\"k\": (-?\\d+)", 1).cast("long")
+    val route = Frizzle.Route(identity, isValid = !(k % 13 === 0))
+    val broken = "events.error"
+    val inner: (DataFrame, String, Long) => Unit = (df, d, e) => {
+      if (d == broken) throw new java.io.IOException(s"simulated broker failure: $d")
+      Sinks.idempotentParquet(s"$base/out")(df, d, e)
+    }
+    val sink = Sinks.withDeliveryReports(inner)(
+      (reports, d, e) => Sinks.idempotentParquet(s"$base/reports")(reports, d, e))
+    val q = Frizzle.runRouted(s, source, route, dest = col("dest"), sink,
+      checkpoint = s"$base/ckpt")
+    q.awaitTermination(600000)
+    s.read.option("recursiveFileLookup", "true").parquet(s"$base/reports")
+      .groupBy(col("dest"), col("ok").cast("int").as("ok"))
+      .agg(count(lit(1)).as("n_msgs"),
+        countDistinct(col("msg_id")).as("n_distinct_msgs"),
+        count(col("error")).as("n_err"))
+      .orderBy(col("dest"), col("ok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "group_rebalance" -> (groupRebalance _),
+    "delivery_report_audit" -> (deliveryReportAudit _),
     "msg_size_percentiles" -> (msgSizePercentiles _),
     "event_spike" -> (eventSpike _),
     "event_retention" -> (eventRetention _),
@@ -691,6 +831,34 @@ object EventOps {
     "sample_stratified" -> (sampleStratified _))
 
   def oracleSql: Map[String, String] = Map(
+    // the rebalance drill's arithmetic replayed in pure SQL: key
+    // routing ≡ event_id % 4 (single-char keys "0".."3", consecutive
+    // hashCodes — StreamingSpec pins the equivalence), offsets ≡
+    // row_number per partition in event_id order, and the redelivered
+    // set ≡ the acked-gap offsets [600, 1499] that exist in the data
+    "group_rebalance" ->
+      """WITH f AS (SELECT event_type, event_id % 4 AS p, event_id
+        |  FROM (SELECT event_type, event_id FROM events ORDER BY event_id LIMIT 20000)),
+        |k AS (SELECT event_type,
+        |  row_number() OVER (PARTITION BY p ORDER BY event_id) - 1 AS o FROM f)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_messages,
+        |  CAST(COUNT(*) + SUM(CASE WHEN o BETWEEN 600 AND 1499 THEN 1 ELSE 0 END) AS BIGINT) AS n_deliveries,
+        |  CAST(SUM(CASE WHEN o BETWEEN 600 AND 1499 THEN 1 ELSE 0 END) AS BIGINT) AS n_redelivered
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // report channel ≡ routing: every message reports exactly once
+    // under its routed destination; ok=0 with one error for exactly
+    // the broken destination.  NULL k routes to dlq (runRouted's
+    // NULL-validity → dead-letter contract), mirrored explicitly.
+    "delivery_report_audit" ->
+      """WITH m AS (SELECT event_id,
+        |  CASE WHEN COALESCE(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) % 13 = 0, TRUE)
+        |       THEN 'dlq' ELSE 'events.' || event_type END AS dest FROM events)
+        |SELECT dest, CAST(dest <> 'events.error' AS INT) AS ok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_msgs,
+        |  CAST(CASE WHEN dest = 'events.error' THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_err
+        |FROM m GROUP BY dest ORDER BY dest, ok""".stripMargin,
     // counting percentiles over the integer size histogram — the
     // skew_report convention, exact on both engines
     "msg_size_percentiles" ->

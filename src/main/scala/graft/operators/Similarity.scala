@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TopKScoredAgg
 import graft.functions.VectorFunctions._
-import graft.sources.Tables
+import graft.sources.{Scan, Tables}
 
 /** Approximate-nearest-neighbor search over the embedding column.
   *
@@ -189,32 +189,31 @@ object Similarity {
     *
     * `n` gates the prune ([[TauPruneMinRows]]): None (a caller
     * without a known corpus size) or a small corpus fall through to
-    * the plain scan.  Note the `...For` public entries DO pay one
-    * `corpus.count()` action at plan-build time to supply `n` — the
-    * documented one-count contract those entries share with the
-    * trained-path `...For`s ("corpus should be a materialized
-    * table"); a non-materialized corpus pipeline re-executes under
-    * the count, and a STREAMING frame throws on it (streaming corpora
-    * are unsupported across this family — the top-k aggregate and
-    * presentation sort are batch-only regardless).
+    * the plain scan.  The `...For` public entries supply `n` via
+    * [[graft.sources.Scan.countFor]] (r19): a materialized parquet
+    * table answers from footer METADATA — no action at all — and
+    * anything else pays the r18 one-count contract verbatim (one
+    * `count()` at plan-build; a non-materialized corpus pipeline
+    * re-executes under it, and a STREAMING frame throws on it —
+    * streaming corpora are unsupported across this family; the top-k
+    * aggregate and presentation sort are batch-only regardless).
     */
   /** Compute-bound broadcast scans are only as parallel as the scan's
-    * partitioning: a compact corpus — ONE parquet row group, the shape
-    * a single-writer export or the sf10 testdata produces — collapses
-    * the |Q|·n scoring loop onto ONE task, and no amount of τ-pruning
-    * or codegen recovers the other 31 cores (caught live on the r18
-    * sf10 cold pass: one executor thread 500+ s inside DotProduct,
-    * machine load ~1).  Widen a narrow input to the scheduler's width
-    * before scoring — a bounded shuffle of the corpus' projected
-    * columns, trivial next to the scoring work it parallelizes.  A
-    * corpus already at least as wide as the cluster keeps its layout:
-    * at 100 TB the input is thousands of partitions and this guard is
-    * a structural no-op (and crucially it never REDUCES partitioning).
+    * partitioning — the r18 narrow-scan widening rule, since r19 the
+    * shared [[graft.sources.Scan.widen]] read-layer seam (full
+    * rationale there).  Internal corpora arrive pre-widened through
+    * [[graft.sources.Tables.embeddings]]; these call sites remain for
+    * the `...For` user-corpus paths, with `minBytes = 0` because each
+    * site either gates on a corpus row count it already paid for
+    * (τ-prune family) or is a cold build whose encode dominates any
+    * input size.  The shape gate inside Scan.widen means a
+    * user-supplied corpus with upstream exchanges is no longer probed
+    * via `.rdd` (which would make AQE materialize those stages at
+    * plan-build time — the r18 ADVICE hazard): a post-exchange plan is
+    * already at cluster width.
     */
-  private def widen(v: DataFrame): DataFrame = {
-    val target = v.sparkSession.sparkContext.defaultParallelism
-    if (v.rdd.getNumPartitions >= target) v else v.repartition(target)
-  }
+  private def widen(v: DataFrame): DataFrame =
+    graft.sources.Scan.widen(v, minBytes = 0L)
 
   private def tauPrune(score: DataFrame => DataFrame, corpusIn: DataFrame,
       kk: Int, n: Option[Long]): DataFrame = {
@@ -295,13 +294,14 @@ object Similarity {
     * (vec_id, embedding); `queries` must respect [[MaxQueries]]
     * (asserted).  Work is |Q|·|corpus| exact scoring — the right tool
     * for a bounded query set against any corpus size.  Same
-    * plan-build-time action contract as [[annIvfFor]] (one
-    * `corpus.count()`, so `corpus` should be a materialized table) —
-    * the count feeds the [[TauPruneMinRows]] gate on the sampled
-    * admission threshold.
+    * plan-build-time contract as [[annIvfFor]]: n via
+    * [[graft.sources.Scan.countFor]] — footer metadata for a
+    * materialized parquet table, one `count()` action otherwise —
+    * feeding the [[TauPruneMinRows]] gate on the sampled admission
+    * threshold.
     */
   def annBruteforceFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
-    bruteforce(prep(corpus), asQueries(queries), k, Some(corpus.count()))
+    bruteforce(prep(corpus), asQueries(queries), k, Some(Scan.countFor(corpus)))
 
   // same |Q|·n scoring shape as the τ-pruned family → same narrow-
   // input widening (the predicate is cheap but the dot is not), under
@@ -335,10 +335,10 @@ object Similarity {
   /** Public radius-search entry for a user query set, under the same
     * [[MaxQueries]] broadcast contract (and the same one-action
     * materialization of `queries`) as [[annBruteforceFor]] — including
-    * its one-`corpus.count()` contract (r18: feeds the widen gate).
+    * its one-`Scan.countFor(corpus)` contract (r18: feeds the widen gate).
     */
   def annRangeFor(corpus: DataFrame, queries: DataFrame, tau: Double): DataFrame =
-    rangeSearch(prep(corpus), asQueries(queries), tau, Some(corpus.count()))
+    rangeSearch(prep(corpus), asQueries(queries), tau, Some(Scan.countFor(corpus)))
 
   /** Shared random-hyperplane machinery: 8 tables × b sign bits from a
     * fixed seeded gaussian matrix compiled into the plan as literals.
@@ -450,13 +450,13 @@ object Similarity {
   /** Public LSH entry for a user query set ([[MaxQueries]] contract,
     * asserted).  Bucket width derives from the corpus row count — NOTE:
     * this `...For` entry runs actions at PLAN-BUILD time (the bounded
-    * query materialization plus one `corpus.count()`), so `corpus`
+    * query materialization plus one `Scan.countFor(corpus)`), so `corpus`
     * should be a materialized (parquet-backed) table, where the count
     * is a metadata-only scan; on a derived frame it executes the full
     * upstream pipeline once per call.
     */
   def annLshFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
-    lshSearch(prep(corpus), asQueries(queries), k, lshBitsFor(corpus.count()))
+    lshSearch(prep(corpus), asQueries(queries), k, lshBitsFor(Scan.countFor(corpus)))
 
   /** Approximate k-NN JOIN: top-k cosine neighbors in `right` for
     * EVERY row of `left` — the corpus×corpus retrieval shape the
@@ -816,6 +816,18 @@ object Similarity {
     */
   private[graft] val LiteralCells = 256
 
+  /** Ceiling (in C·dim doubles) for the map-side [[graft.functions
+    * .CellAssigner]] argmax: the centroid table rides the task binary
+    * as one reference object, so the bound is serialized-plan size,
+    * not codegen size.  2²² doubles = 32 MB — an order of magnitude
+    * above the IVF clamp's worst case (4096 cells × dim 64 = 256 k)
+    * and far below anything that would strain stage broadcast; a
+    * user-supplied centroid table beyond it falls to the
+    * broadcast-relation argmax, which scales to any C at the price of
+    * one corpus shuffle.
+    */
+  private[graft] val CellExprBudget = 1L << 22
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer splits the
     * corpus into C cells; queries probe only the nprobe nearest cells
     * and re-rank exactly inside them.
@@ -850,11 +862,11 @@ object Similarity {
 
   /** Public IVF entry for a user query set ([[MaxQueries]] contract,
     * asserted).  Same plan-build-time action contract as [[annLshFor]]:
-    * `corpus` should be a materialized table (one `corpus.count()` per
+    * `corpus` should be a materialized table (one `Scan.countFor(corpus)` per
     * call derives the cell count).
     */
   def annIvfFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
-    ivfSearch(prep(corpus), asQueries(queries), k, corpus.count())
+    ivfSearch(prep(corpus), asQueries(queries), k, Scan.countFor(corpus))
 
   /** `forceCells` overrides the √n cell derivation (spec hook for the
     * broadcast-relation path at small n).
@@ -895,23 +907,27 @@ object Similarity {
     (assignCells(v, cents), queryProbes(q0, cents, nprobe))
 
   /** Corpus side of the coarse quantizer: adds `cid` = nearest-centroid
-    * id.  Literal argmax up to [[LiteralCells]] (pure map-side
-    * codegen'd arithmetic, zero additional shuffle over the corpus);
-    * past it the centroid frame broadcasts to an n×C product reduced by
-    * map-side partial max, then ONE corpus-wide shuffle for the final
-    * argmax — the documented price of cell counts beyond the literal
-    * budget.  Tie-breaks ((d desc, cid asc)) are identical on both
-    * paths.
+    * id.  Map-side native argmax ([[graft.functions.NearestCellId]],
+    * r19) up to [[CellExprBudget]] C·dim doubles: zero additional
+    * shuffle over the corpus, zero per-row allocation, no codegen-size
+    * ceiling — the r18 plan used an unrolled struct literal capped at
+    * [[LiteralCells]]=256 cells and fell over to the relation path
+    * beyond it, which at sf10 (C=√n≈1400) made EVERY codes build and
+    * Lloyd pass pay an n×C broadcast product plus a corpus-wide
+    * argmax shuffle, most of the cold pass's gc.  Past the expression
+    * budget (a centroid table too big to ride the task binary) the
+    * broadcast-relation path remains: n×C product reduced by map-side
+    * partial max, then ONE corpus-wide shuffle.  Tie-breaks
+    * ((d desc, cid asc)) are identical on all three formulations
+    * (expression parity spec-pinned in PqEncodeSpec).
     */
   private def assignCells(v: DataFrame, cents: Array[Array[Double]]): DataFrame =
-    if (cents.length <= LiteralCells) {
-      val centroids: Seq[(Int, Seq[Double])] =
-        cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq
-      def nearestCell(e: Column): Column =
-        array_min(array(centroids.map { case (cid, c) =>
-          struct((-dot(e, typedLit(c))).as("negdot"), lit(cid).as("cid"))
-        }: _*)).getField("cid")
-      v.withColumn("cid", nearestCell(col("e")))
+    if (cents.length.toLong * cents(0).length <= CellExprBudget) {
+      v.withColumn("cid", {
+        import org.apache.spark.sql.graftshim.ColumnShim
+        ColumnShim.column(graft.functions.NearestCellId(
+          ColumnShim.expression(col("e")), new graft.functions.CellAssigner(cents)))
+      })
     } else {
       val s = v.sparkSession
       import s.implicits._
@@ -1000,7 +1016,7 @@ object Similarity {
     * one corpus use [[buildPqIndex]]/[[searchPqIndex]].
     */
   def annPqFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
-    pqSearch(prep(corpus), asQueries(queries), k, corpus.count())
+    pqSearch(prep(corpus), asQueries(queries), k, Scan.countFor(corpus))
 
   /** Bounded deterministic training sample shared by the quantizer
     * paths (IVF, PQ): keep vectors whose id-hash falls under the
@@ -1090,19 +1106,23 @@ object Similarity {
   }
 
   /** Map-side PQ encode: codes[j] = nearest sub-centroid of book j by
-    * L2 on the unit vector, expressed as argmax(dot(e_sub, c)/nrm −
-    * ½‖c‖²) so the raw (e, nrm) columns feed codegen directly — no
-    * per-element normalize HOF.  Shared by the PQ and IVF-PQ paths.
+    * L2 on the unit vector, i.e. argmax(dot(e_sub, c)/nrm − ½‖c‖²).
+    * Since r19 a single allocation-free native expression
+    * ([[graft.functions.PqEncodeCodes]]) instead of the unrolled
+    * struct/array_min literal plan: identical IEEE op order and
+    * tie-break (bit-identity spec-pinned in PqEncodeSpec), but without
+    * the m·ksub per-row slice/struct garbage that made the sf10 cold
+    * codes builds gc-bound (4.5 ks of gc in the r18 cold pass).
+    * Shared by the PQ and IVF-PQ paths.
     */
   private def pqCodesCol(books: Array[Array[Array[Double]]], sub: Int,
-      e: Column, nrm: Column): Column =
-    array(books.indices.map { j =>
-      array_min(array(books(j).zipWithIndex.map { case (c, cid) =>
-        val score = dot(slice(e, j * sub + 1, sub), typedLit(c.toSeq)) / nrm -
-          lit(0.5 * c.map(x => x * x).sum)
-        struct((-score).as("negscore"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    }: _*)
+      e: Column, nrm: Column): Column = {
+    require(books(0)(0).length == sub, s"subspace width mismatch: ${books(0)(0).length} vs $sub")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.PqEncodeCodes(
+      ColumnShim.expression(e), ColumnShim.expression(nrm),
+      new graft.functions.PqEncoder(books, divByNrm = true)))
+  }
 
   /** Per-query ADC lookup tables: qtabs[j][c] = dot(q_sub_j, c)/‖q‖ —
     * an m×ksub-double table riding the query row.  Shared by the PQ
@@ -1257,13 +1277,13 @@ object Similarity {
     * writes both once ([[AnnIndex.write]] or
     * [[graft.sources.Layout.writeBucketed]] on vec_id) and every later
     * query batch pays only the 16 B/row ADC scan + shortlist re-rank —
-    * never the count/train/encode this build runs (one `corpus.count()`
+    * never the count/train/encode this build runs (one `Scan.countFor(corpus)`
     * action here; build against a materialized table).
     */
   def buildPqIndex(corpus: DataFrame): AnnIndex = {
     val v = prep(corpus)
     val s = v.sparkSession
-    val units = trainingSample(v, corpus.count())
+    val units = trainingSample(v, Scan.countFor(corpus))
     if (units.isEmpty)
       return AnnIndex(v.select(col("vec_id"), typedLit(Seq.empty[Int]).as("codes")),
         modelToDf(s, Array.empty, None, residual = false))
@@ -1317,7 +1337,7 @@ object Similarity {
     * [[buildIvfPqIndex]]/[[searchIvfPqIndex]].
     */
   def annIvfPqFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
-    ivfPqSearch(prep(corpus), asQueries(queries), k, corpus.count())
+    ivfPqSearch(prep(corpus), asQueries(queries), k, Scan.countFor(corpus))
 
   /** Residual IVF-PQ — the FAISS precision step: codebooks quantize
     * r = ê − cent[cid] instead of ê itself.  Residual magnitudes are a
@@ -1386,18 +1406,21 @@ object Similarity {
   }
 
   /** Map-side residual PQ encode: codes[j] = argmin_c ‖r_sub − c‖,
-    * expressed as argmax(dot(r_sub, c) − ½‖c‖²) on the materialized
-    * residual column.
+    * i.e. argmax(dot(r_sub, c) − ½‖c‖²) on the materialized residual
+    * column.  Same allocation-free expression as [[pqCodesCol]] with
+    * the norm division disabled (the residual is already in unit
+    * space); nrm is fed lit(1.0) purely to satisfy the binary shape —
+    * divByNrm=false keeps even the exact d/1.0 identity out of the
+    * loop.
     */
   private def pqResidualCodesCol(books: Array[Array[Array[Double]]], sub: Int,
-      r: Column): Column =
-    array(books.indices.map { j =>
-      array_min(array(books(j).zipWithIndex.map { case (c, cid) =>
-        val score = dot(slice(r, j * sub + 1, sub), typedLit(c.toSeq)) -
-          lit(0.5 * c.map(x => x * x).sum)
-        struct((-score).as("negscore"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    }: _*)
+      r: Column): Column = {
+    require(books(0)(0).length == sub, s"subspace width mismatch: ${books(0)(0).length} vs $sub")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.PqEncodeCodes(
+      ColumnShim.expression(r), ColumnShim.expression(lit(1.0)),
+      new graft.functions.PqEncoder(books, divByNrm = false)))
+  }
 
   /** Shared IVF-PQ build over a prepped corpus: trains the coarse
     * quantizer and the (optionally residual) PQ books on the bounded
@@ -1499,7 +1522,7 @@ object Similarity {
     * Write once with [[AnnIndex.write]] — codes files are partitioned
     * by cell, so later searches physically read only probed cells —
     * then [[searchIvfPqIndex]] any number of query batches.  Runs one
-    * `corpus.count()` action; build against a materialized table.
+    * `Scan.countFor(corpus)` action; build against a materialized table.
     */
   /** `fullTrain = true` trains the coarse quantizer on the FULL corpus
     * via [[kmeansTrain]] (order-insensitive decimal centroid updates —
@@ -1513,7 +1536,7 @@ object Similarity {
       fullTrain: Boolean = false): AnnIndex = {
     val v = prep(corpus)
     val s = v.sparkSession
-    val n = corpus.count()
+    val n = Scan.countFor(corpus)
     val units = trainingSample(v, n)
     if (units.isEmpty)
       return AnnIndex(
@@ -2237,7 +2260,7 @@ object Similarity {
     val (cents, assigned) =
       if (sampleTrain) {
         val v = prep(corpus)
-        val units = trainingSample(v, corpus.count())
+        val units = trainingSample(v, Scan.countFor(corpus))
         require(units.nonEmpty, "diversitySample: empty corpus")
         val cs = sphericalKMeans(units, k, iters)
         (cs, assignCells(v, cs))

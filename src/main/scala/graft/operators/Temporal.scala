@@ -680,10 +680,15 @@ object Temporal {
     * share is one IEEE division of exact integers.  The epoch day is
     * a FLOOR division (`us − pmod(us, D)` is floor-aligned, so the
     * `div` is exact) — `div` alone truncates toward zero, which for
-    * pre-1970 timestamps lands one day late and, through the `% 7`,
+    * pre-1970 timestamps lands one day late and, through the mod,
     * would surface as a wrong weekday against the oracle's
-    * `floor(epoch/86400)`; post-floor, the `% 7` itself matches the
-    * oracle's dividend-sign `%` on both engines.
+    * `floor(epoch/86400)`.  The mod itself is `pmod` (r19): a
+    * dividend-sign `%` returns −6..−1 for pre-1970 epoch days,
+    * splitting one weekday across two buckets and breaking the
+    * documented 0..6 contract even while matching an oracle with the
+    * same sign convention; the oracle SQL applies the equivalent
+    * `((x % 7) + 7) % 7` so both sides stay value-identical AND
+    * contract-true on any timestamp.
     *
     * Scale shape: one map-side-combined ≤(|types|·7)-key aggregate
     * over the events scan; the per-type totals window runs over those
@@ -693,7 +698,7 @@ object Temporal {
     val d = Tables.events(s, dir)
       .select(col("event_type"), epochUs(col("ts")).as("us"))
       .select(col("event_type"),
-        expr("((us - pmod(us, 86400000000)) div 86400000000 + 3) % 7").as("dow"))
+        expr("pmod((us - pmod(us, 86400000000)) div 86400000000 + 3, 7)").as("dow"))
       .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col("event_type"))
     d.withColumn("share",
@@ -729,7 +734,7 @@ object Temporal {
     // the division is DOUBLE/HUGEINT, value-identical
     "weekday_profile" ->
       """WITH d AS (SELECT event_type,
-        |  (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 AS dow,
+        |  ((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 + 7) % 7 AS dow,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, dow, n_events,

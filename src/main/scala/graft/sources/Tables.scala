@@ -24,7 +24,12 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach { name =>
-      val df = if (name == "events") events(spark, dir) else table(spark, dir, name)
+      val df = name match {
+        case "events" => events(spark, dir)
+        case "documents" => documents(spark, dir)
+        case "embeddings" => embeddings(spark, dir)
+        case _ => table(spark, dir, name)
+      }
       df.createOrReplaceTempView(name)
     }
 
@@ -47,6 +52,20 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** The two compute-scan tables (per-row work — BPE, hashing, dot
+    * products, decode — dominates their consumers) go through the
+    * [[Scan.widen]] read-layer guard: a single-row-group export that
+    * would collapse every downstream compute scan onto one task is
+    * lifted to scheduler width ONCE here, for all ~80 consumers at
+    * once (the r18 per-operator widen calls collapsed to this seam).
+    * The relational tables deliberately do NOT: their consumers are
+    * shuffle-bound joins/aggregates where an unconditional extra
+    * exchange is pure overhead and Spark's own split planning is
+    * already right.  Below [[Scan.WidenMinBytes]] (every bundled SF)
+    * the guard is identity, so gate and bench plans are unchanged.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    Scan.widen(table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    Scan.widen(table(s, d, "embeddings"))
 }

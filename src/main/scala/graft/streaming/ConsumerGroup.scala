@@ -56,8 +56,13 @@ final class GroupLog(val nPartitions: Int) {
 
   def read(p: Int, from: Long, max: Int): Seq[(Long, String, Array[Byte])] =
     synchronized {
-      // offsets are dense (append-only), so `from` indexes directly
-      parts(p).view.slice(from.toInt.max(0), (from + max).toInt).toSeq
+      // offsets are dense (append-only), so `from` indexes directly.
+      // toIntExact, not toInt (r19, the DeltaProbe discipline): a
+      // corrupt/overflowing committed offset must abort loudly, never
+      // silently wrap into a wrong-but-plausible slice.
+      val lo = Math.toIntExact(from.max(0L))
+      val hi = Math.toIntExact((from.max(0L) + max).min(parts(p).length.toLong))
+      parts(p).view.slice(lo, hi).toSeq
     }
 
   def endOffset(p: Int): Long = synchronized { parts(p).length.toLong }

@@ -210,8 +210,13 @@ object Sinks {
       val reports = df.select(idCols: _*)
         .withColumn("dest", lit(dest))
         .withColumn("ok", lit(failure.isEmpty))
+        // explicit string cast: a success batch's error is lit(null),
+        // which types as VOID — a parquet report sink would then write
+        // schema-incompatible files across destinations (found by the
+        // delivery_report_audit driver query, r19)
         .withColumn("error",
-          lit(failure.map(e => s"${e.getClass.getSimpleName}: ${e.getMessage}").orNull))
+          lit(failure.map(e => s"${e.getClass.getSimpleName}: ${e.getMessage}").orNull)
+            .cast("string"))
       onReport(reports, dest, epoch)
     }
 }

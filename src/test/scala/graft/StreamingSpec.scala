@@ -1260,6 +1260,66 @@ class StreamingSpec extends AnyFunSuite {
     a.close(); c.close()
   }
 
+  test("group_rebalance: key routing IS event_id % 4, and the audit equals a sequential replay") {
+    // the oracle's load-bearing equivalence: single-char keys "0".."3"
+    // have consecutive hashCodes 48..51, so floorMod(hashCode, 4) = the
+    // digit itself — pinned against the real GroupLog partitioner
+    val log = new GroupLog(4)
+    (0 to 3).foreach { d =>
+      val (p, _) = log.append(d.toString, Array(d.toByte))
+      assert(p === d, s"key '$d' must route to partition $d")
+    }
+    // sequential replay of the drill on the sf0.001 events table:
+    // offsets by event_id order within event_id%4; redelivered =
+    // the acked-gap offsets [600, 1499] that exist
+    val feed = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id")).limit(20000)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byPart = feed.groupBy { case (id, _) => id % 4 }
+    val expected = scala.collection.mutable.Map.empty[String, (Long, Long)] // (n, redeliv)
+    byPart.values.foreach { msgs =>
+      msgs.zipWithIndex.foreach { case ((_, et), o) =>
+        val (n, rd) = expected.getOrElse(et, (0L, 0L))
+        expected(et) = (n + 1, rd + (if (o >= 600 && o <= 1499) 1 else 0))
+      }
+    }
+    val got = graft.operators.EventOps.groupRebalance(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (et, (n, rd)) =>
+      assert(got(et) === ((n, n + rd, rd)), s"event_type $et")
+    }
+  }
+
+  test("delivery_report_audit: one report per message, broken destination contained") {
+    val rows = graft.operators.EventOps.deliveryReportAudit(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_msgs")).sum
+    assert(total === graft.sources.Tables.events(spark, sf).count(),
+      "every message reports exactly once across destinations")
+    rows.foreach { r =>
+      val dest = r.getString(0)
+      assert(r.getAs[Long]("n_msgs") === r.getAs[Long]("n_distinct_msgs"),
+        s"double-reported messages under $dest")
+      if (dest == "events.error") {
+        assert(r.getAs[Int]("ok") === 0)
+        assert(r.getAs[Long]("n_err") === r.getAs[Long]("n_msgs"),
+          "every failed message carries its error")
+      } else {
+        assert(r.getAs[Int]("ok") === 1)
+        assert(r.getAs[Long]("n_err") === 0L)
+      }
+    }
+    // containment: the broken destination wrote NOTHING, siblings wrote
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delivery_" + new java.io.File(sf).getName)
+    assert(!new java.io.File(base, "out/events.error").exists,
+      "failed sink must not leave partial output")
+    assert(new java.io.File(base, "out").listFiles.nonEmpty,
+      "sibling destinations proceed through the failure")
+  }
+
   test("kafka config plumbing maps frafka env vars") {
     val conf = KafkaPipeConfig.fromEnv(Map(
       "KAFKA_BROKERS" -> "b1:9092,b2:9092",
