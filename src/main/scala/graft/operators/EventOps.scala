@@ -785,7 +785,19 @@ object EventOps {
       lit(0L).cast("timestamp").as("ts"))
     val source = FileMsgSource(srcDir.getAbsolutePath, raw, toMsg)
     val k = regexp_extract(col("payload").cast("string"), "\"k\": (-?\\d+)", 1).cast("long")
-    val route = Frizzle.Route(identity, isValid = !(k % 13 === 0))
+    // deterministic 1-in-10 sample INSIDE the route transform (narrow
+    // op — the per-partition ordering contract holds): the epoch
+    // persist inside runRouted holds the TRANSFORMED batch, so an
+    // unsampled sf10 run parked a ~12M-row × ~300 B batch on the bench
+    // heap three times per suite (r19: this OOM'd the 8 GB cold pass at
+    // the query after it).  The channel under test — one report per
+    // message, containment, idempotent report sink — is exercised
+    // end-to-end identically on the sample, and the oracle applies the
+    // same modulus.  msg_id is the event_id, so the sample is a pure
+    // function of the data, not of stream batching.
+    val sampled = (df: DataFrame) =>
+      df.filter(col("msg_id").cast("long") % 10 === 0)
+    val route = Frizzle.Route(sampled, isValid = !(k % 13 === 0))
     val broken = "events.error"
     val inner: (DataFrame, String, Long) => Unit = (df, d, e) => {
       if (d == broken) throw new java.io.IOException(s"simulated broker failure: $d")
@@ -853,7 +865,8 @@ object EventOps {
     "delivery_report_audit" ->
       """WITH m AS (SELECT event_id,
         |  CASE WHEN COALESCE(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) % 13 = 0, TRUE)
-        |       THEN 'dlq' ELSE 'events.' || event_type END AS dest FROM events)
+        |       THEN 'dlq' ELSE 'events.' || event_type END AS dest
+        |  FROM events WHERE event_id % 10 = 0)
         |SELECT dest, CAST(dest <> 'events.error' AS INT) AS ok,
         |  CAST(COUNT(*) AS BIGINT) AS n_msgs,
         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_msgs,
