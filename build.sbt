@@ -38,4 +38,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-8192647 class of spurious OOM: a thread allocating while another
+  // thread holds the GCLocker (JNI critical section — parquet/zstd native
+  // IO does this constantly under 32-way scans) retries only twice by
+  // default, then throws "Java heap space" with the heap NOT exhausted.
+  // Observed live: the r19 sf10 cold pass died in basket_rules' pair
+  // stage with "Retried waiting for GCLocker too often" immediately
+  // before the OOM while storage blocks were spilling to disk as
+  // designed.  Raising the retry budget removes the spurious kill
+  // without changing heap size or measurement semantics.
+  "-XX:GCLockerRetryAllocationCount=64",
 )
