@@ -46,6 +46,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // stage with "Retried waiting for GCLocker too often" immediately
   // before the OOM while storage blocks were spilling to disk as
   // designed.  Raising the retry budget removes the spurious kill
-  // without changing heap size or measurement semantics.
+  // without changing heap size or measurement semantics.  (Diagnostic
+  // option on JDK 17 — the unlock flag must precede it.)
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=64",
 )
