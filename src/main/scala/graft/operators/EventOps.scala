@@ -761,11 +761,16 @@ object EventOps {
     * only driver state is the bounded destination list runRouted
     * already holds.
     */
-  def deliveryReportAudit(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    import graft.streaming.{FileMsgSource, Frizzle, Sinks}
+  /** Shared file-transport staging for the streaming driver queries
+    * (delivery_report_audit / dlq_replay / msg_fanout — ONE set of
+    * envelope/sample/validity conventions, so the contracts cannot
+    * fork): a fresh per-(query, sf) temp dir with the events table
+    * symlinked as the topic directory (the ingest_text128 precedent —
+    * never copied).  Returns (run base dir, topic dir).
+    */
+  private def stageEventsTopic(dir: String, tag: String): (java.io.File, java.io.File) = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_delivery_" + new java.io.File(dir).getName)
+      s"graft_${tag}_" + new java.io.File(dir).getName)
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles; if (kids != null) kids.foreach(rm); f.delete(); ()
     }
@@ -774,30 +779,52 @@ object EventOps {
     java.nio.file.Files.createSymbolicLink(
       new java.io.File(srcDir, "events.parquet").toPath,
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    val raw = StructType(Seq(
+    (base, srcDir)
+  }
+
+  /** Pruned read schema for the events-as-topic transport. */
+  private def eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("props", StringType)))
-    val toMsg = (df: DataFrame) => df.select(
-      col("event_id").cast("string").as("msg_id"),
-      col("user_id").cast("string").as("key"),
-      encode(col("props"), "UTF-8").as("payload"),
-      concat(lit("events."), col("event_type")).as("dest"),
-      lit(0L).cast("timestamp").as("ts"))
-    val source = FileMsgSource(srcDir.getAbsolutePath, raw, toMsg)
-    val k = regexp_extract(col("payload").cast("string"), "\"k\": (-?\\d+)", 1).cast("long")
-    // deterministic 1-in-10 sample INSIDE the route transform (narrow
-    // op — the per-partition ordering contract holds): the epoch
-    // persist inside runRouted holds the TRANSFORMED batch, so an
-    // unsampled sf10 run parked a ~12M-row × ~300 B batch on the bench
-    // heap three times per suite (r19: this OOM'd the 8 GB cold pass at
-    // the query after it).  The channel under test — one report per
-    // message, containment, idempotent report sink — is exercised
-    // end-to-end identically on the sample, and the oracle applies the
-    // same modulus.  msg_id is the event_id, so the sample is a pure
-    // function of the data, not of stream batching.
-    val sampled = (df: DataFrame) =>
-      df.filter(col("msg_id").cast("long") % 10 === 0)
-    val route = Frizzle.Route(sampled, isValid = !(k % 13 === 0))
+  }
+
+  /** events row → Msg envelope: id = event_id, routing key = user,
+    * payload = props bytes, dest = the per-type topic.
+    */
+  private val eventsToMsg: DataFrame => DataFrame = df => df.select(
+    col("event_id").cast("string").as("msg_id"),
+    col("user_id").cast("string").as("key"),
+    encode(col("props"), "UTF-8").as("payload"),
+    concat(lit("events."), col("event_type")).as("dest"),
+    lit(0L).cast("timestamp").as("ts"))
+
+  /** The business field the validity/fanout rules key on, decoded from
+    * the payload exactly as a consumer would (NULL when absent — which
+    * runRouted's NULL-validity contract dead-letters, never drops).
+    */
+  private def payloadK =
+    regexp_extract(col("payload").cast("string"), "\"k\": (-?\\d+)", 1).cast("long")
+
+  /** Deterministic 1-in-10 sample INSIDE the route transform (narrow
+    * op — the per-partition ordering contract holds): the epoch
+    * persist inside runRouted holds the TRANSFORMED batch, so an
+    * unsampled sf10 run parked a ~12M-row × ~300 B batch on the bench
+    * heap three times per suite (r19: this OOM'd the 8 GB cold pass at
+    * the query after it).  The channel under test is exercised
+    * end-to-end identically on the sample, and each oracle applies the
+    * same modulus.  msg_id is the event_id, so the sample is a pure
+    * function of the data, not of stream batching.
+    */
+  private val sampleTenth: DataFrame => DataFrame = df =>
+    df.filter(col("msg_id").cast("long") % 10 === 0)
+
+  def deliveryReportAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{FileMsgSource, Frizzle, Sinks}
+    val (base, srcDir) = stageEventsTopic(dir, "delivery")
+    val source = FileMsgSource(srcDir.getAbsolutePath, eventsRawSchema, eventsToMsg)
+    val route = Frizzle.Route(sampleTenth, isValid = !(payloadK % 13 === 0))
     val broken = "events.error"
     val inner: (DataFrame, String, Long) => Unit = (df, d, e) => {
       if (d == broken) throw new java.io.IOException(s"simulated broker failure: $d")
@@ -816,9 +843,110 @@ object EventOps {
       .orderBy(col("dest"), col("ok"))
   }
 
+  /** frizzle's DLQ retry loop end to end through the REAL runtime:
+    * pass 1 runs the routed pipeline with a validator that
+    * dead-letters k % 13 == 0 payloads (and NULL k — runRouted's
+    * NULL-validity contract); [[graft.streaming.Frizzle.retryDlq]]
+    * then re-sources the parking lot under its OWN checkpoint with a
+    * corrected route that recovers everything except genuinely
+    * poisoned messages (k % 39 == 0 — a strict subset of the parked
+    * set, 39 = 3·13, so recovery is real work, not a blanket accept).
+    * The audit unions what the two passes DELIVERED plus what stayed
+    * parked: every sampled message lands in exactly ONE phase —
+    * delivered / recovered / dead — so a lost, double-replayed, or
+    * mis-routed message breaks the (phase, dest) counts the oracle
+    * recomputes straight from events.  DLQ is a parking lot, not a
+    * terminal state (the §1 "DLQ + retry" bullet as a gated query,
+    * not just a runtime API), and at-least-once holds end to end:
+    * the retry acks independently, and both passes write through the
+    * idempotent per-(dest, epoch) sink so even an epoch replay cannot
+    * double-count.
+    *
+    * Scale shape: both passes are distributed streams over the file
+    * transport (the dlq re-source reads only the parked fraction);
+    * the audit is a FileScan + one bounded-key aggregate.  Driver
+    * state stays the bounded destination list runRouted holds.
+    */
+  def dlqReplay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType, TimestampType}
+    import graft.streaming.{FileMsgSource, Frizzle, Sinks}
+    val (base, srcDir) = stageEventsTopic(dir, "dlqreplay")
+    val source = FileMsgSource(srcDir.getAbsolutePath, eventsRawSchema, eventsToMsg)
+    val q1 = Frizzle.runRouted(s, source,
+      Frizzle.Route(sampleTenth, isValid = !(payloadK % 13 === 0)),
+      dest = col("dest"), Sinks.idempotentParquet(s"$base/pass1"),
+      checkpoint = s"$base/ckpt1")
+    q1.awaitTermination(600000)
+    // the parked messages come back in the SAME envelope they left in
+    // (idempotentParquet wrote the transformed batch minus __dest)
+    val envelope = StructType(Seq(
+      StructField("msg_id", StringType), StructField("key", StringType),
+      StructField("payload", BinaryType), StructField("dest", StringType),
+      StructField("ts", TimestampType)))
+    val retry = Frizzle.retryDlq(s"$base/pass1/dlq", envelope,
+      // epoch=N subdirs are the sink's layout, not a partition scheme
+      Map("recursiveFileLookup" -> "true"))
+    val q2 = Frizzle.runRouted(s, retry,
+      Frizzle.Route(identity, isValid = !(payloadK % 39 === 0)),
+      dest = col("dest"), Sinks.idempotentParquet(s"$base/pass2"),
+      checkpoint = s"$base/ckpt2")
+    q2.awaitTermination(600000)
+    // phase from the sink LAYOUT (a parked row keeps its original dest
+    // column — that is the point: the envelope survives the loop — so
+    // membership is the dlq directory, not a data column)
+    def readPass(p: String): DataFrame =
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/$p")
+        .withColumn("__parked", input_file_name().contains("/dlq/"))
+    val delivered = readPass("pass1").filter(!col("__parked"))
+      .withColumn("phase", lit("delivered"))
+    val retried = readPass("pass2")
+      .withColumn("phase", when(col("__parked"), "dead").otherwise("recovered"))
+    delivered.unionByName(retried)
+      .groupBy(col("phase"), col("dest"))
+      .agg(count(lit(1)).as("n_msgs"), countDistinct(col("msg_id")).as("n_distinct_msgs"))
+      .orderBy(col("phase"), col("dest"))
+  }
+
+  /** frizzle's multi-destination fan-out (`Sink.Send` called more than
+    * once per message) through the REAL runtime: the route transform
+    * EXPLODES each message to its per-type topic plus, for k % 7 == 0
+    * payloads, an "events.audit" copy — a narrow generator, so the
+    * per-partition ordering contract documented on runRouted holds for
+    * every destination's stream.  The audit reads the routed output
+    * back: per destination the row count and distinct msg ids — the
+    * audit topic's rows are REAL duplicates by design (same msg_id,
+    * two destinations), so n_msgs across destinations exceeds the
+    * message count while each destination stays exactly-once
+    * (n_msgs = n_distinct_msgs per dest; the idempotent sink collapses
+    * epoch replays).  Oracle: the same fan-out as pure SQL UNION ALL
+    * over events.
+    */
+  def msgFanout(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{FileMsgSource, Frizzle, Sinks}
+    val (base, srcDir) = stageEventsTopic(dir, "fanout")
+    val fan: DataFrame => DataFrame = df => sampleTenth(df)
+      .withColumn("dest", explode(array_compact(array(
+        col("dest"), when(payloadK % 7 === 0, lit("events.audit"))))))
+    val q = Frizzle.runRouted(s,
+      FileMsgSource(srcDir.getAbsolutePath, eventsRawSchema, eventsToMsg),
+      Frizzle.Route(fan, isValid = payloadK.isNotNull),
+      dest = col("dest"), Sinks.idempotentParquet(s"$base/out"),
+      checkpoint = s"$base/ckpt")
+    q.awaitTermination(600000)
+    // group by the DATA dest column: for routed rows it equals the
+    // directory; a NULL-k row (dead-lettered by contract) keeps its
+    // primary dest, which is exactly where the oracle counts it
+    s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+      .groupBy(col("dest"))
+      .agg(count(lit(1)).as("n_msgs"), countDistinct(col("msg_id")).as("n_distinct_msgs"))
+      .orderBy(col("dest"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "group_rebalance" -> (groupRebalance _),
     "delivery_report_audit" -> (deliveryReportAudit _),
+    "dlq_replay" -> (dlqReplay _),
+    "msg_fanout" -> (msgFanout _),
     "msg_size_percentiles" -> (msgSizePercentiles _),
     "event_spike" -> (eventSpike _),
     "event_retention" -> (eventRetention _),
@@ -872,6 +1000,36 @@ object EventOps {
         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_msgs,
         |  CAST(CASE WHEN dest = 'events.error' THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_err
         |FROM m GROUP BY dest ORDER BY dest, ok""".stripMargin,
+    // the retry loop replayed as pure SQL: phase is a CASE over the
+    // decoded k — delivered (valid at pass 1), dead (NULL k, or
+    // poisoned k % 39 = 0 — the corrected validator's reject set),
+    // recovered (everything else the first validator parked).  Every
+    // sampled message lands in exactly one phase; a replay loss or
+    // duplication breaks the (phase, dest) counts.
+    "dlq_replay" ->
+      """WITH m AS (SELECT event_id, 'events.' || event_type AS dest,
+        |  TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT CASE WHEN k IS NOT NULL AND k % 13 <> 0 THEN 'delivered'
+        |            WHEN k IS NULL OR k % 39 = 0 THEN 'dead'
+        |            ELSE 'recovered' END AS phase,
+        |  dest, CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_msgs
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // fan-out ≡ UNION ALL: every sampled message under its per-type
+    // topic (NULL-k rows included — dead-lettered by the runtime but
+    // counted under their data dest, mirrored in the Spark audit),
+    // plus an audit copy for k % 7 = 0 (NULL-safe: WHERE drops NULL)
+    "msg_fanout" ->
+      """WITH m AS (SELECT event_id, event_type,
+        |  TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+        |  FROM events WHERE event_id % 10 = 0),
+        |x AS (SELECT event_id, 'events.' || event_type AS dest FROM m
+        |  UNION ALL
+        |  SELECT event_id, 'events.audit' FROM m WHERE k % 7 = 0)
+        |SELECT dest, CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_msgs
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // counting percentiles over the integer size histogram — the
     // skew_report convention, exact on both engines
     "msg_size_percentiles" ->

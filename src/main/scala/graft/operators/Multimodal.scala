@@ -241,8 +241,9 @@ object Multimodal {
 
   /** [[mmDecodeImage]]'s audio twin: a deterministic 16-bit mono 8 kHz
     * WAV per document (k loud samples of amplitude 256·(id mod 75 +
-    * 50) followed by silence, written via `AudioSystem.write`), decoded
-    * back through [[AudioCodec.decode]].  The amplitude is a multiple
+    * 50) followed by silence, containerized via [[AudioCodec.wavBytes]]
+    * — bit-identical to `AudioSystem.write` without its global provider
+    * lock), decoded back through [[AudioCodec.decode]].  The amplitude is a multiple
     * of 256 under 2¹⁵, so every decoded statistic is an EXACT IEEE
     * expression the oracle replays: normalized sample A/2¹⁵ is exact,
     * its square is exact, the k-term sum is exact, and division + sqrt
@@ -265,13 +266,10 @@ object Multimodal {
           data(2 * i + 1) = ((amp >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-        val baos = new java.io.ByteArrayOutputStream(512)
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-        AudioCodec.decode(id, baos.toByteArray)
+        // registry-free container assembly (bit-identical to the
+        // AudioSystem.write bytes, FormatsSpec) — AudioSystem's
+        // provider lookup is a global monitor, a convoy at 32 threads
+        AudioCodec.decode(id, AudioCodec.wavBytes(data, 8000))
       }
     }.toDF()
       .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
@@ -308,13 +306,8 @@ object Multimodal {
           data(2 * i + 1) = ((amp >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-        val baos = new java.io.ByteArrayOutputStream(512)
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-        AudioCodec.decodeSamples(baos.toByteArray).map { case (sr, x) =>
+        // registry-free container assembly — see mmDecodeAudio
+        AudioCodec.decodeSamples(AudioCodec.wavBytes(data, 8000)).map { case (sr, x) =>
           val mag = AudioCodec.magnitudes(x)
           (id, x.length.toLong,
             AudioCodec.centroidHz(mag, sr, x.length),
@@ -583,11 +576,96 @@ object AudioCodec {
 
   final val SilenceThreshold = 0.01
 
-  /** Raw normalized samples (all channels pooled, [-1, 1]) plus the
-    * sample rate — the DSP members below consume.  Same format
-    * support and dropped-not-thrown contract as [[decode]].
+  /** Parsed PCM payload: everything the stats/DSP consumers need,
+    * independent of which container parser produced it.
     */
-  def decodeSamples(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+  private final case class Pcm(sampleRate: Int, channels: Int, bits: Int,
+      unsigned: Boolean, bigEndian: Boolean, data: Array[Byte], frames: Long)
+
+  /** Pure-byte RIFF/WAVE PCM parser — the registry-free fast path for
+    * the one container every fixture and [[wavBytes]] produce.
+    * `AudioSystem.getAudioInputStream` walks the installed provider
+    * list through `JDK13Services.getProviders`, a SYNCHRONIZED static
+    * consulted per call — fine on a desktop, a lock CONVOY inside a
+    * 32-thread `mapPartitions` codec seam: the r19 sf10 pass measured
+    * the audio pair at task ≈ 30 × wall the moment the read-layer
+    * widen parallelized the scan (500k WAV opens serializing on one
+    * monitor — wall went UP 2.5× vs the single-task r18 reading).
+    * Parsing the container ourselves is the ProtoCodec/AvroCodec
+    * move — a public wire spec implemented directly; non-RIFF bytes
+    * fall back to AudioSystem so AIFF/AU keep the old breadth on the
+    * cold path.  WAV semantics per the spec: fmt code 1 (PCM),
+    * 16-bit = signed little-endian, 8-bit = unsigned; unknown chunks
+    * skipped word-aligned; fmt must precede data; a data chunk
+    * overrunning the buffer is corrupt → None (dropped, not thrown).
+    */
+  private def parseWav(bytes: Array[Byte]): Option[Pcm] = {
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int, t: String): Boolean =
+      bytes(o) == t.charAt(0).toByte && bytes(o + 1) == t.charAt(1).toByte &&
+        bytes(o + 2) == t.charAt(2).toByte && bytes(o + 3) == t.charAt(3).toByte
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var fmtSeen = false
+    var code = 0; var ch = 0; var rate = 0; var bits = 0
+    while (off + 8 <= bytes.length) {
+      val sz = u32(off + 4)
+      if (sz < 0 || sz > Int.MaxValue - 8) return None
+      val n = sz.toInt
+      if (tag(off, "fmt ") && n >= 16 && off + 8 + 16 <= bytes.length) {
+        code = u16(off + 8); ch = u16(off + 10)
+        rate = u32(off + 12).toInt; bits = u16(off + 22)
+        fmtSeen = true
+      } else if (tag(off, "data")) {
+        val start = off + 8
+        if (!fmtSeen || start + n > bytes.length) return None
+        if (code != 1 || (bits != 16 && bits != 8) || ch < 1 || rate < 1) return None
+        val data = java.util.Arrays.copyOfRange(bytes, start, start + n)
+        val blockAlign = ch * (bits / 8)
+        return Some(Pcm(rate, ch, bits, unsigned = bits == 8, bigEndian = false,
+          data, n.toLong / blockAlign))
+      }
+      off += 8 + n + (n & 1)
+    }
+    None
+  }
+
+  /** Canonical-header PCM WAV container: RIFF + 16-byte fmt + data,
+    * bit-identical to javax.sound's WaveFileWriter output for the same
+    * payload (pinned in FormatsSpec) with zero provider-registry
+    * traffic — the encode twin of [[parseWav]] for the per-row codec
+    * seams.
+    */
+  def wavBytes(data: Array[Byte], sampleRate: Int, bits: Int = 16,
+      channels: Int = 1): Array[Byte] = {
+    val blockAlign = channels * (bits / 8)
+    val out = new Array[Byte](44 + data.length)
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(o: Int, t: String): Unit = {
+      var i = 0; while (i < 4) { out(o + i) = t.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); w32(4, 36L + data.length); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, channels)
+    w32(24, sampleRate.toLong); w32(28, sampleRate.toLong * blockAlign)
+    w16(32, blockAlign); w16(34, bits)
+    tag(36, "data"); w32(40, data.length.toLong)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
+  /** AudioSystem cold path (non-RIFF containers: AIFF/AU) → [[Pcm]].
+    * Same format support and dropped-not-thrown contract as before the
+    * fast path existed.
+    */
+  private def viaAudioSystem(bytes: Array[Byte]): Option[Pcm] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val ais =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -604,27 +682,56 @@ object AudioCodec {
         (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
       if (!ok) return None
       val data = ais.readAllBytes()
-      val big = fmt.isBigEndian
       val nSamples = data.length / (bits / 8)
-      val out = new Array[Double](nSamples)
-      var i = 0
-      while (i < nSamples) {
-        out(i) =
-          if (bits == 16) {
-            val o = i * 2
-            val v = if (big) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
-            else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
-            v / 32768.0
-          } else if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
-            ((data(i) & 0xff) - 128) / 128.0
-          else data(i) / 128.0
-        i += 1
-      }
-      Some((fmt.getSampleRate.toInt, out))
+      val frames =
+        if (ais.getFrameLength >= 0) ais.getFrameLength
+        else nSamples.toLong / math.max(fmt.getChannels, 1)
+      Some(Pcm(fmt.getSampleRate.toInt, fmt.getChannels, bits,
+        unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED,
+        bigEndian = fmt.isBigEndian, data, frames))
     } catch {
       case _: java.io.IOException | _: RuntimeException => None
     } finally ais.close()
   }
+
+  /** RIFF magic makes [[parseWav]] AUTHORITATIVE (a malformed or
+    * truncated WAV is corrupt → dropped; the old AudioSystem path
+    * would decode a truncated container's partial samples under the
+    * header's full frame count — inconsistent stats, not a feature);
+    * anything else tries the provider registry once on the cold path
+    * (AIFF/AU breadth preserved).
+    */
+  private def parsePcm(bytes: Array[Byte]): Option[Pcm] =
+    if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F') parseWav(bytes)
+    else viaAudioSystem(bytes)
+
+  /** Normalized sample i of a PCM payload — the ONE sample-decode
+    * expression both the stats and DSP consumers fold over (16-bit
+    * signed at either endianness, 8-bit signed/unsigned), hoisted so
+    * the two paths cannot fork.
+    */
+  @inline private def sampleAt(p: Pcm, i: Int): Double =
+    if (p.bits == 16) {
+      val o = i * 2
+      val v = if (p.bigEndian) ((p.data(o) << 8) | (p.data(o + 1) & 0xff)).toShort
+      else ((p.data(o + 1) << 8) | (p.data(o) & 0xff)).toShort
+      v / 32768.0
+    } else if (p.unsigned) ((p.data(i) & 0xff) - 128) / 128.0
+    else p.data(i) / 128.0
+
+  /** Raw normalized samples (all channels pooled, [-1, 1]) plus the
+    * sample rate — the DSP members below consume.  Same format
+    * support and dropped-not-thrown contract as [[decode]].
+    */
+  def decodeSamples(bytes: Array[Byte]): Option[(Int, Array[Double])] =
+    parsePcm(bytes).map { p =>
+      val nSamples = p.data.length / (p.bits / 8)
+      val out = new Array[Double](nSamples)
+      var i = 0
+      while (i < nSamples) { out(i) = sampleAt(p, i); i += 1 }
+      (p.sampleRate, out)
+    }
 
   /** |X[f]| for f = 0 .. n/2 (real-signal half spectrum). */
   def magnitudes(x: Array[Double]): Array[Double] = {
@@ -700,58 +807,27 @@ object AudioCodec {
     math.min(1.0, math.exp(logSum / m) / (sum / m))
   }
 
-  def decode(id: Long, bytes: Array[Byte]): Option[AudioFeatures] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
-    val ais =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException |
-             _: java.io.IOException | _: RuntimeException => null
-      }
-    if (ais == null) return None
-    try {
-      val fmt = ais.getFormat
-      val enc = fmt.getEncoding
-      val bits = fmt.getSampleSizeInBits
-      val ok = (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
-        (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
-      if (!ok) return None
-      val data = ais.readAllBytes()
-      val big = fmt.isBigEndian
-      val bytesPerSample = bits / 8
-      val nSamples = data.length / bytesPerSample
+  def decode(id: Long, bytes: Array[Byte]): Option[AudioFeatures] =
+    parsePcm(bytes).map { p =>
+      val nSamples = p.data.length / (p.bits / 8)
       var i = 0
       var sumSq = 0.0
       var peak = 0.0
       var silent = 0L
       while (i < nSamples) {
-        val x =
-          if (bits == 16) {
-            val o = i * 2
-            val v = if (big) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
-            else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
-            v / 32768.0
-          } else if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
-            ((data(i) & 0xff) - 128) / 128.0
-          else data(i) / 128.0
+        val x = sampleAt(p, i)
         val a = math.abs(x)
         sumSq += x * x
         if (a > peak) peak = a
         if (a < SilenceThreshold) silent += 1
         i += 1
       }
-      val frames =
-        if (ais.getFrameLength >= 0) ais.getFrameLength
-        else nSamples.toLong / math.max(fmt.getChannels, 1)
-      Some(AudioFeatures(id, fmt.getSampleRate.toInt, fmt.getChannels, bits,
-        frames, frames / math.max(fmt.getSampleRate.toDouble, 1e-9),
+      AudioFeatures(id, p.sampleRate, p.channels, p.bits,
+        p.frames, p.frames / math.max(p.sampleRate.toDouble, 1e-9),
         if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0,
         peak,
-        if (nSamples > 0) silent.toDouble / nSamples else 0.0))
-    } catch {
-      case _: java.io.IOException | _: RuntimeException => None
-    } finally ais.close()
-  }
+        if (nSamples > 0) silent.toDouble / nSamples else 0.0)
+    }
 }
 
 /** Deterministic byte-domain decoder for media WITHOUT a JDK codec

@@ -141,6 +141,105 @@ class FormatsSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("event_type"), p.take(400))
   }
 
+  // ---- WAV container codec (AudioCodec.wavBytes / parseWav fast path) ----
+
+  /** Independent reference container: javax.sound's own writer (the
+    * path the codec used before the registry-free fast path existed).
+    */
+  private def wavViaAudioSystem(data: Array[Byte], rate: Float, bits: Int,
+      channels: Int, signed: Boolean): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, bits, channels, signed, false)
+    val frames = data.length / (channels * (bits / 8))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream(data.length + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("wavBytes is bit-identical to AudioSystem.write across the PCM matrix") {
+    import graft.operators.AudioCodec
+    val pcm16 = Array.tabulate[Byte](120)(i => ((i * 37 + 11) & 0xff).toByte)
+    val pcm8 = Array.tabulate[Byte](61)(i => ((i * 53 + 7) & 0xff).toByte)
+    // 16-bit mono 8k, 16-bit stereo 44.1k (both signed LE), 8-bit
+    // unsigned mono 11025 — the three shapes the WAV spec defines for
+    // integer PCM and the writer emits
+    assert(AudioCodec.wavBytes(pcm16, 8000).sameElements(
+      wavViaAudioSystem(pcm16, 8000f, 16, 1, signed = true)))
+    assert(AudioCodec.wavBytes(pcm16, 44100, bits = 16, channels = 2).sameElements(
+      wavViaAudioSystem(pcm16, 44100f, 16, 2, signed = true)))
+    assert(AudioCodec.wavBytes(pcm8, 11025, bits = 8).sameElements(
+      wavViaAudioSystem(pcm8, 11025f, 8, 1, signed = false)))
+  }
+
+  test("registry-free decode equals the AudioSystem decode it replaced") {
+    import graft.operators.AudioCodec
+    val pcm16 = Array.tabulate[Byte](240)(i => ((i * 31 + 3) & 0xff).toByte)
+    val pcm8 = Array.tabulate[Byte](97)(i => ((i * 29 + 5) & 0xff).toByte)
+    for ((bytes, viaAs) <- Seq(
+        AudioCodec.wavBytes(pcm16, 8000) ->
+          wavViaAudioSystem(pcm16, 8000f, 16, 1, signed = true),
+        AudioCodec.wavBytes(pcm16, 44100, 16, 2) ->
+          wavViaAudioSystem(pcm16, 44100f, 16, 2, signed = true),
+        AudioCodec.wavBytes(pcm8, 11025, 8) ->
+          wavViaAudioSystem(pcm8, 11025f, 8, 1, signed = false))) {
+      // both containers byte-equal (previous test) — still decode both
+      // independently: the fast path reads OUR bytes, the AudioSystem
+      // bytes exercise the same parse on the reference writer's output
+      val a = AudioCodec.decode(7L, bytes)
+      val b = AudioCodec.decode(7L, viaAs)
+      assert(a.isDefined && a === b)
+      val sa = AudioCodec.decodeSamples(bytes)
+      val sb = AudioCodec.decodeSamples(viaAs)
+      assert(sa.isDefined)
+      assert(sa.get._1 === sb.get._1)
+      assert(sa.get._2.sameElements(sb.get._2))
+    }
+  }
+
+  test("wav chunk walk: unknown chunks skip word-aligned; corrupt containers drop") {
+    import graft.operators.AudioCodec
+    val pcm = Array.tabulate[Byte](50)(i => (i * 13).toByte)
+    val canonical = AudioCodec.wavBytes(pcm, 8000)
+    // splice an odd-length LIST chunk between fmt and data: parsers
+    // must skip sz + pad (the spec's word alignment), not sz
+    val listBody = "INFOx".getBytes("US-ASCII") // 5 bytes -> 1 pad byte
+    val spliced = new java.io.ByteArrayOutputStream()
+    spliced.write(canonical, 0, 36) // RIFF..WAVE fmt(16)
+    spliced.write("LIST".getBytes("US-ASCII"))
+    spliced.write(Array[Byte](5, 0, 0, 0)); spliced.write(listBody); spliced.write(0)
+    spliced.write(canonical, 36, canonical.length - 36) // data chunk onward
+    val sp = spliced.toByteArray
+    // (the stale RIFF size field is deliberate — the chunk walk never
+    // consults it, same as javax.sound's reader)
+    val expected = AudioCodec.decode(1L, canonical)
+    assert(AudioCodec.decode(1L, sp) === expected)
+    // truncated data chunk: declared length overruns the buffer
+    assert(AudioCodec.decode(1L, canonical.dropRight(10)).isEmpty)
+    // non-RIFF garbage neither parses nor throws
+    assert(AudioCodec.decode(1L, Array.fill[Byte](64)(33)).isEmpty)
+  }
+
+  test("non-RIFF containers (aiff) still decode through the AudioSystem cold path") {
+    import graft.operators.AudioCodec
+    val pcm = Array.tabulate[Byte](120)(i => ((i * 37 + 11) & 0xff).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 60L)
+    val baos = new java.io.ByteArrayOutputStream(256)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    val viaAiff = AudioCodec.decode(3L, baos.toByteArray)
+    val viaWav = AudioCodec.decode(3L, AudioCodec.wavBytes(pcm, 8000))
+    // same PCM payload, same stats — AIFF is big-endian signed 16-bit,
+    // so byte pairs swap: compare against a wav of the swapped payload
+    val swapped = pcm.grouped(2).flatMap(p => Seq(p(1), p(0))).toArray
+    val viaWavSwapped = AudioCodec.decode(3L, AudioCodec.wavBytes(swapped, 8000))
+    assert(viaAiff.isDefined && viaWav.isDefined)
+    assert(viaAiff === viaWavSwapped)
+  }
+
   test("the frizzle pipeline runs unchanged over a csv transport") {
     val dir = Files.createTempDirectory("graft-csv-stream").toString
     Formats.writeCsv(base, dir)
