@@ -48,9 +48,18 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    // widened like documents/embeddings below: events is the third
+    // compute-scan table — the msg_decode_* family is per-row
+    // parsing (JSON/proto/avro/oneof branch decode) whose cost sits
+    // in the scan stage, and the post-fix sf1 bench named exactly
+    // that family as the top movers with task ≈ wall (single-task
+    // decode off a one-row-group export: msg_decode_oneof 7.8 s,
+    // msg_decode_json 5.0 s).  Same three gates apply; sf0.1 events
+    // is 2.0 MB < WidenMinBytes so bundled-SF plans are unchanged.
+    Scan.widen(
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df)
   }
   /** The two compute-scan tables (per-row work — BPE, hashing, dot
     * products, decode — dominates their consumers) go through the
