@@ -437,18 +437,38 @@ object Analytics {
     * two exact integer products ⇒ engine-exact doubles.
     */
   def basketPairs(s: SparkSession, dir: String): DataFrame = {
-    // the distinct item set feeds FOUR consumers (total, supports, both
-    // join sides): lazily checkpoint it so the scan+distinct runs once
-    // (plan-spec-pinned), instead of once per consumer
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // ONE (ok)-keyed exchange assembles the per-order basket —
+    // collect_set dedups in the aggregate, so the former
+    // distinct + ok-keyed self-join (three exchanges of the item set,
+    // and the sort-merge buffers behind most of this query's gc) is
+    // one shuffle of the projected scan; pairs then generate MAP-SIDE
+    // from the sorted basket array (sorted ⇒ strictly increasing ⇒
+    // pa < pb by construction), so only (pa, pb) count partials cross
+    // the second exchange.  The checkpoint still feeds every consumer
+    // off one scan (plan-spec-pinned).
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("pks"))
       .localCheckpoint(eager = false)
-    val tot = items.agg(countDistinct(col("ok")).as("n_orders"))
-    val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_supp"))
-    val a = items.select(col("ok"), col("pk").as("pa"))
-    val b = items.select(col("ok"), col("pk").as("pb"))
-    a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    val supp = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_supp"))
+    // the top-20 cut is decided by (n_ab desc, pa, pb) ALONE, and the
+    // support joins below are 1:1 (supp has exactly one row per pk,
+    // and every pa/pb of a pair occurs in some basket): cutting FIRST
+    // is value-identical and the lift joins then touch 20 rows, not
+    // the distinct-pair table — at scale the planner broadcasts the
+    // 20-row side and supp is never collected anywhere.
+    val top = baskets
+      .select(explode(expr(
+        "flatten(transform(pks, (a, i) -> " +
+          "transform(slice(pks, i + 2, size(pks)), b -> struct(a AS pa, b AS pb))))"))
+        .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .orderBy(desc("n_ab"), col("pa"), col("pb"))
+      .limit(20)
+    top
       .join(supp.select(col("pk").as("pa"), col("n_supp").as("n_a")), Seq("pa"))
       .join(supp.select(col("pk").as("pb"), col("n_supp").as("n_b")), Seq("pb"))
       .crossJoin(broadcast(tot))
@@ -456,7 +476,6 @@ object Analytics {
         ((col("n_ab") * col("n_orders")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
       .orderBy(desc("n_ab"), col("pa"), col("pb"))
-      .limit(20)
   }
 
   /** Incremental-aggregation algebra, driven through the gate: corpus
