@@ -15,10 +15,13 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Canonical form used for exact-dup fingerprinting: lowercase, strip
-    * non [a-z0-9 ], squeeze runs of spaces, trim.
+    * non [a-z0-9 ], squeeze runs of spaces, trim.  Delegates to the
+    * native [[NormTextFp]] (one pass; bit-identical to the former
+    * `trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]+", " "),
+    * " +", " "))` chain — the spec pins both the adversarial fixtures
+    * and a ScalaCheck property against that verbatim formulation).
     */
-  def normText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]+", " "), " +", " "))
+  def normText(text: Column): Column = NormTextFp.normTextFp(text)
 
   /** 128-bit content fingerprint (hex md5 of the normalized text). */
   def fingerprint(text: Column): Column = md5(encode(normText(text), "UTF-8"))

@@ -77,6 +77,44 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("norm_text_fp is bit-identical to the verbatim r01-r19 builtin regex chain") {
+    import spark.implicits._
+    // the formulation normText shipped with through round 19, verbatim —
+    // the fingerprint md5s of the whole exact-dedup family hang off
+    // byte equality with it
+    def oldChain(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]+", " "), " +", " "))
+    // adversarial fixtures: junk runs at ends/middle, unicode whose
+    // lowercase EXPANDS (U+0130 -> i + combining dot: the combining
+    // mark must read as junk), non-BMP surrogate pairs, all-junk,
+    // digits-only, already-canonical, empty
+    val fixtures = Seq(
+      "", " ", "...", "a", "A.B..C", "  a  b  ", "İstanbul",
+      "naïve résumé", "emoji😀mix", "123-456",
+      "tab\there\nnewline", "UPPER lower 42", "世界 peace",
+      "a" * 500 + "." + "b" * 500)
+    val ch: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '.', ',', '-', '_', '\u0000', '\u007f'),
+      2 -> Gen.oneOf('É', 'é', 'İ', '́', 'Z', 'Q'),
+      1 -> Gen.oneOf('世', '\ud83d', '\ude00')) // lone surrogates too
+    val str: Gen[String] = Gen.listOf(ch).map(_.mkString)
+    forAll(Gen.listOfN(24, str)) { rand =>
+      val ts = fixtures ++ rand
+      val rows = ts.toDF("t")
+        .select(NormTextFp.normTextFp(col("t")).as("got"), oldChain(col("t")).as("want"))
+        .collect()
+      rows.zip(ts).foreach { case (r, t) =>
+        assert(r.getString(0) == r.getString(1), s"input ${t.take(60)}")
+      }
+      // null passes through like the builtin chain
+      val nr = Seq[String](null).toDF("t")
+        .select(NormTextFp.normTextFp(col("t")).as("got"), oldChain(col("t")).as("want"))
+        .collect()(0)
+      assert(nr.isNullAt(0) && nr.isNullAt(1))
+    }
+  }
+
   test("adc_score equals the element_at formulation on random codes/tables") {
     import spark.implicits._
     val m = 8
