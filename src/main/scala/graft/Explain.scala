@@ -24,6 +24,12 @@ object Explain {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
+          // GRAFT_EXPLAIN_EXEC=1: run the query and dump the FINAL
+          // adaptive plan — AQE reuse/coalescing/join rewrites are
+          // runtime decisions the initial plan cannot show.  Must
+          // execute THIS df's own QueryExecution (a count() would
+          // plan a new one and leave this plan un-finalized).
+          if (sys.env.get("GRAFT_EXPLAIN_EXEC").contains("1")) { df.collect(); () }
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
