@@ -239,7 +239,7 @@ object Dedup {
     */
   private def nearDupBaseDf(s: SparkSession, baseFiles: Seq[String]): DataFrame =
     graft.sources.Materialize.readOrBuild(s, "neardup_df", baseFiles, dfParams) {
-      explodedShingles(s.read.parquet(baseFiles: _*).select(col("doc_id"), col("text")))
+      explodedShingles(graft.sources.Scan.parquet(s, baseFiles: _*).select(col("doc_id"), col("text")))
         .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     }
 
@@ -268,7 +268,7 @@ object Dedup {
     */
   private def nearDupIndexFiles(s: SparkSession, files: Seq[String]): DataFrame =
     graft.sources.Materialize.readOrBuild(s, "neardup_index", files, idxParams) {
-      cappedShingles(s.read.parquet(files: _*).select(col("doc_id"), col("text")),
+      cappedShingles(graft.sources.Scan.parquet(s, files: _*).select(col("doc_id"), col("text")),
         ShingleDfCap)
     }
 
@@ -373,7 +373,7 @@ object Dedup {
     // delta so later appends stay cheap)
     if (M.totalBytes(s, appended) >
         maxAppendFraction(s) * M.totalBytes(s, baseFiles)) return null
-    val appendedDocs = s.read.parquet(appended: _*).select(col("doc_id"), col("text"))
+    val appendedDocs = graft.sources.Scan.parquet(s, appended: _*).select(col("doc_id"), col("text"))
     val shD = explodedShingles(appendedDocs)
     // merged DF decides the cap for the composed snapshot: base DF
     // sidecar (built once per base) + appended counts
@@ -473,7 +473,7 @@ object Dedup {
     val prevDf =
       if (appended.isEmpty) baseDf
       else baseDf.unionByName(
-          explodedShingles(s.read.parquet(appended: _*)
+          explodedShingles(graft.sources.Scan.parquet(s, appended: _*)
             .select(col("doc_id"), col("text")))
           .groupBy(col("shingle")).agg(count(lit(1)).as("df")))
         .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
@@ -498,7 +498,7 @@ object Dedup {
     val dirty = curIdx.join(flipped, Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
     val fresh = pairsWithBEndpoint(curIdx, dirty)
-    val curIds = s.read.parquet(survivors: _*).select(col("doc_id"))
+    val curIds = graft.sources.Scan.parquet(s, survivors: _*).select(col("doc_id"))
     val carried = prevPairs
       .join(curIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
       .join(curIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
@@ -563,14 +563,14 @@ object Dedup {
     val prevDf =
       if (earlier.isEmpty) baseDf
       else baseDf.unionByName(
-          explodedShingles(s.read.parquet(earlier: _*)
+          explodedShingles(graft.sources.Scan.parquet(s, earlier: _*)
             .select(col("doc_id"), col("text")))
           .groupBy(col("shingle")).agg(count(lit(1)).as("df")))
         .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
     // survivor sidecar refresh + lazy final composition
     val survDf = nearDupBaseDf(s, survivors)
     val survIdx = nearDupIndexFiles(s, survivors)
-    val appendedDocs = s.read.parquet(appendedFiles: _*)
+    val appendedDocs = graft.sources.Scan.parquet(s, appendedFiles: _*)
       .select(col("doc_id"), col("text"))
     val shD = explodedShingles(appendedDocs)
     val finalDf = survDf
@@ -589,7 +589,7 @@ object Dedup {
       .select(col("doc_id")).distinct()
     val bIds = dirty.unionByName(appendedDocs.select(col("doc_id"))).distinct()
     val fresh = pairsWithBEndpoint(finalIdx, bIds)
-    val curIds = s.read.parquet(survivors: _*).select(col("doc_id"))
+    val curIds = graft.sources.Scan.parquet(s, survivors: _*).select(col("doc_id"))
     val carried = prevPairs
       .join(curIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
       .join(curIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
@@ -1064,7 +1064,7 @@ object Dedup {
     */
   private[operators] def deconBaseDf(s: SparkSession, baseFiles: Seq[String]): DataFrame =
     graft.sources.Materialize.readOrBuild(s, "decon_df", baseFiles, deconDfParams) {
-      exploded5(s.read.parquet(baseFiles: _*).select(col("doc_id"), col("text")))
+      exploded5(graft.sources.Scan.parquet(s, baseFiles: _*).select(col("doc_id"), col("text")))
         .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     }
 
@@ -1076,7 +1076,7 @@ object Dedup {
     */
   private[operators] def deconIndexFiles(s: SparkSession, files: Seq[String]): DataFrame =
     graft.sources.Materialize.readOrBuild(s, "decon_index", files, deconIdxParams) {
-      val sh = exploded5(s.read.parquet(files: _*).select(col("doc_id"), col("text")))
+      val sh = exploded5(graft.sources.Scan.parquet(s, files: _*).select(col("doc_id"), col("text")))
         .repartition(col("shingle"))
       val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap)

@@ -460,13 +460,13 @@ object GraphOps {
         // rewrites nothing corpus-sized and a takedown still finds
         // every file's lines across the chunk set
         copLinesChunk(s, deltaFiles)
-        val newIt = s.read.parquet(deltaFiles: _*)
+        val newIt = graft.sources.Scan.parquet(s, deltaFiles: _*)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
           .localCheckpoint(eager = false)
         // prior lines of only the TOUCHED orders: a semi-filtered
         // linear scan, never the corpus self-join
-        val oldIt = s.read.parquet(prevFiles: _*)
+        val oldIt = graft.sources.Scan.parquet(s, prevFiles: _*)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
           .join(newIt.select(col("ok")).distinct(), Seq("ok"), "left_semi")
@@ -506,7 +506,7 @@ object GraphOps {
     */
   private def copLinesChunk(s: SparkSession, files: Seq[String]): DataFrame =
     graft.sources.Materialize.readOrBuild(s, "cop_lines", files, copLinesParams) {
-      s.read.parquet(files: _*)
+      graft.sources.Scan.parquet(s, files: _*)
         .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
           col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -574,7 +574,7 @@ object GraphOps {
     // carries only the touched orders' lines — a distinct-then-filter
     // order would shuffle the whole corpus and cost the full build's
     // first stage (measured: delete ≈ full at sf1 before this)
-    val curTouched = s.read.parquet(survivors: _*)
+    val curTouched = graft.sources.Scan.parquet(s, survivors: _*)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .join(touched, Seq("ok"), "left_semi")
       .distinct()

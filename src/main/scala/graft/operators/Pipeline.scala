@@ -704,7 +704,7 @@ object Pipeline {
       if (baseFiles.toSet == prevFiles.toSet) prevFlags
       else M.readIfFresh(s, "curation_flags", baseFiles, Seq("ver" -> "1"))
         .getOrElse(return null)
-    val appendedDocs = s.read.parquet(appended: _*)
+    val appendedDocs = graft.sources.Scan.parquet(s, appended: _*)
       .select(col("doc_id"), col("text"), col("source"))
     // ---- decon maintenance over the composed capped index ----
     val appSh5 = Dedup.exploded5(appendedDocs)
@@ -855,7 +855,7 @@ object Pipeline {
     // eager sidecar refresh for the survivors (see scaladoc)
     val survDf = Dedup.deconBaseDf(s, survivors)
     val survIdx = Dedup.deconIndexFiles(s, survivors)
-    val survIds = s.read.parquet(survivors: _*).select(col("doc_id"))
+    val survIds = graft.sources.Scan.parquet(s, survivors: _*).select(col("doc_id"))
     val removedIds = prevFlags.select(col("doc_id"))
       .join(survIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = false)
@@ -866,7 +866,7 @@ object Pipeline {
     val prevDf =
       if (appendsRetained.isEmpty) baseDfA.get._1
       else baseDfA.get._1.unionByName(
-        Dedup.exploded5(s.read.parquet(appendsRetained: _*)
+        Dedup.exploded5(graft.sources.Scan.parquet(s, appendsRetained: _*)
             .select(col("doc_id"), col("text")))
           .groupBy(col("shingle")).agg(count(lit(1)).as("df")))
         .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
@@ -1105,7 +1105,7 @@ object Pipeline {
         require(dest.isDirectory, s"layout publish race left no layout at $dest")
       }
     }
-    val pruned = s.read.parquet(dest.getAbsolutePath)
+    val pruned = graft.sources.Scan.parquet(s, dest.getAbsolutePath)
       .filter(col("day") === day && col("event_type") === etype)
     val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanLike => f

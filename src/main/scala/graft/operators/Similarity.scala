@@ -591,7 +591,7 @@ object Similarity {
   private def knnBaseBuckets(s: SparkSession, baseFiles: Seq[String], bits: Int): DataFrame =
     graft.sources.Materialize.readOrBuild(s, "knn_buckets", baseFiles,
       Seq("bits" -> bits.toString, "tables" -> LshTables.toString, "ver" -> "1")) {
-      bucketsOf(s.read.parquet(baseFiles: _*).select(col("vec_id"), col("embedding")), bits)
+      bucketsOf(graft.sources.Scan.parquet(s, baseFiles: _*).select(col("vec_id"), col("embedding")), bits)
     }
 
   private def bucketsOf(vecsRaw: DataFrame, bits: Int): DataFrame =
@@ -671,11 +671,11 @@ object Similarity {
     val maxFrac = graft.operators.Dedup.maxAppendFraction(s)
     if (M.totalBytes(s, appended) > maxFrac * M.totalBytes(s, baseFiles)) return null
     val composedB = baseBuckets.unionByName(bucketsOf(
-      s.read.parquet(appended: _*).select(col("vec_id"), col("embedding")), bits))
+      graft.sources.Scan.parquet(s, appended: _*).select(col("vec_id"), col("embedding")), bits))
     // every collision involving a vector of THIS batch (earlier
     // appends are already reflected in prevEdges), both orientations
     val batchB = bucketsOf(
-      s.read.parquet(deltaFiles: _*).select(col("vec_id"), col("embedding")), bits)
+      graft.sources.Scan.parquet(s, deltaFiles: _*).select(col("vec_id"), col("embedding")), bits)
     val hits = knnCollisionHits(composedB, batchB,
       batchBytes = M.totalBytes(s, deltaFiles),
       budgetBytes = knnDeltaBroadcastBytes(s))
@@ -752,7 +752,7 @@ object Similarity {
     // full rebuild for want of an aligned sidecar
     val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
     val curB = knnBaseBuckets(s, survivors, bits)
-    val emb = s.read.parquet(survivors: _*)
+    val emb = graft.sources.Scan.parquet(s, survivors: _*)
     val curIds = emb.select(col("vec_id"))
     // one pass over the k·n prev rows: drop removed lids, split the
     // survivors into carried (every neighbor still present — rows
@@ -1826,11 +1826,11 @@ object Similarity {
       Seq("variant" -> variant, "model" -> fp, "ver" -> AnnIndexVer))(
       layout(encode(Tables.embeddings(s, dir)))) { (prevCodes, _, deltaFiles) =>
       prevCodes.unionByName(encode(
-        s.read.parquet(deltaFiles: _*).select(col("vec_id"), col("embedding"))))
+        graft.sources.Scan.parquet(s, deltaFiles: _*).select(col("vec_id"), col("embedding"))))
     } { (prevCodes, prevStats, removedFiles) =>
       val survivors = (prevStats.keySet -- removedFiles).toSeq.sorted
       layout(prevCodes.join(
-        s.read.parquet(survivors: _*).select(col("vec_id")),
+        graft.sources.Scan.parquet(s, survivors: _*).select(col("vec_id")),
         Seq("vec_id"), "left_semi"))
     }
   }
@@ -1903,7 +1903,7 @@ object Similarity {
       bruteforceRows(v, queryVecs(v), k, Some(corpusSize(s, dir)))
         .select(col("q_id"), col("vec_id"), col("cos"))
     }) { (prev, prevFiles, deltaFiles) =>
-      val batch = prep(s.read.parquet(deltaFiles: _*)
+      val batch = prep(graft.sources.Scan.parquet(s, deltaFiles: _*)
         .select(col("vec_id"), col("embedding")))
       // bounded actions (≤ QueryCap + 1 rows): the fixture-stability
       // gate.  A fixture below capacity absorbs ANY new candidate; a
@@ -1923,7 +1923,7 @@ object Similarity {
         // QueryCap candidates, so nothing below its max is outside
         // it); the <= qmax predicate row-group-prunes the id-sorted
         // snapshot down to a point lookup
-        val qsrc = prep(s.read.parquet(prevFiles: _*)
+        val qsrc = prep(graft.sources.Scan.parquet(s, prevFiles: _*)
             .select(col("vec_id"), col("embedding")))
           .filter(col("vec_id") <= qmax && col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("e").as("qe"),
@@ -1956,7 +1956,7 @@ object Similarity {
           .unionByName(prev.select(col("vec_id").as("id"))).distinct()
           .localCheckpoint(eager = true)
         val refN = ref.count()
-        val present = s.read.parquet(survivors: _*)
+        val present = graft.sources.Scan.parquet(s, survivors: _*)
           .select(col("vec_id").as("id"))
           .join(broadcast(ref), Seq("id"), "left_semi").distinct().count()
         if (present < refN) null else prev
@@ -2962,7 +2962,7 @@ object AnnIndex {
     import org.apache.spark.sql.functions.col
     val t = tombstonesOf(s, path).getOrElse(return)
     val codes =
-      try s.read.parquet(s"$path/codes")
+      try graft.sources.Scan.parquet(s, s"$path/codes")
       catch { case _: org.apache.spark.sql.AnalysisException =>
         // codes absent: EITHER an empty-corpus index OR a flat-PQ
         // compact that crashed between its two renames and left the
@@ -2972,12 +2972,12 @@ object AnnIndex {
         // [[read]]'s codes_old fallback.  Recover the fallback into
         // place first, then compact it normally.
         val recovered =
-          try { val c = s.read.parquet(s"$path/codes_old"); c.schema; Some(c) }
+          try { val c = graft.sources.Scan.parquet(s, s"$path/codes_old"); c.schema; Some(c) }
           catch { case _: org.apache.spark.sql.AnalysisException => None }
         recovered match {
           case Some(_) =>
             renamePath(s, s"$path/codes_old", s"$path/codes")
-            s.read.parquet(s"$path/codes")
+            graft.sources.Scan.parquet(s, s"$path/codes")
           case None =>
             deletePath(s, s"$path/tombstones"); return // empty-corpus index
         }
@@ -3030,7 +3030,7 @@ object AnnIndex {
 
   private def tombstonesOf(s: SparkSession,
       path: String): Option[org.apache.spark.sql.DataFrame] =
-    try Some(s.read.parquet(s"$path/tombstones"))
+    try Some(graft.sources.Scan.parquet(s, s"$path/tombstones"))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   private def hadoopFs(s: SparkSession, p: String) = {
@@ -3050,16 +3050,16 @@ object AnnIndex {
 
   def read(s: SparkSession, path: String): AnnIndex = {
     import org.apache.spark.sql.functions.col
-    val model = s.read.parquet(s"$path/model")
+    val model = graft.sources.Scan.parquet(s, s"$path/model")
     val codes =
-      try s.read.parquet(s"$path/codes")
+      try graft.sources.Scan.parquet(s, s"$path/codes")
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           // a flat-PQ [[compact]] that crashed between its two renames
           // leaves the pre-compact relation as codes_old (and the
           // tombstones still on disk, so the anti-join below keeps the
           // view correct) — pick it up before concluding empty/corrupt
-          try s.read.parquet(s"$path/codes_old")
+          try graft.sources.Scan.parquet(s, s"$path/codes_old")
           catch { case _: org.apache.spark.sql.AnalysisException =>
           // an EMPTY-corpus index wrote zero code rows → zero parquet
           // data files → nothing to infer a schema from; reconstruct

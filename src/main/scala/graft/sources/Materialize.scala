@@ -121,7 +121,7 @@ object Materialize {
         return readOrBuildAttempt(s, name, inputs, params, attempts - 1)(build)
       }
     }
-    s.read.parquet(dest.toString)
+    Scan.parquet(s, dest.toString)
   }
 
   /** Incremental variant: when the input change is a pure APPEND of a
@@ -215,7 +215,7 @@ object Materialize {
         case Some((prevDir, prevFiles)) =>
           val cur = fileLines(lines).keys.toSeq.sorted
           val deltaFiles = cur.filterNot(prevFiles.contains)
-          Option(delta(s.read.parquet(prevDir.toString), prevFiles, deltaFiles))
+          Option(delta(Scan.parquet(s, prevDir.toString), prevFiles, deltaFiles))
         case None => None
       }
       val viaDelete =
@@ -223,7 +223,7 @@ object Materialize {
         else findPriorSuperset(fs, root, name, dest, lines) match {
           case Some((prevDir, prevStats)) =>
             val removed = (prevStats.keySet -- fileLines(lines).keySet).toSeq.sorted
-            Option(remove(s.read.parquet(prevDir.toString), prevStats, removed))
+            Option(remove(Scan.parquet(s, prevDir.toString), prevStats, removed))
           case None => None
         }
       // the MIXED shape composes remove∘delta over one unpublished
@@ -239,7 +239,7 @@ object Materialize {
             val removed = (prevStats.keySet -- curFiles.keySet).toSeq.sorted
             val appended = (curFiles.keySet -- prevStats.keySet).toSeq.sorted
             val survivors = (prevStats.keySet & curFiles.keySet).toSeq.sorted
-            val prev = s.read.parquet(prevDir.toString)
+            val prev = Scan.parquet(s, prevDir.toString)
             // the registered FUSED builder first (one pass, no
             // intermediate); null → the generic remove∘delta
             // composition over the two registered callbacks
@@ -274,7 +274,7 @@ object Materialize {
       if (mixedFused)
         mixedFusedBuilds.merge(name, 1, (a, b) => a + b)
     }
-    s.read.parquet(dest.toString)
+    Scan.parquet(s, dest.toString)
   }
 
   /** The freshest prior artifact of `name` whose manifest is an
@@ -292,7 +292,7 @@ object Materialize {
     val fs = root.getFileSystem(conf)
     val dest = new Path(root, s"$name-${sha256(lines).take(16)}")
     findPrior(fs, root, name, dest, lines).map { case (dir, files) =>
-      (s.read.parquet(dir.toString), files)
+      (Scan.parquet(s, dir.toString), files)
     }
   }
 
@@ -307,7 +307,7 @@ object Materialize {
     val root = new Path(absolutize(cacheRoot(s)))
     val fs = root.getFileSystem(conf)
     val dest = new Path(root, s"$name-${sig.take(16)}")
-    if (isFresh(fs, dest, sig)) Some(s.read.parquet(dest.toString)) else None
+    if (isFresh(fs, dest, sig)) Some(Scan.parquet(s, dest.toString)) else None
   }
 
   private def findPrior(fs: FileSystem, root: Path, name: String, dest: Path,
@@ -432,7 +432,7 @@ object Materialize {
       }
       .sortBy { case (_, files) => -files.size } // largest base wins
       .headOption
-      .map { case (p, files) => (s.read.parquet(p.toString), files.keys.toSeq.sorted) }
+      .map { case (p, files) => (Scan.parquet(s, p.toString), files.keys.toSeq.sorted) }
   }
 
   /** Every artifact of `name` whose manifest params equal `params` and
@@ -466,7 +466,7 @@ object Materialize {
             case (f, st) if within.get(f).contains(st) => f
           }.toSeq.sorted
           if (paramLines(prevLines) == wantParams && valid.nonEmpty)
-            Some((s.read.parquet(p.toString), valid))
+            Some((Scan.parquet(s, p.toString), valid))
           else None
         }
       }

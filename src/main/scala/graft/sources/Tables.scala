@@ -15,8 +15,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** [[Scan.parquet]] (schema-memoized read): identical plan and
+    * pushdown freedom, minus the per-call footer inference that
+    * dominated query construction (r20 measurement).
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Scan.parquet(spark, s"$dir/$name.parquet")
 
   /** Register every table as a temp view so the whole engine surface is
     * reachable from `spark.sql(...)` (the graft custom functions are

@@ -309,12 +309,25 @@ object Frizzle {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val cached = batch.persist()
+        // §5 (memory/spill): persist ONLY the routing column, never the
+        // transformed batch.  The full-batch persist parked the whole
+        // epoch (payloads included — ~12M rows × ~300 B at sf10) on the
+        // executor heap for the epoch's lifetime, which is what forced
+        // delivery_report_audit's bench sample in r19.  The stats count
+        // and the bounded destination list only need __dest (bytes per
+        // row); each destination's write then recomputes the batch with
+        // its filter — the route transform is NARROW by the ordering
+        // contract above, so a recompute is one more pass over the
+        // epoch's source files (bounded: one per destination) instead
+        // of a corpus-sized persist, and per-partition order is
+        // deterministic for a narrow transform so replays/recomputes
+        // see identical frames.
+        val cached = batch.select(col("__dest")).persist()
         try {
           stats.begin(checkpoint, epoch, cached.count())
           // bounded driver-side list: one row per DESTINATION (topic),
           // never per message
-          val dests = cached.select(col("__dest")).distinct()
+          val dests = cached.distinct()
             .collect().map(_.getString(0)).sorted
           // concurrent writes on a bounded pool: each destination's
           // write is an independent Spark job over the SAME persisted
@@ -328,7 +341,7 @@ object Frizzle {
             try {
               val writes = dests.toSeq.map { d =>
                 scala.concurrent.Future {
-                  writeBatch(cached.filter(col("__dest") === d).drop("__dest"), d, epoch)
+                  writeBatch(batch.filter(col("__dest") === d).drop("__dest"), d, epoch)
                 }(ec)
               }
               // await EVERY write before leaving the block — a failed
