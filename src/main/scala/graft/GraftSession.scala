@@ -50,4 +50,51 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Run `body` with AQE disabled on `s` — for DRIVER-LOOP actions over
+    * bounded-key aggregates (LR/BPE/Lloyd/pagerank-style trainer
+    * iterations, each a collect of ≤ a few dozen rows).
+    *
+    * Why: under AQE every materialized shuffle stage is its OWN job, so
+    * a trainer iteration that is one map-side-partial aggregate costs
+    * 2+ job round-trips; without AQE the same action is ONE job
+    * spanning the stages.  Per-job fixed cost (~30-45 ms in the r20
+    * harness measurement) times 12-50 iterations dominated these
+    * queries' wall at the driver's SF.  Scale-safe by scope: AQE's
+    * value (runtime coalescing, skew splits) is in corpus-sized
+    * exchanges; a trainer-loop aggregate ships ≤ keys×partitions
+    * partial rows regardless of corpus size, so there is nothing for
+    * AQE to adapt — the static `shuffle.partitions` reduce side is
+    * bounded and the values are partitioning-independent either way.
+    * The flag is restored in a finally; trainer loops are
+    * single-threaded driver code (nothing else plans on the session
+    * mid-loop in this engine).
+    */
+  def withoutAqe[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** [[withoutAqe]] plus a pinned reduce width for the scope — for
+    * driver-loop aggregates whose KEY SPACE IS PROVABLY BOUNDED by the
+    * caller (LR's dim+1 gradient keys, Lloyd's k·dim ≤ collect-budget
+    * keys).  Measured (r20): AQE-off alone halves the per-iteration
+    * job count but leaves the static `shuffle.partitions` reduce width
+    * (32 near-empty tasks per iteration at the driver's SF — the task
+    * launches ate the job saving); a bounded key space justifies
+    * `partitions` = 1 at ANY corpus size because only map-side partial
+    * rows (≤ keys × map-partitions, with the keys bound proven at the
+    * call site) cross the exchange.  Both confs restore in a finally.
+    */
+  def boundedAgg[T](s: SparkSession, partitions: Int = 1)(body: => T): T = {
+    val prevA = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevP = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try body finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevA)
+      s.conf.set("spark.sql.shuffle.partitions", prevP)
+    }
+  }
 }

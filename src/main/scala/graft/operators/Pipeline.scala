@@ -1279,7 +1279,14 @@ object Pipeline {
       lr: Double = 4.0): (Array[Double], Array[Double]) = {
     require(iters >= 1 && iters <= 1024, s"qualityLrTrain: iters=$iters outside [1, 1024]")
     val feats = qualityFeatures(docs).localCheckpoint(eager = true)
-    try {
+    // driver-loop actions under AQE pay one job round-trip PER STAGE;
+    // every iteration here is a (dim+1)-key aggregate whose exchange
+    // ships only map-side partials, so a 1-partition reduce is exact
+    // at any corpus size and AQE has nothing to adapt — scope both off
+    // for the loop (graft.GraftSession.boundedAgg scaladoc has the
+    // full argument; values are partitioning-independent decimal sums
+    // either way)
+    try graft.GraftSession.boundedAgg(docs.sparkSession) {
       val n = feats.count()
       require(n > 0, "qualityLrTrain: empty corpus")
       val dim = 6

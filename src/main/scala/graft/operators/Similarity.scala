@@ -2173,6 +2173,13 @@ object Similarity {
     // independent (decimal sums, deterministic hash-ordered seeds), so
     // the widen is value-neutral by the operator's own contract.
     val v = widen(prep(corpus))
+    // Lloyd passes are bounded (cid, pos)-keyed aggregates — ≤ k·dim
+    // keys (budget-asserted below), only map-side partials cross the
+    // exchange — collected per round: AQE-off + 1-partition reduce for
+    // the training loop cuts the per-pass job/task overhead
+    // (GraftSession.boundedAgg scaladoc); the RETURNED assignment
+    // frame executes outside this scope, under AQE as before.
+    graft.GraftSession.boundedAgg(corpus.sparkSession) {
     val seeds = v
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(k)
@@ -2204,6 +2211,7 @@ object Similarity {
       }
     }
     (cents, assignCells(v, cents))
+    }
   }
 
   /** Driver entry: k = 8, 4 Lloyd passes over the embedding corpus;

@@ -802,6 +802,11 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // NOT AQE-scoped (unlike the LR/Lloyd trainer loops): the per-round
+    // pair aggregate's key space is vocabulary-proportional, so its
+    // honest reduce width is corpus-adaptive — exactly what AQE's
+    // coalescing provides.  Measured r20: AQE-off here traded 25 jobs
+    // for ~770 near-empty reduce tasks and lost.
     try {
       var done = false
       while (!done && merges.length < nMerges) {
