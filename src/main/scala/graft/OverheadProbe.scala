@@ -45,9 +45,15 @@ object OverheadProbe {
     }
     val jobs = new java.util.concurrent.atomic.AtomicLong()
     val tasks = new java.util.concurrent.atomic.AtomicLong()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    val gcMs = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = { tasks.incrementAndGet(); () }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        val m = t.taskMetrics
+        if (m != null) { taskMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime); () }
+      }
     })
     // Janino whole-stage/expression compile volume: count + total ms
     // from Spark's own codegen metrics source — the direct test of the
@@ -64,6 +70,7 @@ object OverheadProbe {
             System.gc()
             org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
             val (j0, k0) = (jobs.get, tasks.get)
+            val (tm0, g0) = (taskMs.get, gcMs.get)
             val c0 = cgCount()
             var t = System.nanoTime()
             val df = fn(spark, sfDir)
@@ -84,7 +91,8 @@ object OverheadProbe {
             org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
             (tConstruct, tAnalyze, tOptimize, tPlan, tExec,
               (jobs.get - j0).toDouble, (tasks.get - k0).toDouble,
-              (cgCount() - c0).toDouble)
+              (cgCount() - c0).toDouble,
+              (taskMs.get - tm0) / 1e3, (gcMs.get - g0) / 1e3)
           }
           val rec = s"""{"query":"$name","cpus":$cpus,"runs":$runs,""" +
             s""""construct":${ms(med(samples.map(_._1)))},""" +
@@ -94,6 +102,7 @@ object OverheadProbe {
             s""""exec":${ms(med(samples.map(_._5)))},""" +
             s""""total":${ms(med(samples.map(s => s._1 + s._2 + s._3 + s._4 + s._5)))},""" +
             s""""jobs":${med(samples.map(_._6))},"tasks":${med(samples.map(_._7))},""" +
+            s""""task_sec":${ms(med(samples.map(_._9)))},"gc_sec":${ms(med(samples.map(_._10)))},""" +
             s""""codegen_compiles":${med(samples.map(_._8))},""" +
             s""""codegen_mean_ms":${ms(CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getMean)}}"""
           println(rec)
