@@ -41,6 +41,14 @@ object GraftSession {
       // occur in this engine's plans: every exploded array is derived.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // the generated-class cache defaults to 100 entries; a single
+      // wide union query (ann_recall_report: ~200 codegen units) evicts
+      // its own run-1 entries and re-compiles EVERY unit on every
+      // execution (~200 × ~18 ms of Janino per run, measured r20).
+      // 4096 entries holds the whole suite's units; compiled-class
+      // memory is driver-side and bounded (static conf, read once at
+      // first session creation).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -55,6 +55,33 @@ object OverheadProbe {
         if (m != null) { taskMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime); () }
       }
     })
+    // GRAFT_STAGE_LOG=1: print every completed stage's width and wall —
+    // the serial-chain diagnosis view (which stages run single-task,
+    // where the wall sits between task time and stage gaps)
+    if (sys.env.get("GRAFT_STAGE_LOG").contains("1")) {
+      val t00 = System.currentTimeMillis()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = for {
+            a <- i.completionTime; b <- i.submissionTime
+          } yield a - b
+          println(s"[stage] id=${i.stageId} tasks=${i.numTasks} " +
+            s"wall=${ms.getOrElse(-1L)}ms task=${i.taskMetrics.executorRunTime}ms " +
+            s"${i.name.take(60)}")
+        }
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val ti = t.taskInfo
+          if (ti != null && ti.duration > 1000) {
+            println(s"[task] stage=${t.stageId} tid=${ti.taskId} " +
+              s"launch=+${ti.launchTime - t00}ms dur=${ti.duration}ms " +
+              s"run=${if (t.taskMetrics != null) t.taskMetrics.executorRunTime else -1}ms " +
+              s"gc=${if (t.taskMetrics != null) t.taskMetrics.jvmGCTime else -1}ms")
+          }
+        }
+      })
+    }
     // Janino whole-stage/expression compile volume: count + total ms
     // from Spark's own codegen metrics source — the direct test of the
     // "per-job floor is codegen compilation" hypothesis

@@ -26,8 +26,17 @@ object Pipeline {
     val nonReps = Dedup.nearDupComponentLabels(s, dir)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
+    // noPushdown on the two signal thresholds: without it the
+    // optimizer pushes each predicate below the scan-widening
+    // exchange, substituting the FULL signal computation into a
+    // Filter at the parquet scan's effective width — single-task on a
+    // one-row-group export (measured r20 at sf10: 37.7 s + 24.6 s
+    // serial stages, task ≈ wall), and then recomputes the signal
+    // above the exchange anyway.  The wrapper pins the filter where
+    // it is written: above the signal projection, at cluster width,
+    // one evaluation per row (see [[graft.functions.NoPushdown]]).
     val goodQuality = TextOps.textQuality(s, dir)
-      .filter(col("quality") >= 0.5)
+      .filter(graft.functions.NoPushdown.noPushdown(col("quality") >= 0.5))
       .select(col("doc_id"), col("quality"))
     // Gopher-style repetition gate: drop looping/boilerplate docs whose
     // duplicated-2-gram mass reaches 0.5.  Inert on this synthetic
@@ -35,7 +44,7 @@ object Pipeline {
     // real pipeline runs — one more zero-shuffle scan, doc-id-only
     // semi side.
     val lowRepetition = TextOps.textRepetition(s, dir)
-      .filter(col("dup_2gram_frac") < 0.5)
+      .filter(graft.functions.NoPushdown.noPushdown(col("dup_2gram_frac") < 0.5))
       .select(col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"))
